@@ -1,0 +1,319 @@
+package graft.pipeline
+
+import graft.config._
+import graft.rules.RuleCompiler
+import graft.rules.RuleCompiler.{emptyErrors, errorEntry}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
+
+/** The end-to-end validation dataflow, Spark-shaped.
+  *
+  * Reference lifecycle (src/etl_processor.py:182-233): read CSV → row
+  * loop → global dup check → split valid/invalid → load valid + log
+  * errors → archive. Here it is ONE lazy plan: scan → error-annotation
+  * projection (whole-stage codegen) → window/join stages for global
+  * rules → cached annotated frame → two filtered sinks. The only
+  * shuffles are the ones the global rules genuinely need (a window over
+  * the dup keys); everything row-level is embarrassingly parallel.
+  *
+  * Scale notes (100 TB design point):
+  *  - duplicate_check / unique-daily: `Window.partitionBy(keys)` —
+  *    shuffles once on the natural keys; no global ordering required.
+  *  - z-score outlier: two-pass — tiny agg (mean/stddev) broadcast back
+  *    via crossJoin, NEVER an unpartitioned window (which would funnel
+  *    100 TB through one task).
+  *  - referential integrity / big-dim lookups: broadcast left join adding
+  *    a presence flag; dims >> memory would flip to shuffle hash join
+  *    automatically once the broadcast threshold is exceeded.
+  *  - the annotated frame is persisted before the two sinks so the scan
+  *    + rule evaluation run once, not twice (reference computes errors
+  *    exactly once, src/data_validator.py:67-89).
+  */
+final case class ValidationSummary(
+    total: Long,
+    valid: Long,
+    invalid: Long,
+    errorCount: Long
+)
+
+class ValidationPipeline(
+    val config: IntegrationConfig,
+    /** extra lookup/RI dimension tables: "Schema.Table" -> (keyColumn, df) */
+    val dimensions: Map[String, DataFrame] = Map.empty,
+    /** parity mode = only the rules the reference engine actually runs */
+    val parityMode: Boolean = false
+) {
+  import ValidationPipeline._
+
+  private def include(ruleType: String): Boolean =
+    !parityMode || RuleTypes.ReferenceImplementedRow.contains(ruleType)
+  private def includeGlobal(ruleType: String): Boolean =
+    !parityMode || RuleTypes.ReferenceImplementedGlobal.contains(ruleType)
+
+  private val mappings = config.fieldMappings
+
+  /** Hard schema check — all declared source columns must exist
+    * (file-level failure, reference src/data_validator.py:96-104).
+    */
+  def validateColumns(df: DataFrame): Unit = {
+    val missing = mappings.map(_.sourceField).toSet -- df.columns.toSet
+    if (missing.nonEmpty)
+      throw new IllegalArgumentException(
+        s"Missing required columns in input: ${missing.mkString(", ")}")
+  }
+
+  /** Read a CSV (or glob of CSVs) with the explicit all-string raw schema.
+    * Globs parallelize natively — the reference's per-file loop
+    * (src/main.py:45-51) becomes one multi-file scan with
+    * `input_file_name()` lineage.
+    */
+  def readCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", config.source.hasHeader)
+      .option("delimiter", config.source.delimiter)
+      .schema(SchemaBuilder.rawSchema(mappings))
+      .csv(path)
+      .withColumn(FileSourceCol, input_file_name())
+
+  /** Lookup resolver: static demo set for the reference's hardcoded
+    * products (src/data_validator.py:197); registered dimension frames
+    * are handled via pre-joined presence flags (see annotate).
+    */
+  private def lookupResolver: RuleCompiler.LookupResolver = (table, column, value) =>
+    if (dimensions.contains(table)) Some(col(presenceFlag(table)).isNotNull)
+    else RuleCompiler.defaultLookups(table, column, value)
+
+  /** Adds the `errors` array column (row rules + global rules). */
+  def annotate(df: DataFrame): DataFrame = {
+    validateColumns(df)
+
+    // -- pre-join presence flags for dimension-table lookups ------------
+    var cur = df
+    val lookupDims: Seq[(String, String)] = for {
+      m <- mappings
+      r <- m.validations
+      if r.ruleType == RuleTypes.Lookup && include(r.ruleType)
+      t <- r.param("table") if dimensions.contains(t)
+    } yield (t, m.sourceField)
+    lookupDims.foreach { case (table, field) =>
+      val (key, dim) = dimKey(table)
+      val flag = presenceFlag(table)
+      val dimKeys = dim.select(col(key).cast(StringType).as(flag)).distinct()
+      cur = cur.join(broadcast(dimKeys),
+        cur(field).cast(StringType) === dimKeys(flag), "left")
+    }
+
+    // -- row-level rules -------------------------------------------------
+    var annotated = cur.withColumn(ErrorsCol,
+      RuleCompiler.compileRow(mappings, lookupResolver, include))
+
+    // -- field rules needing dataset-global context -----------------------
+    // unique scope=daily (declared-only in the reference,
+    // config/mapping_config.xml:27): count over (day, value) window.
+    val dateAnchor = mappings.find(m =>
+      SchemaBuilder.sparkType(m.dataType) == TimestampType).map(_.sourceField)
+    for {
+      m <- mappings
+      r <- m.validations
+      if r.ruleType == RuleTypes.Unique && include(r.ruleType)
+    } {
+      val scopeCols: Seq[Column] = r.param("scope") match {
+        case Some("daily") =>
+          dateAnchor.toSeq.map(a => to_date(col(a).cast(TimestampType))) :+ col(m.sourceField)
+        case _ => Seq(col(m.sourceField))
+      }
+      val cnt = count(lit(1)).over(Window.partitionBy(scopeCols: _*))
+      val err = errorEntry(
+        lit(m.sourceField), lit("UNIQUE"),
+        concat(lit(s"${m.sourceField}='"), col(m.sourceField).cast(StringType),
+          lit(s"' is not unique within scope ${r.param("scope").getOrElse("dataset")}")),
+        col(m.sourceField))
+      annotated = annotated.withColumn(ErrorsCol,
+        when(col(m.sourceField).isNotNull && cnt > 1,
+          concat(col(ErrorsCol), array(err))).otherwise(col(ErrorsCol)))
+    }
+
+    // outlier_detection method=zscore (declared-only,
+    // config/mapping_config.xml:38): two-pass agg + broadcast crossJoin.
+    val outlierRules = for {
+      m <- mappings
+      r <- m.validations
+      if r.ruleType == RuleTypes.OutlierDetection && include(r.ruleType)
+    } yield (m, r)
+    if (outlierRules.nonEmpty) {
+      val statAggs = outlierRules.flatMap { case (m, _) =>
+        val d = col(m.sourceField).cast(DoubleType)
+        Seq(avg(d).as(statMean(m.sourceField)),
+          stddev_samp(d).as(statStd(m.sourceField)))
+      }
+      val stats = df.agg(statAggs.head, statAggs.tail: _*)
+      annotated = annotated.crossJoin(broadcast(stats))
+      outlierRules.foreach { case (m, r) =>
+        val thr = r.doubleParam("threshold").getOrElse(3.0)
+        val d = col(m.sourceField).cast(DoubleType)
+        val z = abs((d - col(statMean(m.sourceField))) / col(statStd(m.sourceField)))
+        val err = errorEntry(
+          lit(m.sourceField), lit("OUTLIER"),
+          concat(lit(s"${m.sourceField}="), d.cast(StringType),
+            lit(s" is a z-score outlier (|z| > $thr)")),
+          col(m.sourceField))
+        annotated = annotated.withColumn(ErrorsCol,
+          when(d.isNotNull && z > thr, concat(col(ErrorsCol), array(err)))
+            .otherwise(col(ErrorsCol)))
+      }
+      annotated = annotated.drop(outlierRules.flatMap { case (m, _) =>
+        Seq(statMean(m.sourceField), statStd(m.sourceField)) }: _*)
+    }
+
+    // -- global validations ----------------------------------------------
+    config.globalValidations.filter(g => includeGlobal(g.ruleType)).foreach { g =>
+      g.ruleType match {
+        case RuleTypes.DuplicateCheck =>
+          // every member of a duplicate group becomes invalid, but only
+          // rows with NO prior errors gain the DUPLICATE entry
+          // (reference src/data_validator.py:204-226: `if idx not in
+          // self.invalid_rows`). field_value='multiple'.
+          val fields = g.parameters.getOrElse("fields", "").split(",").map(_.trim).filter(_.nonEmpty)
+          if (fields.nonEmpty) {
+            val cnt = count(lit(1)).over(Window.partitionBy(fields.map(col).toIndexedSeq: _*))
+            val err = errorEntry(
+              lit(fields.mkString(",")), lit("DUPLICATE"),
+              lit(s"Duplicate combination of ${fields.mkString("[", ", ", "]")}"),
+              lit("multiple"))
+            annotated = annotated.withColumn(ErrorsCol,
+              when(size(col(ErrorsCol)) === 0 && cnt > 1, array(err))
+                .otherwise(col(ErrorsCol)))
+          }
+        case RuleTypes.ReferentialIntegrity =>
+          // declared-only in the reference (config/mapping_config.xml:63);
+          // natural semantics: broadcast anti-membership flag.
+          (g.parameters.get("foreignTable"), g.parameters.get("foreignKey")) match {
+            case (Some(table), Some(fk)) =>
+              val flag = presenceFlag(s"RI:$table")
+              val present: Column = dimensions.get(table) match {
+                case Some(dim) =>
+                  val key = dimensions(table).columns.head
+                  val dimKeys = dim.select(col(key).cast(StringType).as(flag)).distinct()
+                  annotated = annotated.join(broadcast(dimKeys),
+                    annotated(fk).cast(StringType) === dimKeys(flag), "left")
+                  col(flag).isNotNull
+                case None => lit(true) // no dim registered → can't check
+              }
+              val err = errorEntry(
+                lit(fk), lit("REFERENTIAL_INTEGRITY"),
+                concat(lit(s"$fk='"), col(fk).cast(StringType),
+                  lit(s"' not found in $table")),
+                col(fk))
+              annotated = annotated.withColumn(ErrorsCol,
+                when(col(fk).isNotNull && !present,
+                  concat(col(ErrorsCol), array(err))).otherwise(col(ErrorsCol)))
+              if (dimensions.contains(table)) annotated = annotated.drop(flag)
+            case _ =>
+          }
+        case _ => // unknown global rule: skipped, like the reference's dispatch
+      }
+    }
+
+    // drop lookup presence flags (internal plumbing)
+    lookupDims.map(d => presenceFlag(d._1)).distinct
+      .foldLeft(annotated)((d, f) => d.drop(f))
+  }
+
+  def splitValid(annotated: DataFrame): DataFrame =
+    annotated.filter(size(col(ErrorsCol)) === 0)
+
+  def splitInvalid(annotated: DataFrame): DataFrame =
+    annotated.filter(size(col(ErrorsCol)) > 0)
+
+  /** Valid-rows sink projection: source→target rename, declared-type
+    * casts, literal ValidationStatus + FileSource lineage
+    * (reference src/etl_processor.py:68-92).
+    */
+  def validOutput(annotated: DataFrame): DataFrame = {
+    val renamed = mappings.map { m =>
+      col(m.sourceField).cast(SchemaBuilder.sparkType(m.dataType)).as(m.targetField)
+    }
+    val lineage =
+      if (annotated.columns.contains(FileSourceCol)) col(FileSourceCol)
+      else input_file_name()
+    splitValid(annotated).select(
+      renamed :+ lineage.as("FileSource") :+ lit("VALID").as("ValidationStatus"): _*)
+  }
+
+  /** Error sink: one row per error, FieldValue truncated to 255 chars
+    * (reference src/etl_processor.py:110-144).
+    */
+  def errorOutput(annotated: DataFrame): DataFrame = {
+    val lineage =
+      if (annotated.columns.contains(FileSourceCol)) col(FileSourceCol)
+      else input_file_name()
+    splitInvalid(annotated)
+      .select(lineage.as("FileSource"), explode(col(ErrorsCol)).as("e"))
+      .select(
+        col("FileSource"),
+        col("e.ErrorType").as("ErrorType"),
+        col("e.ErrorMessage").as("ErrorMessage"),
+        col("e.FieldName").as("FieldName"),
+        substring(col("e.FieldValue"), 1, 255).as("FieldValue"))
+  }
+
+  /** Full run: annotate once (persisted), write both sinks, return counts.
+    * dryRun skips the sinks (the reference parses --dry-run but drops it,
+    * src/main.py:77-90 — implemented as declared per SURVEY §2.6).
+    */
+  def run(
+      spark: SparkSession,
+      inputPath: String,
+      validOut: String,
+      errorsOut: String,
+      dryRun: Boolean = false
+  ): ValidationSummary = {
+    val annotated = annotate(readCsv(spark, inputPath))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val counts = annotated.agg(
+        count(lit(1)).as("total"),
+        sum(when(size(col(ErrorsCol)) === 0, 1L).otherwise(0L)).as("valid"),
+        sum(size(col(ErrorsCol)).cast(LongType)).as("errors")
+      ).collect()(0)
+      val total = counts.getLong(0)
+      val valid = counts.getLong(1)
+      val errors = counts.getLong(2)
+      if (!dryRun) {
+        validOutput(annotated).write.mode("overwrite").parquet(validOut)
+        errorOutput(annotated).write.mode("overwrite").parquet(errorsOut)
+      }
+      ValidationSummary(total, valid, total - valid, errors)
+    } finally annotated.unpersist()
+  }
+
+  /** Archive a processed file with a timestamp prefix
+    * (reference src/etl_processor.py:160-179); driver-side, gated by
+    * the ArchiveProcessedFiles flag.
+    */
+  def archive(file: java.nio.file.Path, processedDir: java.nio.file.Path): Option[java.nio.file.Path] = {
+    if (!config.etl.archiveProcessedFiles) return None
+    val stamp = java.time.format.DateTimeFormatter
+      .ofPattern("yyyyMMdd_HHmmss")
+      .format(java.time.LocalDateTime.now())
+    java.nio.file.Files.createDirectories(processedDir)
+    val dest = processedDir.resolve(s"${stamp}_${file.getFileName}")
+    Some(java.nio.file.Files.move(file, dest))
+  }
+
+  private def dimKey(table: String): (String, DataFrame) = {
+    val dim = dimensions(table)
+    (dim.columns.head, dim)
+  }
+}
+
+object ValidationPipeline {
+  val ErrorsCol = "errors"
+  val FileSourceCol = "_file_source"
+  private def presenceFlag(table: String) = s"__present_${table.replaceAll("[^A-Za-z0-9]", "_")}"
+  private def statMean(field: String) = s"__stat_mean_$field"
+  private def statStd(field: String) = s"__stat_std_$field"
+}

@@ -1,0 +1,527 @@
+package graft.queries
+
+import graft.config.{FieldMapping, ValidationRule}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.rules.RuleCompiler
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The query catalog behind SparkEntry: one entry per operator from
+  * SURVEY.md §2 plus the training-data-pipeline extensions. Each query
+  * has a DuckDB oracle in [[oracleSql]] unless the operator is not
+  * SQL-expressible (MinHash/SimHash/LSH — verified by ScalaTest
+  * goldens instead).
+  *
+  * Oracle-compare discipline: all output column names are lower_snake
+  * and aliased identically on both sides; aggregate sums go through
+  * DECIMAL(18,2)/(18,4) so Spark's and DuckDB's summation order cannot
+  * produce differing low-order float bits; per-row double arithmetic is
+  * bit-deterministic and safe.
+  */
+object Queries {
+
+  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** events.parquet carries a NANOSECOND timestamp, which Spark's parquet
+    * reader rejects ([PARQUET_TYPE_ILLEGAL]); read `ts` as raw
+    * nanos-since-epoch (explicit schema — no inference scan either) and
+    * derive a proper timestamp column.
+    */
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  private def events(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.schema(eventsSchema).parquet(s"$sfDir/events.parquet")
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  // --- the lineitem validation-rule set used by several queries --------
+  // (range / date_range / not_null over typed parquet columns — the same
+  // compiler the XML pipeline uses, pointed at the testdata tables)
+  private val lineitemRules: Seq[FieldMapping] = Seq(
+    FieldMapping("l_quantity", "quantity", "double", required = true,
+      Seq(ValidationRule("range", Map("min" -> "5", "max" -> "45")))),
+    FieldMapping("l_discount", "discount", "double", required = true,
+      Seq(ValidationRule("range", Map("min" -> "0", "max" -> "0.05")))),
+    FieldMapping("l_shipdate", "ship_date", "datetime", required = true,
+      Seq(ValidationRule("date_range",
+        Map("min" -> "1995-06-01", "max" -> "2000-12-31")))),
+    FieldMapping("l_returnflag", "return_flag", "varchar(1)", required = true,
+      Seq(ValidationRule("not_null", Map.empty)))
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ------------------------------------------------------------------
+    // Relational core (S6/A3 surface + flagship agg)
+    // ------------------------------------------------------------------
+
+    // TPC-H-Q1-shaped pricing summary: scan → hash agg, decimal sums.
+    "q1_agg" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dec(sum(dec(col("l_quantity")))).cast(DoubleType).as("sum_qty"),
+          dec(sum(dec(col("l_extendedprice")))).cast(DoubleType).as("sum_base_price"),
+          dec4(sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))))
+            .cast(DoubleType).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // A3: the reference's processing-summary query shape
+    // (filter + CAST-to-date + group count + sort,
+    // reference src/etl_processor.py:148-157). Dates go out as
+    // yyyy-MM-dd strings so the oracle compare is representation-proof.
+    "a3_summary_query" -> ((s, d) => {
+      t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1998-01-01").cast(TimestampType))
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("process_date"),
+          col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("record_count"))
+        .orderBy(col("process_date").desc, col("status"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Row-rule operators (P2-P6) over the testdata tables
+    // ------------------------------------------------------------------
+
+    // P2: required/missing detection (null after a transform).
+    "p2_required_check" -> ((s, d) => {
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        when(col("o_orderpriority") === "1-URGENT", lit(null).cast(StringType))
+          .otherwise(col("o_orderpriority")).isNull.as("required_field_missing"))
+    }),
+
+    // P3: not_null rule (null OR whitespace-only, stricter than P2).
+    "p3_not_null" -> ((s, d) => {
+      t(s, d, "customer").select(
+        col("c_custkey"),
+        (col("c_mktsegment").isNull ||
+          trim(col("c_mktsegment")) === "").as("not_null_violation"))
+    }),
+
+    // P4: range rule via the actual RuleCompiler, exploded to errors.
+    "p4_range" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val errs = RuleCompiler.compileField(
+        lineitemRules.head, RuleCompiler.defaultLookups, _ => true, col("l_quantity"))
+      li.withColumn("errors", errs)
+        .filter(size(col("errors")) > 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          explode(col("errors")).as("e"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("e.ErrorType").as("error_type"),
+          when(col("l_quantity") < 5, "below").otherwise("above").as("bound"))
+    }),
+
+    // P5: regex rule (anchored re.match semantics) via RuleCompiler.
+    "p5_regex" -> ((s, d) => {
+      val rule = ValidationRule("regex", Map("pattern" -> "^Brand#[0-9]{2}$"))
+      val errs = RuleCompiler.compileRule("p_brand", col("p_brand"), rule).get
+      t(s, d, "part")
+        .withColumn("errors", errs)
+        .filter(size(col("errors")) > 0)
+        .select(col("p_partkey"), col("p_brand"),
+          lit("REGEX").as("error_type"))
+    }),
+
+    // P6: date_range rule via RuleCompiler.
+    "p6_date_range" -> ((s, d) => {
+      val errs = RuleCompiler.compileField(
+        lineitemRules(2), RuleCompiler.defaultLookups, _ => true, col("l_shipdate"))
+      t(s, d, "lineitem")
+        .withColumn("errors", errs)
+        .filter(size(col("errors")) > 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+          explode(col("errors")).as("e"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+          col("e.ErrorType").as("error_type"))
+    }),
+
+    // P7: lookup as a broadcast LEFT ANTI join against a dim subset.
+    "p7_lookup_antijoin" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val dim = t(s, d, "supplier").filter(col("s_suppkey") <= 5)
+        .select(col("s_suppkey"))
+      li.join(broadcast(dim), li("l_suppkey") === dim("s_suppkey"), "left_anti")
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("missing_rows"))
+    }),
+
+    // P8+A2: valid/invalid split summary over the compiled rule set —
+    // one agg job, no separate count actions.
+    "p8_split_summary" -> ((s, d) => {
+      val errs = RuleCompiler.compileRow(lineitemRules)
+      t(s, d, "lineitem")
+        .withColumn("errors", errs)
+        .agg(
+          count(lit(1)).as("total_records"),
+          sum(when(size(col("errors")) === 0, 1L).otherwise(0L)).as("valid_records"),
+          sum(when(size(col("errors")) > 0, 1L).otherwise(0L)).as("invalid_records"),
+          sum(size(col("errors")).cast(LongType)).as("error_count"))
+    }),
+
+    // P9: error fan-out — one row per violated rule (explode Generator).
+    "p9_error_fanout" -> ((s, d) => {
+      val errs = RuleCompiler.compileRow(lineitemRules)
+      t(s, d, "lineitem")
+        .withColumn("errors", errs)
+        .filter(size(col("errors")) > 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          explode(col("errors")).as("e"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("e.FieldName").as("field_name"),
+          col("e.ErrorType").as("error_type"))
+    }),
+
+    // P10: source→target rename projection with computed column
+    // (reference src/etl_processor.py:68-92 column mapping).
+    "p10_rename_projection" -> ((s, d) => {
+      t(s, d, "lineitem").select(
+        col("l_orderkey").as("order_key"),
+        col("l_linenumber").as("line_number"),
+        col("l_quantity").as("quantity"),
+        col("l_returnflag").as("return_flag"),
+        // bare IEEE double product — bit-identical in Spark and DuckDB
+        // (round(double,2) tie-breaking differs between engines)
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("net_price"))
+    }),
+
+    // S5: error-sink value truncation (substring to 255).
+    "s5_truncate" -> ((s, d) => {
+      t(s, d, "documents").select(
+        col("doc_id"),
+        substring(col("text"), 1, 255).as("field_value"),
+        length(col("text")).cast(LongType).as("text_len"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Global/aggregate operators (A1/A4/A5/A6)
+    // ------------------------------------------------------------------
+
+    // A1: duplicate_check — dup groups via hash agg (map-side partials;
+    // the per-row demotion variant is windowed in ValidationPipeline).
+    "a1_duplicate_check" -> ((s, d) => {
+      Dedup.exactDupGroups(t(s, d, "lineitem"), Seq("l_partkey", "l_suppkey"))
+        .select(col("l_partkey"), col("l_suppkey"), col("dup_count"))
+    }),
+
+    // A4: unique scope=daily — (day, key) groups with >1 member.
+    "a4_unique_daily" -> ((s, d) => {
+      events(s, d)
+        .groupBy(date_format(col("ts_utc"), "yyyy-MM-dd").as("event_day"),
+          col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 1)
+    }),
+
+    // A5: z-score outliers — two-pass agg + broadcast crossJoin, never an
+    // unpartitioned window (SURVEY §7.3: 100 TB through one task is a
+    // non-starter).
+    "a5_zscore_outlier" -> ((s, d) => {
+      val ev = events(s, d)
+      val stats = ev.agg(
+        avg(col("value")).as("m"), stddev_samp(col("value")).as("sd"))
+      ev.crossJoin(broadcast(stats))
+        .filter(abs((col("value") - col("m")) / col("sd")) > 3.0)
+        .select(col("event_id"), col("value"))
+    }),
+
+    // A6: referential integrity — broadcast anti-join vs a dim subset.
+    "a6_referential_integrity" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val dim = t(s, d, "customer").filter(col("c_custkey") <= 100)
+        .select(col("c_custkey"))
+      o.join(broadcast(dim), o("o_custkey") === dim("c_custkey"), "left_anti")
+        .select(col("o_orderkey"), col("o_custkey"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Training-data-pipeline extensions
+    // ------------------------------------------------------------------
+
+    // Exact dedup: canonical-survivor ids (lowest doc_id per distinct text).
+    "x_dedup_exact" -> ((s, d) => {
+      Dedup.exactDedup(t(s, d, "documents"), "doc_id", Seq("text"))
+        .select(col("doc_id"))
+    }),
+
+    // Exact-dup audit groups keyed by content hash.
+    "x_dedup_groups" -> ((s, d) => {
+      t(s, d, "documents")
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    }),
+
+    // MinHash-LSH near-dups — NOT SQL-expressible; rows-only check here,
+    // golden-pair assertions in DedupSpec.
+    "x_dedup_minhash" -> ((s, d) => {
+      Dedup.minHashNearDups(t(s, d, "documents"), "doc_id", "text",
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+    }),
+
+    // SimHash near-dups (hamming <= 3) — rows-only.
+    "x_dedup_simhash" -> ((s, d) => {
+      Dedup.simHashNearDups(t(s, d, "documents"), "doc_id", "text", maxDistance = 3)
+    }),
+
+    // Embedding-cosine near-dups via hyperplane LSH — rows-only.
+    // threshold tuned to the synthetic corpus (max pairwise cosine ~0.51;
+    // 271 pairs >= 0.35 at sf0.01) so the check is non-vacuous.
+    "x_dedup_embedding" -> ((s, d) => {
+      Dedup.embeddingNearDups(t(s, d, "embeddings"), "vec_id", "embedding",
+        threshold = 0.35, planes = 6, tables = 8)
+    }),
+
+    // Brute-force cosine top-k (exact ANN baseline): top 10 neighbors of
+    // vec_id=0. Scan → TakeOrderedAndProject; ids+rank only (float-safe).
+    "x_cosine_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+      val scored = emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          Similarity.cosine(col("embedding"), col("qv")).as("c"))
+        .orderBy(col("c").desc, col("vec_id").asc)
+        .limit(10)
+      scored.withColumn("rank",
+        row_number().over(Window.orderBy(col("c").desc, col("vec_id").asc)))
+        .select(col("vec_id"), col("rank"))
+    }),
+
+    // LSH-bucketed ANN — rows-only; recall vs brute force asserted in
+    // SimilaritySpec.
+    "x_ann_lsh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.lshTopK(emb, "vec_id", "embedding", queries, "qid", "qv", k = 10)
+        .select(col("query_id"), col("id"), col("rank"))
+    }),
+
+    // JSON/multimodal props extraction (events.props is a JSON string).
+    "x_json_extract" -> ((s, d) => {
+      events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          sum(get_json_object(col("props"), "$.k").cast(LongType)).as("sum_k"),
+          count(lit(1)).as("n_events"))
+    }),
+
+    // Text analysis: integer token stats per document (SQL-safe subset of
+    // TextAnalysis.documentFeatures; float features asserted in tests).
+    "x_text_tokens" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      docs.select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+        TextAnalysis.bpeishTokenCount(col("text")).cast(LongType).as("n_bpeish_tokens"),
+        size(filter(TextAnalysis.tokens(col("text")),
+          t0 => lower(t0).isin(TextAnalysis.stopwordsEn: _*)))
+          .cast(LongType).as("n_stopwords"))
+    }),
+
+    // Text analysis rollup per language tag.
+    "x_text_stats" -> ((s, d) => {
+      t(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast(LongType)).as("total_tokens"),
+          sum(col("n_chars")).as("total_chars"))
+    }),
+
+    // Language-ID marker hits (integer features; argmax tested in Scala).
+    "x_lang_marker_hits" -> ((s, d) => {
+      val toks = TextAnalysis.tokens(lower(col("text")))
+      def hits(lang: String): Column =
+        size(filter(toks, t0 => t0.isin(TextAnalysis.langMarkers(lang): _*)))
+      t(s, d, "documents").select(
+        col("doc_id"),
+        hits("en").cast(LongType).as("en_hits"),
+        hits("de").cast(LongType).as("de_hits"),
+        hits("fr").cast(LongType).as("fr_hits"),
+        hits("es").cast(LongType).as("es_hits"))
+    }),
+
+    // Multimodal plumbing: binary payload + byte-level metadata
+    // (decode itself is the stubbed mapPartitions path, MultimodalSpec).
+    "x_multimodal_meta" -> ((s, d) => {
+      Multimodal.toMediaFrame(t(s, d, "documents"), "doc_id", "text", "image")
+        .select(col("media_id"), col("kind"),
+          col("meta.n_bytes").as("n_bytes"),
+          length(col("payload")).cast(LongType).as("payload_bytes"))
+    }),
+
+    // Document fingerprints (rolling hash) — rows-only (hash seed is
+    // engine-specific); dup-fingerprint count asserted in tests.
+    "x_fingerprint" -> ((s, d) => {
+      t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+    })
+  )
+
+  /** DuckDB oracle SQL, keyed identically to [[queries]]. Written against
+    * the same parquet tables (driver registers each table name as a view
+    * over `$sfDir/<name>.parquet`).
+    */
+  val oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+        |CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+        |CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
+        |count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "a3_summary_query" ->
+      """SELECT strftime(o_orderdate, '%Y-%m-%d') AS process_date, o_orderstatus AS status,
+        |count(*) AS record_count
+        |FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2 ORDER BY process_date DESC, status""".stripMargin,
+
+    "p2_required_check" ->
+      """SELECT o_orderkey,
+        |(CASE WHEN o_orderpriority = '1-URGENT' THEN NULL ELSE o_orderpriority END) IS NULL
+        |  AS required_field_missing
+        |FROM orders""".stripMargin,
+
+    "p3_not_null" ->
+      """SELECT c_custkey,
+        |(c_mktsegment IS NULL OR trim(c_mktsegment) = '') AS not_null_violation
+        |FROM customer""".stripMargin,
+
+    "p4_range" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |'RANGE' AS error_type,
+        |CASE WHEN l_quantity < 5 THEN 'below' ELSE 'above' END AS bound
+        |FROM lineitem WHERE l_quantity < 5 OR l_quantity > 45""".stripMargin,
+
+    "p5_regex" ->
+      """SELECT p_partkey, p_brand, 'REGEX' AS error_type
+        |FROM part WHERE NOT regexp_matches(p_brand, '^Brand#[0-9]{2}$')""".stripMargin,
+
+    "p6_date_range" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate, 'DATE_RANGE' AS error_type
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1995-06-01' OR l_shipdate > TIMESTAMP '2000-12-31'""".stripMargin,
+
+    "p7_lookup_antijoin" ->
+      """SELECT l_suppkey, count(*) AS missing_rows FROM lineitem
+        |WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey <= 5)
+        |GROUP BY l_suppkey""".stripMargin,
+
+    "p8_split_summary" ->
+      """WITH flags AS (
+        |  SELECT
+        |    (CASE WHEN l_quantity < 5 OR l_quantity > 45 THEN 1 ELSE 0 END) AS qty_err,
+        |    (CASE WHEN l_discount < 0 OR l_discount > 0.05 THEN 1 ELSE 0 END) AS disc_err,
+        |    (CASE WHEN l_shipdate < TIMESTAMP '1995-06-01' OR l_shipdate > TIMESTAMP '2000-12-31' THEN 1 ELSE 0 END) AS date_err,
+        |    (CASE WHEN l_returnflag IS NULL OR trim(l_returnflag) = '' THEN 1 ELSE 0 END) AS flag_err
+        |  FROM lineitem)
+        |SELECT count(*) AS total_records,
+        |  CAST(sum(CASE WHEN qty_err + disc_err + date_err + flag_err = 0 THEN 1 ELSE 0 END) AS BIGINT) AS valid_records,
+        |  CAST(sum(CASE WHEN qty_err + disc_err + date_err + flag_err > 0 THEN 1 ELSE 0 END) AS BIGINT) AS invalid_records,
+        |  CAST(sum(qty_err + disc_err + date_err + flag_err) AS BIGINT) AS error_count
+        |FROM flags""".stripMargin,
+
+    "p9_error_fanout" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS field_name, 'RANGE' AS error_type
+        |  FROM lineitem WHERE l_quantity < 5 OR l_quantity > 45
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', 'RANGE'
+        |  FROM lineitem WHERE l_discount < 0 OR l_discount > 0.05
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_shipdate', 'DATE_RANGE'
+        |  FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-06-01' OR l_shipdate > TIMESTAMP '2000-12-31'""".stripMargin,
+
+    "p10_rename_projection" ->
+      """SELECT l_orderkey AS order_key, l_linenumber AS line_number,
+        |l_quantity AS quantity, l_returnflag AS return_flag,
+        |l_extendedprice * (1.0 - l_discount) AS net_price
+        |FROM lineitem""".stripMargin,
+
+    "s5_truncate" ->
+      """SELECT doc_id, substr(text, 1, 255) AS field_value, length(text) AS text_len
+        |FROM documents""".stripMargin,
+
+    "a1_duplicate_check" ->
+      """SELECT l_partkey, l_suppkey, count(*) AS dup_count
+        |FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1""".stripMargin,
+
+    "a4_unique_daily" ->
+      """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS event_day, user_id, count(*) AS cnt
+        |FROM events GROUP BY 1, 2 HAVING count(*) > 1""".stripMargin,
+
+    "a5_zscore_outlier" ->
+      """WITH s AS (SELECT avg(value) AS m, stddev_samp(value) AS sd FROM events)
+        |SELECT event_id, value FROM events, s
+        |WHERE abs((value - m) / sd) > 3.0""".stripMargin,
+
+    "a6_referential_integrity" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey <= 100)""".stripMargin,
+
+    "x_dedup_exact" ->
+      """SELECT doc_id FROM documents
+        |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)""".stripMargin,
+
+    "x_dedup_groups" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "x_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT vec_id, list_cosine_similarity(embedding, qv) AS c
+        |  FROM embeddings, q WHERE vec_id <> 0)
+        |SELECT vec_id,
+        |  CAST(row_number() OVER (ORDER BY c DESC, vec_id ASC) AS INTEGER) AS rank
+        |FROM scored ORDER BY c DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "x_json_extract" ->
+      """SELECT event_type,
+        |CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |count(*) AS n_events
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "x_text_tokens" ->
+      """SELECT doc_id,
+        |len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpeish_tokens,
+        |len(list_filter(string_split_regex(trim(text), '\s+'),
+        |    t -> lower(t) IN ('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by','it','be','this','that')))
+        |  AS n_stopwords
+        |FROM documents""".stripMargin,
+
+    "x_text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+        |CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    "x_lang_marker_hits" ->
+      """SELECT doc_id,
+        |len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t IN ('the','and','of','to','is','in','that','it','with','for'))) AS en_hits,
+        |len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t IN ('der','die','das','und','ist','nicht','ein','mit','für','auf'))) AS de_hits,
+        |len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t IN ('le','la','les','et','est','une','pour','dans','que','des'))) AS fr_hits,
+        |len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t IN ('el','la','los','las','es','una','para','que','por','con'))) AS es_hits
+        |FROM documents""".stripMargin,
+
+    "x_multimodal_meta" ->
+      """SELECT doc_id AS media_id, 'image' AS kind,
+        |octet_length(encode(text)) AS n_bytes,
+        |octet_length(encode(text)) AS payload_bytes
+        |FROM documents""".stripMargin
+  )
+}
