@@ -53,13 +53,16 @@ object Dedup {
     */
   def shingles(text: Column, n: Int): Column = {
     val tokens = split(trim(text), "\\s+")
-    val numShingles = greatest(size(tokens) - (n - 1), lit(0))
-    array_distinct(
-      transform(
-        sequence(lit(0), numShingles - 1),
-        i => concat_ws(" ", slice(tokens, i + 1, lit(n)))
+    // guard: sequence(1, k) needs k >= 1 — docs shorter than n tokens
+    // have zero shingles (empty array, NOT a descending sequence)
+    when(size(tokens) >= n,
+      array_distinct(
+        transform(
+          sequence(lit(1), size(tokens) - (n - 1)),
+          i => concat_ws(" ", slice(tokens, i, lit(n)))
+        )
       )
-    )
+    ).otherwise(array().cast(ArrayType(StringType)))
   }
 
   /** MinHash signature (length = numHashes) over a shingle array.

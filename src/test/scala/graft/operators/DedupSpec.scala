@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bend today"), // near dup of 1
+    (4L, "completely different content about manufacturing quality control systems here"),
+    (5L, "another unrelated document mentioning spark catalyst optimizer internals only")
+  ).toDF("doc_id", "text")
+
+  test("exactDedup keeps the lowest id per duplicate group") {
+    val kept = Dedup.exactDedup(docs, "doc_id", Seq("text"))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("exactDupGroups reports groups with >1 member") {
+    val groups = Dedup.exactDupGroups(docs, Seq("text")).collect()
+    assert(groups.length == 1)
+    assert(groups(0).getAs[Long]("dup_count") == 2L)
+  }
+
+  test("shingles produce distinct n-grams; short docs yield empty") {
+    val r = Seq("a b c d", "a b", "").toDF("t")
+      .select(Dedup.shingles(col("t"), 3).as("sh"))
+      .collect().map(_.getSeq[String](0))
+    assert(r(0) == Seq("a b c", "b c d"))
+    assert(r(1).isEmpty)
+    assert(r(2).isEmpty)
+  }
+
+  test("jaccard: identical=1, disjoint=0") {
+    val r = Seq((Seq("a", "b"), Seq("a", "b")), (Seq("a"), Seq("b")))
+      .toDF("x", "y")
+      .select(Dedup.jaccard(col("x"), col("y")).as("j"))
+      .collect().map(_.getDouble(0))
+    assert(r(0) == 1.0)
+    assert(r(1) == 0.0)
+  }
+
+  test("minHash signature of identical shingle sets is identical") {
+    val sigs = docs.filter(col("doc_id").isin(1, 2))
+      .select(Dedup.minHashSignature(
+        Dedup.shingles(col("text"), 3), 32).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    assert(sigs(0) == sigs(1))
+  }
+
+  test("minHashNearDups finds the exact and near pairs, not the unrelated ones") {
+    val pairs = Dedup.minHashNearDups(docs, "doc_id", "text",
+      shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L))) // exact dup: jaccard 1.0
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L))) // one-token diff
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("simHash of identical token sequences matches; hamming=0") {
+    val h = docs.filter(col("doc_id").isin(1, 2))
+      .select(Dedup.simHash(split(col("text"), "\\s+")).as("h"))
+      .collect().map(_.getLong(0))
+    assert(h(0) == h(1))
+  }
+
+  test("simHashNearDups finds near pairs via pigeonhole buckets") {
+    val pairs = Dedup.simHashNearDups(docs, "doc_id", "text", maxDistance = 8)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L))) // identical -> distance 0
+    assert(!pairs.exists(p => p._1 == 4L && p._2 == 5L))
+  }
+
+  test("embeddingNearDups on the testdata finds pairs above threshold, verified exactly") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val pairs = Dedup.embeddingNearDups(emb, "vec_id", "embedding",
+      threshold = 0.35, planes = 6, tables = 8)
+    val rows = pairs.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Double]("cosine") >= 0.35))
+    assert(rows.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
+  }
+
+  test("near-dup plans contain no cartesian product (scale guard)") {
+    val plan = Dedup.minHashNearDups(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+}

@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("dot / norm / cosine basic identities") {
+    val df = Seq((Seq(1.0, 2.0, 2.0), Seq(1.0, 2.0, 2.0)),
+      (Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0))).toDF("a", "b")
+    val rows = df.select(
+      Similarity.dot(col("a"), col("b")).as("dot"),
+      Similarity.norm(col("a")).as("na"),
+      Similarity.cosine(col("a"), col("b")).as("cos")).collect()
+    assert(rows(0).getDouble(0) == 9.0)
+    assert(rows(0).getDouble(1) == 3.0)
+    assert(math.abs(rows(0).getDouble(2) - 1.0) < 1e-12)
+    assert(rows(1).getDouble(2) == 0.0)
+  }
+
+  test("normalize yields unit vectors; zero vector stays zero") {
+    val rows = Seq(Seq(3.0, 4.0), Seq(0.0, 0.0)).toDF("v")
+      .select(Similarity.norm(Similarity.normalize(col("v"))).as("n"))
+      .collect().map(_.getDouble(0))
+    assert(math.abs(rows(0) - 1.0) < 1e-12)
+    assert(rows(1) == 0.0)
+  }
+
+  test("bruteForceTopK returns exact neighbors in rank order") {
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.9, 0.1)),
+      (3L, Seq(0.0, 1.0)), (4L, Seq(-1.0, 0.0))).toDF("id", "v")
+    val top = Similarity.bruteForceTopK(corpus, "id", "v", Seq(1.0, 0.0), 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(1L, 2L))
+  }
+
+  test("batchTopK agrees with bruteForceTopK per query on real embeddings") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(200).cache()
+    val q = emb.filter(col("vec_id") === 7)
+    val qVec = q.select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble)
+    val brute = Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") =!= 7), "vec_id", "embedding", qVec, 5)
+      .collect().map(_.getLong(0)).toSeq
+    val batch = Similarity.batchTopK(
+      emb.filter(col("vec_id") =!= 7), "vec_id", "embedding",
+      q.select(col("vec_id").as("qid"), col("embedding").as("qv")), "qid", "qv", 5)
+      .orderBy("rank").collect().map(_.getAs[Long]("id")).toSeq
+    assert(batch == brute)
+  }
+
+  test("signBucket is deterministic and seed-sensitive") {
+    val df = Seq(Seq(0.5, -0.25, 1.0)).toDF("v")
+    val a = df.select(Similarity.signBucket(col("v"), 10, 1).as("b")).collect()(0).getLong(0)
+    val b = df.select(Similarity.signBucket(col("v"), 10, 1).as("b")).collect()(0).getLong(0)
+    val c = df.select(Similarity.signBucket(col("v"), 10, 2).as("b")).collect()(0).getLong(0)
+    assert(a == b)
+    assert(a != c) // overwhelmingly likely for 10 planes
+    assert(a >= 0 && a < (1L << 10))
+  }
+
+  test("lshTopK achieves reasonable recall vs brute force on real embeddings") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv")).cache()
+    val exact = Similarity.batchTopK(emb, "vec_id", "embedding",
+      queries, "qid", "qv", 10)
+      .select("query_id", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 6 planes / 12 tables: p(bucket agree) ~ 0.63^6 per table for the
+    // ~0.4-cosine neighbors a random corpus has -> ~55% expected recall;
+    // real near-dup corpora cluster far tighter than N(0,1) vectors.
+    val approx = Similarity.lshTopK(emb, "vec_id", "embedding",
+      queries, "qid", "qv", k = 10, planes = 6, tables = 12)
+      .select("query_id", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"LSH recall $recall too low")
+    // every returned candidate's cosine must be exact (re-ranked) — the
+    // self-match (query in corpus) must rank first with cosine ~1
+    val self = Similarity.lshTopK(emb, "vec_id", "embedding",
+      queries, "qid", "qv", k = 10, planes = 6, tables = 12)
+      .filter(col("query_id") === col("id"))
+    assert(self.count() == 5) // each query finds itself
+  }
+}

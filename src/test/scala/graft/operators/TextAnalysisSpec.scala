@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("token counts: whitespace and BPE-ish") {
+    val rows = Seq("the quick brown fox", "hello, world!", "", "   ")
+      .toDF("t")
+      .select(
+        TextAnalysis.tokenCount(col("t")).as("n"),
+        TextAnalysis.bpeishTokenCount(col("t")).as("b"))
+      .collect()
+    assert(rows(0).getInt(0) == 4)
+    assert(rows(1).getInt(0) == 2)
+    assert(rows(1).getInt(1) == 4) // hello , world !
+    assert(rows(2).getInt(0) == 0)
+    assert(rows(3).getInt(0) == 0)
+  }
+
+  test("punct and stopword ratios") {
+    val r = Seq("the cat!!").toDF("t").select(
+      TextAnalysis.punctRatio(col("t")).as("p"),
+      TextAnalysis.stopwordRatio(col("t")).as("s")).collect()(0)
+    assert(math.abs(r.getDouble(0) - 2.0 / 9.0) < 1e-9)
+    assert(r.getDouble(1) == 0.5) // "the" of ["the","cat!!"]
+  }
+
+  test("mean token length") {
+    val r = Seq("ab cdef").toDF("t")
+      .select(TextAnalysis.meanTokenLen(col("t")).as("m")).collect()(0)
+    assert(r.getDouble(0) == 3.0)
+  }
+
+  test("quality score bounded in [0,1]") {
+    val scores = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(TextAnalysis.qualityScore(col("text")).as("q"))
+      .agg(min("q"), max("q")).collect()(0)
+    assert(scores.getDouble(0) >= 0.0)
+    assert(scores.getDouble(1) <= 1.0)
+  }
+
+  test("langId picks the dominant marker language; und when none") {
+    val rows = Seq(
+      "the cat and the dog is in the house",
+      "der hund und die katze ist nicht hier",
+      "le chat est dans la maison pour toujours",
+      "el perro es una mascota para la familia",
+      "zzz qqq xxx").toDF("t")
+      .select(TextAnalysis.langId(col("t")).as("l")).collect().map(_.getString(0))
+    assert(rows.toSeq == Seq("en", "de", "fr", "es", "und"))
+  }
+
+  test("fingerprint: equal token sequences collide, order matters") {
+    val rows = Seq("a b c", "a  b   c", "c b a").toDF("t")
+      .select(TextAnalysis.fingerprint(col("t")).as("f")).collect().map(_.getLong(0))
+    assert(rows(0) == rows(1)) // whitespace-insensitive
+    assert(rows(0) != rows(2)) // order-sensitive
+  }
+
+  test("documentFeatures projects the full feature set over real docs") {
+    val feats = TextAnalysis.documentFeatures(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
+    assert(feats.columns.toSeq == Seq("doc_id", "n_tokens", "n_bpeish_tokens",
+      "n_chars", "mean_token_len", "punct_ratio", "stopword_ratio",
+      "quality_score", "lang_pred", "fingerprint"))
+    assert(feats.count() == 500)
+    // n_chars from the engine matches the table's own n_chars column
+    val joined = feats.alias("f").join(
+      spark.read.parquet(s"$sfDir/documents.parquet").alias("d"), "doc_id")
+      .filter(col("f.n_chars") =!= col("d.n_chars"))
+    assert(joined.count() == 0)
+  }
+}

@@ -1,0 +1,196 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import graft.config.XmlConfigParser
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** End-to-end parity with the reference on its engineered 9-row fixture
+  * (golden expectations in /root/repo/FIXTURES.md §2), plus the
+  * full-rules mode that implements the declared-only rules.
+  */
+class PipelineSpec extends SparkTestBase {
+
+  private lazy val cfg =
+    XmlConfigParser.parseFile(getClass.getResource("/mapping_config.xml").getPath)
+  private lazy val fixtureCsv =
+    getClass.getResource("/production_data_fixture.csv").getPath
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft_test_").toString
+
+  // ------------------------------------------------------------------
+  // Parity mode: only the rules the reference engine actually executes
+  // ------------------------------------------------------------------
+
+  test("parity mode reproduces the reference 6/3 split with 4 error records") {
+    val p = new ValidationPipeline(cfg, parityMode = true)
+    val out = tmpDir()
+    val summary = p.run(spark, fixtureCsv, s"$out/valid", s"$out/errors")
+    assert(summary.total == 9)
+    assert(summary.valid == 6)
+    assert(summary.invalid == 3)
+    assert(summary.errorCount == 4)
+
+    val errors = spark.read.parquet(s"$out/errors")
+    val types = errors.select("ErrorType").collect().map(_.getString(0)).sorted.toSeq
+    assert(types == Seq("LOOKUP", "RANGE", "REGEX", "REQUIRED_FIELD_MISSING"))
+
+    // row 3: temperature 300.0 above max
+    val range = errors.filter(col("ErrorType") === "RANGE").collect()(0)
+    assert(range.getAs[String]("FieldName") == "temperature_c")
+    assert(range.getAs[String]("FieldValue") == "300.0")
+    // row 6: INVALID-CODE lookup miss
+    val lookup = errors.filter(col("ErrorType") === "LOOKUP").collect()(0)
+    assert(lookup.getAs[String]("FieldValue") == "INVALID-CODE")
+    // row 8: missing timestamp short-circuits; line_id regex fires
+    val req = errors.filter(col("ErrorType") === "REQUIRED_FIELD_MISSING").collect()(0)
+    assert(req.getAs[String]("FieldName") == "timestamp")
+    val regex = errors.filter(col("ErrorType") === "REGEX").collect()(0)
+    assert(regex.getAs[String]("FieldValue") == "bad-line")
+  }
+
+  test("valid sink carries renamed columns, declared types, literals") {
+    val p = new ValidationPipeline(cfg, parityMode = true)
+    val out = tmpDir()
+    p.run(spark, fixtureCsv, s"$out/valid", s"$out/errors")
+    val valid = spark.read.parquet(s"$out/valid")
+    assert(valid.count() == 6)
+    assert(valid.columns.toSeq == Seq(
+      "RecordTimestamp", "ProductionLineID", "BatchNumber", "ProductCode",
+      "TemperatureCelsius", "PressureKPA", "HumidityPercent", "OperatorID",
+      "DefectCount", "FileSource", "ValidationStatus"))
+    assert(valid.select("ValidationStatus").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("VALID"))
+    assert(valid.schema("RecordTimestamp").dataType.typeName == "timestamp")
+    assert(valid.schema("DefectCount").dataType.typeName == "integer")
+    // optional humidity: the empty-cell row (row 4) is valid with null humidity
+    assert(valid.filter(col("HumidityPercent").isNull).count() == 1)
+    // lineage points at the fixture file
+    assert(valid.select("FileSource").collect()
+      .forall(_.getString(0).contains("production_data_fixture.csv")))
+  }
+
+  test("dry run computes the summary without writing sinks") {
+    val p = new ValidationPipeline(cfg, parityMode = true)
+    val out = tmpDir()
+    val summary = p.run(spark, fixtureCsv, s"$out/valid", s"$out/errors", dryRun = true)
+    assert(summary.valid == 6)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$out/valid")))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$out/errors")))
+  }
+
+  // ------------------------------------------------------------------
+  // Full mode: declared-only rules become real operators
+  // ------------------------------------------------------------------
+
+  test("full mode: unique-daily and referential-integrity demote the trap rows") {
+    import spark.implicits._
+    // operators dim WITHOUT OP9999 — the reference fixture's RI trap
+    val operatorsDim = Seq("OP0001", "OP0002", "OP0003", "OP0004")
+      .toDF("operator_id")
+    val p = new ValidationPipeline(cfg,
+      dimensions = Map("Production.Operators" -> operatorsDim))
+    val annotated = p.annotate(p.readCsv(spark, fixtureCsv))
+      .withColumn("row_key", coalesce(col("timestamp"), lit("<null>")))
+
+    val verdicts = annotated
+      .select(col("row_key"), size(col(ValidationPipeline.ErrorsCol)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+
+    // Full-rules verdicts (FIXTURES.md §2): unique-daily flags ALL
+    // members of the (day, batch) group per SURVEY §2.3 A4 — rows 0 and
+    // 5 — so 3 valid / 6 invalid.
+    assert(verdicts("2024-02-15 08:45:00") == 0) // row 1 valid
+    assert(verdicts("2024-02-15 09:00:00") == 0) // row 2 valid
+    // row 0 and row 5 share batch_number on the same day -> unique-daily
+    assert(verdicts("2024-02-15 08:30:00") >= 1)
+    assert(verdicts("2024-02-15 09:45:00") >= 1)
+    // row 7: OP9999 not in operators dim -> referential integrity
+    assert(verdicts("2024-02-15 10:15:00") >= 1)
+    val invalid = annotated.filter(size(col(ValidationPipeline.ErrorsCol)) > 0)
+    assert(invalid.count() == 6)
+
+    val errTypes = annotated
+      .select(explode(col(ValidationPipeline.ErrorsCol)).as("e"))
+      .select("e.ErrorType").collect().map(_.getString(0)).toSet
+    assert(errTypes.contains("UNIQUE"))
+    assert(errTypes.contains("REFERENTIAL_INTEGRITY"))
+  }
+
+  test("duplicate_check marks every member of a dup group; field_value=multiple") {
+    import spark.implicits._
+    // two rows sharing (timestamp, line_id, batch_number) — unlike the
+    // fixture, where timestamps differ and the dup check stays silent
+    val csv = Files.createTempFile("dup_", ".csv")
+    Files.writeString(csv,
+      """timestamp,line_id,batch_number,product_code,temperature_c,pressure_kpa,humidity_pct,operator_id,defect_count
+        |2024-02-15 08:30:00,LINE001,BATCH1,PROD-A1,145.5,450.2,45.5,OP0001,0
+        |2024-02-15 08:30:00,LINE001,BATCH1,PROD-A1,146.0,451.0,46.0,OP0001,0
+        |2024-02-15 09:00:00,LINE002,BATCH2,PROD-B2,160.0,480.5,42.3,OP0002,1
+        |""".stripMargin)
+    val p = new ValidationPipeline(cfg, parityMode = true)
+    val annotated = p.annotate(p.readCsv(spark, csv.toString))
+    val dups = annotated
+      .select(col("batch_number"), explode(col(ValidationPipeline.ErrorsCol)).as("e"))
+      .filter(col("e.ErrorType") === "DUPLICATE")
+    assert(dups.count() == 2) // BOTH members, incl. the first occurrence
+    assert(dups.select("e.FieldValue").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("multiple"))
+    assert(dups.select("batch_number").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("BATCH1"))
+  }
+
+  test("rows already invalid keep their own errors under duplicate_check") {
+    val csv = Files.createTempFile("dup2_", ".csv")
+    Files.writeString(csv,
+      """timestamp,line_id,batch_number,product_code,temperature_c,pressure_kpa,humidity_pct,operator_id,defect_count
+        |2024-02-15 08:30:00,LINE001,BATCH1,PROD-A1,300.0,450.2,45.5,OP0001,0
+        |2024-02-15 08:30:00,LINE001,BATCH1,PROD-A1,146.0,451.0,46.0,OP0001,0
+        |""".stripMargin)
+    val p = new ValidationPipeline(cfg, parityMode = true)
+    val annotated = p.annotate(p.readCsv(spark, csv.toString))
+    val byTemp = annotated
+      .select(col("temperature_c"), col(ValidationPipeline.ErrorsCol + ".ErrorType").as("t"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    // row with a RANGE error keeps it (reference: already-invalid rows
+    // don't gain the DUPLICATE entry, src/data_validator.py:215-218)
+    assert(byTemp("300.0") == Seq("RANGE"))
+    assert(byTemp("146.0") == Seq("DUPLICATE"))
+  }
+
+  test("missing declared column fails fast at the driver") {
+    import spark.implicits._
+    val bad = Seq(("2024-01-01", "LINE001")).toDF("timestamp", "line_id")
+    val p = new ValidationPipeline(cfg)
+    val e = intercept[IllegalArgumentException](p.annotate(bad))
+    assert(e.getMessage.contains("batch_number"))
+  }
+
+  test("error sink truncates FieldValue to 255 chars") {
+    import spark.implicits._
+    val longVal = "x" * 400
+    val csv = Files.createTempFile("trunc_", ".csv")
+    Files.writeString(csv,
+      s"""timestamp,line_id,batch_number,product_code,temperature_c,pressure_kpa,humidity_pct,operator_id,defect_count
+         |2024-02-15 08:30:00,$longVal,BATCH1,PROD-A1,145.5,450.2,45.5,OP0001,0
+         |""".stripMargin)
+    val p = new ValidationPipeline(cfg, parityMode = true)
+    val errors = p.errorOutput(p.annotate(p.readCsv(spark, csv.toString)))
+    val vals = errors.filter(col("FieldName") === "line_id")
+      .select("FieldValue").collect().map(_.getString(0))
+    assert(vals.nonEmpty)
+    assert(vals.forall(_.length <= 255))
+  }
+
+  test("archive moves the file with a timestamp prefix when enabled") {
+    val dir = Files.createTempDirectory("arch_")
+    val f = dir.resolve("input.csv")
+    Files.writeString(f, "a,b\n1,2\n")
+    val p = new ValidationPipeline(cfg)
+    val dest = p.archive(f, dir.resolve("processed"))
+    assert(dest.isDefined)
+    assert(!Files.exists(f))
+    assert(dest.get.getFileName.toString.matches("""\d{8}_\d{6}_input\.csv"""))
+  }
+}
