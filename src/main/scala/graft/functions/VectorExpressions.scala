@@ -1,0 +1,424 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Tight JVM kernels for the hash/vector hot paths, exposed as native
+  * Catalyst `Expression`s (with `doGenCode`) rather than higher-order
+  * functions or UDFs.
+  *
+  * Why: Spark's array HOFs (`transform`/`aggregate`/`zip_with`) evaluate
+  * their lambda per element through the interpreted expression
+  * evaluator — for kernel-shaped work (64 minhash functions × every
+  * shingle, 64-bit vote loops, dot products) that is 10-100× slower
+  * than a fused JVM loop. Each expression here evaluates its whole
+  * kernel in one call; codegen emits a single static invocation, so the
+  * surrounding projection stays inside whole-stage codegen.
+  *
+  * All kernels are deterministic (hash-derived constants, no RNG state)
+  * so results are stable across executors, retries, and sessions —
+  * a requirement for reproducible dedup at 100 TB.
+  */
+object Kernels {
+
+  /** splitmix64 — standard 64-bit finalizer; cheap deterministic
+    * pseudo-randomness from an index.
+    */
+  def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  def hashString(s: UTF8String, seed: Long): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+
+  /** MinHash signature: each shingle is xxhash64'd ONCE, then the k hash
+    * functions are the affine family g_j(h) = a_j*h + b_j (odd a_j) —
+    * O(shingles + shingles*k cheap arithmetic) instead of k string
+    * hashes per shingle.
+    */
+  def minHashSignature(shingles: ArrayData, numHashes: Int): ArrayData = {
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        val h = hashString(shingles.getUTF8String(i), 42L)
+        var j = 0
+        while (j < numHashes) {
+          val g = h * (splitmix64(2L * j + 1) | 1L) + splitmix64(2L * j)
+          if (g < sig(j)) sig(j) = g
+          j += 1
+        }
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(sig)
+  }
+
+  /** Fused MinHash + LSH banding: bucket b = hash of signature rows
+    * [b*rows, (b+1)*rows). One pass over the shingles, `bands` longs out.
+    */
+  def minHashBands(shingles: ArrayData, numHashes: Int, bands: Int): ArrayData = {
+    val sig = minHashSignature(shingles, numHashes).toLongArray()
+    val rows = numHashes / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 0x51_7C_C1_B7_27_22_0A_95L + b
+      var r = b * rows
+      val end = r + rows
+      while (r < end) { h = XXH64.hashLong(sig(r), h); r += 1 }
+      out(b) = h
+      b += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  /** 64-bit SimHash over a token array: token hash votes per bit. */
+  def simHash64(tokens: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = hashString(tokens.getUTF8String(i), 7L)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  /** Token n-gram shingles of a raw text value: trim, whitespace-split,
+    * sliding n-token windows joined by single spaces, first-occurrence
+    * dedup. One fused pass — replaces an interpreted
+    * split/transform/slice/concat_ws/array_distinct chain.
+    */
+  def shingles(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toString.trim.split("\\s+")
+    val m = toks.length
+    if (m < n || (m == 1 && toks(0).isEmpty))
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i + n <= m) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Counts per word-set for one token array: out(k) = #tokens in set k.
+    * One pass over the tokens regardless of how many sets.
+    */
+  def multiTokenSetCount(tokens: ArrayData, sets: Array[java.util.HashSet[UTF8String]]): ArrayData = {
+    val out = new Array[Long](sets.length)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val t = tokens.getUTF8String(i)
+        var k = 0
+        while (k < sets.length) {
+          if (sets(k).contains(t)) out(k) += 1
+          k += 1
+        }
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  /** Count of tokens present in a fixed word set (exact match). */
+  def tokenSetCount(tokens: ArrayData, set: java.util.HashSet[UTF8String]): Long = {
+    var cnt = 0L
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i) && set.contains(tokens.getUTF8String(i))) cnt += 1
+      i += 1
+    }
+    cnt
+  }
+
+  private def elem(a: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+
+  /** Dot product; lengths must match (extra elements ignored like zip_with). */
+  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += elem(a, i, aFloat) * elem(b, i, bFloat); i += 1 }
+    acc
+  }
+
+  /** Cosine similarity in one pass; 0.0 when either norm is zero. */
+  def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dotAcc = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = elem(a, i, aFloat); val y = elem(b, i, bFloat)
+      dotAcc += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dotAcc / denom
+  }
+
+  /** Deterministic hyperplane component for (seed, plane, dim) in [-1, 1). */
+  def planeComponent(seed: Long, p: Int, i: Int): Double =
+    (splitmix64(seed * 0x9E3779B9L + p * 0x85EBCA6BL + i).toDouble
+      / Long.MaxValue.toDouble)
+
+  /** Sign-bucket of a vector under `planes` hash-derived hyperplanes.
+    * Scale-invariant (signs only), so callers need not normalize first.
+    */
+  def signBucket(vec: ArrayData, isFloat: Boolean, planes: Int, seed: Long): Long = {
+    val n = vec.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += elem(vec, i, isFloat) * planeComponent(seed, p, i); i += 1 }
+      if (acc >= 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  /** One sign-bucket per LSH table (seed_t = t*7919 + baseSeed). */
+  def signBuckets(vec: ArrayData, isFloat: Boolean, planes: Int, tables: Int, baseSeed: Long): ArrayData = {
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) { out(t) = signBucket(vec, isFloat, planes, t * 7919L + baseSeed); t += 1 }
+    ArrayData.toArrayData(out)
+  }
+}
+
+// ---------------------------------------------------------------------
+// Expression nodes
+// ---------------------------------------------------------------------
+
+private[functions] trait ArrayElemTypes { self: Expression =>
+  protected def isFloatArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  protected def checkNumericArray(e: Expression, side: String): TypeCheckResult =
+    e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$side must be array<float|double>, got ${other.catalogString}")
+    }
+}
+
+case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.shingles(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.shingles($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Count of array elements contained in a fixed literal word set —
+  * replaces `size(filter(toks, _.isin(words)))`, whose per-element
+  * interpreted lambda evaluation is the slowest construct in the
+  * engine's text path.
+  */
+case class TokenSetCountExpr(child: Expression, words: Seq[String])
+    extends UnaryExpression {
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.size * 2)
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.tokenSetCount(input.asInstanceOf[ArrayData], set)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("wordSet", set, "java.util.HashSet")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.tokenSetCount($c, $setRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Per-word-set token counts in a single pass — `out(k)` is the number
+  * of tokens contained in `wordSets(k)`. Keeps multi-language marker
+  * scoring to ONE expression evaluation per row.
+  */
+case class MultiTokenSetCountExpr(child: Expression, wordSets: Seq[Seq[String]])
+    extends UnaryExpression {
+  @transient private lazy val sets: Array[java.util.HashSet[UTF8String]] =
+    wordSets.map { ws =>
+      val s = new java.util.HashSet[UTF8String](ws.size * 2)
+      ws.foreach(w => s.add(UTF8String.fromString(w)))
+      s
+    }.toArray
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.multiTokenSetCount(input.asInstanceOf[ArrayData], sets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setsRef = ctx.addReferenceObj("wordSets", sets, "java.util.HashSet[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.multiTokenSetCount($c, $setsRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class MinHashSignatureExpr(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.minHashSignature(input.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.minHashSignature($c, $numHashes)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class MinHashBandsExpr(child: Expression, numHashes: Int, bands: Int)
+    extends UnaryExpression {
+  require(numHashes % bands == 0, "numHashes must be divisible by bands")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.minHashBands(input.asInstanceOf[ArrayData], numHashes, bands)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.minHashBands($c, $numHashes, $bands)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.simHash64(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.simHash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class DotProductExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ArrayElemTypes {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkNumericArray(left, "left") match {
+      case TypeCheckResult.TypeCheckSuccess => checkNumericArray(right, "right")
+      case f => f
+    }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloatArray(left), isFloatArray(right))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.Kernels.dot($a, $b, ${isFloatArray(left)}, ${isFloatArray(right)})")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+case class CosineSimilarityExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ArrayElemTypes {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkNumericArray(left, "left") match {
+      case TypeCheckResult.TypeCheckSuccess => checkNumericArray(right, "right")
+      case f => f
+    }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloatArray(left), isFloatArray(right))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.Kernels.cosine($a, $b, ${isFloatArray(left)}, ${isFloatArray(right)})")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+case class SignBucketExpr(child: Expression, planes: Int, seed: Long)
+    extends UnaryExpression with ArrayElemTypes {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkNumericArray(child, "vector")
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.signBucket(input.asInstanceOf[ArrayData], isFloatArray(child), planes, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Kernels.signBucket($c, ${isFloatArray(child)}, $planes, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class SignBucketsExpr(child: Expression, planes: Int, tables: Int, baseSeed: Long)
+    extends UnaryExpression with ArrayElemTypes {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkNumericArray(child, "vector")
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.signBuckets(input.asInstanceOf[ArrayData], isFloatArray(child),
+      planes, tables, baseSeed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Kernels.signBuckets($c, ${isFloatArray(child)}, $planes, $tables, ${baseSeed}L)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Column-level API over the kernel expressions. */
+object VectorFunctions {
+  private def c(e: Expression): Column = GraftColumnBridge.column(e)
+  private def e(col: Column): Expression = GraftColumnBridge.expression(col)
+
+  def shingles(text: Column, n: Int): Column = c(ShinglesExpr(e(text), n))
+  def tokenSetCount(tokens: Column, words: Seq[String]): Column =
+    c(TokenSetCountExpr(e(tokens), words))
+  def multiTokenSetCount(tokens: Column, wordSets: Seq[Seq[String]]): Column =
+    c(MultiTokenSetCountExpr(e(tokens), wordSets))
+  def minHashSignature(shingles: Column, numHashes: Int): Column =
+    c(MinHashSignatureExpr(e(shingles), numHashes))
+  def minHashBands(shingles: Column, numHashes: Int, bands: Int): Column =
+    c(MinHashBandsExpr(e(shingles), numHashes, bands))
+  def simHash64(tokens: Column): Column = c(SimHash64Expr(e(tokens)))
+  def dot(a: Column, b: Column): Column = c(DotProductExpr(e(a), e(b)))
+  def cosine(a: Column, b: Column): Column = c(CosineSimilarityExpr(e(a), e(b)))
+  def signBucket(vec: Column, planes: Int, seed: Long): Column =
+    c(SignBucketExpr(e(vec), planes, seed))
+  def signBuckets(vec: Column, planes: Int, tables: Int, baseSeed: Long): Column =
+    c(SignBucketsExpr(e(vec), planes, tables, baseSeed))
+}

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.VectorFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -47,47 +48,25 @@ object Dedup {
   // Shingling + MinHash
   // ---------------------------------------------------------------------
 
-  /** Token n-gram shingles of a text column, as a deduplicated array.
-    * Pure codegen'd expressions: split → sliding windows via transform
-    * over an index sequence → distinct.
+  /** Token n-gram shingles of a text column, as a deduplicated array
+    * (first-occurrence order). Native kernel — one fused pass; docs
+    * shorter than n tokens yield an empty array.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val tokens = split(trim(text), "\\s+")
-    // guard: sequence(1, k) needs k >= 1 — docs shorter than n tokens
-    // have zero shingles (empty array, NOT a descending sequence)
-    when(size(tokens) >= n,
-      array_distinct(
-        transform(
-          sequence(lit(1), size(tokens) - (n - 1)),
-          i => concat_ws(" ", slice(tokens, i, lit(n)))
-        )
-      )
-    ).otherwise(array().cast(ArrayType(StringType)))
-  }
+  def shingles(text: Column, n: Int): Column = VectorFunctions.shingles(text, n)
 
   /** MinHash signature (length = numHashes) over a shingle array.
-    * hash_i(s) = xxhash64(i, s); signature[i] = min over shingles.
-    * All codegen'd (`transform` + `array_min` + `xxhash64`) — no UDF,
-    * no explode: the signature is computed in a single projection.
+    * Native kernel: each shingle hashed once, k affine rehashes —
+    * O(shingles) string hashing instead of k hashes per shingle.
     */
   def minHashSignature(shingleArr: Column, numHashes: Int): Column =
-    array(
-      (0 until numHashes).map(i =>
-        array_min(transform(shingleArr, s => xxhash64(lit(i), s)))): _*)
+    VectorFunctions.minHashSignature(shingleArr, numHashes)
 
-  /** LSH band keys from a MinHash signature: `bands` buckets, each
-    * hashing `numHashes / bands` consecutive signature entries. Docs
-    * agreeing on ANY band land in the same bucket.
+  /** Fused MinHash signature + LSH band buckets: element b is the
+    * bucket hash of signature rows [b*rows, (b+1)*rows). Docs agreeing
+    * on ANY band land in the same bucket.
     */
-  def lshBands(signature: Column, numHashes: Int, bands: Int): Column = {
-    val rows = numHashes / bands
-    array(
-      (0 until bands).map(b =>
-        struct(
-          lit(b).as("band"),
-          xxhash64(concat_ws("|", slice(signature, b * rows + 1, rows)))
-            .as("bucket"))): _*)
-  }
+  def minHashBands(shingleArr: Column, numHashes: Int, bands: Int): Column =
+    VectorFunctions.minHashBands(shingleArr, numHashes, bands)
 
   /** Exact Jaccard similarity of two (distinct-element) arrays. */
   def jaccard(a: Column, b: Column): Column = {
@@ -125,68 +104,61 @@ object Dedup {
       .withColumn("sh", shingles(col("text"), shingleSize))
       .filter(size(col("sh")) > 0)
     val sigs = withShingles
-      .withColumn("sig", minHashSignature(col("sh"), numHashes))
-      .select(col("id"), col("sh"),
-        explode(lshBands(col("sig"), numHashes, bands)).as("bk"))
+      .select(col("id"),
+        posexplode(minHashBands(col("sh"), numHashes, bands)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
 
-    // within-bucket candidate pairs (id-ordered to halve + dedup)
-    val buckets = sigs
-      .groupBy(col("bk.band"), col("bk.bucket"))
-      .agg(collect_list(struct(col("id"), col("sh"))).as("members"))
-      .filter(size(col("members")).between(2, maxBucket))
-
-    val pairs = buckets
-      .select(explode(pairCombinations(col("members"))).as("p"))
-      .select(
-        col("p.a.id").as("id_a"), col("p.a.sh").as("sh_a"),
-        col("p.b.id").as("id_b"), col("p.b.sh").as("sh_b"))
-      .dropDuplicates("id_a", "id_b")
-
-    pairs
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+    val pairs = candidatePairs(sigs, maxBucket)
+    verifyPairs(pairs, withShingles.select(col("id"), col("sh").as("payload")),
+      jaccard(col("payload_a"), col("payload_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** All ordered pairs (a.id < b.id) from an array of member structs,
-    * built with codegen'd higher-order functions (flatten of per-element
-    * suffix pairings) — avoids a UDF and keeps the quadratic work inside
-    * one task per bucket (bounded by maxBucket).
+  /** Id-only candidate pairs from banded rows (`id`, `bk:{band,bucket}`):
+    * ONE shuffle on (band, bucket), per-bucket id-pair expansion, global
+    * pair dedup. Pairs carry ONLY two longs — never the documents'
+    * payload — so a hot bucket costs O(B²·16 bytes), not O(B²·payload):
+    * the quadratic term stays cheap even at `maxBucket`, which is what
+    * lets this survive a skewed 100 TB corpus. Payloads are re-attached
+    * by [[verifyPairs]] afterwards.
     */
-  private def pairCombinations(members: Column): Column = {
-    val sorted = array_sort(members) // struct sort: by id then sh
-    flatten(
-      transform(sorted, (m, i) =>
-        transform(slice(sorted, i + 2, size(sorted)), other =>
-          struct(m.as("a"), other.as("b")))))
+  private def candidatePairs(banded: DataFrame, maxBucket: Int): DataFrame = {
+    val sortedIds = array_sort(col("ids"))
+    banded
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(
+        flatten(transform(sortedIds, (a, i) =>
+          transform(slice(sortedIds, i + 2, size(sortedIds)), b =>
+            struct(a.as("a"), b.as("b")))))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
   }
+
+  /** Re-attach payloads to id pairs and compute a verification measure.
+    * Two hash joins keyed on id; AQE picks broadcast vs shuffle by the
+    * actual pair/payload sizes.
+    */
+  private def verifyPairs(
+      pairs: DataFrame,
+      payloads: DataFrame, // (id, payload)
+      measure: Column
+  ): DataFrame =
+    pairs
+      .join(payloads.select(col("id").as("id_a"), col("payload").as("payload_a")), "id_a")
+      .join(payloads.select(col("id").as("id_b"), col("payload").as("payload_b")), "id_b")
+      .select(col("id_a"), col("id_b"), measure)
 
   // ---------------------------------------------------------------------
   // SimHash
   // ---------------------------------------------------------------------
 
   /** 64-bit SimHash of a token array: per bit, sum +1/-1 votes across
-    * token hashes; bit set where the vote is positive. Expressed as a
-    * fold (`aggregate`) over the tokens producing a 64-long vote vector,
-    * then a second pass packs the sign bits — all codegen'd, no shuffle.
+    * token hashes; bit set where the vote is positive. Native kernel —
+    * one fused vote loop per row, no shuffle.
     */
-  def simHash(tokens: Column): Column = {
-    val votes = aggregate(
-      tokens,
-      array_repeat(lit(0L), 64),
-      (acc, t) => {
-        val h = xxhash64(t)
-        transform(acc, (v, i) =>
-          v + when(call_function("getbit", h, i) === 1, 1L).otherwise(-1L))
-      }
-    )
-    aggregate(
-      transform(votes, (v, i) =>
-        when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
-      lit(0L),
-      (acc, bit) => acc.bitwiseOR(bit)
-    )
-  }
+  def simHash(tokens: Column): Column = VectorFunctions.simHash64(tokens)
 
   /** Hamming distance between two 64-bit hashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -210,24 +182,17 @@ object Dedup {
       col(idCol).as("id"),
       simHash(split(trim(col(textCol)), "\\s+")).as("h"))
     val banded = hashed.select(
-      col("id"), col("h"),
+      col("id"),
       explode(array((0 until blocks).map { b =>
         val mask = if (bits >= 64) -1L else (1L << bits) - 1L
         struct(lit(b).as("band"),
           shiftright(col("h"), b * bits).bitwiseAND(mask).as("bucket"))
       }: _*)).as("bk"))
-    val pairs = banded
-      .groupBy(col("bk.band"), col("bk.bucket"))
-      .agg(collect_list(struct(col("id"), col("h").as("sh"))).as("members"))
-      .filter(size(col("members")).between(2, maxBucket))
-      .select(explode(pairCombinations(col("members"))).as("p"))
-      .select(col("p.a.id").as("id_a"), col("p.a.sh").as("h_a"),
-        col("p.b.id").as("id_b"), col("p.b.sh").as("h_b"))
-      .dropDuplicates("id_a", "id_b")
-    pairs
-      .withColumn("hamming", hamming64(col("h_a"), col("h_b")))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val pairs = candidatePairs(banded, maxBucket)
+    verifyPairs(pairs, hashed.select(col("id"), col("h").as("payload")),
+      hamming64(col("payload_a"), col("payload_b")).as("hamming"))
       .filter(col("hamming") <= maxDistance)
-      .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
   // ---------------------------------------------------------------------
@@ -247,24 +212,15 @@ object Dedup {
       tables: Int = 4,
       maxBucket: Int = 1000
   ): DataFrame = {
-    val base = df.select(col(idCol).as("id"),
-      Similarity.normalize(col(vecCol)).as("v"))
-    val banded = base.select(col("id"), col("v"),
-      explode(array((0 until tables).map(t =>
-        struct(lit(t).as("band"),
-          Similarity.signBucket(col("v"), planes, seed = t * 7919 + 17)
-            .as("bucket"))): _*)).as("bk"))
-    val pairs = banded
-      .groupBy(col("bk.band"), col("bk.bucket"))
-      .agg(collect_list(struct(col("id"), col("v").as("sh"))).as("members"))
-      .filter(size(col("members")).between(2, maxBucket))
-      .select(explode(pairCombinations(col("members"))).as("p"))
-      .select(col("p.a.id").as("id_a"), col("p.a.sh").as("v_a"),
-        col("p.b.id").as("id_b"), col("p.b.sh").as("v_b"))
-      .dropDuplicates("id_a", "id_b")
-    pairs
-      .withColumn("cosine", Similarity.dot(col("v_a"), col("v_b")))
+    // bucketing is scale-invariant -> bucket raw vectors (no normalize
+    // pass); verification computes exact cosine on the raw payloads
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val banded = base.select(col("id"), posexplode(
+        VectorFunctions.signBuckets(col("v"), planes, tables, baseSeed = 17L)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val pairs = candidatePairs(banded, maxBucket)
+    verifyPairs(pairs, base.select(col("id"), col("v").as("payload")),
+      Similarity.cosine(col("payload_a"), col("payload_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cosine"))
   }
 }

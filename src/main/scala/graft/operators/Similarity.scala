@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.VectorFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -25,12 +26,11 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  /** Dot product of two equal-length numeric arrays (double out). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0),
-      (acc, x) => acc + x)
+  /** Dot product of two equal-length numeric arrays (double out).
+    * Native kernel expression — a fused JVM loop inside whole-stage
+    * codegen, not an interpreted `zip_with`+`aggregate` chain.
+    */
+  def dot(a: Column, b: Column): Column = VectorFunctions.dot(a, b)
 
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
@@ -42,11 +42,8 @@ object Similarity {
       .otherwise(transform(a, x => x.cast(DoubleType) / n))
   }
 
-  /** Cosine similarity of two vectors. */
-  def cosine(a: Column, b: Column): Column = {
-    val denom = norm(a) * norm(b)
-    when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
-  }
+  /** Cosine similarity of two vectors (one-pass kernel; 0.0 on zero norm). */
+  def cosine(a: Column, b: Column): Column = VectorFunctions.cosine(a, b)
 
   /** Exact top-k by cosine against one literal query vector.
     * Plan: scan → project(cosine) → TakeOrderedAndProject(k) — per-
@@ -86,31 +83,13 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Deterministic pseudo-random hyperplane component for (seed, plane p,
-    * dimension i): a hash mapped to [-1, 1). Deterministic across
-    * executors — no RNG state to ship.
+  /** Sign-bucket of a vector under `planes` hash-derived hyperplanes:
+    * bit p is set iff dot(v, hyperplane_p) >= 0. Deterministic across
+    * executors and jobs (no RNG state), and scale-invariant, so the
+    * corpus can be bucketed once on raw vectors and reused.
     */
-  private def planeComponent(seed: Int, p: Int, i: Column): Column =
-    (call_function("xxhash64", lit(seed), lit(p), i)
-      .cast(DoubleType) / lit(Long.MaxValue.toDouble))
-
-  /** Sign-bucket of a vector under `planes` random hyperplanes: bit p is
-    * set iff dot(v, hyperplane_p) >= 0. Buckets are stable across jobs
-    * (hash-derived hyperplanes), so the corpus can be bucketed once and
-    * reused.
-    */
-  def signBucket(vec: Column, planes: Int, seed: Int): Column = {
-    val bits = (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(
-          vec,
-          sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast(DoubleType) * planeComponent(seed, p, i)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  def signBucket(vec: Column, planes: Int, seed: Int): Column =
+    VectorFunctions.signBucket(vec, planes, seed.toLong)
 
   /** LSH-bucketed ANN top-k: corpus bucketed under `tables` independent
     * hyperplane sets; each query probes its own bucket in every table;
@@ -123,18 +102,17 @@ object Similarity {
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int, planes: Int = 10, tables: Int = 6
   ): DataFrame = {
+    // one fused kernel call emits every table's bucket; posexplode
+    // yields (band = table index, bucket)
     def banded(df: DataFrame, vc: String, keep: Seq[Column]): DataFrame =
-      df.select(keep :+ explode(array((0 until tables).map(t =>
-        struct(lit(t).as("band"),
-          signBucket(col(vc), planes, seed = t * 7919 + 17).as("bucket"))
-      ): _*)).as("bk"): _*)
+      df.select(keep :+ posexplode(
+        VectorFunctions.signBuckets(col(vc), planes, tables, baseSeed = 17L)
+      ): _*).withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
 
     val corpusB = banded(corpus, vecCol,
       Seq(col(idCol).as("id"), col(vecCol).as("v")))
-      .select(col("id"), col("v"), col("bk.band"), col("bk.bucket"))
     val queriesB = banded(queries, qvecCol,
       Seq(col(qidCol).as("query_id"), col(qvecCol).as("qv")))
-      .select(col("query_id"), col("qv"), col("bk.band"), col("bk.bucket"))
 
     val candidates = corpusB
       .join(broadcast(queriesB), Seq("band", "bucket"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.VectorFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -40,12 +41,18 @@ object TextAnalysis {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
     "for", "on", "with", "as", "at", "by", "it", "be", "this", "that")
 
+  /** Count of tokens present in a fixed word set (native kernel —
+    * hash-set membership, no per-element interpreted lambda).
+    */
+  def markerHits(toks: Column, words: Seq[String]): Column =
+    VectorFunctions.tokenSetCount(toks, words)
+
   /** Fraction of tokens that are stopwords (duplicates counted). */
   def stopwordRatio(text: Column, stopwords: Seq[String] = stopwordsEn): Column = {
     val toks = tokens(text)
     val n = size(toks).cast(DoubleType)
     when(n === 0 || text.isNull, 0.0).otherwise(
-      size(filter(toks, t => lower(t).isin(stopwords: _*))).cast(DoubleType) / n)
+      markerHits(tokens(lower(text)), stopwords).cast(DoubleType) / n)
   }
 
   /** Mean token length in characters. */
@@ -85,8 +92,7 @@ object TextAnalysis {
   def langId(text: Column, markers: Map[String, Seq[String]] = langMarkers): Column = {
     val toks = tokens(lower(text))
     val scored = markers.toSeq.sortBy(_._1).map { case (lang, words) =>
-      struct(size(filter(toks, t => t.isin(words: _*))).as("hits"),
-        lit(lang).as("lang"))
+      struct(markerHits(toks, words).as("hits"), lit(lang).as("lang"))
     }
     val best = greatest(scored: _*)
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))

@@ -326,9 +326,8 @@ object Queries {
         col("doc_id"),
         TextAnalysis.tokenCount(col("text")).cast(LongType).as("n_tokens"),
         TextAnalysis.bpeishTokenCount(col("text")).cast(LongType).as("n_bpeish_tokens"),
-        size(filter(TextAnalysis.tokens(col("text")),
-          t0 => lower(t0).isin(TextAnalysis.stopwordsEn: _*)))
-          .cast(LongType).as("n_stopwords"))
+        TextAnalysis.markerHits(TextAnalysis.tokens(lower(col("text"))),
+          TextAnalysis.stopwordsEn).as("n_stopwords"))
     }),
 
     // Text analysis rollup per language tag.
@@ -343,15 +342,14 @@ object Queries {
 
     // Language-ID marker hits (integer features; argmax tested in Scala).
     "x_lang_marker_hits" -> ((s, d) => {
-      val toks = TextAnalysis.tokens(lower(col("text")))
-      def hits(lang: String): Column =
-        size(filter(toks, t0 => t0.isin(TextAnalysis.langMarkers(lang): _*)))
-      t(s, d, "documents").select(
-        col("doc_id"),
-        hits("en").cast(LongType).as("en_hits"),
-        hits("de").cast(LongType).as("de_hits"),
-        hits("fr").cast(LongType).as("fr_hits"),
-        hits("es").cast(LongType).as("es_hits"))
+      val langs = Seq("en", "de", "fr", "es")
+      val hits = graft.functions.VectorFunctions.multiTokenSetCount(
+        TextAnalysis.tokens(lower(col("text"))),
+        langs.map(TextAnalysis.langMarkers))
+      t(s, d, "documents")
+        .select(col("doc_id"), hits.as("h"))
+        .select(col("doc_id") +: langs.zipWithIndex.map {
+          case (l, i) => col("h").getItem(i).as(s"${l}_hits") }: _*)
     }),
 
     // Multimodal plumbing: binary payload + byte-level metadata
