@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Registers the graft kernel expressions as SQL functions, so the
+  * engine's custom operators are first-class in `spark.sql(...)` too:
+  *
+  * {{{
+  *   spark.sql("SELECT graft_cosine(a.embedding, b.embedding) ...")
+  * }}}
+  *
+  * Two activation paths:
+  *  - config: `spark.sql.extensions=graft.functions.GraftExtensions`
+  *  - explicit: `GraftExtensions.register(spark)` on a live session.
+  *
+  * Literal int/string args are extracted at resolution time (the
+  * kernel parameters are plan-time constants, like Spark's own
+  * `array_repeat` count).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.definitions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+  private def longArg(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+  private def stringSeqArg(e: Expression, what: String): Seq[String] = e match {
+    case org.apache.spark.sql.catalyst.expressions.CreateArray(children, _) =>
+      children.map {
+        case Literal(s: UTF8String, _) => s.toString
+        case other => throw new IllegalArgumentException(
+          s"$what elements must be string literals, got $other")
+      }
+    case other => throw new IllegalArgumentException(
+      s"$what must be an array(...) of string literals, got $other")
+  }
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  /** (name, info, builder) triples for every registered function. */
+  val definitions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_dot", info("graft_dot", "dot product of two numeric arrays"),
+      (args: Seq[Expression]) => DotProductExpr(args(0), args(1))),
+    ("graft_cosine", info("graft_cosine", "cosine similarity of two numeric arrays"),
+      (args: Seq[Expression]) => CosineSimilarityExpr(args(0), args(1))),
+    ("graft_simhash", info("graft_simhash", "64-bit simhash of a token array"),
+      (args: Seq[Expression]) => SimHash64Expr(args(0))),
+    ("graft_shingles", info("graft_shingles", "token n-gram shingles of a text value"),
+      (args: Seq[Expression]) => ShinglesExpr(args(0), intArg(args(1), "n"))),
+    ("graft_minhash_sig", info("graft_minhash_sig", "minhash signature of a shingle array"),
+      (args: Seq[Expression]) => MinHashSignatureExpr(args(0), intArg(args(1), "numHashes"))),
+    ("graft_minhash_bands", info("graft_minhash_bands", "fused minhash+LSH band buckets"),
+      (args: Seq[Expression]) => MinHashBandsExpr(args(0),
+        intArg(args(1), "numHashes"), intArg(args(2), "bands"))),
+    ("graft_sign_bucket", info("graft_sign_bucket", "hyperplane-LSH sign bucket of a vector"),
+      (args: Seq[Expression]) => SignBucketExpr(args(0),
+        intArg(args(1), "planes"), longArg(args(2), "seed"))),
+    ("graft_token_set_count", info("graft_token_set_count", "count of tokens in a literal word set"),
+      (args: Seq[Expression]) => TokenSetCountExpr(args(0), stringSeqArg(args(1), "words")))
+  )
+
+  /** Register on an already-running session. */
+  def register(spark: SparkSession): Unit =
+    definitions.foreach { case (name, fnInfo, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name), fnInfo, builder)
+    }
+}

@@ -263,6 +263,10 @@ class ValidationPipeline(
   /** Full run: annotate once (persisted), write both sinks, return counts.
     * dryRun skips the sinks (the reference parses --dry-run but drops it,
     * src/main.py:77-90 — implemented as declared per SURVEY §2.6).
+    * ErrorHandling=abort (config/mapping_config.xml:68, parsed-but-unread
+    * in the reference) fails the run on any invalid row BEFORE writing
+    * either sink; continue (default) routes invalid rows to the error
+    * sink and proceeds.
     */
   def run(
       spark: SparkSession,
@@ -282,12 +286,40 @@ class ValidationPipeline(
       val total = counts.getLong(0)
       val valid = counts.getLong(1)
       val errors = counts.getLong(2)
+      val summary = ValidationSummary(total, valid, total - valid, errors)
+      if (summary.invalid > 0 && config.etl.errorHandling.equalsIgnoreCase("abort"))
+        throw new IllegalStateException(
+          s"ErrorHandling=abort: ${summary.invalid} invalid rows in $inputPath " +
+            s"(${summary.errorCount} errors); nothing written")
       if (!dryRun) {
         validOutput(annotated).write.mode("overwrite").parquet(validOut)
         errorOutput(annotated).write.mode("overwrite").parquet(errorsOut)
       }
-      ValidationSummary(total, valid, total - valid, errors)
+      summary
     } finally annotated.unpersist()
+  }
+
+  /** S6/A3: processing-summary over a loaded QualityData frame through
+    * the SQL surface (reference src/etl_processor.py:146-158: last-N-days
+    * filter, cast-to-date, group count, newest-first). The reference
+    * groups on the warehouse's insert-time ProcessedDate; our sink has
+    * no insert timestamp, so the record's own RecordTimestamp is the
+    * date axis — documented deviation.
+    */
+  def processingSummary(
+      spark: SparkSession,
+      qualityData: DataFrame,
+      days: Int = 7
+  ): DataFrame = {
+    qualityData.createOrReplaceTempView("QualityData")
+    spark.sql(
+      s"""SELECT CAST(RecordTimestamp AS DATE) AS ProcessDate,
+         |       ValidationStatus,
+         |       COUNT(*) AS RecordCount
+         |FROM QualityData
+         |WHERE RecordTimestamp >= date_sub(current_date(), $days)
+         |GROUP BY CAST(RecordTimestamp AS DATE), ValidationStatus
+         |ORDER BY ProcessDate DESC""".stripMargin)
   }
 
   /** Archive a processed file with a timestamp prefix

@@ -1,0 +1,140 @@
+package graft.streaming
+
+import graft.config.IntegrationConfig
+import graft.pipeline.ValidationPipeline
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.Row
+
+/** Streaming face of the validation engine.
+  *
+  * The reference's only incremental behavior is a per-file batch loop
+  * (reference src/main.py:34-55): new CSVs appear in data/raw/, each is
+  * validated and loaded. Structured Streaming's file source IS that
+  * loop, distributed and restartable: `readStream.csv(dir)` discovers
+  * new files, the SAME compiled rule expressions annotate the stream
+  * (the rule compiler is expression-level, so batch/streaming parity is
+  * by construction), and `foreachBatch` writes the two sinks per
+  * micro-batch with exactly-once file-sink semantics via checkpointing.
+  *
+  * Scale notes: the error-rate window aggregation is keyed by
+  * (window, line_id) — state is bounded by the watermark; nothing
+  * global. maxFilesPerTrigger bounds micro-batch size so a backlog of
+  * 100k files cannot OOM a single batch.
+  */
+class StreamingValidation(
+    config: IntegrationConfig,
+    dimensions: Map[String, DataFrame] = Map.empty,
+    parityMode: Boolean = true
+) {
+  // Global rules (windows / two-pass stats) need a bounded frame; in
+  // streaming they apply per micro-batch inside foreachBatch. The
+  // row-level rules stream as plain projections.
+  private val pipeline = new ValidationPipeline(config, dimensions, parityMode)
+
+  /** Open the CSV directory as a stream (same explicit raw schema as
+    * batch; same `_file_source` lineage column).
+    */
+  def readStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 100): DataFrame =
+    spark.readStream
+      .option("header", config.source.hasHeader)
+      .option("delimiter", config.source.delimiter)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema(graft.config.SchemaBuilder.rawSchema(config.fieldMappings))
+      .csv(dir)
+      .withColumn(ValidationPipeline.FileSourceCol, input_file_name())
+
+  /** Row-rule annotation on a streaming frame (no global rules — those
+    * are per-micro-batch, see [[writer]]).
+    */
+  def annotateStream(stream: DataFrame): DataFrame =
+    stream.withColumn(ValidationPipeline.ErrorsCol,
+      graft.rules.RuleCompiler.compileRow(
+        config.fieldMappings,
+        (table, column, value) => graft.rules.RuleCompiler.defaultLookups(table, column, value),
+        rt => !parityMode || graft.config.RuleTypes.ReferenceImplementedRow.contains(rt)))
+
+  /** foreachBatch writer running the FULL pipeline (row + global rules)
+    * on each micro-batch and writing both sinks — the streaming
+    * equivalent of the reference's per-file `run_etl_pipeline`.
+    */
+  def writer(stream: DataFrame, validOut: String, errorsOut: String): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val annotated = pipeline.annotate(batch).persist()
+      try {
+        pipeline.validOutput(annotated).write.mode("append").parquet(validOut)
+        pipeline.errorOutput(annotated).write.mode("append").parquet(errorsOut)
+      } finally annotated.unpersist()
+      ()
+    }
+
+  /** Windowed error-rate summary over the annotated stream: per
+    * (event-time window, line) row/error counts with a watermark to
+    * bound state — the streaming analogue of the reference's
+    * processing summary (src/etl_processor.py:148-157).
+    */
+  def errorRateByWindow(
+      annotated: DataFrame,
+      timeCol: String,
+      windowLen: String = "1 hour",
+      watermark: String = "2 hours",
+      keyCol: String = "line_id"
+  ): DataFrame =
+    annotated
+      .withColumn("__event_time", col(timeCol).cast("timestamp"))
+      .filter(col("__event_time").isNotNull)
+      .withWatermark("__event_time", watermark)
+      .groupBy(window(col("__event_time"), windowLen), col(keyCol))
+      .agg(
+        count(lit(1)).as("total_rows"),
+        sum(when(size(col(ValidationPipeline.ErrorsCol)) > 0, 1L).otherwise(0L))
+          .as("invalid_rows"),
+        sum(size(col(ValidationPipeline.ErrorsCol)).cast("long")).as("error_count"))
+}
+
+object StreamingValidation {
+
+  /** Per-key running validation state for [[sessionizedCounts]]. */
+  case class LineState(total: Long, invalid: Long)
+  case class LineUpdate(key: String, total: Long, invalid: Long)
+
+  /** Arbitrary-stateful streaming: running per-line valid/invalid
+    * counters via mapGroupsWithState — the KeyValueGroupedDataset
+    * custom-state surface on top of the annotated stream. Input rows
+    * are (key, isInvalid). `timeout=Some(d)` evicts idle keys after d
+    * (processing-time) so state stays bounded on a high-cardinality
+    * key space; note a processing-time timeout makes the query
+    * self-triggering (micro-batches fire with no new data).
+    */
+  def runningCounts(
+      spark: SparkSession,
+      keyed: org.apache.spark.sql.Dataset[(String, Boolean)],
+      timeout: Option[String] = None
+  ): org.apache.spark.sql.Dataset[LineUpdate] = {
+    import spark.implicits._
+    val conf =
+      if (timeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    keyed.groupByKey(_._1)
+      .mapGroupsWithState(conf) {
+        (key: String, rows: Iterator[(String, Boolean)], state: GroupState[LineState]) =>
+          if (state.hasTimedOut) {
+            val s = state.getOption.getOrElse(LineState(0, 0))
+            state.remove()
+            LineUpdate(key, s.total, s.invalid)
+          } else {
+            val prev = state.getOption.getOrElse(LineState(0, 0))
+            var total = prev.total
+            var invalid = prev.invalid
+            rows.foreach { case (_, isInvalid) =>
+              total += 1
+              if (isInvalid) invalid += 1
+            }
+            state.update(LineState(total, invalid))
+            timeout.foreach(state.setTimeoutDuration)
+            LineUpdate(key, total, invalid)
+          }
+      }
+  }
+}

@@ -1,0 +1,118 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Direct coverage of the kernel expressions: golden values, edge
+  * cases, interpreted-vs-codegen agreement, and SQL registration.
+  */
+class FunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("dot and cosine golden values over float and double arrays") {
+    val r = Seq((Seq(1.0f, 2.0f, 2.0f), Seq(2.0, 0.0, 1.0)))
+      .toDF("f", "d")
+      .select(
+        VectorFunctions.dot(col("f"), col("d")).as("dot"),
+        VectorFunctions.cosine(col("f"), col("f")).as("self"))
+      .collect()(0)
+    assert(r.getDouble(0) == 4.0) // 1*2 + 2*0 + 2*1, float->double exact
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("shingles kernel handles multi-space, exact-n, and unicode text") {
+    val r = Seq("a  b\tc", "x y", "für die katze", "a a a a")
+      .toDF("t")
+      .select(VectorFunctions.shingles(col("t"), 2).as("sh"))
+      .collect().map(_.getSeq[String](0))
+    assert(r(0) == Seq("a b", "b c")) // whitespace runs collapse
+    assert(r(1) == Seq("x y"))        // exactly n tokens -> one shingle
+    assert(r(2) == Seq("für die", "die katze"))
+    assert(r(3) == Seq("a a"))        // duplicates collapse
+  }
+
+  test("minhash signature: containment ordering of similar sets") {
+    val rows = Seq("a b c d e f g h", "a b c d e f g h", "q w e r t y u i")
+      .toDF("t")
+      .select(VectorFunctions.minHashSignature(
+        VectorFunctions.shingles(col("t"), 2), 16).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    assert(rows(0) == rows(1))
+    assert(rows(0) != rows(2))
+    assert(rows(0).length == 16)
+  }
+
+  test("minhash bands: identical docs collide in every band") {
+    val rows = Seq("a b c d e f", "a b c d e f")
+      .toDF("t")
+      .select(VectorFunctions.minHashBands(
+        VectorFunctions.shingles(col("t"), 2), 16, 4).as("b"))
+      .collect().map(_.getSeq[Long](0))
+    assert(rows(0) == rows(1))
+    assert(rows(0).length == 4)
+  }
+
+  test("tokenSetCount counts duplicates; multiTokenSetCount matches per-set counts") {
+    val df = Seq("the cat and the dog").toDF("t")
+      .select(split(col("t"), " ").as("toks"))
+    val single = df.select(
+      VectorFunctions.tokenSetCount(col("toks"), Seq("the", "and")).as("n"))
+      .collect()(0).getLong(0)
+    assert(single == 3) // the, and, the
+    val multi = df.select(VectorFunctions.multiTokenSetCount(col("toks"),
+      Seq(Seq("the", "and"), Seq("cat", "dog"), Seq("zebra"))).as("m"))
+      .collect()(0).getSeq[Long](0)
+    assert(multi == Seq(3L, 2L, 0L))
+  }
+
+  test("interpreted eval agrees with codegen for every kernel") {
+    // force the interpreted path by evaluating expressions directly
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val toks = ArrayData.toArrayData(
+      Array("a b c", "b c d").map(UTF8String.fromString): Array[Any])
+    val fromEval = MinHashSignatureExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        toks, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType)), 8)
+      .eval(InternalRow.empty).asInstanceOf[ArrayData].toLongArray().toSeq
+    val fromDf = Seq("a b c d").toDF("t")
+      .select(VectorFunctions.minHashSignature(
+        VectorFunctions.shingles(col("t"), 3), 8).as("sig"))
+      .collect()(0).getSeq[Long](0)
+    assert(fromEval == fromDf)
+  }
+
+  test("SQL registration: kernels callable from spark.sql") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c,
+        |       graft_simhash(array('a','b')) = graft_simhash(array('a','b')) AS same,
+        |       graft_shingles('a b c', 2) AS sh,
+        |       graft_token_set_count(array('x','y','x'), array('x')) AS n
+        |""".stripMargin).collect()(0)
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getBoolean(1))
+    assert(r.getSeq[String](2) == Seq("a b", "b c"))
+    assert(r.getLong(3) == 2L)
+  }
+
+  test("signBucket: similar vectors share more buckets than dissimilar ones") {
+    val df = Seq(
+      (Seq(1.0, 0.2, 0.1, 0.4), Seq(1.0, 0.21, 0.1, 0.4), Seq(-1.0, 5.0, -2.0, 0.3))
+    ).toDF("a", "b", "c")
+    val r = (0 until 16).map { t =>
+      val row = df.select(
+        VectorFunctions.signBucket(col("a"), 8, t * 7919L + 17).as("ba"),
+        VectorFunctions.signBucket(col("b"), 8, t * 7919L + 17).as("bb"),
+        VectorFunctions.signBucket(col("c"), 8, t * 7919L + 17).as("bc"))
+        .collect()(0)
+      (row.getLong(0) == row.getLong(1), row.getLong(0) == row.getLong(2))
+    }
+    val nearMatches = r.count(_._1)
+    val farMatches = r.count(_._2)
+    assert(nearMatches > farMatches)
+    assert(nearMatches >= 12) // near-identical vectors collide in most tables
+  }
+}

@@ -183,6 +183,47 @@ class PipelineSpec extends SparkTestBase {
     assert(vals.forall(_.length <= 255))
   }
 
+  test("processing summary runs through the SQL surface over the valid sink") {
+    val p = new ValidationPipeline(cfg, parityMode = true)
+    val out = tmpDir()
+    p.run(spark, fixtureCsv, s"$out/valid", s"$out/errors")
+    val summary = p.processingSummary(
+      spark, spark.read.parquet(s"$out/valid"), days = 10000)
+    val rows = summary.collect()
+    assert(rows.nonEmpty)
+    assert(summary.columns.toSeq == Seq("ProcessDate", "ValidationStatus", "RecordCount"))
+    assert(rows.map(_.getAs[Long]("RecordCount")).sum == 6) // all valid rows
+    assert(rows.forall(_.getAs[String]("ValidationStatus") == "VALID"))
+  }
+
+  test("ErrorHandling=abort fails the run and writes nothing") {
+    val abortCfg = cfg.copy(etl = cfg.etl.copy(errorHandling = "abort"))
+    val p = new ValidationPipeline(abortCfg, parityMode = true)
+    val out = tmpDir()
+    val e = intercept[IllegalStateException](
+      p.run(spark, fixtureCsv, s"$out/valid", s"$out/errors"))
+    assert(e.getMessage.contains("3 invalid rows"))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$out/valid")))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$out/errors")))
+  }
+
+  test("glob source reads many files in one scan with per-file lineage") {
+    val dir = Files.createTempDirectory("glob_")
+    val header = "timestamp,line_id,batch_number,product_code,temperature_c,pressure_kpa,humidity_pct,operator_id,defect_count\n"
+    Files.writeString(dir.resolve("production_a.csv"), header +
+      "2024-02-15 08:30:00,LINE001,B1,PROD-A1,145.5,450.2,45.5,OP0001,0\n")
+    Files.writeString(dir.resolve("production_b.csv"), header +
+      "2024-02-15 09:30:00,LINE002,B2,PROD-B2,150.0,460.0,44.0,OP0002,0\n")
+    val p = new ValidationPipeline(cfg, parityMode = true)
+    val df = p.readCsv(spark, s"$dir/production_*.csv")
+    val lineage = df.select(col(ValidationPipeline.FileSourceCol)).distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(lineage.length == 2)
+    assert(lineage(0).endsWith("production_a.csv"))
+    assert(lineage(1).endsWith("production_b.csv"))
+    assert(df.count() == 2)
+  }
+
   test("archive moves the file with a timestamp prefix when enabled") {
     val dir = Files.createTempDirectory("arch_")
     val f = dir.resolve("input.csv")

@@ -1,0 +1,109 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.config.XmlConfigParser
+import graft.pipeline.ValidationPipeline
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.nio.file.Files
+
+/** Streaming parity: the same rule set over a file-source stream; the
+  * windowed error-rate agg; arbitrary state via mapGroupsWithState.
+  */
+class StreamingSpec extends SparkTestBase {
+
+  private lazy val cfg =
+    XmlConfigParser.parseFile(getClass.getResource("/mapping_config.xml").getPath)
+
+  private val fixtureRows =
+    """2024-02-15 08:30:00,LINE001,BATCH20240215001,PROD-A1,145.5,450.2,45.5,OP0001,0
+      |2024-02-15 09:15:00,LINE001,BATCH20240215004,PROD-A1,300.0,455.0,44.8,OP0003,0
+      |,bad-line,BAD-BATCH,PROD-A1,145.0,450.0,50.0,OP0001,0
+      |""".stripMargin
+
+  test("file-source stream validates new CSVs and writes both sinks") {
+    val inDir = Files.createTempDirectory("stream_in_")
+    val outDir = Files.createTempDirectory("stream_out_")
+    val ckpt = Files.createTempDirectory("stream_ckpt_")
+    val header = "timestamp,line_id,batch_number,product_code,temperature_c,pressure_kpa,humidity_pct,operator_id,defect_count\n"
+    Files.writeString(inDir.resolve("batch1.csv"), header + fixtureRows)
+
+    val sv = new StreamingValidation(cfg)
+    val stream = sv.readStream(spark, inDir.toString)
+    assert(stream.isStreaming)
+    val q = sv.writer(stream, s"$outDir/valid", s"$outDir/errors")
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val valid = spark.read.parquet(s"$outDir/valid")
+    val errors = spark.read.parquet(s"$outDir/errors")
+    assert(valid.count() == 1) // rows 2,3 invalid (RANGE / REQUIRED+REGEX)
+    assert(errors.count() == 3)
+    assert(valid.columns.contains("ValidationStatus"))
+
+    // incremental discovery: a second file appears -> only its rows append
+    Files.writeString(inDir.resolve("batch2.csv"), header +
+      "2024-02-15 11:00:00,LINE002,BATCH20240215009,PROD-B2,150.0,460.0,44.0,OP0002,0\n")
+    val q2 = sv.writer(stream, s"$outDir/valid", s"$outDir/errors")
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.parquet(s"$outDir/valid").count() == 2)
+    assert(spark.read.parquet(s"$outDir/errors").count() == 3) // unchanged
+  }
+
+  test("windowed error-rate aggregation with watermark on a memory stream") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, String)] // (timestamp, line_id)
+    val annotated = new StreamingValidation(cfg)
+      .annotateStream(
+        mem.toDF().toDF("timestamp", "line_id")
+          .withColumn("batch_number", lit("B1"))
+          .withColumn("product_code", lit("PROD-A1"))
+          .withColumn("temperature_c", when(col("line_id") === "BAD", lit("999.0")).otherwise(lit("150.0")))
+          .withColumn("pressure_kpa", lit("450.0"))
+          .withColumn("humidity_pct", lit("50.0"))
+          .withColumn("operator_id", lit("OP0001"))
+          .withColumn("defect_count", lit("0")))
+    val windowed = new StreamingValidation(cfg)
+      .errorRateByWindow(annotated, "timestamp", "1 hour", "2 hours")
+
+    val q = windowed.writeStream
+      .format("memory").queryName("err_rate").outputMode("update").start()
+    try {
+      mem.addData(
+        ("2024-02-15 08:10:00", "LINE001"),
+        ("2024-02-15 08:20:00", "LINE001"),
+        ("2024-02-15 08:30:00", "BAD"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.table("err_rate")
+      .select("line_id", "total_rows", "invalid_rows").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows("LINE001") == ((2L, 0L)))
+    assert(rows("BAD") == ((1L, 1L))) // temperature 999 > max 200 -> RANGE
+  }
+
+  test("runningCounts keeps per-key state across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Boolean)]
+    val out = StreamingValidation.runningCounts(spark, mem.toDS())
+    val q = out.writeStream.format("memory").queryName("counts")
+      .outputMode("update").start()
+    try {
+      mem.addData(("L1", false), ("L1", true), ("L2", false))
+      q.processAllAvailable()
+      mem.addData(("L1", false))
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("counts")
+      .groupBy("key").agg(max("total").as("total"), max("invalid").as("invalid"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(last("L1") == ((3L, 1L))) // state carried across batches
+    assert(last("L2") == ((1L, 0L)))
+  }
+}
