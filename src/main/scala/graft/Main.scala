@@ -1,0 +1,69 @@
+package graft
+
+import graft.config.XmlConfigParser
+import graft.pipeline.ValidationPipeline
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** CLI entry mirroring the reference's `main.py` surface
+  * (reference src/main.py:58-93): single-file or glob-batch dispatch,
+  * `--config` path, `--dry-run` (which here actually works — the
+  * reference parses it and drops it, src/main.py:77-90).
+  *
+  * Usage:
+  *   graft.Main --config cfg.xml [--input file.csv] \
+  *     [--valid-out dir] [--errors-out dir] [--dry-run]
+  *
+  * Without --input, the glob from the config's <FilePath> runs as ONE
+  * multi-file scan (the reference loops file-by-file; Spark's glob scan
+  * is the same semantics, parallel, with per-file lineage kept in the
+  * FileSource column).
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    var configPath = "config/mapping_config.xml"
+    var input: Option[String] = None
+    var validOut = "out/valid"
+    var errorsOut = "out/errors"
+    var dryRun = false
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--config"     => configPath = args(i + 1); i += 2
+        case "--input"      => input = Some(args(i + 1)); i += 2
+        case "--valid-out"  => validOut = args(i + 1); i += 2
+        case "--errors-out" => errorsOut = args(i + 1); i += 2
+        case "--dry-run"    => dryRun = true; i += 1
+        case other => throw new IllegalArgumentException(s"unknown argument: $other")
+      }
+    }
+    val cfg = XmlConfigParser.parseFile(configPath)
+    val inputPath = input.getOrElse(cfg.source.filePath)
+
+    // only stop a session this entry point itself created (embedding
+    // callers — tests, notebooks — keep theirs)
+    val hadSession = SparkSession.getDefaultSession.exists(!_.sparkContext.isStopped)
+    // spark-submit injects spark.master; standalone invocations (sbt run,
+    // plain java) fall back to all local cores
+    val master = sys.props.getOrElse("spark.master",
+      sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+    val spark = SparkSession.builder()
+      .appName("graft-etl")
+      .master(master)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .getOrCreate()
+    try {
+      val pipeline = new ValidationPipeline(cfg, parityMode = false)
+      val summary = pipeline.run(spark, inputPath, validOut, errorsOut, dryRun)
+      // archive single concrete input files when configured (glob inputs
+      // stay in place, matching per-file semantics only for real files)
+      if (!dryRun) input.map(Paths.get(_)).filter(Files.isRegularFile(_)).foreach { f =>
+        pipeline.archive(f, f.toAbsolutePath.getParent.resolve("processed"))
+      }
+      println(s"total=${summary.total} valid=${summary.valid} " +
+        s"invalid=${summary.invalid} errors=${summary.errorCount}" +
+        (if (dryRun) " (dry-run)" else ""))
+    } finally if (!hadSession) spark.stop()
+  }
+}

@@ -299,6 +299,19 @@ class ValidationPipeline(
     } finally annotated.unpersist()
   }
 
+  /** S4 parity sink: batched JDBC append of the valid rows into the
+    * configured target table (reference src/etl_processor.py:53-108 —
+    * per-row INSERT with commit every BatchSize rows; Spark's JDBC
+    * writer batches with the same knob). Untested here (no database in
+    * the harness); the parquet sinks are the verified path.
+    */
+  def writeJdbc(annotated: DataFrame, url: String, props: java.util.Properties): Unit =
+    validOutput(annotated)
+      .write
+      .mode("append")
+      .option("batchsize", config.etl.batchSize)
+      .jdbc(url, config.target.targetTable, props)
+
   /** S6/A3: processing-summary over a loaded QualityData frame through
     * the SQL surface (reference src/etl_processor.py:146-158: last-N-days
     * filter, cast-to-date, group count, newest-first). The reference
