@@ -88,6 +88,35 @@ object Queries {
         .orderBy(col("process_date").desc, col("status"))
     }),
 
+    // Join + agg + top-k over two tables (broadcast-eligible build side;
+    // shows join planning beyond the reference's membership lookups).
+    "q3_join_agg" -> ((s, d) => {
+      val o = t(s, d, "orders").filter(col("o_orderstatus") === "O")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      t(s, d, "lineitem")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          dec(sum(dec(col("l_extendedprice")))).cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Three-table star join: fact -> dim -> tiny dim (broadcast chain).
+    "q5_multi_join" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val nat = t(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      t(s, d, "orders")
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          dec(sum(dec(col("o_totalprice")))).cast(DoubleType).as("total_price"),
+          count(lit(1)).as("n_orders"))
+    }),
+
     // ------------------------------------------------------------------
     // Row-rule operators (P2-P6) over the testdata tables
     // ------------------------------------------------------------------
@@ -361,6 +390,13 @@ object Queries {
           length(col("payload")).cast(LongType).as("payload_bytes"))
     }),
 
+    // Skew-safe salted aggregation: two-stage count on a low-cardinality
+    // (hot) key column — result identical to a plain groupBy count.
+    "x_salted_count" -> ((s, d) => {
+      graft.operators.Skew.saltedCount(t(s, d, "lineitem"), Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("cnt"))
+    }),
+
     // Document fingerprints (rolling hash) — rows-only (hash seed is
     // engine-specific); dup-fingerprint count asserted in tests.
     "x_fingerprint" -> ((s, d) => {
@@ -387,6 +423,23 @@ object Queries {
         |count(*) AS record_count
         |FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
         |GROUP BY 1, 2 ORDER BY process_date DESC, status""".stripMargin,
+
+    "q3_join_agg" ->
+      """SELECT o_orderpriority,
+        |CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS revenue,
+        |count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'O'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q5_multi_join" ->
+      """SELECT n_name,
+        |CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
+        |count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
 
     "p2_required_check" ->
       """SELECT o_orderkey,
@@ -515,6 +568,10 @@ object Queries {
         |len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t IN ('le','la','les','et','est','une','pour','dans','que','des'))) AS fr_hits,
         |len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t IN ('el','la','los','las','es','una','para','que','por','con'))) AS es_hits
         |FROM documents""".stripMargin,
+
+    "x_salted_count" ->
+      """SELECT l_returnflag, count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "x_multimodal_meta" ->
       """SELECT doc_id AS media_id, 'image' AS kind,
