@@ -218,6 +218,47 @@ object Kernels {
     bucket
   }
 
+  /** Indices of the `nProbe` nearest centroids (by cosine) for a
+    * vector. `centroids` is row-major flattened (k x dim); one fused
+    * scan over all centroids, small insertion-sorted top list.
+    */
+  def nearestCentroids(vec: ArrayData, isFloat: Boolean, centroids: Array[Double],
+      dim: Int, nProbe: Int): ArrayData = {
+    val k = centroids.length / dim
+    val n = math.min(vec.numElements(), dim)
+    // precompute vector values + norm once
+    val v = new Array[Double](n)
+    var vn = 0.0
+    var i = 0
+    while (i < n) { v(i) = elem(vec, i, isFloat); vn += v(i) * v(i); i += 1 }
+    val topIdx = new Array[Int](math.min(nProbe, k))
+    val topSim = new Array[Double](topIdx.length)
+    java.util.Arrays.fill(topSim, Double.NegativeInfinity)
+    var c = 0
+    while (c < k) {
+      var dotAcc = 0.0; var cn = 0.0
+      var j = 0
+      val base = c * dim
+      while (j < n) {
+        val x = centroids(base + j)
+        dotAcc += v(j) * x; cn += x * x
+        j += 1
+      }
+      val denom = math.sqrt(vn) * math.sqrt(cn)
+      val sim = if (denom == 0.0) 0.0 else dotAcc / denom
+      // insertion into the descending top list
+      var pos = topIdx.length - 1
+      if (sim > topSim(pos)) {
+        while (pos > 0 && sim > topSim(pos - 1)) {
+          topSim(pos) = topSim(pos - 1); topIdx(pos) = topIdx(pos - 1); pos -= 1
+        }
+        topSim(pos) = sim; topIdx(pos) = c
+      }
+      c += 1
+    }
+    ArrayData.toArrayData(topIdx)
+  }
+
   /** One sign-bucket per LSH table (seed_t = t*7919 + baseSeed). */
   def signBuckets(vec: ArrayData, isFloat: Boolean, planes: Int, tables: Int, baseSeed: Long): ArrayData = {
     val out = new Array[Long](tables)
@@ -400,6 +441,29 @@ case class SignBucketsExpr(child: Expression, planes: Int, tables: Int, baseSeed
     copy(child = newChild)
 }
 
+/** Top-nProbe nearest-centroid indices for IVF cell assignment/probing.
+  * The centroid table ships as a plan-constant reference object (k x dim
+  * row-major doubles), so assignment is a single fused kernel call per
+  * row — no join against a centroid table.
+  */
+case class NearestCentroidsExpr(
+    child: Expression, centroids: Array[Double], dim: Int, nProbe: Int)
+    extends UnaryExpression with ArrayElemTypes {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkNumericArray(child, "vector")
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.nearestCentroids(input.asInstanceOf[ArrayData], isFloatArray(child),
+      centroids, dim, nProbe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Kernels.nearestCentroids($c, ${isFloatArray(child)}, $ref, $dim, $nProbe)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level API over the kernel expressions. */
 object VectorFunctions {
   private def c(e: Expression): Column = GraftColumnBridge.column(e)
@@ -421,4 +485,6 @@ object VectorFunctions {
     c(SignBucketExpr(e(vec), planes, seed))
   def signBuckets(vec: Column, planes: Int, tables: Int, baseSeed: Long): Column =
     c(SignBucketsExpr(e(vec), planes, tables, baseSeed))
+  def nearestCentroids(vec: Column, centroids: Array[Double], dim: Int, nProbe: Int): Column =
+    c(NearestCentroidsExpr(e(vec), centroids, dim, nProbe))
 }

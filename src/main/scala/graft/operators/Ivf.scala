@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest-neighbor search — the
+  * cell-probing alternative to hyperplane LSH ([[Similarity.lshTopK]]).
+  *
+  * Index structure: a small set of coarse centroids partitions the
+  * corpus into cells; each vector is assigned to its nearest centroid.
+  * A query probes only its `nProbe` nearest cells and re-ranks the
+  * candidates with exact cosine.
+  *
+  * Scale path (100 TB): centroid assignment is one narrow projection
+  * (the centroid table is a plan constant — no join); the assigned
+  * corpus is written `partitionBy("cell")` once, so a query's probes
+  * touch only nProbe/nlist of the files (partition pruning). Here the
+  * cells stay in-memory and the probe is a hash join on the cell id.
+  *
+  * Centroids are a deterministic hashed sample of the corpus (the k
+  * vectors with the smallest xxhash64(id)) — reproducible across runs
+  * with no training iterations; a k-means refinement could be layered
+  * on without changing the query path.
+  */
+object Ivf {
+
+  final case class IvfIndex(centroids: Array[Double], dim: Int, nlist: Int)
+
+  /** Build the coarse quantizer: k hash-sampled corpus vectors. */
+  def buildIndex(
+      corpus: DataFrame, idCol: String, vecCol: String, nlist: Int
+  ): IvfIndex = {
+    val rows = corpus
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .orderBy(xxhash64(col("id")))
+      .limit(nlist)
+      .collect()
+    require(rows.nonEmpty, "empty corpus — cannot build IVF index")
+    val dim = rows(0).getSeq[Double](1).length
+    val flat = new Array[Double](rows.length * dim)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val v = r.getSeq[Double](1)
+      var j = 0
+      while (j < dim) { flat(i * dim + j) = v(j); j += 1 }
+    }
+    IvfIndex(flat, dim, rows.length)
+  }
+
+  /** Corpus with its IVF cell id (nearest centroid). At scale, persist
+    * this `partitionBy("cell")`.
+    */
+  def assign(corpus: DataFrame, vecCol: String, index: IvfIndex): DataFrame =
+    corpus.withColumn("cell",
+      VectorFunctions.nearestCentroids(col(vecCol), index.centroids, index.dim, 1)
+        .getItem(0))
+
+  /** ANN top-k: probe each query's nProbe nearest cells, exact-cosine
+    * re-rank within the candidate union. Returns
+    * (query_id, id, cosine, rank).
+    */
+  def ivfTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, nlist: Int = 64, nProbe: Int = 8
+  ): DataFrame = {
+    val index = buildIndex(corpus, idCol, vecCol, nlist)
+    val assigned = assign(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("v")), "v", index)
+    val probes = queries
+      .select(col(qidCol).as("query_id"), col(qvecCol).as("qv"))
+      .withColumn("cell", explode(
+        VectorFunctions.nearestCentroids(col("qv"), index.centroids, index.dim, nProbe)))
+    val candidates = assigned
+      .join(broadcast(probes), Seq("cell"))
+      .select(col("query_id"), col("id"),
+        Similarity.cosine(col("v"), col("qv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id").asc)
+    candidates.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

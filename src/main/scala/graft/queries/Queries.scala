@@ -338,6 +338,18 @@ object Queries {
         .select(col("query_id"), col("id"), col("rank"))
     }),
 
+    // IVF-cell ANN — the cell-probing scale path (corpus partitioned by
+    // centroid cell; queries probe nProbe cells). Rows-only; recall vs
+    // brute force asserted in IvfSpec.
+    "x_ann_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      graft.operators.Ivf.ivfTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qv", k = 10, nlist = 64, nProbe = 8)
+        .select(col("query_id"), col("id"), col("rank"))
+    }),
+
     // JSON/multimodal props extraction (events.props is a JSON string).
     "x_json_extract" -> ((s, d) => {
       events(s, d)
