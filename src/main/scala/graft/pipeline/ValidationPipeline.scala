@@ -3,7 +3,7 @@ package graft.pipeline
 import graft.config._
 import graft.rules.RuleCompiler
 import graft.rules.RuleCompiler.{emptyErrors, errorEntry}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -37,6 +37,35 @@ final case class ValidationSummary(
     valid: Long,
     invalid: Long,
     errorCount: Long
+)
+
+/** Typed row of the valid sink (Production.QualityData shape,
+  * reference src/etl_processor.py:68-74) for `Dataset[QualityRecord]`
+  * consumers.
+  */
+final case class QualityRecord(
+    RecordTimestamp: java.sql.Timestamp,
+    ProductionLineID: String,
+    BatchNumber: String,
+    ProductCode: String,
+    TemperatureCelsius: java.math.BigDecimal,
+    PressureKPA: java.math.BigDecimal,
+    HumidityPercent: java.math.BigDecimal,
+    OperatorID: String,
+    DefectCount: java.lang.Integer,
+    FileSource: String,
+    ValidationStatus: String
+)
+
+/** Typed per-field error row (ValidationError,
+  * reference src/data_validator.py:26-42).
+  */
+final case class ErrorRecord(
+    FileSource: String,
+    ErrorType: String,
+    ErrorMessage: String,
+    FieldName: String,
+    FieldValue: String
 )
 
 class ValidationPipeline(
@@ -297,6 +326,22 @@ class ValidationPipeline(
       }
       summary
     } finally annotated.unpersist()
+  }
+
+  /** Typed face of the valid sink — `Dataset[QualityRecord]` where
+    * compile-time row shape helps downstream consumers. Only valid for
+    * the reference's standard 9-field mapping (the schema must line up
+    * with [[QualityRecord]]).
+    */
+  def typedValidOutput(annotated: DataFrame): Dataset[QualityRecord] = {
+    implicit val enc: Encoder[QualityRecord] = Encoders.product[QualityRecord]
+    validOutput(annotated).as[QualityRecord]
+  }
+
+  /** Typed face of the error sink. */
+  def typedErrorOutput(annotated: DataFrame): Dataset[ErrorRecord] = {
+    implicit val enc: Encoder[ErrorRecord] = Encoders.product[ErrorRecord]
+    errorOutput(annotated).as[ErrorRecord]
   }
 
   /** S4 parity sink: batched JDBC append of the valid rows into the

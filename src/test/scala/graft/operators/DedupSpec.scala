@@ -86,6 +86,22 @@ class DedupSpec extends SparkTestBase {
     assert(rows.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
   }
 
+  test("minhash signature agreement estimates jaccard (statistical property)") {
+    // For random sets with known overlap, the fraction of agreeing
+    // signature entries converges to the true jaccard — the property
+    // LSH banding depends on. 256 hashes -> stderr ~ sqrt(j(1-j)/256) ~ 0.03.
+    import graft.functions.VectorFunctions
+    val a = (0 until 80).map(i => s"tok$i").mkString(" ")        // {0..79}
+    val b = ((40 until 80) ++ (100 until 140)).map(i => s"tok$i").mkString(" ") // overlap 40/120
+    val sigs = Seq(a, b).toDF("t")
+      .select(VectorFunctions.minHashSignature(split(col("t"), " "), 256).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    val agree = sigs(0).zip(sigs(1)).count { case (x, y) => x == y }
+    val est = agree.toDouble / 256
+    val trueJ = 40.0 / 120.0
+    assert(math.abs(est - trueJ) < 0.12, s"minhash estimate $est vs true $trueJ")
+  }
+
   test("near-dup plans contain no cartesian product (scale guard)") {
     val plan = Dedup.minHashNearDups(docs, "doc_id", "text")
       .queryExecution.executedPlan.toString

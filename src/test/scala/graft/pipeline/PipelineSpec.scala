@@ -71,6 +71,20 @@ class PipelineSpec extends SparkTestBase {
       .forall(_.getString(0).contains("production_data_fixture.csv")))
   }
 
+  test("typed sinks expose Dataset[QualityRecord] / Dataset[ErrorRecord]") {
+    val p = new ValidationPipeline(cfg, parityMode = true)
+    val annotated = p.annotate(p.readCsv(spark, fixtureCsv))
+    val typed: Seq[QualityRecord] = p.typedValidOutput(annotated).collect().toSeq
+    assert(typed.size == 6)
+    assert(typed.forall(_.ValidationStatus == "VALID"))
+    assert(typed.map(_.ProductionLineID).forall(_.startsWith("LINE")))
+    assert(typed.count(_.HumidityPercent == null) == 1)
+    val errs: Seq[ErrorRecord] = p.typedErrorOutput(annotated).collect().toSeq
+    assert(errs.size == 4)
+    assert(errs.map(_.ErrorType).sorted ==
+      Seq("LOOKUP", "RANGE", "REGEX", "REQUIRED_FIELD_MISSING"))
+  }
+
   test("dry run computes the summary without writing sinks") {
     val p = new ValidationPipeline(cfg, parityMode = true)
     val out = tmpDir()

@@ -1,0 +1,62 @@
+package graft.queries
+
+import graft.SparkTestBase
+
+/** Plan-shape regression tests: the PLANS.md invariants as assertions.
+  * A refactor that silently turns a broadcast anti-join into a shuffle,
+  * or a top-k into a global sort, fails here before it costs anything
+  * at scale.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private def plan(name: String): String =
+    Queries.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("p7 lookup compiles to a broadcast LEFT ANTI hash join") {
+    val p = plan("p7_lookup_antijoin")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("a6 referential integrity compiles to a broadcast LEFT ANTI hash join") {
+    val p = plan("a6_referential_integrity")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"))
+  }
+
+  test("cosine top-k uses TakeOrderedAndProject, not a global sort") {
+    val p = plan("x_cosine_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("a5 z-score broadcasts a single stats row, never a window over everything") {
+    val p = plan("a5_zscore_outlier")
+    assert(p.contains("BroadcastNestedLoopJoin")) // 1-row IdentityBroadcast
+    assert(!p.contains("Window"))
+  }
+
+  test("near-dup pipelines contain no cartesian products") {
+    for (n <- Seq("x_dedup_minhash", "x_dedup_simhash", "x_dedup_embedding")) {
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"), s"$n has a cartesian product")
+    }
+  }
+
+  test("aggregation queries read only the columns they use") {
+    val p = plan("q1_agg")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_quantity") && readSchema.contains("l_returnflag"))
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_partkey"))
+  }
+
+  test("dim-subset predicates push into the parquet scan") {
+    val p = plan("p7_lookup_antijoin")
+    assert(p.contains("PushedFilters") &&
+      p.contains("LessThanOrEqual(s_suppkey,5)"))
+  }
+
+  test("star join broadcasts both dimension sides") {
+    val p = plan("q5_multi_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2)
+    assert(!p.contains("SortMergeJoin"))
+  }
+}
