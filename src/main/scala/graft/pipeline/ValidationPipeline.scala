@@ -3,7 +3,7 @@ package graft.pipeline
 import graft.config._
 import graft.rules.RuleCompiler
 import graft.rules.RuleCompiler.{emptyErrors, errorEntry}
-import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -106,6 +106,26 @@ class ValidationPipeline(
       .schema(SchemaBuilder.rawSchema(mappings))
       .csv(path)
       .withColumn(FileSourceCol, input_file_name())
+
+  /** Read ONE concrete CSV file with a pandas-style 0-based row ordinal
+    * (SURVEY §7.3: no distributed row identity exists; a true ordinal
+    * needs zipWithIndex over a deterministic scan). Parity-debugging
+    * tool against the reference's per-file row_index — NOT the 100 TB
+    * hot path (zipWithIndex forces an extra pass), and deliberately
+    * restricted to a single regular file: the reference's index resets
+    * per file, and Spark orders multi-file splits by size, so a global
+    * ordinal over a glob would be silently wrong.
+    */
+  def readCsvWithOrdinal(spark: SparkSession, path: String): DataFrame = {
+    require(java.nio.file.Files.isRegularFile(java.nio.file.Paths.get(path)),
+      s"readCsvWithOrdinal needs a single concrete CSV file, got: $path")
+    val base = readCsv(spark, path)
+    val schema = base.schema.add("row_index", LongType, nullable = false)
+    val indexed = base.rdd.zipWithIndex.map { case (row, idx) =>
+      Row.fromSeq(row.toSeq :+ idx)
+    }
+    spark.createDataFrame(indexed, schema)
+  }
 
   /** Lookup resolver: static demo set for the reference's hardcoded
     * products (src/data_validator.py:197); registered dimension frames

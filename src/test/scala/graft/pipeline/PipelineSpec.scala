@@ -71,6 +71,19 @@ class PipelineSpec extends SparkTestBase {
       .forall(_.getString(0).contains("production_data_fixture.csv")))
   }
 
+  test("readCsvWithOrdinal assigns pandas-style row indexes in file order") {
+    val p = new ValidationPipeline(cfg, parityMode = true)
+    val df = p.readCsvWithOrdinal(spark, fixtureCsv)
+    val idx = df.select("row_index", "line_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(idx.keySet == (0L until 9L).toSet)
+    assert(idx(8L) == "bad-line") // last fixture row
+    // the RANGE trap row (temperature 300.0) is pandas index 3
+    val rangeIdx = df.filter(col("temperature_c") === "300.0")
+      .select("row_index").collect()(0).getLong(0)
+    assert(rangeIdx == 3L)
+  }
+
   test("typed sinks expose Dataset[QualityRecord] / Dataset[ErrorRecord]") {
     val p = new ValidationPipeline(cfg, parityMode = true)
     val annotated = p.annotate(p.readCsv(spark, fixtureCsv))
