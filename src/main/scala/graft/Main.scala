@@ -27,12 +27,17 @@ object Main {
     var errorsOut = "out/errors"
     var dryRun = false
     var i = 0
+    def valueOf(flag: String): String = {
+      if (i + 1 >= args.length)
+        throw new IllegalArgumentException(s"$flag requires a value")
+      args(i + 1)
+    }
     while (i < args.length) {
       args(i) match {
-        case "--config"     => configPath = args(i + 1); i += 2
-        case "--input"      => input = Some(args(i + 1)); i += 2
-        case "--valid-out"  => validOut = args(i + 1); i += 2
-        case "--errors-out" => errorsOut = args(i + 1); i += 2
+        case "--config"     => configPath = valueOf("--config"); i += 2
+        case "--input"      => input = Some(valueOf("--input")); i += 2
+        case "--valid-out"  => validOut = valueOf("--valid-out"); i += 2
+        case "--errors-out" => errorsOut = valueOf("--errors-out"); i += 2
         case "--dry-run"    => dryRun = true; i += 1
         case other => throw new IllegalArgumentException(s"unknown argument: $other")
       }

@@ -25,19 +25,22 @@ object Dedup {
   // ---------------------------------------------------------------------
 
   /** Exact dedup on arbitrary key columns: keep the lowest-id row per
-    * group. One hash shuffle on (keys); map-side partial aggregation
-    * applies since min() is an algebraic agg.
+    * group, via `min_by` — a true algebraic aggregate, so map-side
+    * partials shrink each hot key to one row per input partition before
+    * the shuffle (a row_number window would funnel every member of a
+    * hot duplicate group through a single reducer).
     */
   def exactDedup(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    val allCols = df.columns.map(col)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min_by(struct(allCols.toIndexedSeq: _*), col(idCol)).as("__row"))
+      .select(col("__row.*"))
   }
 
   /** Groups of exact duplicates (group key + member count), for audit.
-    * Hashing the key columns first (xxhash64) keeps the shuffle rows
-    * narrow when key columns are wide text.
+    * count() is algebraic (map-side partials); key columns travel in
+    * the shuffle — pre-hash them yourself (xxhash64) when they are wide
+    * text and the original key values are not needed downstream.
     */
   def exactDupGroups(df: DataFrame, keyCols: Seq[String]): DataFrame =
     df.groupBy(keyCols.map(col): _*)

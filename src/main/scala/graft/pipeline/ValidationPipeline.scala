@@ -70,7 +70,9 @@ final case class ErrorRecord(
 
 class ValidationPipeline(
     val config: IntegrationConfig,
-    /** extra lookup/RI dimension tables: "Schema.Table" -> (keyColumn, df) */
+    /** extra lookup/RI dimension tables, keyed by table name; the lookup
+      * rule's `column` attribute selects the key column (first column
+      * when absent or not present in the frame) */
     val dimensions: Map[String, DataFrame] = Map.empty,
     /** parity mode = only the rules the reference engine actually runs */
     val parityMode: Boolean = false
@@ -131,25 +133,32 @@ class ValidationPipeline(
     * products (src/data_validator.py:197); registered dimension frames
     * are handled via pre-joined presence flags (see annotate).
     */
-  private def lookupResolver: RuleCompiler.LookupResolver = (table, column, value) =>
-    if (dimensions.contains(table)) Some(col(presenceFlag(table)).isNotNull)
-    else RuleCompiler.defaultLookups(table, column, value)
+  private def lookupResolver: RuleCompiler.LookupResolver = (table, column, field, value) =>
+    if (dimensions.contains(table))
+      Some(col(presenceFlag(s"$table:$field")).isNotNull)
+    else RuleCompiler.defaultLookups(table, column, field, value)
 
   /** Adds the `errors` array column (row rules + global rules). */
   def annotate(df: DataFrame): DataFrame = {
     validateColumns(df)
 
     // -- pre-join presence flags for dimension-table lookups ------------
+    // flags are keyed by (table, field): two fields looking up the SAME
+    // dimension get independent joins and columns (a table-only key
+    // would produce an ambiguous duplicate column)
     var cur = df
-    val lookupDims: Seq[(String, String)] = for {
+    val lookupDims: Seq[(String, Option[String], String)] = for {
       m <- mappings
       r <- m.validations
       if r.ruleType == RuleTypes.Lookup && include(r.ruleType)
       t <- r.param("table") if dimensions.contains(t)
-    } yield (t, m.sourceField)
-    lookupDims.foreach { case (table, field) =>
-      val (key, dim) = dimKey(table)
-      val flag = presenceFlag(table)
+    } yield (t, r.param("column"), m.sourceField)
+    lookupDims.foreach { case (table, lookupColumn, field) =>
+      val dim = dimensions(table)
+      // honor the rule's declared lookup column when the dim carries it;
+      // fall back to the frame's first column for single-column dims
+      val key = lookupColumn.filter(dim.columns.contains).getOrElse(dim.columns.head)
+      val flag = presenceFlag(s"$table:$field")
       val dimKeys = dim.select(col(key).cast(StringType).as(flag)).distinct()
       cur = cur.join(broadcast(dimKeys),
         cur(field).cast(StringType) === dimKeys(flag), "left")
@@ -203,14 +212,19 @@ class ValidationPipeline(
       outlierRules.foreach { case (m, r) =>
         val thr = r.doubleParam("threshold").getOrElse(3.0)
         val d = col(m.sourceField).cast(DoubleType)
-        val z = abs((d - col(statMean(m.sourceField))) / col(statStd(m.sourceField)))
+        val sd = col(statStd(m.sourceField))
+        val z = abs((d - col(statMean(m.sourceField))) / sd)
         val err = errorEntry(
           lit(m.sourceField), lit("OUTLIER"),
           concat(lit(s"${m.sourceField}="), d.cast(StringType),
             lit(s" is a z-score outlier (|z| > $thr)")),
           col(m.sourceField))
+        // zero/undefined variance (constant column, single row) means no
+        // outliers — without the guard z is NaN and Spark orders NaN
+        // above every number, flagging ALL rows
         annotated = annotated.withColumn(ErrorsCol,
-          when(d.isNotNull && z > thr, concat(col(ErrorsCol), array(err)))
+          when(d.isNotNull && !isnan(sd) && sd > 0 && z > thr,
+            concat(col(ErrorsCol), array(err)))
             .otherwise(col(ErrorsCol)))
       }
       annotated = annotated.drop(outlierRules.flatMap { case (m, _) =>
@@ -241,7 +255,7 @@ class ValidationPipeline(
           // natural semantics: broadcast anti-membership flag.
           (g.parameters.get("foreignTable"), g.parameters.get("foreignKey")) match {
             case (Some(table), Some(fk)) =>
-              val flag = presenceFlag(s"RI:$table")
+              val flag = presenceFlag(s"RI:$table:$fk")
               val present: Column = dimensions.get(table) match {
                 case Some(dim) =>
                   val key = dimensions(table).columns.head
@@ -267,7 +281,8 @@ class ValidationPipeline(
     }
 
     // drop lookup presence flags (internal plumbing)
-    lookupDims.map(d => presenceFlag(d._1)).distinct
+    lookupDims.map { case (table, _, field) => presenceFlag(s"$table:$field") }
+      .distinct
       .foldLeft(annotated)((d, f) => d.drop(f))
   }
 
@@ -414,10 +429,6 @@ class ValidationPipeline(
     Some(java.nio.file.Files.move(file, dest))
   }
 
-  private def dimKey(table: String): (String, DataFrame) = {
-    val dim = dimensions(table)
-    (dim.columns.head, dim)
-  }
 }
 
 object ValidationPipeline {

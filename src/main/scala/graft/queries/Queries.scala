@@ -560,7 +560,7 @@ object Queries {
 
     "x_text_tokens" ->
       """SELECT doc_id,
-        |len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
         |len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpeish_tokens,
         |len(list_filter(string_split_regex(trim(text), '\s+'),
         |    t -> lower(t) IN ('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by','it','be','this','that')))
@@ -569,7 +569,7 @@ object Queries {
 
     "x_text_stats" ->
       """SELECT lang, count(*) AS n_docs,
-        |CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+        |CAST(sum(CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS total_tokens,
         |CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang""".stripMargin,
 

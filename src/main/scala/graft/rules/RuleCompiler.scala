@@ -51,17 +51,18 @@ object RuleCompiler {
     when(cond, array(errorEntry(lit(field), lit(errType), msg, value)))
       .otherwise(emptyErrors)
 
-  /** Resolves a `lookup` rule to an "is present" predicate. The default
-    * catalog carries the reference's demo product set
+  /** Resolves a `lookup` rule to an "is present" predicate, given
+    * (table, lookupColumn, fieldName, value). The default catalog
+    * carries the reference's demo product set
     * (src/data_validator.py:197) as a literal `isin` (broadcast to every
     * task by codegen — the scale-path for big dims is the pipeline's
-    * pre-joined presence flag, see ValidationPipeline).
+    * pre-joined per-(table,field) presence flag, see ValidationPipeline).
     */
-  type LookupResolver = (String, String, Column) => Option[Column]
+  type LookupResolver = (String, String, String, Column) => Option[Column]
 
   val demoProducts: Seq[String] = Seq("PROD-A1", "PROD-B2", "PROD-C3", "PROD-D4")
 
-  val defaultLookups: LookupResolver = (table, column, value) =>
+  val defaultLookups: LookupResolver = (table, column, field, value) =>
     if (column == "ProductCode") Some(value.cast(StringType).isin(demoProducts: _*))
     else None
 
@@ -189,7 +190,7 @@ object RuleCompiler {
     case RuleTypes.Lookup =>
       val table = rule.param("table").getOrElse("")
       val column = rule.param("column").getOrElse("")
-      lookups(table, column, value).map { present =>
+      lookups(table, column, field, value).map { present =>
         errIf(
           !present, field, "LOOKUP",
           concat(lit(s"$field='"), value.cast(StringType), lit(s"' not found in $table")),

@@ -16,7 +16,8 @@ import org.apache.spark.sql.Row
   * new files, the SAME compiled rule expressions annotate the stream
   * (the rule compiler is expression-level, so batch/streaming parity is
   * by construction), and `foreachBatch` writes the two sinks per
-  * micro-batch with exactly-once file-sink semantics via checkpointing.
+  * micro-batch into per-batch-id partitions (idempotent replay;
+  * checkpointing tracks which files are consumed).
   *
   * Scale notes: the error-rate window aggregation is keyed by
   * (window, line_id) — state is bounded by the watermark; nothing
@@ -52,19 +53,27 @@ class StreamingValidation(
     stream.withColumn(ValidationPipeline.ErrorsCol,
       graft.rules.RuleCompiler.compileRow(
         config.fieldMappings,
-        (table, column, value) => graft.rules.RuleCompiler.defaultLookups(table, column, value),
+        (table, column, field, value) =>
+          graft.rules.RuleCompiler.defaultLookups(table, column, field, value),
         rt => !parityMode || graft.config.RuleTypes.ReferenceImplementedRow.contains(rt)))
 
   /** foreachBatch writer running the FULL pipeline (row + global rules)
     * on each micro-batch and writing both sinks — the streaming
     * equivalent of the reference's per-file `run_etl_pipeline`.
+    * Each micro-batch writes into its own `batch_id=<id>` partition
+    * with overwrite, so a batch replayed after a crash-between-commit-
+    * and-checkpoint replaces its own output instead of appending
+    * duplicates (idempotent → effectively exactly-once; a bare append
+    * would be at-least-once).
     */
   def writer(stream: DataFrame, validOut: String, errorsOut: String): DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val annotated = pipeline.annotate(batch).persist()
       try {
-        pipeline.validOutput(annotated).write.mode("append").parquet(validOut)
-        pipeline.errorOutput(annotated).write.mode("append").parquet(errorsOut)
+        pipeline.validOutput(annotated).write.mode("overwrite")
+          .parquet(s"$validOut/batch_id=$batchId")
+        pipeline.errorOutput(annotated).write.mode("overwrite")
+          .parquet(s"$errorsOut/batch_id=$batchId")
       } finally annotated.unpersist()
       ()
     }

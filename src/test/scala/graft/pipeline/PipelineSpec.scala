@@ -186,6 +186,58 @@ class PipelineSpec extends SparkTestBase {
     assert(byTemp("146.0") == Seq("DUPLICATE"))
   }
 
+  test("zero-variance outlier column flags nothing (NaN z-score guard)") {
+    val csv = Files.createTempFile("const_", ".csv")
+    // identical temperatures -> stddev 0 -> z is NaN; the guard must
+    // keep every row valid instead of flagging all of them
+    Files.writeString(csv,
+      """timestamp,line_id,batch_number,product_code,temperature_c,pressure_kpa,humidity_pct,operator_id,defect_count
+        |2024-02-15 08:30:00,LINE001,B1,PROD-A1,150.0,450.2,45.5,OP0001,0
+        |2024-02-15 08:45:00,LINE001,B2,PROD-A1,150.0,451.0,46.0,OP0001,0
+        |2024-02-15 09:00:00,LINE002,B3,PROD-B2,150.0,480.5,42.3,OP0002,1
+        |""".stripMargin)
+    val p = new ValidationPipeline(cfg) // full mode: outlier rule active
+    val annotated = p.annotate(p.readCsv(spark, csv.toString))
+    val outliers = annotated
+      .select(explode(col(ValidationPipeline.ErrorsCol)).as("e"))
+      .filter(col("e.ErrorType") === "OUTLIER")
+    assert(outliers.count() == 0)
+  }
+
+  test("two lookup fields against the same dimension table both resolve") {
+    import spark.implicits._
+    // both product_code and line_id declare a lookup on the same table;
+    // flags are keyed (table, field) so the joins stay unambiguous
+    val twoLookups = cfg.copy(fieldMappings = cfg.fieldMappings.map { m =>
+      if (m.sourceField == "line_id")
+        m.copy(validations = m.validations :+ graft.config.ValidationRule(
+          "lookup", Map("table" -> "Production.Codes", "column" -> "code")))
+      else if (m.sourceField == "product_code")
+        m.copy(validations = m.validations.map(v =>
+          if (v.ruleType == "lookup")
+            v.copy(parameters = Map("table" -> "Production.Codes", "column" -> "code"))
+          else v))
+      else m
+    })
+    // dim declares (label, code): the rule's column attribute must win
+    // over the first column
+    val dim = Seq(("x", "LINE001"), ("y", "LINE002"), ("z", "PROD-A1"),
+      ("w", "PROD-B2"), ("v", "PROD-C3"), ("u", "PROD-D4"))
+      .toDF("label", "code")
+    val p = new ValidationPipeline(twoLookups,
+      dimensions = Map("Production.Codes" -> dim), parityMode = true)
+    val annotated = p.annotate(p.readCsv(spark, fixtureCsv))
+    val lookupErrs = annotated
+      .select(explode(col(ValidationPipeline.ErrorsCol)).as("e"))
+      .filter(col("e.ErrorType") === "LOOKUP")
+      .select("e.FieldValue").collect().map(_.getString(0)).sorted.toSeq
+    // line_id misses: LINE003, LINE004 (and row 8's bad-line);
+    // product_code misses: INVALID-CODE
+    assert(lookupErrs.contains("INVALID-CODE"))
+    assert(lookupErrs.contains("LINE003"))
+    assert(lookupErrs.contains("bad-line"))
+  }
+
   test("missing declared column fails fast at the driver") {
     import spark.implicits._
     val bad = Seq(("2024-01-01", "LINE001")).toDF("timestamp", "line_id")
