@@ -409,6 +409,24 @@ object Queries {
         .select(col("l_returnflag"), col("cnt"))
     }),
 
+    // End-to-end corpus prep: exact dedup -> MinHash near-dup removal
+    // (keep the lower id of each near-dup pair) -> quality floor ->
+    // per-language survivor stats. The composition a real training-data
+    // pipeline runs; rows-only (quality score is engine-defined).
+    "x_corpus_prep" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val exact = Dedup.exactDedup(docs, "doc_id", Seq("text"))
+      val nearDupLosers = Dedup.minHashNearDups(
+        exact, "doc_id", "text", threshold = 0.8)
+        .select(col("id_b").as("doc_id")).distinct()
+      val surviving = exact.join(nearDupLosers, Seq("doc_id"), "left_anti")
+        .filter(TextAnalysis.qualityScore(col("text")) >= 0.3)
+      surviving
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast(LongType)).as("n_tokens"))
+    }),
+
     // Document fingerprints (rolling hash) — rows-only (hash seed is
     // engine-specific); dup-fingerprint count asserted in tests.
     "x_fingerprint" -> ((s, d) => {
