@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Column profiling — the data-quality survey a validation engine runs
+  * before rules are even written (what fraction of each field is null?
+  * how many distinct codes? what range do the numerics span?).
+  *
+  * One pass over the data: every per-column metric is computed in a
+  * single `agg`, then reshaped to long format (one row per column)
+  * with a literal-array explode — no per-column scans, no shuffle
+  * beyond the aggregation itself.
+  *
+  * `exact = false` swaps COUNT(DISTINCT) for HyperLogLog
+  * `approx_count_distinct` — at 100 TB exact distinct counts on
+  * high-cardinality columns force a huge expand+shuffle; the sketch is
+  * one pass and mergeable. Exact mode exists for oracle comparison and
+  * small dims.
+  */
+object Profiler {
+
+  def profile(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
+    val schema = df.schema
+    def isNumeric(c: String): Boolean = schema(c).dataType match {
+      case _: NumericType => true
+      case _ => false
+    }
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      val distinctAgg =
+        if (exact) count_distinct(col(c)) else approx_count_distinct(col(c))
+      Seq(
+        count(lit(1)).as(s"__rows_$c"),
+        count(when(col(c).isNull, 1)).as(s"__nulls_$c"),
+        distinctAgg.as(s"__distinct_$c"),
+        (if (isNumeric(c)) min(col(c)).cast(DoubleType)
+         else lit(null).cast(DoubleType)).as(s"__min_$c"),
+        (if (isNumeric(c)) max(col(c)).cast(DoubleType)
+         else lit(null).cast(DoubleType)).as(s"__max_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val rows = array(cols.map(c => struct(
+      lit(c).as("column_name"),
+      col(s"__rows_$c").as("n_rows"),
+      col(s"__nulls_$c").as("n_nulls"),
+      col(s"__distinct_$c").as("n_distinct"),
+      col(s"__min_$c").as("min_value"),
+      col(s"__max_$c").as("max_value"))): _*)
+    wide.select(explode(rows).as("p")).select("p.*")
+  }
+}

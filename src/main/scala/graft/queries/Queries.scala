@@ -233,6 +233,14 @@ object Queries {
         length(col("text")).cast(LongType).as("text_len"))
     }),
 
+    // A7 (extension): one-pass column profile — null/distinct counts,
+    // numeric min/max — the pre-rules data-quality survey.
+    "a7_profile" -> ((s, d) => {
+      graft.operators.Profiler.profile(
+        t(s, d, "lineitem"),
+        Seq("l_quantity", "l_returnflag", "l_suppkey"))
+    }),
+
     // ------------------------------------------------------------------
     // Global/aggregate operators (A1/A4/A5/A6)
     // ------------------------------------------------------------------
@@ -535,6 +543,21 @@ object Queries {
     "s5_truncate" ->
       """SELECT doc_id, substr(text, 1, 255) AS field_value, length(text) AS text_len
         |FROM documents""".stripMargin,
+
+    "a7_profile" ->
+      """SELECT 'l_quantity' AS column_name, count(*) AS n_rows,
+        |  count(*) - count(l_quantity) AS n_nulls,
+        |  count(DISTINCT l_quantity) AS n_distinct,
+        |  CAST(min(l_quantity) AS DOUBLE) AS min_value,
+        |  CAST(max(l_quantity) AS DOUBLE) AS max_value FROM lineitem
+        |UNION ALL
+        |SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+        |  count(DISTINCT l_returnflag), NULL, NULL FROM lineitem
+        |UNION ALL
+        |SELECT 'l_suppkey', count(*), count(*) - count(l_suppkey),
+        |  count(DISTINCT l_suppkey),
+        |  CAST(min(l_suppkey) AS DOUBLE), CAST(max(l_suppkey) AS DOUBLE)
+        |FROM lineitem""".stripMargin,
 
     "a1_duplicate_check" ->
       """SELECT l_partkey, l_suppkey, count(*) AS dup_count

@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class ProfilerSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (Some(1.5), "a"), (Some(2.5), "b"), (None, "a"), (Some(2.5), null)
+  ).toDF("x", "s")
+
+  test("profile computes nulls, distincts, numeric min/max in one pass") {
+    val p = Profiler.profile(df, Seq("x", "s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val x = p("x")
+    assert(x.getAs[Long]("n_rows") == 4)
+    assert(x.getAs[Long]("n_nulls") == 1)
+    assert(x.getAs[Long]("n_distinct") == 2)
+    assert(x.getAs[Double]("min_value") == 1.5)
+    assert(x.getAs[Double]("max_value") == 2.5)
+    val s = p("s")
+    assert(s.getAs[Long]("n_nulls") == 1)
+    assert(s.getAs[Long]("n_distinct") == 2)
+    assert(s.isNullAt(s.fieldIndex("min_value"))) // non-numeric: no range
+  }
+
+  test("approx mode agrees with exact on small cardinalities") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val exact = Profiler.profile(docs, Seq("lang"), exact = true)
+      .collect()(0).getAs[Long]("n_distinct")
+    val approx = Profiler.profile(docs, Seq("lang"), exact = false)
+      .collect()(0).getAs[Long]("n_distinct")
+    assert(exact == approx) // HLL is exact at tiny cardinality
+  }
+
+  test("profile is a single job with no per-column scans") {
+    val plan = Profiler.profile(df, Seq("x", "s"))
+      .queryExecution.executedPlan.toString
+    // one aggregate over one scan — no union of per-column subplans
+    assert(!plan.contains("Union"))
+  }
+}
