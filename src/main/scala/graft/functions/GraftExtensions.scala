@@ -73,7 +73,9 @@ object GraftExtensions {
       (args: Seq[Expression]) => SignBucketExpr(args(0),
         intArg(args(1), "planes"), longArg(args(2), "seed"))),
     ("graft_token_set_count", info("graft_token_set_count", "count of tokens in a literal word set"),
-      (args: Seq[Expression]) => TokenSetCountExpr(args(0), stringSeqArg(args(1), "words")))
+      (args: Seq[Expression]) => TokenSetCountExpr(args(0), stringSeqArg(args(1), "words"))),
+    ("graft_jaccard", info("graft_jaccard", "exact jaccard similarity of two string arrays"),
+      (args: Seq[Expression]) => JaccardExpr(args(0), args(1)))
   )
 
   /** Register on an already-running session. */

@@ -158,6 +158,31 @@ object Kernels {
     ArrayData.toArrayData(out)
   }
 
+  /** Exact Jaccard similarity of two string arrays (set semantics —
+    * duplicates collapse). One hash-set pass instead of separate
+    * array_intersect + array_union evaluations.
+    */
+  def jaccard(a: ArrayData, b: ArrayData): Double = {
+    val setA = new java.util.HashSet[UTF8String](a.numElements() * 2)
+    var i = 0
+    while (i < a.numElements()) {
+      if (!a.isNullAt(i)) setA.add(a.getUTF8String(i))
+      i += 1
+    }
+    val setB = new java.util.HashSet[UTF8String](b.numElements() * 2)
+    var inter = 0
+    i = 0
+    while (i < b.numElements()) {
+      if (!b.isNullAt(i)) {
+        val t = b.getUTF8String(i)
+        if (setB.add(t) && setA.contains(t)) inter += 1
+      }
+      i += 1
+    }
+    val union = setA.size + setB.size - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
   /** Count of tokens present in a fixed word set (exact match). */
   def tokenSetCount(tokens: ArrayData, set: java.util.HashSet[UTF8String]): Long = {
     var cnt = 0L
@@ -322,6 +347,18 @@ case class TokenSetCountExpr(child: Expression, words: Seq[String])
   * of tokens contained in `wordSets(k)`. Keeps multi-language marker
   * scoring to ONE expression evaluation per row.
   */
+case class JaccardExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.jaccard($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 case class MultiTokenSetCountExpr(child: Expression, wordSets: Seq[Seq[String]])
     extends UnaryExpression {
   @transient private lazy val sets: Array[java.util.HashSet[UTF8String]] =
@@ -474,6 +511,7 @@ object VectorFunctions {
     c(TokenSetCountExpr(e(tokens), words))
   def multiTokenSetCount(tokens: Column, wordSets: Seq[Seq[String]]): Column =
     c(MultiTokenSetCountExpr(e(tokens), wordSets))
+  def jaccard(a: Column, b: Column): Column = c(JaccardExpr(e(a), e(b)))
   def minHashSignature(shingles: Column, numHashes: Int): Column =
     c(MinHashSignatureExpr(e(shingles), numHashes))
   def minHashBands(shingles: Column, numHashes: Int, bands: Int): Column =

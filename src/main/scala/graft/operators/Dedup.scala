@@ -71,12 +71,10 @@ object Dedup {
   def minHashBands(shingleArr: Column, numHashes: Int, bands: Int): Column =
     VectorFunctions.minHashBands(shingleArr, numHashes, bands)
 
-  /** Exact Jaccard similarity of two (distinct-element) arrays. */
-  def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast(DoubleType)
-    val uni = size(array_union(a, b)).cast(DoubleType)
-    when(uni === 0, lit(0.0)).otherwise(inter / uni)
-  }
+  /** Exact Jaccard similarity of two string arrays (set semantics).
+    * Native kernel — one hash-set pass per pair.
+    */
+  def jaccard(a: Column, b: Column): Column = VectorFunctions.jaccard(a, b)
 
   /** MinHash + LSH near-duplicate pairs over a text column.
     *

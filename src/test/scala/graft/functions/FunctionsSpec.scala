@@ -90,12 +90,14 @@ class FunctionsSpec extends SparkTestBase {
       """SELECT graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c,
         |       graft_simhash(array('a','b')) = graft_simhash(array('a','b')) AS same,
         |       graft_shingles('a b c', 2) AS sh,
-        |       graft_token_set_count(array('x','y','x'), array('x')) AS n
+        |       graft_token_set_count(array('x','y','x'), array('x')) AS n,
+        |       graft_jaccard(array('a','b','c'), array('b','c','d')) AS j
         |""".stripMargin).collect()(0)
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
     assert(r.getBoolean(1))
     assert(r.getSeq[String](2) == Seq("a b", "b c"))
     assert(r.getLong(3) == 2L)
+    assert(r.getDouble(4) == 0.5) // |{b,c}| / |{a,b,c,d}|
   }
 
   test("signBucket: similar vectors share more buckets than dissimilar ones") {
