@@ -125,6 +125,41 @@ class RuleCompilerSpec extends SparkTestBase {
     assert(row.getAs[String]("FieldValue") == "300.0")
   }
 
+  test("numeric cast overlap with Python float(): spaces, scientific, infinity") {
+    // SURVEY §7.3: pin the float()-vs-cast(double) overlap
+    val m = FieldMapping("v", "V", "decimal(5,2)", required = false,
+      Seq(ValidationRule("range", Map("min" -> "0", "max" -> "1000"))))
+    val res = errorsFor(m, Seq("  5 ", "1e2", "Infinity", "0x10", "1_000"))
+    assert(res("  5 ").isEmpty)          // both trim whitespace
+    assert(res("1e2").isEmpty)           // both accept scientific notation
+    assert(res("Infinity") == Seq("RANGE")) // parses as +inf -> above max (like float('inf'))
+    assert(res("0x10") == Seq("NUMERIC"))   // neither accepts hex
+    assert(res("1_000") == Seq("NUMERIC"))  // Python underscores NOT accepted by cast; flagged
+  }
+
+  test("range with only one bound enforces just that bound") {
+    val minOnly = FieldMapping("v", "V", "int", required = false,
+      Seq(ValidationRule("range", Map("min" -> "0"))))
+    val r1 = errorsFor(minOnly, Seq("-1", "999999"))
+    assert(r1("-1") == Seq("RANGE"))
+    assert(r1("999999").isEmpty)
+    val maxOnly = FieldMapping("v", "V", "int", required = false,
+      Seq(ValidationRule("range", Map("max" -> "10"))))
+    val r2 = errorsFor(maxOnly, Seq("-999", "11"))
+    assert(r2("-999").isEmpty)
+    assert(r2("11") == Seq("RANGE"))
+  }
+
+  test("rules with missing required params compile to no-ops, not crashes") {
+    val m = FieldMapping("v", "V", "varchar(10)", required = false, Seq(
+      ValidationRule("regex", Map.empty),           // no pattern
+      ValidationRule("lookup", Map.empty),          // no table/column
+      ValidationRule("range", Map.empty)))          // no bounds
+    val res = errorsFor(m, Seq("anything", "123"))
+    assert(res("anything") == Seq("NUMERIC")) // boundless range still type-checks
+    assert(res("123").isEmpty)
+  }
+
   test("unknown rule types are skipped like the reference's dispatch") {
     val m = FieldMapping("v", "V", "varchar(10)", required = false, Seq(
       ValidationRule("chromatic_aberration", Map.empty),
