@@ -159,7 +159,10 @@ object Kernels {
   }
 
   /** Exact Jaccard similarity of two string arrays (set semantics —
-    * duplicates collapse). One hash-set pass instead of separate
+    * duplicates collapse; null elements are IGNORED, unlike
+    * array_intersect/array_union which treat null as a member — the
+    * engine's shingle arrays are containsNull=false so the dedup path
+    * is unaffected). One hash-set pass instead of separate
     * array_intersect + array_union evaluations.
     */
   def jaccard(a: ArrayData, b: ArrayData): Double = {
@@ -347,18 +350,6 @@ case class TokenSetCountExpr(child: Expression, words: Seq[String])
   * of tokens contained in `wordSets(k)`. Keeps multi-language marker
   * scoring to ONE expression evaluation per row.
   */
-case class JaccardExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
-  override def dataType: DataType = DoubleType
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    Kernels.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.jaccard($a, $b)")
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): Expression =
-    copy(left = newLeft, right = newRight)
-}
-
 case class MultiTokenSetCountExpr(child: Expression, wordSets: Seq[Seq[String]])
     extends UnaryExpression {
   @transient private lazy val sets: Array[java.util.HashSet[UTF8String]] =
@@ -376,6 +367,32 @@ case class MultiTokenSetCountExpr(child: Expression, wordSets: Seq[Seq[String]])
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Exact Jaccard similarity of two string arrays — see
+  * [[Kernels.jaccard]] for the set semantics (nulls ignored).
+  */
+case class JaccardExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  private def checkStringArray(e: Expression, side: String): TypeCheckResult =
+    e.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$side must be array<string>, got ${other.catalogString}")
+    }
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkStringArray(left, "left") match {
+      case TypeCheckResult.TypeCheckSuccess => checkStringArray(right, "right")
+      case f => f
+    }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.jaccard($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 case class MinHashSignatureExpr(child: Expression, numHashes: Int)

@@ -32,8 +32,12 @@ object Dedup {
     */
   def exactDedup(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
     val allCols = df.columns.map(col)
+    // ordering key (isNull, id): non-null ids win; a group whose ids are
+    // ALL null still keeps one real row (bare min_by would ignore null
+    // ordering values and fabricate an all-null row)
+    val ord = struct(col(idCol).isNull.as("n"), col(idCol).as("v"))
     df.groupBy(keyCols.map(col): _*)
-      .agg(min_by(struct(allCols.toIndexedSeq: _*), col(idCol)).as("__row"))
+      .agg(min_by(struct(allCols.toIndexedSeq: _*), ord).as("__row"))
       .select(col("__row.*"))
   }
 

@@ -22,31 +22,33 @@ import org.apache.spark.sql.types._
 object Profiler {
 
   def profile(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
     val schema = df.schema
     def isNumeric(c: String): Boolean = schema(c).dataType match {
       case _: NumericType => true
       case _ => false
     }
-    val aggs: Seq[Column] = cols.flatMap { c =>
+    // positional aliases: immune to dots/backticks/specials in names
+    val aggs: Seq[Column] = cols.zipWithIndex.flatMap { case (c, i) =>
       val distinctAgg =
         if (exact) count_distinct(col(c)) else approx_count_distinct(col(c))
       Seq(
-        count(lit(1)).as(s"__rows_$c"),
-        count(when(col(c).isNull, 1)).as(s"__nulls_$c"),
-        distinctAgg.as(s"__distinct_$c"),
+        count(lit(1)).as(s"__rows_$i"),
+        count(when(col(c).isNull, 1)).as(s"__nulls_$i"),
+        distinctAgg.as(s"__distinct_$i"),
         (if (isNumeric(c)) min(col(c)).cast(DoubleType)
-         else lit(null).cast(DoubleType)).as(s"__min_$c"),
+         else lit(null).cast(DoubleType)).as(s"__min_$i"),
         (if (isNumeric(c)) max(col(c)).cast(DoubleType)
-         else lit(null).cast(DoubleType)).as(s"__max_$c"))
+         else lit(null).cast(DoubleType)).as(s"__max_$i"))
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
-    val rows = array(cols.map(c => struct(
+    val rows = array(cols.zipWithIndex.map { case (c, i) => struct(
       lit(c).as("column_name"),
-      col(s"__rows_$c").as("n_rows"),
-      col(s"__nulls_$c").as("n_nulls"),
-      col(s"__distinct_$c").as("n_distinct"),
-      col(s"__min_$c").as("min_value"),
-      col(s"__max_$c").as("max_value"))): _*)
+      col(s"__rows_$i").as("n_rows"),
+      col(s"__nulls_$i").as("n_nulls"),
+      col(s"__distinct_$i").as("n_distinct"),
+      col(s"__min_$i").as("min_value"),
+      col(s"__max_$i").as("max_value")) }: _*)
     wide.select(explode(rows).as("p")).select("p.*")
   }
 }

@@ -135,7 +135,7 @@ class ValidationPipeline(
     */
   private def lookupResolver: RuleCompiler.LookupResolver = (table, column, field, value) =>
     if (dimensions.contains(table))
-      Some(col(presenceFlag(s"$table:$field")).isNotNull)
+      Some(col(presenceFlag(s"$table:$column:$field")).isNotNull)
     else RuleCompiler.defaultLookups(table, column, field, value)
 
   /** Adds the `errors` array column (row rules + global rules). */
@@ -155,10 +155,20 @@ class ValidationPipeline(
     } yield (t, r.param("column"), m.sourceField)
     lookupDims.foreach { case (table, lookupColumn, field) =>
       val dim = dimensions(table)
-      // honor the rule's declared lookup column when the dim carries it;
-      // fall back to the frame's first column for single-column dims
-      val key = lookupColumn.filter(dim.columns.contains).getOrElse(dim.columns.head)
-      val flag = presenceFlag(s"$table:$field")
+      // the rule's declared lookup column resolves case-insensitively
+      // (like Spark's own analyzer); a declared column that matches
+      // nothing is a config error and fails fast — a silent fallback
+      // would validate against the wrong column. Only an undeclared
+      // column falls back to the frame's first column.
+      val key = lookupColumn match {
+        case Some(c) =>
+          dim.columns.find(_.equalsIgnoreCase(c)).getOrElse(
+            throw new IllegalArgumentException(
+              s"lookup column '$c' not found in dimension '$table' " +
+                s"(columns: ${dim.columns.mkString(", ")})"))
+        case None => dim.columns.head
+      }
+      val flag = presenceFlag(s"$table:${lookupColumn.getOrElse("")}:$field")
       val dimKeys = dim.select(col(key).cast(StringType).as(flag)).distinct()
       cur = cur.join(broadcast(dimKeys),
         cur(field).cast(StringType) === dimKeys(flag), "left")
@@ -281,7 +291,8 @@ class ValidationPipeline(
     }
 
     // drop lookup presence flags (internal plumbing)
-    lookupDims.map { case (table, _, field) => presenceFlag(s"$table:$field") }
+    lookupDims.map { case (table, c, field) =>
+        presenceFlag(s"$table:${c.getOrElse("")}:$field") }
       .distinct
       .foldLeft(annotated)((d, f) => d.drop(f))
   }

@@ -423,11 +423,16 @@ object Queries {
     // pipeline runs; rows-only (quality score is engine-defined).
     "x_corpus_prep" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val exact = Dedup.exactDedup(docs, "doc_id", Seq("text"))
+      // near-dup pairs subsume exact dups (jaccard 1.0 >= threshold) for
+      // shingle-bearing docs, so drop pair losers first, then exact-dedup
+      // the survivors to catch short shingle-less docs — each stage
+      // consumes the previous exactly once (no recomputed subtree)
       val nearDupLosers = Dedup.minHashNearDups(
-        exact, "doc_id", "text", threshold = 0.8)
+        docs, "doc_id", "text", threshold = 0.8)
         .select(col("id_b").as("doc_id")).distinct()
-      val surviving = exact.join(nearDupLosers, Seq("doc_id"), "left_anti")
+      val surviving = Dedup.exactDedup(
+        docs.join(nearDupLosers, Seq("doc_id"), "left_anti"),
+        "doc_id", Seq("text"))
         .filter(TextAnalysis.qualityScore(col("text")) >= 0.3)
       surviving
         .groupBy(col("lang"))
