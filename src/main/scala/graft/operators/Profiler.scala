@@ -51,4 +51,32 @@ object Profiler {
       col(s"__max_$i").as("max_value")) }: _*)
     wide.select(explode(rows).as("p")).select("p.*")
   }
+
+  /** Numeric quantile profile via `approx_percentile` (t-digest-style
+    * mergeable sketch — one pass, no sort, no full shuffle; the only
+    * way to quantile 100 TB). Output: one row per (column, percentile).
+    */
+  def profileQuantiles(
+      df: DataFrame,
+      cols: Seq[String],
+      percentiles: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95),
+      accuracy: Int = 10000
+  ): DataFrame = {
+    require(cols.nonEmpty, "profileQuantiles needs at least one column")
+    require(percentiles.nonEmpty, "need at least one percentile")
+    val pArr = array(percentiles.map(lit): _*)
+    val aggs = cols.zipWithIndex.map { case (c, i) =>
+      approx_percentile(col(c).cast(DoubleType), pArr, lit(accuracy)).as(s"__q_$i")
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val rows = array(cols.zipWithIndex.flatMap { case (c, i) =>
+      percentiles.zipWithIndex.map { case (p, j) =>
+        struct(
+          lit(c).as("column_name"),
+          lit(p).as("percentile"),
+          col(s"__q_$i").getItem(j).as("value"))
+      }
+    }: _*)
+    wide.select(explode(rows).as("p")).select("p.*")
+  }
 }

@@ -34,6 +34,16 @@ class ProfilerSpec extends SparkTestBase {
     assert(exact == approx) // HLL is exact at tiny cardinality
   }
 
+  test("quantile profile: monotone, bounded, correct on a known distribution") {
+    val nums = spark.range(1, 1001).selectExpr("CAST(id AS DOUBLE) AS x")
+    val q = Profiler.profileQuantiles(nums, Seq("x"), Seq(0.25, 0.5, 0.75))
+      .orderBy("percentile").collect()
+    val values = q.map(_.getAs[Double]("value"))
+    assert(values.sorted.toSeq == values.toSeq) // monotone in percentile
+    assert(math.abs(values(1) - 500) <= 5)      // median of 1..1000
+    assert(values.forall(v => v >= 1 && v <= 1000))
+  }
+
   test("profile is a single job with no per-column scans") {
     val plan = Profiler.profile(df, Seq("x", "s"))
       .queryExecution.executedPlan.toString
