@@ -117,6 +117,56 @@ object Queries {
           count(lit(1)).as("n_orders"))
     }),
 
+    // Top-N per group: rank orders inside each customer by price.
+    // Window partitioned by the group key — parallel by key, no global
+    // sort; the filter keeps plans bounded regardless of group count.
+    "q_topn_per_group" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, d, "orders")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rnk"))
+    }),
+
+    // Rollup: multi-level aggregate (status × priority, per-status,
+    // grand total) in ONE pass — Expand + single shuffle, not three jobs.
+    "q_rollup" -> ((s, d) => {
+      t(s, d, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          dec(sum(dec(col("o_totalprice")))).cast(DoubleType).as("total_price"))
+        .select(col("o_orderstatus"), col("o_orderpriority"),
+          col("n_orders"), col("total_price"))
+    }),
+
+    // Running cumulative sum per customer over order time — partitioned
+    // window, frame unbounded-preceding..current (decimal-routed).
+    "q_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(dec(col("o_totalprice"))).over(w)
+          .cast(DecimalType(18, 2)).cast(DoubleType).as("cum_price"))
+    }),
+
+    // Gap-based sessionization over the events stream: a new session
+    // starts after >30 min of per-user inactivity (lag + cumulative sum
+    // over a user-partitioned window — state bounded per user).
+    "x_sessionize" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val gap = col("ts") - lag(col("ts"), 1).over(byUser)
+      val isNew = when(gap.isNull || gap > lit(30L * 60 * 1000000000L), 1L)
+        .otherwise(0L)
+      events(s, d)
+        .withColumn("session_seq",
+          sum(isNew).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"))
+    }),
+
     // ------------------------------------------------------------------
     // Row-rule operators (P2-P6) over the testdata tables
     // ------------------------------------------------------------------
@@ -483,6 +533,42 @@ object Queries {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
+
+    "q_topn_per_group" ->
+      """SELECT o_custkey, o_orderkey,
+        |CAST(row_number() OVER (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rnk
+        |FROM orders QUALIFY rnk <= 3""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        |CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS DOUBLE)
+        |  AS cum_price
+        |FROM orders""".stripMargin,
+
+    "x_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |            > INTERVAL 30 MINUTE
+        |    THEN 1 ELSE 0 END AS is_new
+        |  FROM events),
+        |sessions AS (
+        |  SELECT user_id,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |  count(*) AS n_events
+        |FROM sessions GROUP BY user_id, session_seq""".stripMargin,
 
     "p2_required_check" ->
       """SELECT o_orderkey,
