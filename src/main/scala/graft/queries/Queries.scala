@@ -136,8 +136,6 @@ object Queries {
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"),
           dec(sum(dec(col("o_totalprice")))).cast(DoubleType).as("total_price"))
-        .select(col("o_orderstatus"), col("o_orderpriority"),
-          col("n_orders"), col("total_price"))
     }),
 
     // Running cumulative sum per customer over order time — partitioned
@@ -148,8 +146,8 @@ object Queries {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, d, "orders").select(
         col("o_custkey"), col("o_orderkey"),
-        sum(dec(col("o_totalprice"))).over(w)
-          .cast(DecimalType(18, 2)).cast(DoubleType).as("cum_price"))
+        dec(sum(dec(col("o_totalprice"))).over(w))
+          .cast(DoubleType).as("cum_price"))
     }),
 
     // Gap-based sessionization over the events stream: a new session
@@ -157,8 +155,12 @@ object Queries {
     // over a user-partitioned window — state bounded per user).
     "x_sessionize" -> ((s, d) => {
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
-      val gap = col("ts") - lag(col("ts"), 1).over(byUser)
-      val isNew = when(gap.isNull || gap > lit(30L * 60 * 1000000000L), 1L)
+      // gap compared at MICROSECOND precision to match the oracle
+      // (DuckDB reads the ns column as a µs TIMESTAMP; comparing raw ns
+      // here would diverge on sub-µs components)
+      val tsUs = expr("ts div 1000") // integer division — no double rounding
+      val gap = tsUs - lag(tsUs, 1).over(byUser)
+      val isNew = when(gap.isNull || gap > lit(30L * 60 * 1000000L), 1L)
         .otherwise(0L)
       events(s, d)
         .withColumn("session_seq",
