@@ -53,15 +53,17 @@ object XmlConfigParser {
 
   private def parseSource(e: Element): SourceConfig = SourceConfig(
     name = e.getAttribute("name"),
-    filePath = text(e, "FilePath"),
+    filePath = text(e, "FilePath").trim,
+    // delimiter deliberately NOT trimmed — a literal tab/space delimiter
+    // must survive; every other text field tolerates pretty-printed XML
     delimiter = textOpt(e, "Delimiter").getOrElse(","),
     hasHeader = textOpt(e, "HasHeader").forall(_.trim.equalsIgnoreCase("true"))
   )
 
   private def parseTarget(e: Element): TargetConfig = TargetConfig(
     name = e.getAttribute("name"),
-    connectionString = textOpt(e, "ConnectionString").getOrElse(""),
-    targetTable = textOpt(e, "TargetTable").getOrElse("")
+    connectionString = textOpt(e, "ConnectionString").fold("")(_.trim),
+    targetTable = textOpt(e, "TargetTable").fold("")(_.trim)
   )
 
   private def parseField(e: Element): FieldMapping = FieldMapping(
@@ -76,8 +78,8 @@ object XmlConfigParser {
 
   private def parseEtl(e: Element): EtlConfig = EtlConfig(
     batchSize = textOpt(e, "BatchSize").map(_.trim.toInt).getOrElse(1000),
-    errorHandling = textOpt(e, "ErrorHandling").getOrElse("continue"),
-    logLevel = textOpt(e, "LogLevel").getOrElse("detailed"),
+    errorHandling = textOpt(e, "ErrorHandling").fold("continue")(_.trim),
+    logLevel = textOpt(e, "LogLevel").fold("detailed")(_.trim),
     archiveProcessedFiles =
       textOpt(e, "ArchiveProcessedFiles").exists(_.trim.equalsIgnoreCase("true"))
   )

@@ -185,7 +185,7 @@ object Dedup {
     val bits = 64 / blocks
     val hashed = df.select(
       col(idCol).as("id"),
-      simHash(split(trim(col(textCol)), "\\s+")).as("h"))
+      simHash(TextAnalysis.tokens(col(textCol))).as("h"))
     val banded = hashed.select(
       col("id"),
       explode(array((0 until blocks).map { b =>

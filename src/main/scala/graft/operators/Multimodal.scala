@@ -41,7 +41,10 @@ object Multimodal {
     * a text column so the full pipeline is exercisable on the testdata.
     */
   def toMediaFrame(df: DataFrame, idCol: String, payloadSource: String, kind: String): DataFrame =
-    df.select(
+    // rows whose id cannot cast to long are dropped (media_id is the
+    // non-null identity of the frame; unboxing null to 0 would silently
+    // collide distinct items)
+    df.filter(col(idCol).cast(LongType).isNotNull).select(
       col(idCol).cast(LongType).as("media_id"),
       lit(kind).as("kind"),
       encode(col(payloadSource), "UTF-8").as("payload"),

@@ -28,12 +28,13 @@ object Profiler {
       case _: NumericType => true
       case _ => false
     }
-    // positional aliases: immune to dots/backticks/specials in names
-    val aggs: Seq[Column] = cols.zipWithIndex.flatMap { case (c, i) =>
+    // positional aliases: immune to dots/backticks/specials in names;
+    // ONE shared total-row count, not one per column
+    val aggs: Seq[Column] = count(lit(1)).as("__rows") +:
+      cols.zipWithIndex.flatMap { case (c, i) =>
       val distinctAgg =
         if (exact) count_distinct(col(c)) else approx_count_distinct(col(c))
       Seq(
-        count(lit(1)).as(s"__rows_$i"),
         count(when(col(c).isNull, 1)).as(s"__nulls_$i"),
         distinctAgg.as(s"__distinct_$i"),
         (if (isNumeric(c)) min(col(c)).cast(DoubleType)
@@ -44,7 +45,7 @@ object Profiler {
     val wide = df.agg(aggs.head, aggs.tail: _*)
     val rows = array(cols.zipWithIndex.map { case (c, i) => struct(
       lit(c).as("column_name"),
-      col(s"__rows_$i").as("n_rows"),
+      col("__rows").as("n_rows"),
       col(s"__nulls_$i").as("n_nulls"),
       col(s"__distinct_$i").as("n_distinct"),
       col(s"__min_$i").as("min_value"),

@@ -138,21 +138,25 @@ class ValidationPipeline(
       Some(col(presenceFlag(s"$table:$column:$field")).isNotNull)
     else RuleCompiler.defaultLookups(table, column, field, value)
 
-  /** Adds the `errors` array column (row rules + global rules). */
-  def annotate(df: DataFrame): DataFrame = {
+  /** Row-level annotation only: dimension presence-flag joins + the
+    * compiled per-row rules, no dataset-global operators. Works on
+    * BATCH and STREAMING frames alike (the joins are stream-static
+    * joins in the latter case) — the streaming path calls this so
+    * registered-dimension lookups behave identically in both modes.
+    */
+  def annotateRowRules(df: DataFrame): DataFrame = {
     validateColumns(df)
 
     // -- pre-join presence flags for dimension-table lookups ------------
-    // flags are keyed by (table, field): two fields looking up the SAME
-    // dimension get independent joins and columns (a table-only key
-    // would produce an ambiguous duplicate column)
+    // flags are keyed by (table, column, field): distinct rules get
+    // independent joins and columns; identical duplicates collapse
     var cur = df
-    val lookupDims: Seq[(String, Option[String], String)] = for {
+    val lookupDims: Seq[(String, Option[String], String)] = (for {
       m <- mappings
       r <- m.validations
       if r.ruleType == RuleTypes.Lookup && include(r.ruleType)
       t <- r.param("table") if dimensions.contains(t)
-    } yield (t, r.param("column"), m.sourceField)
+    } yield (t, r.param("column"), m.sourceField)).distinct
     lookupDims.foreach { case (table, lookupColumn, field) =>
       val dim = dimensions(table)
       // the rule's declared lookup column resolves case-insensitively
@@ -174,15 +178,28 @@ class ValidationPipeline(
         cur(field).cast(StringType) === dimKeys(flag), "left")
     }
 
-    // -- row-level rules -------------------------------------------------
-    var annotated = cur.withColumn(ErrorsCol,
+    val annotated = cur.withColumn(ErrorsCol,
       RuleCompiler.compileRow(mappings, lookupResolver, include))
+    lookupDims.map { case (table, c, field) =>
+        presenceFlag(s"$table:${c.getOrElse("")}:$field") }
+      .distinct
+      .foldLeft(annotated)((d, f) => d.drop(f))
+  }
+
+  /** Adds the `errors` array column (row rules + global rules). */
+  def annotate(df: DataFrame): DataFrame = {
+    var annotated = annotateRowRules(df)
 
     // -- field rules needing dataset-global context -----------------------
     // unique scope=daily (declared-only in the reference,
     // config/mapping_config.xml:27): count over (day, value) window.
+    // The day axis is the first timestamp- or date-typed mapping; a
+    // daily scope with no such field is a config error (a silent
+    // fall-back to dataset-global uniqueness would flag legitimate
+    // cross-day reuse).
     val dateAnchor = mappings.find(m =>
-      SchemaBuilder.sparkType(m.dataType) == TimestampType).map(_.sourceField)
+      SchemaBuilder.sparkType(m.dataType) == TimestampType ||
+        SchemaBuilder.sparkType(m.dataType) == DateType).map(_.sourceField)
     for {
       m <- mappings
       r <- m.validations
@@ -190,7 +207,10 @@ class ValidationPipeline(
     } {
       val scopeCols: Seq[Column] = r.param("scope") match {
         case Some("daily") =>
-          dateAnchor.toSeq.map(a => to_date(col(a).cast(TimestampType))) :+ col(m.sourceField)
+          val anchor = dateAnchor.getOrElse(throw new IllegalArgumentException(
+            s"unique scope=daily on '${m.sourceField}' needs a datetime/date " +
+              "field in the mapping to define the day"))
+          Seq(to_date(col(anchor).cast(TimestampType)), col(m.sourceField))
         case _ => Seq(col(m.sourceField))
       }
       val cnt = count(lit(1)).over(Window.partitionBy(scopeCols: _*))
@@ -290,11 +310,7 @@ class ValidationPipeline(
       }
     }
 
-    // drop lookup presence flags (internal plumbing)
-    lookupDims.map { case (table, c, field) =>
-        presenceFlag(s"$table:${c.getOrElse("")}:$field") }
-      .distinct
-      .foldLeft(annotated)((d, f) => d.drop(f))
+    annotated
   }
 
   def splitValid(annotated: DataFrame): DataFrame =
@@ -353,10 +369,12 @@ class ValidationPipeline(
     val annotated = annotate(readCsv(spark, inputPath))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      // coalesce: sum() over ZERO rows is null — a header-only CSV must
+      // yield ValidationSummary(0,0,0,0), not an NPE
       val counts = annotated.agg(
         count(lit(1)).as("total"),
-        sum(when(size(col(ErrorsCol)) === 0, 1L).otherwise(0L)).as("valid"),
-        sum(size(col(ErrorsCol)).cast(LongType)).as("errors")
+        coalesce(sum(when(size(col(ErrorsCol)) === 0, 1L).otherwise(0L)), lit(0L)).as("valid"),
+        coalesce(sum(size(col(ErrorsCol)).cast(LongType)), lit(0L)).as("errors")
       ).collect()(0)
       val total = counts.getLong(0)
       val valid = counts.getLong(1)

@@ -47,15 +47,12 @@ class StreamingValidation(
       .withColumn(ValidationPipeline.FileSourceCol, input_file_name())
 
   /** Row-rule annotation on a streaming frame (no global rules — those
-    * are per-micro-batch, see [[writer]]).
+    * are per-micro-batch, see [[writer]]). Delegates to the pipeline's
+    * annotateRowRules so registered-dimension lookups run as
+    * stream-static joins — identical verdicts to the batch path.
     */
   def annotateStream(stream: DataFrame): DataFrame =
-    stream.withColumn(ValidationPipeline.ErrorsCol,
-      graft.rules.RuleCompiler.compileRow(
-        config.fieldMappings,
-        (table, column, field, value) =>
-          graft.rules.RuleCompiler.defaultLookups(table, column, field, value),
-        rt => !parityMode || graft.config.RuleTypes.ReferenceImplementedRow.contains(rt)))
+    pipeline.annotateRowRules(stream)
 
   /** foreachBatch writer running the FULL pipeline (row + global rules)
     * on each micro-batch and writing both sinks — the streaming

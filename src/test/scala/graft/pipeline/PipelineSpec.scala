@@ -186,6 +186,25 @@ class PipelineSpec extends SparkTestBase {
     assert(byTemp("146.0") == Seq("DUPLICATE"))
   }
 
+  test("header-only input yields a zero summary, not a crash") {
+    val csv = Files.createTempFile("empty_", ".csv")
+    Files.writeString(csv,
+      "timestamp,line_id,batch_number,product_code,temperature_c,pressure_kpa,humidity_pct,operator_id,defect_count\n")
+    val p = new ValidationPipeline(cfg, parityMode = true)
+    val out = tmpDir()
+    val summary = p.run(spark, csv.toString, s"$out/valid", s"$out/errors")
+    assert(summary == ValidationSummary(0, 0, 0, 0))
+  }
+
+  test("unique scope=daily without a date-typed field fails fast") {
+    val noDate = cfg.copy(fieldMappings = cfg.fieldMappings.map(m =>
+      if (m.dataType == "datetime") m.copy(dataType = "varchar(20)") else m))
+    val p = new ValidationPipeline(noDate) // full mode: unique rule active
+    val e = intercept[IllegalArgumentException](
+      p.annotate(p.readCsv(spark, fixtureCsv)))
+    assert(e.getMessage.contains("scope=daily"))
+  }
+
   test("zero-variance outlier column flags nothing (NaN z-score guard)") {
     val csv = Files.createTempFile("const_", ".csv")
     // identical temperatures -> stddev 0 -> z is NaN; the guard must

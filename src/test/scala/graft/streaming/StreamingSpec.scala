@@ -87,6 +87,38 @@ class StreamingSpec extends SparkTestBase {
     assert(rows("BAD") == ((1L, 1L))) // temperature 999 > max 200 -> RANGE
   }
 
+  test("streaming dimension lookups flag the same rows as the batch path") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // register a products dim MISSING PROD-D4 — the streamed row using
+    // it must gain a LOOKUP error (stream-static join, not the demo set)
+    val dim = Seq("PROD-A1", "PROD-B2", "PROD-C3").toDF("ProductCode")
+    val sv = new StreamingValidation(cfg,
+      dimensions = Map("Production.Products" -> dim))
+    val mem = MemoryStream[(String, String)] // (timestamp, product_code)
+    val annotated = sv.annotateStream(
+      mem.toDF().toDF("timestamp", "product_code")
+        .withColumn("line_id", lit("LINE001"))
+        .withColumn("batch_number", lit("B1"))
+        .withColumn("temperature_c", lit("150.0"))
+        .withColumn("pressure_kpa", lit("450.0"))
+        .withColumn("humidity_pct", lit("50.0"))
+        .withColumn("operator_id", lit("OP0001"))
+        .withColumn("defect_count", lit("0")))
+    val q = annotated
+      .select(col("product_code"),
+        col(graft.pipeline.ValidationPipeline.ErrorsCol + ".ErrorType").as("types"))
+      .writeStream.format("memory").queryName("dim_lookup").outputMode("append").start()
+    try {
+      mem.addData(("2024-02-15 08:10:00", "PROD-A1"), ("2024-02-15 08:20:00", "PROD-D4"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("dim_lookup").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(rows("PROD-A1").isEmpty)
+    assert(rows("PROD-D4") == Seq("LOOKUP")) // demo set would have passed it
+  }
+
   test("runningCounts keeps per-key state across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
