@@ -54,28 +54,42 @@ object GraftExtensions {
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
+  /** Wraps a builder with an exact-arity check so a missing/extra SQL
+    * argument fails at analysis time with the function name, not as an
+    * executor-side IndexOutOfBoundsException.
+    */
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    args => {
+      if (args.length != n) throw new IllegalArgumentException(
+        s"$name expects $n arguments, got ${args.length}")
+      build(args)
+    }
+
   /** (name, info, builder) triples for every registered function. */
   val definitions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_dot", info("graft_dot", "dot product of two numeric arrays"),
-      (args: Seq[Expression]) => DotProductExpr(args(0), args(1))),
+      arity("graft_dot", 2)(args => DotProductExpr(args(0), args(1)))),
     ("graft_cosine", info("graft_cosine", "cosine similarity of two numeric arrays"),
-      (args: Seq[Expression]) => CosineSimilarityExpr(args(0), args(1))),
+      arity("graft_cosine", 2)(args => CosineSimilarityExpr(args(0), args(1)))),
     ("graft_simhash", info("graft_simhash", "64-bit simhash of a token array"),
-      (args: Seq[Expression]) => SimHash64Expr(args(0))),
+      arity("graft_simhash", 1)(args => SimHash64Expr(args(0)))),
     ("graft_shingles", info("graft_shingles", "token n-gram shingles of a text value"),
-      (args: Seq[Expression]) => ShinglesExpr(args(0), intArg(args(1), "n"))),
+      arity("graft_shingles", 2)(args => ShinglesExpr(args(0), intArg(args(1), "n")))),
     ("graft_minhash_sig", info("graft_minhash_sig", "minhash signature of a shingle array"),
-      (args: Seq[Expression]) => MinHashSignatureExpr(args(0), intArg(args(1), "numHashes"))),
+      arity("graft_minhash_sig", 2)(args =>
+        MinHashSignatureExpr(args(0), intArg(args(1), "numHashes")))),
     ("graft_minhash_bands", info("graft_minhash_bands", "fused minhash+LSH band buckets"),
-      (args: Seq[Expression]) => MinHashBandsExpr(args(0),
-        intArg(args(1), "numHashes"), intArg(args(2), "bands"))),
+      arity("graft_minhash_bands", 3)(args => MinHashBandsExpr(args(0),
+        intArg(args(1), "numHashes"), intArg(args(2), "bands")))),
     ("graft_sign_bucket", info("graft_sign_bucket", "hyperplane-LSH sign bucket of a vector"),
-      (args: Seq[Expression]) => SignBucketExpr(args(0),
-        intArg(args(1), "planes"), longArg(args(2), "seed"))),
+      arity("graft_sign_bucket", 3)(args => SignBucketExpr(args(0),
+        intArg(args(1), "planes"), longArg(args(2), "seed")))),
     ("graft_token_set_count", info("graft_token_set_count", "count of tokens in a literal word set"),
-      (args: Seq[Expression]) => TokenSetCountExpr(args(0), stringSeqArg(args(1), "words"))),
+      arity("graft_token_set_count", 2)(args =>
+        TokenSetCountExpr(args(0), stringSeqArg(args(1), "words")))),
     ("graft_jaccard", info("graft_jaccard", "exact jaccard similarity of two string arrays"),
-      (args: Seq[Expression]) => JaccardExpr(args(0), args(1)))
+      arity("graft_jaccard", 2)(args => JaccardExpr(args(0), args(1))))
   )
 
   /** Register on an already-running session. */

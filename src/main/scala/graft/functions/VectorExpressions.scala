@@ -311,10 +311,21 @@ private[functions] trait ArrayElemTypes { self: Expression =>
       case other => TypeCheckResult.TypeCheckFailure(
         s"$side must be array<float|double>, got ${other.catalogString}")
     }
+  protected def checkStringArray(e: Expression, side: String): TypeCheckResult =
+    e.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$side must be array<string>, got ${other.catalogString}")
+    }
 }
 
 case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"text must be string, got ${other.catalogString}")
+  }
   override protected def nullSafeEval(input: Any): Any =
     Kernels.shingles(input.asInstanceOf[UTF8String], n)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -329,13 +340,15 @@ case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
   * engine's text path.
   */
 case class TokenSetCountExpr(child: Expression, words: Seq[String])
-    extends UnaryExpression {
+    extends UnaryExpression with ArrayElemTypes {
   @transient private lazy val set: java.util.HashSet[UTF8String] = {
     val s = new java.util.HashSet[UTF8String](words.size * 2)
     words.foreach(w => s.add(UTF8String.fromString(w)))
     s
   }
   override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkStringArray(child, "tokens")
   override protected def nullSafeEval(input: Any): Any =
     Kernels.tokenSetCount(input.asInstanceOf[ArrayData], set)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -351,7 +364,9 @@ case class TokenSetCountExpr(child: Expression, words: Seq[String])
   * scoring to ONE expression evaluation per row.
   */
 case class MultiTokenSetCountExpr(child: Expression, wordSets: Seq[Seq[String]])
-    extends UnaryExpression {
+    extends UnaryExpression with ArrayElemTypes {
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkStringArray(child, "tokens")
   @transient private lazy val sets: Array[java.util.HashSet[UTF8String]] =
     wordSets.map { ws =>
       val s = new java.util.HashSet[UTF8String](ws.size * 2)
@@ -373,14 +388,8 @@ case class MultiTokenSetCountExpr(child: Expression, wordSets: Seq[Seq[String]])
   * [[Kernels.jaccard]] for the set semantics (nulls ignored).
   */
 case class JaccardExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ArrayElemTypes {
   override def dataType: DataType = DoubleType
-  private def checkStringArray(e: Expression, side: String): TypeCheckResult =
-    e.dataType match {
-      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
-      case other => TypeCheckResult.TypeCheckFailure(
-        s"$side must be array<string>, got ${other.catalogString}")
-    }
   override def checkInputDataTypes(): TypeCheckResult =
     checkStringArray(left, "left") match {
       case TypeCheckResult.TypeCheckSuccess => checkStringArray(right, "right")
@@ -396,8 +405,11 @@ case class JaccardExpr(left: Expression, right: Expression)
 }
 
 case class MinHashSignatureExpr(child: Expression, numHashes: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ArrayElemTypes {
+  require(numHashes > 0, "numHashes must be positive")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkStringArray(child, "shingles")
   override protected def nullSafeEval(input: Any): Any =
     Kernels.minHashSignature(input.asInstanceOf[ArrayData], numHashes)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -407,9 +419,11 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int)
 }
 
 case class MinHashBandsExpr(child: Expression, numHashes: Int, bands: Int)
-    extends UnaryExpression {
-  require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    extends UnaryExpression with ArrayElemTypes {
+  require(bands > 0 && numHashes % bands == 0, "numHashes must be divisible by bands")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkStringArray(child, "shingles")
   override protected def nullSafeEval(input: Any): Any =
     Kernels.minHashBands(input.asInstanceOf[ArrayData], numHashes, bands)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -418,8 +432,10 @@ case class MinHashBandsExpr(child: Expression, numHashes: Int, bands: Int)
     copy(child = newChild)
 }
 
-case class SimHash64Expr(child: Expression) extends UnaryExpression {
+case class SimHash64Expr(child: Expression) extends UnaryExpression with ArrayElemTypes {
   override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkStringArray(child, "tokens")
   override protected def nullSafeEval(input: Any): Any =
     Kernels.simHash64(input.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

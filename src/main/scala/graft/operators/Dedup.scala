@@ -89,8 +89,13 @@ object Dedup {
     * O(sum over buckets of |bucket|²) — bounded by LSH collision
     * probability, never corpus². `maxBucket` caps pathological buckets
     * (e.g. the empty-string doc cluster) so one hot key cannot quadratic
-    * the job; dropped buckets are all-identical-signature groups that
-    * exact dedup already catches.
+    * the job — a bounded-cost recall tradeoff; overflow is observable via
+    * the `graft_dedup_buckets_*` query metric (see [[candidatePairs]]).
+    *
+    * The (id, shingles) projection feeds both candidate generation and
+    * pair verification; it is persisted so the shingle kernel (the most
+    * expensive per-row work) runs once. At 100 TB, checkpoint that
+    * projection to parquet instead of relying on executor block storage.
     *
     * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     */
@@ -105,9 +110,10 @@ object Dedup {
       maxBucket: Int = 1000
   ): DataFrame = {
     val withShingles = df
-      .select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sh", shingles(col("text"), shingleSize))
+      .select(col(idCol).as("id"),
+        shingles(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = withShingles
       .select(col("id"),
         posexplode(minHashBands(col("sh"), numHashes, bands)))
@@ -119,6 +125,8 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  private val bucketMetricSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Id-only candidate pairs from banded rows (`id`, `bk:{band,bucket}`):
     * ONE shuffle on (band, bucket), per-bucket id-pair expansion, global
     * pair dedup. Pairs carry ONLY two longs — never the documents'
@@ -126,13 +134,26 @@ object Dedup {
     * the quadratic term stays cheap even at `maxBucket`, which is what
     * lets this survive a skewed 100 TB corpus. Payloads are re-attached
     * by [[verifyPairs]] afterwards.
+    *
+    * Buckets larger than `maxBucket` are dropped — a bounded-cost recall
+    * tradeoff (an overflowing bucket CAN contain genuine non-identical
+    * near-dup pairs, e.g. under coarse SimHash blocks). The loss is
+    * observable: the plan carries a `graft_dedup_buckets_<n>` observation
+    * with `overflow_buckets` / `overflow_rows` / `max_bucket_size`,
+    * surfaced through `Dataset.observe` → `QueryExecutionListener` or
+    * `df.queryExecution.observedMetrics` after an action.
     */
   private def candidatePairs(banded: DataFrame, maxBucket: Int): DataFrame = {
     val sortedIds = array_sort(col("ids"))
+    val sz = size(col("ids"))
     banded
       .groupBy(col("band"), col("bucket"))
       .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
+      .observe(s"graft_dedup_buckets_${bucketMetricSeq.incrementAndGet()}",
+        sum(when(sz > maxBucket, 1L).otherwise(0L)).as("overflow_buckets"),
+        sum(when(sz > maxBucket, sz.cast(LongType)).otherwise(0L)).as("overflow_rows"),
+        coalesce(max(sz), lit(0)).as("max_bucket_size"))
+      .filter(sz.between(2, maxBucket))
       .select(explode(
         flatten(transform(sortedIds, (a, i) =>
           transform(slice(sortedIds, i + 2, size(sortedIds)), b =>
@@ -183,9 +204,12 @@ object Dedup {
   ): DataFrame = {
     val blocks = maxDistance + 1
     val bits = 64 / blocks
+    // (id, hash) feeds both banding and pair verification — persist so the
+    // tokenize+simhash pass runs once (8 bytes/row cached)
     val hashed = df.select(
       col(idCol).as("id"),
       simHash(TextAnalysis.tokens(col(textCol))).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = hashed.select(
       col("id"),
       explode(array((0 until blocks).map { b =>
@@ -218,8 +242,12 @@ object Dedup {
       maxBucket: Int = 1000
   ): DataFrame = {
     // bucketing is scale-invariant -> bucket raw vectors (no normalize
-    // pass); verification computes exact cosine on the raw payloads
+    // pass); verification computes exact cosine on the raw payloads.
+    // Persisted: the projection feeds both banding and verification, and
+    // re-reading wide vector columns from the scan twice costs more than
+    // caching them once.
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = base.select(col("id"), posexplode(
         VectorFunctions.signBuckets(col("v"), planes, tables, baseSeed = 17L)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")

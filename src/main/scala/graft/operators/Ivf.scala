@@ -34,6 +34,7 @@ object Ivf {
   ): IvfIndex = {
     val rows = corpus
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .filter(col("v").isNotNull && size(col("v")) > 0)
       .orderBy(xxhash64(col("id")))
       .limit(nlist)
       .collect()
@@ -42,6 +43,8 @@ object Ivf {
     val flat = new Array[Double](rows.length * dim)
     rows.zipWithIndex.foreach { case (r, i) =>
       val v = r.getSeq[Double](1)
+      require(v.length == dim,
+        s"non-uniform embedding dim: id=${r.get(0)} has ${v.length}, expected $dim")
       var j = 0
       while (j < dim) { flat(i * dim + j) = v(j); j += 1 }
     }

@@ -373,6 +373,8 @@ object Queries {
 
     // Brute-force cosine top-k (exact ANN baseline): top 10 neighbors of
     // vec_id=0. Scan → TakeOrderedAndProject; ids+rank only (float-safe).
+    // Rank is assigned by sorting the 10 surviving rows as an array —
+    // no unpartitioned window anywhere in the plan.
     "x_cosine_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val q = emb.filter(col("vec_id") === 0)
@@ -383,9 +385,12 @@ object Queries {
           Similarity.cosine(col("embedding"), col("qv")).as("c"))
         .orderBy(col("c").desc, col("vec_id").asc)
         .limit(10)
-      scored.withColumn("rank",
-        row_number().over(Window.orderBy(col("c").desc, col("vec_id").asc)))
-        .select(col("vec_id"), col("rank"))
+      scored
+        .agg(sort_array(collect_list(
+          struct((-col("c")).as("nc"), col("vec_id").as("vec_id")))).as("xs"))
+        .select(posexplode(col("xs")))
+        .select(col("col.vec_id").as("vec_id"),
+          (col("pos") + 1).cast(IntegerType).as("rank"))
     }),
 
     // LSH-bucketed ANN — rows-only; recall vs brute force asserted in
