@@ -100,10 +100,21 @@ class ValidationPipeline(
     * Globs parallelize natively — the reference's per-file loop
     * (src/main.py:45-51) becomes one multi-file scan with
     * `input_file_name()` lineage.
+    *
+    * `enforceSchema=false` makes Spark check EVERY file's header row
+    * against the declared schema names (the reference's per-file column
+    * check, src/data_validator.py:96-104). Without it Spark assigns the
+    * schema positionally, so a glob containing a column-reordered vendor
+    * CSV would silently mis-assign fields — a wrong answer, not an error.
+    * Caveat: the checker compares only the columns a query actually
+    * reads (post-pruning), so a zero-column action like a bare count()
+    * is exempt — the validation pipeline reads every declared column,
+    * which is the case that matters.
     */
   def readCsv(spark: SparkSession, path: String): DataFrame =
     spark.read
       .option("header", config.source.hasHeader)
+      .option("enforceSchema", value = false)
       .option("delimiter", config.source.delimiter)
       .schema(SchemaBuilder.rawSchema(mappings))
       .csv(path)

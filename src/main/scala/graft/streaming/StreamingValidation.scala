@@ -40,6 +40,9 @@ class StreamingValidation(
   def readStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 100): DataFrame =
     spark.readStream
       .option("header", config.source.hasHeader)
+      // per-file header check, same as the batch reader (a reordered
+      // vendor CSV arriving in the watched dir must fail, not corrupt)
+      .option("enforceSchema", value = false)
       .option("delimiter", config.source.delimiter)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .schema(graft.config.SchemaBuilder.rawSchema(config.fieldMappings))

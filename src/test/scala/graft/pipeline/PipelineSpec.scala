@@ -322,6 +322,30 @@ class PipelineSpec extends SparkTestBase {
     assert(df.count() == 2)
   }
 
+  test("glob with a column-reordered CSV fails loudly, not silently mis-assigned") {
+    // the reference validates columns per file (src/data_validator.py:96-104);
+    // with enforceSchema=false Spark's header checker does the same — without
+    // it a reordered vendor CSV in a glob is silently read positionally
+    val dir = Files.createTempDirectory("reorder_")
+    val good = "timestamp,line_id,batch_number,product_code,temperature_c,pressure_kpa,humidity_pct,operator_id,defect_count\n" +
+      "2024-02-15 08:30:00,LINE001,B1,PROD-A1,145.5,450.2,45.5,OP0001,0\n"
+    // line_id and batch_number swapped — same column SET, wrong ORDER
+    val reordered = "timestamp,batch_number,line_id,product_code,temperature_c,pressure_kpa,humidity_pct,operator_id,defect_count\n" +
+      "2024-02-15 09:30:00,B2,LINE002,PROD-B2,150.0,460.0,44.0,OP0002,0\n"
+    Files.writeString(dir.resolve("vendor_a.csv"), good)
+    Files.writeString(dir.resolve("vendor_b.csv"), reordered)
+    val p = new ValidationPipeline(cfg, parityMode = true)
+    // the check fires against the columns a query actually reads (a bare
+    // count() reads none and is exempt); the invalid-row filter depends on
+    // the errors column and therefore on every declared source column
+    val e = intercept[Throwable](
+      p.splitInvalid(p.annotate(p.readCsv(spark, s"$dir/vendor_*.csv"))).count())
+    val messages = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(messages.contains("CSV header does not conform"), s"unexpected failure: $messages")
+    assert(messages.contains("vendor_b.csv"), s"should name the offending file: $messages")
+  }
+
   test("archive moves the file with a timestamp prefix when enabled") {
     val dir = Files.createTempDirectory("arch_")
     val f = dir.resolve("input.csv")
