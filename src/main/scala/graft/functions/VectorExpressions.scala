@@ -320,6 +320,8 @@ private[functions] trait ArrayElemTypes { self: Expression =>
 }
 
 case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+  // n=0 would yield [""] per doc — one giant LSH bucket, silently
+  require(n > 0, s"shingle size n must be positive, got $n")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess

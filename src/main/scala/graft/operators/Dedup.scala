@@ -5,6 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for large-scale text corpora.
   *
@@ -18,6 +19,31 @@ import org.apache.spark.sql.types._
   * anywhere, so the plans survive a 100 TB corpus (cost is bounded by
   * bucket skew, not corpus size squared).
   */
+/** A near-dup result with ownership of the operator's cached
+  * intermediate projection. The pairs frame is lazy, so the operator
+  * cannot release its own cache — the caller decides when: either
+  * `use { pairs => ... }` (scoped, releases in `finally`), or keep the
+  * handle and call [[unpersistIntermediate]] after materializing.
+  * `bucketMetric` is the stable name of the bucket-overflow observation
+  * attached to the plan (read it from
+  * `df.queryExecution.observedMetrics(bucketMetric)` after an action).
+  */
+final case class NearDupResult(
+    pairs: DataFrame,
+    bucketMetric: String,
+    private val cached: Option[DataFrame]
+) {
+  /** Release the cached intermediate (no-op when storage was NONE). */
+  def unpersistIntermediate(blocking: Boolean = false): Unit =
+    cached.foreach(_.unpersist(blocking))
+
+  /** Run `f` over the pairs and release the cached intermediate
+    * afterwards — the leak-free shape for long-running sessions.
+    */
+  def use[T](f: DataFrame => T): T =
+    try f(pairs) finally unpersistIntermediate()
+}
+
 object Dedup {
 
   // ---------------------------------------------------------------------
@@ -93,9 +119,14 @@ object Dedup {
     * the `graft_dedup_buckets_*` query metric (see [[candidatePairs]]).
     *
     * The (id, shingles) projection feeds both candidate generation and
-    * pair verification; it is persisted so the shingle kernel (the most
-    * expensive per-row work) runs once. At 100 TB, checkpoint that
-    * projection to parquet instead of relying on executor block storage.
+    * pair verification; with the default `storage` it is persisted so
+    * the shingle kernel (the most expensive per-row work) runs once.
+    * `StorageLevel.NONE` skips the cache (recompute the projection on
+    * both branches — often faster at small scale, where cache churn
+    * costs more than the kernel). At 100 TB, checkpoint that projection
+    * to parquet instead of relying on executor block storage. The lazy
+    * return value cannot release its own cache — long-running sessions
+    * should call [[minHashNearDupsResult]] and `use`/unpersist.
     *
     * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     */
@@ -107,25 +138,50 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.7,
-      maxBucket: Int = 1000
-  ): DataFrame = {
-    val withShingles = df
+      maxBucket: Int = 1000,
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK
+  ): DataFrame =
+    minHashNearDupsResult(df, idCol, textCol, shingleSize, numHashes, bands,
+      threshold, maxBucket, storage).pairs
+
+  /** [[minHashNearDups]] with a [[NearDupResult]] handle: caller-owned
+    * cache lifecycle + the stable bucket-overflow metric name.
+    * `metricName` must be unique within a single combined query when
+    * composing several dedup plans (default is derived from the column
+    * names, deterministic across runs).
+    */
+  def minHashNearDupsResult(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.7,
+      maxBucket: Int = 1000,
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+      metricName: Option[String] = None
+  ): NearDupResult = {
+    val metric = metricName.getOrElse(s"graft_dedup_buckets_minhash_${idCol}_$textCol")
+    val projected = df
       .select(col(idCol).as("id"),
         shingles(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withShingles =
+      if (storage == StorageLevel.NONE) projected else projected.persist(storage)
     val sigs = withShingles
       .select(col("id"),
         posexplode(minHashBands(col("sh"), numHashes, bands)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
 
-    val pairs = candidatePairs(sigs, maxBucket)
-    verifyPairs(pairs, withShingles.select(col("id"), col("sh").as("payload")),
+    val pairs = candidatePairs(sigs, maxBucket, metric)
+    val verified = verifyPairs(pairs,
+      withShingles.select(col("id"), col("sh").as("payload")),
       jaccard(col("payload_a"), col("payload_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    NearDupResult(verified, metric,
+      if (storage == StorageLevel.NONE) None else Some(withShingles))
   }
-
-  private val bucketMetricSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Id-only candidate pairs from banded rows (`id`, `bk:{band,bucket}`):
     * ONE shuffle on (band, bucket), per-bucket id-pair expansion, global
@@ -138,18 +194,19 @@ object Dedup {
     * Buckets larger than `maxBucket` are dropped — a bounded-cost recall
     * tradeoff (an overflowing bucket CAN contain genuine non-identical
     * near-dup pairs, e.g. under coarse SimHash blocks). The loss is
-    * observable: the plan carries a `graft_dedup_buckets_<n>` observation
-    * with `overflow_buckets` / `overflow_rows` / `max_bucket_size`,
-    * surfaced through `Dataset.observe` → `QueryExecutionListener` or
+    * observable: the plan carries a caller-keyed observation (the
+    * [[NearDupResult.bucketMetric]] name) with `overflow_buckets` /
+    * `overflow_rows` / `max_bucket_size`, surfaced through
+    * `Dataset.observe` → `QueryExecutionListener` or
     * `df.queryExecution.observedMetrics` after an action.
     */
-  private def candidatePairs(banded: DataFrame, maxBucket: Int): DataFrame = {
+  private def candidatePairs(banded: DataFrame, maxBucket: Int, metric: String): DataFrame = {
     val sortedIds = array_sort(col("ids"))
     val sz = size(col("ids"))
     banded
       .groupBy(col("band"), col("bucket"))
       .agg(collect_list(col("id")).as("ids"))
-      .observe(s"graft_dedup_buckets_${bucketMetricSeq.incrementAndGet()}",
+      .observe(metric,
         sum(when(sz > maxBucket, 1L).otherwise(0L)).as("overflow_buckets"),
         sum(when(sz > maxBucket, sz.cast(LongType)).otherwise(0L)).as("overflow_rows"),
         coalesce(max(sz), lit(0)).as("max_bucket_size"))
@@ -200,16 +257,33 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxDistance: Int = 3,
-      maxBucket: Int = 1000
-  ): DataFrame = {
+      maxBucket: Int = 1000,
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK
+  ): DataFrame =
+    simHashNearDupsResult(df, idCol, textCol, maxDistance, maxBucket, storage).pairs
+
+  /** [[simHashNearDups]] with a [[NearDupResult]] handle (caller-owned
+    * cache lifecycle + stable metric name).
+    */
+  def simHashNearDupsResult(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDistance: Int = 3,
+      maxBucket: Int = 1000,
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+      metricName: Option[String] = None
+  ): NearDupResult = {
+    val metric = metricName.getOrElse(s"graft_dedup_buckets_simhash_${idCol}_$textCol")
     val blocks = maxDistance + 1
     val bits = 64 / blocks
-    // (id, hash) feeds both banding and pair verification — persist so the
-    // tokenize+simhash pass runs once (8 bytes/row cached)
-    val hashed = df.select(
+    // (id, hash) feeds both banding and pair verification — persisted so
+    // the tokenize+simhash pass runs once (8 bytes/row cached)
+    val projected = df.select(
       col(idCol).as("id"),
       simHash(TextAnalysis.tokens(col(textCol))).as("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hashed =
+      if (storage == StorageLevel.NONE) projected else projected.persist(storage)
     val banded = hashed.select(
       col("id"),
       explode(array((0 until blocks).map { b =>
@@ -218,10 +292,12 @@ object Dedup {
           shiftright(col("h"), b * bits).bitwiseAND(mask).as("bucket"))
       }: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-    val pairs = candidatePairs(banded, maxBucket)
-    verifyPairs(pairs, hashed.select(col("id"), col("h").as("payload")),
+    val pairs = candidatePairs(banded, maxBucket, metric)
+    val verified = verifyPairs(pairs, hashed.select(col("id"), col("h").as("payload")),
       hamming64(col("payload_a"), col("payload_b")).as("hamming"))
       .filter(col("hamming") <= maxDistance)
+    NearDupResult(verified, metric,
+      if (storage == StorageLevel.NONE) None else Some(hashed))
   }
 
   // ---------------------------------------------------------------------
@@ -239,21 +315,43 @@ object Dedup {
       threshold: Double = 0.95,
       planes: Int = 12,
       tables: Int = 4,
-      maxBucket: Int = 1000
-  ): DataFrame = {
+      maxBucket: Int = 1000,
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK
+  ): DataFrame =
+    embeddingNearDupsResult(df, idCol, vecCol, threshold, planes, tables,
+      maxBucket, storage).pairs
+
+  /** [[embeddingNearDups]] with a [[NearDupResult]] handle (caller-owned
+    * cache lifecycle + stable metric name).
+    */
+  def embeddingNearDupsResult(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.95,
+      planes: Int = 12,
+      tables: Int = 4,
+      maxBucket: Int = 1000,
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+      metricName: Option[String] = None
+  ): NearDupResult = {
+    val metric = metricName.getOrElse(s"graft_dedup_buckets_embedding_${idCol}_$vecCol")
     // bucketing is scale-invariant -> bucket raw vectors (no normalize
     // pass); verification computes exact cosine on the raw payloads.
-    // Persisted: the projection feeds both banding and verification, and
-    // re-reading wide vector columns from the scan twice costs more than
-    // caching them once.
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Persisted (by default): the projection feeds both banding and
+    // verification, and re-reading wide vector columns from the scan
+    // twice can cost more than caching them once.
+    val projected = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val base =
+      if (storage == StorageLevel.NONE) projected else projected.persist(storage)
     val banded = base.select(col("id"), posexplode(
         VectorFunctions.signBuckets(col("v"), planes, tables, baseSeed = 17L)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val pairs = candidatePairs(banded, maxBucket)
-    verifyPairs(pairs, base.select(col("id"), col("v").as("payload")),
+    val pairs = candidatePairs(banded, maxBucket, metric)
+    val verified = verifyPairs(pairs, base.select(col("id"), col("v").as("payload")),
       Similarity.cosine(col("payload_a"), col("payload_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
+    NearDupResult(verified, metric,
+      if (storage == StorageLevel.NONE) None else Some(base))
   }
 }

@@ -106,9 +106,12 @@ object Multimodal {
         val payload = r.getAs[Array[Byte]]("payload")
         val nBytes = if (payload == null) 0L else payload.length.toLong
         val (w, h, dur) = decodeStub(kind, payload)
-        val checksum =
-          if (payload == null) 0L
-          else payload.foldLeft(1125899906842597L)((acc, b) => acc * 31 + b)
+        var checksum = 0L
+        if (payload != null) {
+          checksum = 1125899906842597L
+          var i = 0
+          while (i < payload.length) { checksum = checksum * 31 + payload(i); i += 1 }
+        }
         Row(id, kind, nBytes, w, h, dur, checksum)
       }
     }(enc)

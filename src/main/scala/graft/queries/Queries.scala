@@ -7,6 +7,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
 
 /** The query catalog behind SparkEntry: one entry per operator from
   * SURVEY.md §2 plus the training-data-pipeline extensions. Each query
@@ -352,15 +353,19 @@ object Queries {
     }),
 
     // MinHash-LSH near-dups — NOT SQL-expressible; rows-only check here,
-    // golden-pair assertions in DedupSpec.
+    // golden-pair assertions in DedupSpec. storage=NONE: the returned
+    // frame is lazy so nothing could ever unpersist a cache from here,
+    // and at this scale recomputing the projection beats cache churn.
     "x_dedup_minhash" -> ((s, d) => {
       Dedup.minHashNearDups(t(s, d, "documents"), "doc_id", "text",
-        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5,
+        storage = StorageLevel.NONE)
     }),
 
     // SimHash near-dups (hamming <= 3) — rows-only.
     "x_dedup_simhash" -> ((s, d) => {
-      Dedup.simHashNearDups(t(s, d, "documents"), "doc_id", "text", maxDistance = 3)
+      Dedup.simHashNearDups(t(s, d, "documents"), "doc_id", "text",
+        maxDistance = 3, storage = StorageLevel.NONE)
     }),
 
     // Embedding-cosine near-dups via hyperplane LSH — rows-only.
@@ -368,7 +373,7 @@ object Queries {
     // 271 pairs >= 0.35 at sf0.01) so the check is non-vacuous.
     "x_dedup_embedding" -> ((s, d) => {
       Dedup.embeddingNearDups(t(s, d, "embeddings"), "vec_id", "embedding",
-        threshold = 0.35, planes = 6, tables = 8)
+        threshold = 0.35, planes = 6, tables = 8, storage = StorageLevel.NONE)
     }),
 
     // Brute-force cosine top-k (exact ANN baseline): top 10 neighbors of
@@ -383,6 +388,11 @@ object Queries {
         .crossJoin(broadcast(q))
         .select(col("vec_id"),
           Similarity.cosine(col("embedding"), col("qv")).as("c"))
+        // a zero vector has NaN cosine; Spark sorts NaN above every
+        // number, so without this filter the top-k selection (desc:
+        // NaN first) and the rank sort below (asc on -c: NaN last)
+        // would disagree — exclude undefined similarities outright
+        .filter(!isnan(col("c")))
         .orderBy(col("c").desc, col("vec_id").asc)
         .limit(10)
       scored
@@ -485,7 +495,8 @@ object Queries {
       // the survivors to catch short shingle-less docs — each stage
       // consumes the previous exactly once (no recomputed subtree)
       val nearDupLosers = Dedup.minHashNearDups(
-        docs, "doc_id", "text", threshold = 0.8)
+        docs, "doc_id", "text", threshold = 0.8,
+        storage = StorageLevel.NONE)
         .select(col("id_b").as("doc_id")).distinct()
       val surviving = Dedup.exactDedup(
         docs.join(nearDupLosers, Seq("doc_id"), "left_anti"),

@@ -31,6 +31,13 @@ class FunctionsSpec extends SparkTestBase {
     assert(r(3) == Seq("a a"))        // duplicates collapse
   }
 
+  test("shingles rejects non-positive n at construction") {
+    assertThrows[IllegalArgumentException](
+      VectorFunctions.shingles(col("t"), 0))
+    assertThrows[IllegalArgumentException](
+      VectorFunctions.shingles(col("t"), -1))
+  }
+
   test("minhash signature: containment ordering of similar sets") {
     val rows = Seq("a b c d e f g h", "a b c d e f g h", "q w e r t y u i")
       .toDF("t")

@@ -102,6 +102,44 @@ class DedupSpec extends SparkTestBase {
     assert(math.abs(est - trueJ) < 0.12, s"minhash estimate $est vs true $trueJ")
   }
 
+  test("NearDupResult.use releases the cached intermediate; metric name is stable") {
+    // earlier tests used the lazy variants (caller-owned lifecycle) —
+    // start from a clean cache so the assertion is about THIS call
+    spark.sharedState.cacheManager.clearCache()
+    def cachedCount = spark.sharedState.cacheManager.isEmpty
+    val result = Dedup.minHashNearDupsResult(docs, "doc_id", "text", threshold = 0.5)
+    // deterministic, caller-keyed observation name — no hidden counter
+    assert(result.bucketMetric == "graft_dedup_buckets_minhash_doc_id_text")
+    val n = result.use { pairs =>
+      assert(!spark.sharedState.cacheManager.isEmpty) // cache registered
+      pairs.count()
+    }
+    assert(n > 0)
+    assert(cachedCount, "use{} must unpersist the intermediate projection")
+    // no persistent RDD blocks left behind either
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
+  test("storage=NONE near-dup plans register no cache at all") {
+    spark.sharedState.cacheManager.clearCache()
+    val pairs = Dedup.simHashNearDups(docs, "doc_id", "text",
+      maxDistance = 8, storage = org.apache.spark.storage.StorageLevel.NONE)
+    pairs.count()
+    assert(spark.sharedState.cacheManager.isEmpty)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
+  test("bucket-overflow observation is readable under its stable name") {
+    val result = Dedup.minHashNearDupsResult(docs, "doc_id", "text",
+      threshold = 0.5, storage = org.apache.spark.storage.StorageLevel.NONE)
+    result.pairs.collect()
+    val metrics = result.pairs.queryExecution.observedMetrics
+    assert(metrics.contains(result.bucketMetric))
+    val row = metrics(result.bucketMetric)
+    assert(row.getAs[Long]("overflow_buckets") == 0L)
+    assert(row.getAs[Int]("max_bucket_size") >= 2) // docs 1,2,3 share buckets
+  }
+
   test("near-dup plans contain no cartesian product (scale guard)") {
     val plan = Dedup.minHashNearDups(docs, "doc_id", "text")
       .queryExecution.executedPlan.toString
