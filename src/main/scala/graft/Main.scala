@@ -11,18 +11,22 @@ import java.nio.file.{Files, Paths}
   * reference parses it and drops it, src/main.py:77-90).
   *
   * Usage:
-  *   graft.Main --config cfg.xml [--input file.csv] \
+  *   graft.Main --config cfg.xml [--input file.csv | --batch 'glob'] \
   *     [--valid-out dir] [--errors-out dir] [--dry-run]
   *
   * Without --input, the glob from the config's <FilePath> runs as ONE
   * multi-file scan (the reference loops file-by-file; Spark's glob scan
   * is the same semantics, parallel, with per-file lineage kept in the
-  * FileSource column).
+  * FileSource column). `--batch` instead runs the reference's per-file
+  * loop (main.py:34-55): one pipeline run per matched file, failures
+  * isolated and reported as `success/total` — use it when a corrupt
+  * vendor file must not abort the rest of the batch.
   */
 object Main {
   def main(args: Array[String]): Unit = {
     var configPath = "config/mapping_config.xml"
     var input: Option[String] = None
+    var batch: Option[String] = None
     var validOut = "out/valid"
     var errorsOut = "out/errors"
     var dryRun = false
@@ -36,6 +40,7 @@ object Main {
       args(i) match {
         case "--config"     => configPath = valueOf("--config"); i += 2
         case "--input"      => input = Some(valueOf("--input")); i += 2
+        case "--batch"      => batch = Some(valueOf("--batch")); i += 2
         case "--valid-out"  => validOut = valueOf("--valid-out"); i += 2
         case "--errors-out" => errorsOut = valueOf("--errors-out"); i += 2
         case "--dry-run"    => dryRun = true; i += 1
@@ -60,15 +65,41 @@ object Main {
       .getOrCreate()
     try {
       val pipeline = new ValidationPipeline(cfg, parityMode = false)
-      val summary = pipeline.run(spark, inputPath, validOut, errorsOut, dryRun)
-      // archive single concrete input files when configured (glob inputs
-      // stay in place, matching per-file semantics only for real files)
-      if (!dryRun) input.map(Paths.get(_)).filter(Files.isRegularFile(_)).foreach { f =>
-        pipeline.archive(f, f.toAbsolutePath.getParent.resolve("processed"))
+      batch match {
+        case Some(pattern) =>
+          val result = pipeline.runBatch(spark, pattern, validOut, errorsOut, dryRun)
+          if (result.total == 0) println(s"No files found matching: $pattern")
+          result.files.foreach { f =>
+            f.summary match {
+              case Some(s) =>
+                println(s"${f.file}: total=${s.total} valid=${s.valid} " +
+                  s"invalid=${s.invalid} errors=${s.errorCount}")
+                // archive each successfully processed local file when
+                // configured (reference archives per file post-load)
+                if (!dryRun) {
+                  // runBatch reports qualified Hadoop URIs (file:/...)
+                  val p = Paths.get(
+                    Option(new java.net.URI(f.file).getPath).getOrElse(f.file))
+                  if (Files.isRegularFile(p))
+                    pipeline.archive(p, p.toAbsolutePath.getParent.resolve("processed"))
+                }
+              case None =>
+                println(s"${f.file}: FAILED: ${f.error.getOrElse("")}")
+            }
+          }
+          println(s"BATCH COMPLETE: ${result.successCount}/${result.total} " +
+            "files processed successfully" + (if (dryRun) " (dry-run)" else ""))
+        case None =>
+          val summary = pipeline.run(spark, inputPath, validOut, errorsOut, dryRun)
+          // archive single concrete input files when configured (glob inputs
+          // stay in place, matching per-file semantics only for real files)
+          if (!dryRun) input.map(Paths.get(_)).filter(Files.isRegularFile(_)).foreach { f =>
+            pipeline.archive(f, f.toAbsolutePath.getParent.resolve("processed"))
+          }
+          println(s"total=${summary.total} valid=${summary.valid} " +
+            s"invalid=${summary.invalid} errors=${summary.errorCount}" +
+            (if (dryRun) " (dry-run)" else ""))
       }
-      println(s"total=${summary.total} valid=${summary.valid} " +
-        s"invalid=${summary.invalid} errors=${summary.errorCount}" +
-        (if (dryRun) " (dry-run)" else ""))
     } finally if (!hadSession) spark.stop()
   }
 }

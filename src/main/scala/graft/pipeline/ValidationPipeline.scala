@@ -39,6 +39,23 @@ final case class ValidationSummary(
     errorCount: Long
 )
 
+/** Outcome of one file in a [[ValidationPipeline.runBatch]] run. */
+final case class FileResult(
+    file: String,
+    summary: Option[ValidationSummary],
+    error: Option[String]
+) {
+  def succeeded: Boolean = summary.isDefined
+}
+
+/** Per-file batch outcome (reference main.py:44-55's
+  * `success_count/total` report).
+  */
+final case class BatchResult(files: Seq[FileResult]) {
+  def successCount: Int = files.count(_.succeeded)
+  def total: Int = files.size
+}
+
 /** Typed row of the valid sink (Production.QualityData shape,
   * reference src/etl_processor.py:68-74) for `Dataset[QualityRecord]`
   * consumers.
@@ -401,6 +418,67 @@ class ValidationPipeline(
       }
       summary
     } finally annotated.unpersist()
+  }
+
+  /** Deterministic first-N error preview (the reference's "First 5
+    * Errors" print + get_error_report export,
+    * src/data_validator.py:238-247). The reference relies on list
+    * insertion order; a distributed frame has none, so the preview
+    * sorts explicitly on the full record key — stable across runs,
+    * partition counts, and AQE decisions (ties that survive the sort
+    * are bit-identical rows, so the selected SET is still unique).
+    * orderBy+limit plans as TakeOrderedAndProject: per-partition top-N,
+    * never a global sort of all errors.
+    */
+  def errorReport(annotated: DataFrame, n: Int = 5): DataFrame =
+    errorOutput(annotated)
+      .orderBy("FileSource", "FieldName", "ErrorType", "FieldValue", "ErrorMessage")
+      .limit(n)
+
+  /** Per-file batch mode (reference main.py:34-55): enumerate the glob
+    * driver-side, run the full pipeline once per file, and isolate
+    * failures — one unreadable/misshapen file is reported and skipped
+    * instead of aborting the whole batch. Each file writes into its own
+    * sink subdirectory (`<out>/<fileName>/`).
+    *
+    * This is the fault-isolation mode, not the scale mode: it serializes
+    * one (distributed) Spark job per file. For homogeneous inputs the
+    * single multi-file glob scan in [[run]] is the 100 TB path — use
+    * this when per-file isolation and per-file outcome reporting matter
+    * more than cluster utilization (heterogeneous vendor drops).
+    * Enumeration goes through the Hadoop FileSystem API, so the pattern
+    * may live on any supported filesystem, not just local disk.
+    */
+  def runBatch(
+      spark: SparkSession,
+      pattern: String,
+      validOut: String,
+      errorsOut: String,
+      dryRun: Boolean = false
+  ): BatchResult = {
+    val hadoopPath = new org.apache.hadoop.fs.Path(pattern)
+    val fs = hadoopPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val matched = Option(fs.globStatus(hadoopPath)).getOrElse(Array.empty)
+      .filter(_.isFile).map(_.getPath).sortBy(_.toString).toIndexedSeq
+    BatchResult(matched.map { p =>
+      val name = p.getName.replaceAll("[^A-Za-z0-9._-]", "_")
+      try {
+        val s = run(spark, p.toString, s"$validOut/$name", s"$errorsOut/$name", dryRun)
+        FileResult(p.toString, Some(s), None)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          FileResult(p.toString, None, Some(rootMessage(e)))
+      }
+    })
+  }
+
+  /** Innermost non-empty exception message — per-file CSV failures
+    * surface as SparkException wrappers around the real cause.
+    */
+  private def rootMessage(e: Throwable): String = {
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).toSeq
+    chain.reverseIterator.flatMap(t => Option(t.getMessage)).find(_.nonEmpty)
+      .getOrElse(e.getClass.getName)
   }
 
   /** Typed face of the valid sink — `Dataset[QualityRecord]` where

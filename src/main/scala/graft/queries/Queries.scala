@@ -264,6 +264,25 @@ object Queries {
           col("e.ErrorType").as("error_type"))
     }),
 
+    // S6/§4.2: deterministic first-N error report — the reference's
+    // "First 5 Errors" preview needs an explicit total sort key on a
+    // distributed frame. TakeOrderedAndProject, never a global sort.
+    "s6_error_report" -> ((s, d) => {
+      val errs = RuleCompiler.compileRow(lineitemRules)
+      t(s, d, "lineitem")
+        .withColumn("errors", errs)
+        .filter(size(col("errors")) > 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          explode(col("errors")).as("e"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("e.FieldName").as("field_name"),
+          col("e.ErrorType").as("error_type"))
+        // (orderkey, linenumber, field) is a total key: one error per
+        // rule per lineitem row -> the LIMIT boundary is unambiguous
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("field_name"))
+        .limit(10)
+    }),
+
     // P10: source→target rename projection with computed column
     // (reference src/etl_processor.py:68-92 column mapping).
     "p10_rename_projection" -> ((s, d) => {
@@ -352,10 +371,16 @@ object Queries {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
     }),
 
-    // MinHash-LSH near-dups — NOT SQL-expressible; rows-only check here,
-    // golden-pair assertions in DedupSpec. storage=NONE: the returned
-    // frame is lazy so nothing could ever unpersist a cache from here,
-    // and at this scale recomputing the projection beats cache churn.
+    // MinHash-LSH near-dups. The candidate stage is not SQL-expressible,
+    // but the VERIFIED output is oracle-checked against a DuckDB exact
+    // shingle-jaccard all-pairs join: every true pair in the corpus has
+    // j >= 0.9, where these LSH parameters (16 bands of 4 rows) miss a
+    // pair with probability (1-0.9^4)^16 ~ 4e-8 — so LSH output = exact
+    // set, and the jaccard measure itself (one int/int IEEE division)
+    // is bit-identical across engines. Golden-pair assertions in
+    // DedupSpec. storage=NONE: the returned frame is lazy so nothing
+    // could ever unpersist a cache from here, and at this scale
+    // recomputing the projection beats cache churn.
     "x_dedup_minhash" -> ((s, d) => {
       Dedup.minHashNearDups(t(s, d, "documents"), "doc_id", "text",
         shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5,
@@ -642,6 +667,37 @@ object Queries {
         |UNION ALL
         |SELECT l_orderkey, l_linenumber, 'l_shipdate', 'DATE_RANGE'
         |  FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-06-01' OR l_shipdate > TIMESTAMP '2000-12-31'""".stripMargin,
+
+    // exact all-pairs jaccard: O(n²) list ops — fine at the oracle's
+    // sf0.01 (500 docs); the Spark side is the one that must scale
+    "x_dedup_minhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(ts)-2),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+        |  FROM toks WHERE len(ts) >= 3
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5""".stripMargin,
+
+    "s6_error_report" ->
+      """SELECT * FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS field_name, 'RANGE' AS error_type
+        |    FROM lineitem WHERE l_quantity < 5 OR l_quantity > 45
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', 'RANGE'
+        |    FROM lineitem WHERE l_discount < 0 OR l_discount > 0.05
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_shipdate', 'DATE_RANGE'
+        |    FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-06-01' OR l_shipdate > TIMESTAMP '2000-12-31'
+        |) ORDER BY l_orderkey, l_linenumber, field_name LIMIT 10""".stripMargin,
 
     "p10_rename_projection" ->
       """SELECT l_orderkey AS order_key, l_linenumber AS line_number,

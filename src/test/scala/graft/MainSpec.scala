@@ -35,4 +35,30 @@ class MainSpec extends SparkTestBase {
   test("CLI rejects unknown arguments") {
     assertThrows[IllegalArgumentException](Main.main(Array("--bogus")))
   }
+
+  test("CLI --batch isolates failures, reports n/total, archives successes") {
+    spark
+    val cfgPath = getClass.getResource("/mapping_config.xml").getPath
+    val dir = Files.createTempDirectory("main_batch_")
+    val header = "timestamp,line_id,batch_number,product_code,temperature_c,pressure_kpa,humidity_pct,operator_id,defect_count\n"
+    Files.writeString(dir.resolve("prod_a.csv"), header +
+      "2024-02-15 08:30:00,LINE001,B1,PROD-A1,145.5,450.2,45.5,OP0001,0\n")
+    Files.writeString(dir.resolve("prod_b.csv"),
+      "timestamp,batch_number,line_id,product_code,temperature_c,pressure_kpa,humidity_pct,operator_id,defect_count\n" +
+      "2024-02-15 09:00:00,B2,LINE002,PROD-B2,150.0,460.0,44.0,OP0002,0\n")
+
+    val outBuf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(outBuf)) {
+      Main.main(Array(
+        "--config", cfgPath, "--batch", s"$dir/prod_*.csv",
+        "--valid-out", s"$dir/valid", "--errors-out", s"$dir/errors"))
+    }
+    val printed = outBuf.toString
+    assert(printed.contains("BATCH COMPLETE: 1/2 files processed successfully"), printed)
+    assert(printed.contains("FAILED"), printed)
+    // success archived away; the corrupt file stays for inspection
+    assert(!Files.exists(dir.resolve("prod_a.csv")))
+    assert(Files.exists(dir.resolve("prod_b.csv")))
+    assert(Files.list(dir.resolve("processed")).count() == 1)
+  }
 }

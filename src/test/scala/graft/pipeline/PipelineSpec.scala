@@ -346,6 +346,58 @@ class PipelineSpec extends SparkTestBase {
     assert(messages.contains("vendor_b.csv"), s"should name the offending file: $messages")
   }
 
+  test("errorReport returns a stable, explicitly-sorted first-N preview") {
+    val p = new ValidationPipeline(cfg, parityMode = true)
+    val annotated = p.annotate(p.readCsv(spark, fixtureCsv))
+    def report = p.errorReport(annotated, 3).collect().map(_.toSeq).toSeq
+    val first = report
+    // deterministic across repeated executions (no insertion-order reliance)
+    assert(first == report)
+    assert(first.size == 3)
+    // sorted by the declared key: FieldName ascending within one file
+    val fields = first.map(_(3).asInstanceOf[String])
+    assert(fields == fields.sorted)
+    // plans as a top-N, not a global sort of every error
+    val plan = p.errorReport(annotated, 3).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("runBatch isolates a corrupt file and reports success/total") {
+    val dir = Files.createTempDirectory("batch_")
+    val header = "timestamp,line_id,batch_number,product_code,temperature_c,pressure_kpa,humidity_pct,operator_id,defect_count\n"
+    Files.writeString(dir.resolve("prod_a.csv"), header +
+      "2024-02-15 08:30:00,LINE001,B1,PROD-A1,145.5,450.2,45.5,OP0001,0\n")
+    // corrupt: column-reordered header (per-file header check rejects it)
+    Files.writeString(dir.resolve("prod_b.csv"),
+      "timestamp,batch_number,line_id,product_code,temperature_c,pressure_kpa,humidity_pct,operator_id,defect_count\n" +
+      "2024-02-15 09:00:00,B2,LINE002,PROD-B2,150.0,460.0,44.0,OP0002,0\n")
+    Files.writeString(dir.resolve("prod_c.csv"), header +
+      "2024-02-15 09:30:00,LINE002,B3,PROD-B2,152.0,470.0,43.0,OP0002,1\n")
+
+    val p = new ValidationPipeline(cfg, parityMode = true)
+    val out = tmpDir()
+    val result = p.runBatch(spark, s"$dir/prod_*.csv", s"$out/valid", s"$out/errors")
+    assert(result.total == 3)
+    assert(result.successCount == 2)
+    val failed = result.files.filter(!_.succeeded)
+    assert(failed.map(_.file).forall(_.endsWith("prod_b.csv")))
+    assert(failed.head.error.get.contains("header"))
+    // the two good files wrote their own sink subdirectories
+    assert(Files.exists(java.nio.file.Paths.get(s"$out/valid/prod_a.csv")))
+    assert(Files.exists(java.nio.file.Paths.get(s"$out/valid/prod_c.csv")))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$out/valid/prod_b.csv")))
+    // per-file summaries are the single-file pipeline's numbers
+    assert(result.files.find(_.file.endsWith("prod_a.csv")).get
+      .summary.contains(ValidationSummary(1, 1, 0, 0)))
+  }
+
+  test("runBatch on a pattern matching nothing returns an empty result") {
+    val p = new ValidationPipeline(cfg, parityMode = true)
+    val out = tmpDir()
+    val result = p.runBatch(spark, s"$out/nothing_*.csv", s"$out/v", s"$out/e")
+    assert(result.total == 0 && result.successCount == 0)
+  }
+
   test("archive moves the file with a timestamp prefix when enabled") {
     val dir = Files.createTempDirectory("arch_")
     val f = dir.resolve("input.csv")
