@@ -1,7 +1,8 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: times every SparkEntry query at the given SF and
+/** Benchmark main: times every SparkEntry query at the given SF
+  * (median of SPARK_GRAFT_BENCH_REPS runs each, default 3) and
   * prints one JSON line. Materializes each result with a noop-format
   * write so Catalyst cannot prune the computed columns the way a bare
   * `count()` would (a rule-compiler query's `errors` array must actually
@@ -26,16 +27,25 @@ object Bench {
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => () }
     }
-    // stable iteration order so per-query timings are comparable run-over-run
+    // per-query MEDIAN of 3 consecutive runs: single-shot timings moved
+    // ±20% round-over-round with no code change (bimodal JIT compilation
+    // of large generated methods — see BASELINE.md); the median drops
+    // the odd cold/deopt run so round-over-round comparisons track code,
+    // not noise. Stable iteration order keeps timings comparable.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        name -> (System.nanoTime() - t0) / 1e9
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        name -> -1.0 // sentinel: a failed query must not read as a fast one
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0 // sentinel: a failed query must not read as a fast one
+        }
       }
+      val ok = times.filter(_ >= 0).sorted
+      name -> (if (ok.isEmpty) -1.0 else ok(ok.size / 2))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -71,14 +71,55 @@ object Ivf {
     val index = buildIndex(corpus, idCol, vecCol, nlist)
     val assigned = assign(
       corpus.select(col(idCol).as("id"), col(vecCol).as("v")), "v", index)
-    val probes = queries
+    rankProbes(assigned, queries, qidCol, qvecCol, index, k, nProbe)
+  }
+
+  /** Persist the assigned corpus partitioned by cell id — the on-disk
+    * index layout of the 100 TB path. One directory per cell means a
+    * probe's `cell IN (...)` predicate prunes the scan to nProbe/nlist
+    * of the files (asserted in IvfSpec).
+    */
+  def writeIndex(assigned: DataFrame, path: String): Unit =
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** ANN top-k over a written index: compute each query's probe cells,
+    * then scan ONLY those cells' partitions. The probe-cell collect is
+    * bounded by nlist (there are at most nlist distinct cells), so the
+    * driver-side literal predicate stays small no matter how many
+    * queries are in the batch.
+    */
+  def ivfTopKFromIndex(
+      spark: SparkSession, indexPath: String, index: IvfIndex,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, nProbe: Int = 8
+  ): DataFrame = {
+    val probes = probeCells(queries, qidCol, qvecCol, index, nProbe)
+    val cells = probes.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    val corpus = spark.read.parquet(indexPath).filter(col("cell").isin(cells: _*))
+    rank(corpus.join(broadcast(probes), Seq("cell"))
+      .select(col("query_id"), col("id"),
+        Similarity.cosine(col("v"), col("qv")).as("cosine")), k)
+  }
+
+  private def probeCells(
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      index: IvfIndex, nProbe: Int
+  ): DataFrame =
+    queries
       .select(col(qidCol).as("query_id"), col(qvecCol).as("qv"))
       .withColumn("cell", explode(
         VectorFunctions.nearestCentroids(col("qv"), index.centroids, index.dim, nProbe)))
-    val candidates = assigned
-      .join(broadcast(probes), Seq("cell"))
+
+  private def rankProbes(
+      assigned: DataFrame, queries: DataFrame, qidCol: String, qvecCol: String,
+      index: IvfIndex, k: Int, nProbe: Int
+  ): DataFrame =
+    rank(assigned
+      .join(broadcast(probeCells(queries, qidCol, qvecCol, index, nProbe)), Seq("cell"))
       .select(col("query_id"), col("id"),
-        Similarity.cosine(col("v"), col("qv")).as("cosine"))
+        Similarity.cosine(col("v"), col("qv")).as("cosine")), k)
+
+  private def rank(candidates: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("id").asc)
     candidates.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

@@ -27,6 +27,55 @@ class IvfSpec extends SparkTestBase {
     assert(cells.length > 8) // sampled centroids spread the corpus
   }
 
+  test("written index prunes probe scans to nProbe cells' files; results unchanged") {
+    val nlist = 32
+    val nProbe = 4
+    val index = Ivf.buildIndex(emb, "vec_id", "embedding", nlist)
+    val assigned = Ivf.assign(
+      emb.select(col("vec_id").as("id"), col("embedding").as("v")), "v", index)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_index_").toString
+    Ivf.writeIndex(assigned, dir)
+
+    // one directory per occupied cell on disk
+    val cellDirs = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .filter(p => p.getFileName.toString.startsWith("cell=")).count()
+    val occupiedCells = assigned.select("cell").distinct().count()
+    assert(cellDirs == occupiedCells)
+
+    val fromIndex = Ivf.ivfTopKFromIndex(spark, dir, index,
+      queries.limit(1), "qid", "qv", k = 10, nProbe = nProbe)
+    val rows = fromIndex.collect()
+
+    // the scan must have read only the probed cells' files, not the
+    // whole index: numFiles metric on the executed scan node (recurse
+    // through AQE's leaf-like wrapper nodes)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scansOf(p: SparkPlan): Seq[FileSourceScanExec] = {
+      val direct = p.collect { case f: FileSourceScanExec => f }
+      val nested = p.collect {
+        case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+        case q: QueryStageExec => scansOf(q.plan)
+      }.flatten
+      direct ++ nested
+    }
+    val scans = scansOf(fromIndex.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("ivf_index_")))
+    assert(scans.nonEmpty, fromIndex.queryExecution.executedPlan.toString)
+    val filesRead = scans.map(_.metrics("numFiles").value).sum
+    assert(filesRead <= nProbe,
+      s"probe read $filesRead files; expected <= $nProbe of $cellDirs cell dirs")
+
+    // identical results to the in-memory probe path (same index/centroids)
+    val inMemory = Ivf.ivfTopK(emb, "vec_id", "embedding",
+      queries.limit(1), "qid", "qv", k = 10, nlist = nlist, nProbe = nProbe)
+      .select("query_id", "id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val fromDisk = rows.map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("id"), r.getAs[Int]("rank"))).toSet
+    assert(fromDisk == inMemory)
+  }
+
   test("ivfTopK finds the self-match and achieves reasonable recall") {
     val exact = Similarity.batchTopK(emb, "vec_id", "embedding",
       queries, "qid", "qv", 10)
