@@ -44,8 +44,10 @@ object Bench {
           -1.0 // sentinel: a failed query must not read as a fast one
         }
       }
-      val ok = times.filter(_ >= 0).sorted
-      name -> (if (ok.isEmpty) -1.0 else ok(ok.size / 2))
+      // ANY failed rep keeps the failure sentinel: an intermittently
+      // failing query must not report its lone success as a healthy time
+      val sorted = times.sorted
+      name -> (if (sorted.head < 0) -1.0 else sorted(sorted.size / 2))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -47,6 +47,9 @@ object Main {
         case other => throw new IllegalArgumentException(s"unknown argument: $other")
       }
     }
+    if (input.isDefined && batch.isDefined)
+      throw new IllegalArgumentException(
+        "--input and --batch are mutually exclusive; pass one")
     val cfg = XmlConfigParser.parseFile(configPath)
     val inputPath = input.getOrElse(cfg.source.filePath)
 
@@ -77,9 +80,10 @@ object Main {
                 // archive each successfully processed local file when
                 // configured (reference archives per file post-load)
                 if (!dryRun) {
-                  // runBatch reports qualified Hadoop URIs (file:/...)
+                  // runBatch reports qualified Hadoop paths (file:/...);
+                  // Hadoop's Path handles spaces/# that java.net.URI rejects
                   val p = Paths.get(
-                    Option(new java.net.URI(f.file).getPath).getOrElse(f.file))
+                    new org.apache.hadoop.fs.Path(f.file).toUri.getPath)
                   if (Files.isRegularFile(p))
                     pipeline.archive(p, p.toAbsolutePath.getParent.resolve("processed"))
                 }

@@ -139,10 +139,11 @@ object Dedup {
       bands: Int = 16,
       threshold: Double = 0.7,
       maxBucket: Int = 1000,
-      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+      metricName: Option[String] = None
   ): DataFrame =
     minHashNearDupsResult(df, idCol, textCol, shingleSize, numHashes, bands,
-      threshold, maxBucket, storage).pairs
+      threshold, maxBucket, storage, metricName).pairs
 
   /** [[minHashNearDups]] with a [[NearDupResult]] handle: caller-owned
     * cache lifecycle + the stable bucket-overflow metric name.
@@ -258,9 +259,11 @@ object Dedup {
       textCol: String,
       maxDistance: Int = 3,
       maxBucket: Int = 1000,
-      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+      metricName: Option[String] = None
   ): DataFrame =
-    simHashNearDupsResult(df, idCol, textCol, maxDistance, maxBucket, storage).pairs
+    simHashNearDupsResult(df, idCol, textCol, maxDistance, maxBucket,
+      storage, metricName).pairs
 
   /** [[simHashNearDups]] with a [[NearDupResult]] handle (caller-owned
     * cache lifecycle + stable metric name).
@@ -316,10 +319,11 @@ object Dedup {
       planes: Int = 12,
       tables: Int = 4,
       maxBucket: Int = 1000,
-      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+      metricName: Option[String] = None
   ): DataFrame =
     embeddingNearDupsResult(df, idCol, vecCol, threshold, planes, tables,
-      maxBucket, storage).pairs
+      maxBucket, storage, metricName).pairs
 
   /** [[embeddingNearDups]] with a [[NearDupResult]] handle (caller-owned
     * cache lifecycle + stable metric name).

@@ -93,8 +93,16 @@ object Ivf {
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int, nProbe: Int = 8
   ): DataFrame = {
-    val probes = probeCells(queries, qidCol, qvecCol, index, nProbe)
-    val cells = probes.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    // materialize the probe frame ONCE, driver-side: it is broadcast in
+    // the join anyway (so it must fit on the driver), and both the cell
+    // literals and the join side derive from the same collected rows —
+    // otherwise the queries subtree + centroid kernel would run twice
+    val probeFrame = probeCells(queries, qidCol, qvecCol, index, nProbe)
+    val rows = probeFrame.collect()
+    val cellIdx = probeFrame.schema.fieldIndex("cell")
+    val cells = rows.map(_.getInt(cellIdx)).distinct.toSeq
+    val probes = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), probeFrame.schema)
     val corpus = spark.read.parquet(indexPath).filter(col("cell").isin(cells: _*))
     rank(corpus.join(broadcast(probes), Seq("cell"))
       .select(col("query_id"), col("id"),

@@ -460,8 +460,18 @@ class ValidationPipeline(
     val fs = hadoopPath.getFileSystem(spark.sessionState.newHadoopConf())
     val matched = Option(fs.globStatus(hadoopPath)).getOrElse(Array.empty)
       .filter(_.isFile).map(_.getPath).sortBy(_.toString).toIndexedSeq
-    BatchResult(matched.map { p =>
-      val name = p.getName.replaceAll("[^A-Za-z0-9._-]", "_")
+    // sink subdirectory per file, disambiguated: a multi-directory glob
+    // (data/*/report.csv) or sanitization can map two files to one
+    // basename — a bare basename key would silently overwrite the first
+    // file's output while both report success
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    val names = matched.map { p =>
+      val base = p.getName.replaceAll("[^A-Za-z0-9._-]", "_")
+      val k = seen.getOrElse(base, 0)
+      seen(base) = k + 1
+      if (k == 0) base else s"${base}_${k + 1}"
+    }
+    BatchResult(matched.zip(names).map { case (p, name) =>
       try {
         val s = run(spark, p.toString, s"$validOut/$name", s"$errorsOut/$name", dryRun)
         FileResult(p.toString, Some(s), None)

@@ -391,6 +391,29 @@ class PipelineSpec extends SparkTestBase {
       .summary.contains(ValidationSummary(1, 1, 0, 0)))
   }
 
+  test("runBatch disambiguates colliding basenames from a multi-dir glob") {
+    val dir = Files.createTempDirectory("collide_")
+    val header = "timestamp,line_id,batch_number,product_code,temperature_c,pressure_kpa,humidity_pct,operator_id,defect_count\n"
+    Files.createDirectories(dir.resolve("vendorA"))
+    Files.createDirectories(dir.resolve("vendorB"))
+    Files.writeString(dir.resolve("vendorA/report.csv"), header +
+      "2024-02-15 08:30:00,LINE001,B1,PROD-A1,145.5,450.2,45.5,OP0001,0\n")
+    Files.writeString(dir.resolve("vendorB/report.csv"), header +
+      "2024-02-15 09:30:00,LINE002,B2,PROD-B2,150.0,460.0,44.0,OP0002,0\n")
+    val p = new ValidationPipeline(cfg, parityMode = true)
+    val out = tmpDir()
+    val result = p.runBatch(spark, s"$dir/*/report.csv", s"$out/valid", s"$out/errors")
+    assert(result.successCount == 2)
+    // both files keep their own output — no silent overwrite
+    assert(Files.exists(java.nio.file.Paths.get(s"$out/valid/report.csv")))
+    assert(Files.exists(java.nio.file.Paths.get(s"$out/valid/report.csv_2")))
+    val a = spark.read.parquet(s"$out/valid/report.csv")
+      .select("ProductionLineID").collect().map(_.getString(0)).toSeq
+    val b = spark.read.parquet(s"$out/valid/report.csv_2")
+      .select("ProductionLineID").collect().map(_.getString(0)).toSeq
+    assert((a ++ b).sorted == Seq("LINE001", "LINE002"))
+  }
+
   test("runBatch on a pattern matching nothing returns an empty result") {
     val p = new ValidationPipeline(cfg, parityMode = true)
     val out = tmpDir()
