@@ -533,6 +533,26 @@ object Queries {
           sum(TextAnalysis.tokenCount(col("text")).cast(LongType)).as("n_tokens"))
     }),
 
+    // Deterministic 80/10/10 train/val/test split: per-(split, lang)
+    // doc and token counts. Pure projection (no shuffle, no RNG); the
+    // bucket hash is engine-portable, so membership is oracle-checked
+    // exactly, not just counted.
+    "x_hash_split" -> ((s, d) => {
+      graft.operators.Sampling.withSplit(t(s, d, "documents"), "doc_id")
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast(LongType)).as("n_tokens"))
+    }),
+
+    // Deterministic stratified downsample: keep 50% of 'en', 20% of
+    // 'de', drop other strata; survivors' ids are exactly reproducible.
+    "x_stratified_sample" -> ((s, d) => {
+      graft.operators.Sampling.stratifiedSample(
+        t(s, d, "documents"), "doc_id", "lang",
+        Map("en" -> 500, "de" -> 200))
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // Document fingerprints (rolling hash) — rows-only (hash seed is
     // engine-specific); dup-fingerprint count asserted in tests.
     "x_fingerprint" -> ((s, d) => {
@@ -763,6 +783,27 @@ object Queries {
         |CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |count(*) AS n_events
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // same affine bucket arithmetic as graft.operators.Sampling: all
+    // intermediates < 2^63 so DuckDB's overflow-checked BIGINT agrees
+    // bit-for-bit with Spark
+    "x_hash_split" ->
+      """WITH b AS (
+        |  SELECT *,
+        |    ((doc_id & 2147483647) * 2654435761 + ((doc_id >> 31) & 2147483647) * 40503 + 97531) % 1000 AS bucket
+        |  FROM documents
+        |)
+        |SELECT CASE WHEN bucket < 800 THEN 'train'
+        |            WHEN bucket < 900 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS n_tokens
+        |FROM b GROUP BY 1, 2""".stripMargin,
+
+    "x_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ((doc_id & 2147483647) * 2654435761 + ((doc_id >> 31) & 2147483647) * 40503 + 97531) % 1000
+        |  < CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 200 ELSE 0 END""".stripMargin,
 
     "x_text_tokens" ->
       """SELECT doc_id,

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("withSplit covers every row with exactly one label; proportions match weights") {
+    val split = Sampling.withSplit(docs, "doc_id")
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet.subsetOf(Set("train", "val", "test")))
+    assert(counts.values.sum == docs.count())
+    // 500 docs: proportions approximate 800/100/100 per-mill
+    val total = counts.values.sum.toDouble
+    assert(counts("train") / total > 0.7 && counts("train") / total < 0.9)
+  }
+
+  test("split assignment is deterministic and stable across evaluations") {
+    def ids(name: String) = Sampling.withSplit(docs, "doc_id")
+      .filter(col("split") === name).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val a = ids("val")
+    assert(a == ids("val")) // re-evaluated plan, same membership
+    assert(a.nonEmpty)
+  }
+
+  test("splitLabel rejects weights that do not sum to 1000") {
+    assertThrows[IllegalArgumentException](
+      Sampling.splitLabel(col("id"), Seq("a" -> 500, "b" -> 400)))
+    assertThrows[IllegalArgumentException](
+      Sampling.splitLabel(col("id"), Seq.empty))
+  }
+
+  test("stratifiedSample keeps ~the per-stratum fraction, drops unlisted strata") {
+    val sampled = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 500, "de" -> 200))
+    val byLang = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang.keySet.subsetOf(Set("en", "de")))
+    val enTotal = docs.filter(col("lang") === "en").count().toDouble
+    if (enTotal > 50)
+      assert(math.abs(byLang.getOrElse("en", 0L) / enTotal - 0.5) < 0.15)
+    // sampling is a filter: survivors are a subset of the corpus
+    assert(sampled.count() <= docs.count())
+  }
+
+  test("bucket hash mixes both id words (high-bit-only differences split)") {
+    // ids that differ only above bit 31 must not all share buckets
+    val ids = (0L until 64L).map(i => (i << 31) | 7L).toDF("id")
+    val buckets = ids.select(Sampling.hashBucket(col("id")).as("b"))
+      .collect().map(_.getLong(0)).toSet
+    assert(buckets.size > 16, s"only ${buckets.size} distinct buckets")
+  }
+
+  test("no shuffle in the split projection (scale guard)") {
+    val plan = Sampling.withSplit(docs, "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+}
