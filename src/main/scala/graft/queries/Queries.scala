@@ -512,7 +512,10 @@ object Queries {
     // End-to-end corpus prep: exact dedup -> MinHash near-dup removal
     // (keep the lower id of each near-dup pair) -> quality floor ->
     // per-language survivor stats. The composition a real training-data
-    // pipeline runs; rows-only (quality score is engine-defined).
+    // pipeline runs. Fully oracle-checked (r4): the near-dup stage is
+    // exact-set-equivalent on this corpus (see x_dedup_minhash) and the
+    // quality score is portable arithmetic (least/greatest/round over
+    // int-derived doubles, same operation order both engines).
     "x_corpus_prep" -> ((s, d) => {
       val docs = t(s, d, "documents")
       // near-dup pairs subsume exact dups (jaccard 1.0 >= threshold) for
@@ -783,6 +786,50 @@ object Queries {
         |CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |count(*) AS n_events
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // the full corpus-prep composition, stage by stage: exact shingle
+    // jaccard replaces the LSH candidate stage (set-equivalent on this
+    // corpus — every true pair sits at j>=0.9, see x_dedup_minhash),
+    // then lowest-id-per-text exact dedup, then the quality formula
+    // verbatim (Java \p{Punct} == the ASCII ranges [!-/:-@[-`{-~])
+    "x_corpus_prep" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text, lang,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(ts)-2),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+        |  FROM toks WHERE len(ts) >= 3
+        |), losers AS (
+        |  SELECT DISTINCT b.doc_id
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+        |), surviving0 AS (
+        |  SELECT * FROM toks WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+        |), surviving AS (
+        |  SELECT * FROM surviving0
+        |  WHERE doc_id IN (SELECT min(doc_id) FROM surviving0 GROUP BY text)
+        |), scored AS (
+        |  SELECT *,
+        |    CASE WHEN trim(text) = '' THEN 0 ELSE len(ts) END AS n_tok,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |         ELSE CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS DOUBLE) / length(text) END AS punct_ratio,
+        |    CASE WHEN (CASE WHEN trim(text)='' THEN 0 ELSE len(ts) END) = 0 THEN 0.0
+        |         ELSE CAST(len(list_filter(ts, t -> lower(t) IN ('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by','it','be','this','that'))) AS DOUBLE)
+        |              / (CASE WHEN trim(text)='' THEN 0 ELSE len(ts) END) END AS stop_ratio
+        |  FROM surviving
+        |), quality AS (
+        |  SELECT *,
+        |    round(least(CAST(n_tok AS DOUBLE)/100.0, 1.0)*0.4
+        |      + greatest(0.0, 1.0 - punct_ratio*5.0)*0.4
+        |      + least(stop_ratio*4.0, 1.0)*0.2, 4) AS q
+        |  FROM scored
+        |)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |FROM quality WHERE q >= 0.3 GROUP BY lang""".stripMargin,
 
     // same affine bucket arithmetic as graft.operators.Sampling: all
     // intermediates < 2^63 so DuckDB's overflow-checked BIGINT agrees
