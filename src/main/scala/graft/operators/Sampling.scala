@@ -13,45 +13,58 @@ import org.apache.spark.sql.functions._
   * `rand()`-based split changes membership on retry/re-partition, and
   * `df.sample` is seed-deterministic only within one Spark lineage).
   *
-  * The bucket hash is a two-word affine mix chosen to be portable: all
-  * intermediates stay below 2^63 so engines that ERROR on 64-bit
-  * overflow (e.g. DuckDB's BIGINT) compute bit-identical buckets to
-  * Spark's wrapping arithmetic — that is what lets the driver
-  * oracle-check split membership exactly. It is NOT a cryptographic
-  * hash: ids are mixed well enough for splitting (Knuth multiplicative
-  * hashing on the low word, a second odd constant on the high word),
-  * but an adversarial id distribution should pre-hash with xxhash64
-  * (engine-specific, so not oracle-portable).
+  * The bucket hash is two rounds of modular multiplication mod the
+  * Mersenne prime 2^31-1, chosen to be portable: every intermediate
+  * stays below 2^63, so engines that ERROR on 64-bit overflow (e.g.
+  * DuckDB's BIGINT) compute bit-identical buckets to Spark's wrapping
+  * arithmetic — that is what lets the driver oracle-check membership
+  * exactly. Multiplication mod a prime is a bijection, so structured
+  * id spaces (strided, sharded, timestamp-derived, high-bit-tagged)
+  * spread across all buckets — unlike a plain `id mod buckets`, which
+  * collapses stride-multiple ids into one bucket. It is NOT a
+  * cryptographic hash: ids congruent mod 2^31-1 collide by
+  * construction, and an adversarial id distribution should pre-hash
+  * with xxhash64 (engine-specific, so not oracle-portable).
+  *
+  * Distinct split/sample DECISIONS over the same corpus must use
+  * distinct `salt`s: two decisions with the same salt are perfectly
+  * correlated (e.g. a 500-per-mill sample keyed like an 800-per-mill
+  * train split selects only train rows). [[withSplit]] and
+  * [[stratifiedSample]] default to different salts for exactly this
+  * reason.
   */
 object Sampling {
 
   /** Number of hash buckets; fractions are expressed in 1/1000ths. */
   val Buckets = 1000L
 
-  private val LowMask = 0x7fffffffL // low 31 bits
-  private val A = 2654435761L // Knuth multiplicative constant (2^32/phi)
-  private val B = 40503L      // odd mix for the high word
-  private val C = 97531L
+  private val P = 2147483647L  // 2^31 - 1, Mersenne prime
+  private val A = 1103515245L  // multiplier round 1 (< 2^31)
+  private val B = 784588716L   // multiplier round 2 (< 2^31)
 
   /** Deterministic bucket in [0, Buckets) for a non-null integral id.
-    * max intermediate: (2^31-1)*A + (2^32)*B + C < 5.8e18 < 2^63.
+    * Overflow audit (the portability contract): r0 < 2^32;
+    * r0*A < 2^32 * 2^31 / 2 < 2^63; r1*B < 2^31 * 2^30 < 2^62.
+    * Non-negative ids hash identically in Spark (`pmod`) and engines
+    * with sign-of-dividend `%`.
     */
-  def hashBucket(id: Column): Column = {
-    val low = id.bitwiseAND(lit(LowMask))
-    val high = shiftright(id, 31).bitwiseAND(lit(LowMask))
-    pmod(low * lit(A) + high * lit(B) + lit(C), lit(Buckets))
+  def hashBucket(id: Column, salt: Long = 0L): Column = {
+    val r0 = pmod(id, lit(P)) + lit(((salt % P) + P) % P)
+    val r1 = pmod(r0 * lit(A), lit(P))
+    val r2 = pmod(r1 * lit(B), lit(P))
+    pmod(r2, lit(Buckets))
   }
 
   /** Split label from cumulative per-mill weights, e.g.
     * `Seq("train" -> 800, "val" -> 100, "test" -> 100)`. Weights must
     * sum to [[Buckets]] so every row gets exactly one label.
     */
-  def splitLabel(id: Column, weights: Seq[(String, Int)]): Column = {
+  def splitLabel(id: Column, weights: Seq[(String, Int)], salt: Long = 0L): Column = {
     require(weights.nonEmpty && weights.forall(_._2 > 0),
       "weights must be positive")
     require(weights.map(_._2).sum == Buckets,
       s"weights must sum to $Buckets per-mill, got ${weights.map(_._2).sum}")
-    val b = hashBucket(id)
+    val b = hashBucket(id, salt)
     val cums = weights.scanLeft(0)(_ + _._2).tail
     weights.zip(cums).init.foldRight(lit(weights.last._1): Column) {
       case (((name, _), cum), rest) => when(b < cum, name).otherwise(rest)
@@ -63,18 +76,22 @@ object Sampling {
     */
   def withSplit(
       df: DataFrame, idCol: String,
-      weights: Seq[(String, Int)] = Seq("train" -> 800, "val" -> 100, "test" -> 100)
+      weights: Seq[(String, Int)] = Seq("train" -> 800, "val" -> 100, "test" -> 100),
+      salt: Long = 0L
   ): DataFrame =
-    df.withColumn("split", splitLabel(col(idCol), weights))
+    df.withColumn("split", splitLabel(col(idCol), weights, salt))
 
   /** Deterministic stratified downsample: keep a per-stratum fraction
     * (per-mill) of rows, decided by the id bucket — no shuffle, no RNG,
     * exact membership reproducibility. Strata absent from `fractions`
-    * keep `defaultPerMill` (default: dropped).
+    * keep `defaultPerMill` (default: dropped). The default salt differs
+    * from [[withSplit]]'s so sampling composes independently with
+    * splitting (same salt = perfectly correlated decisions).
     */
   def stratifiedSample(
       df: DataFrame, idCol: String, stratumCol: String,
-      fractions: Map[String, Int], defaultPerMill: Int = 0
+      fractions: Map[String, Int], defaultPerMill: Int = 0,
+      salt: Long = 1L
   ): DataFrame = {
     require((defaultPerMill +: fractions.values.toSeq)
       .forall(f => f >= 0 && f <= Buckets),
@@ -83,6 +100,6 @@ object Sampling {
       case ((stratum, perMill), rest) =>
         when(col(stratumCol) === stratum, perMill).otherwise(rest)
     }
-    df.filter(hashBucket(col(idCol)) < keep)
+    df.filter(hashBucket(col(idCol), salt) < keep)
   }
 }

@@ -536,15 +536,13 @@ object Queries {
           sum(TextAnalysis.tokenCount(col("text")).cast(LongType)).as("n_tokens"))
     }),
 
-    // Deterministic 80/10/10 train/val/test split: per-(split, lang)
-    // doc and token counts. Pure projection (no shuffle, no RNG); the
-    // bucket hash is engine-portable, so membership is oracle-checked
-    // exactly, not just counted.
+    // Deterministic 80/10/10 train/val/test split: ROW-LEVEL label per
+    // doc, so the oracle verifies exact membership, not just counts.
+    // Pure projection (no shuffle, no RNG); the bucket hash is
+    // engine-portable.
     "x_hash_split" -> ((s, d) => {
       graft.operators.Sampling.withSplit(t(s, d, "documents"), "doc_id")
-        .groupBy(col("split"), col("lang"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(TextAnalysis.tokenCount(col("text")).cast(LongType)).as("n_tokens"))
+        .select(col("doc_id"), col("lang"), col("split"))
     }),
 
     // Deterministic stratified downsample: keep 50% of 'en', 20% of
@@ -813,13 +811,16 @@ object Queries {
         |  SELECT * FROM surviving0
         |  WHERE doc_id IN (SELECT min(doc_id) FROM surviving0 GROUP BY text)
         |), scored AS (
+        |  -- n_tok counts the UNFILTERED split (Spark's tokenCount keeps
+        |  -- empty tokens from tab/newline-edged text); the filtered ts
+        |  -- is only for shingles, which Java-trim their input
         |  SELECT *,
-        |    CASE WHEN trim(text) = '' THEN 0 ELSE len(ts) END AS n_tok,
+        |    CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
         |    CASE WHEN length(text) = 0 THEN 0.0
         |         ELSE CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS DOUBLE) / length(text) END AS punct_ratio,
-        |    CASE WHEN (CASE WHEN trim(text)='' THEN 0 ELSE len(ts) END) = 0 THEN 0.0
+        |    CASE WHEN len(string_split_regex(trim(text), '\s+')) = 0 OR trim(text) = '' THEN 0.0
         |         ELSE CAST(len(list_filter(ts, t -> lower(t) IN ('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by','it','be','this','that'))) AS DOUBLE)
-        |              / (CASE WHEN trim(text)='' THEN 0 ELSE len(ts) END) END AS stop_ratio
+        |              / len(string_split_regex(trim(text), '\s+')) END AS stop_ratio
         |  FROM surviving
         |), quality AS (
         |  SELECT *,
@@ -831,25 +832,26 @@ object Queries {
         |SELECT lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
         |FROM quality WHERE q >= 0.3 GROUP BY lang""".stripMargin,
 
-    // same affine bucket arithmetic as graft.operators.Sampling: all
-    // intermediates < 2^63 so DuckDB's overflow-checked BIGINT agrees
-    // bit-for-bit with Spark
+    // same double-modular-multiplication bucket as
+    // graft.operators.Sampling (salt 0): all intermediates < 2^63 so
+    // DuckDB's overflow-checked BIGINT agrees bit-for-bit with Spark
     "x_hash_split" ->
       """WITH b AS (
         |  SELECT *,
-        |    ((doc_id & 2147483647) * 2654435761 + ((doc_id >> 31) & 2147483647) * 40503 + 97531) % 1000 AS bucket
+        |    (((((doc_id % 2147483647) + 0) * 1103515245) % 2147483647) * 784588716) % 2147483647 % 1000 AS bucket
         |  FROM documents
         |)
-        |SELECT CASE WHEN bucket < 800 THEN 'train'
-        |            WHEN bucket < 900 THEN 'val'
-        |            ELSE 'test' END AS split,
-        |  lang, count(*) AS n_docs,
-        |  CAST(sum(CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS n_tokens
-        |FROM b GROUP BY 1, 2""".stripMargin,
+        |SELECT doc_id, lang,
+        |  CASE WHEN bucket < 800 THEN 'train'
+        |       WHEN bucket < 900 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b""".stripMargin,
 
+    // salt 1 (stratifiedSample's default — decisions with distinct
+    // salts are independent)
     "x_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
-        |WHERE ((doc_id & 2147483647) * 2654435761 + ((doc_id >> 31) & 2147483647) * 40503 + 97531) % 1000
+        |WHERE (((((doc_id % 2147483647) + 1) * 1103515245) % 2147483647) * 784588716) % 2147483647 % 1000
         |  < CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 200 ELSE 0 END""".stripMargin,
 
     "x_text_tokens" ->

@@ -56,6 +56,30 @@ class SamplingSpec extends SparkTestBase {
     assert(buckets.size > 16, s"only ${buckets.size} distinct buckets")
   }
 
+  test("strided id spaces spread over all buckets (no mod-collapse)") {
+    // sharded/timestamp-derived ids arrive with large strides; a hash
+    // whose bucket is affine in id mod 1000 would collapse stride-1000
+    // ids into ONE bucket (100% train, empty val/test)
+    for (stride <- Seq(10L, 1000L, 4096L)) {
+      val ids = (0L until 5000L).map(_ * stride).toDF("id")
+      val buckets = ids.select(Sampling.hashBucket(col("id")).as("b"))
+        .collect().map(_.getLong(0)).toSet
+      assert(buckets.size > 900,
+        s"stride $stride uses only ${buckets.size}/1000 buckets")
+    }
+  }
+
+  test("sampling composes independently with splitting (distinct salts)") {
+    // same-salt decisions are perfectly correlated: a 500-per-mill
+    // sample keyed like the train split would contain ONLY train rows
+    val sampled = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 500, "de" -> 500, "fr" -> 500, "es" -> 500, "zh" -> 500))
+    val splits = Sampling.withSplit(sampled, "doc_id")
+      .groupBy("split").count().collect().map(_.getString(0)).toSet
+    assert(splits == Set("train", "val", "test"),
+      s"sample+split produced only $splits — correlated decisions")
+  }
+
   test("no shuffle in the split projection (scale guard)") {
     val plan = Sampling.withSplit(docs, "doc_id")
       .queryExecution.executedPlan.toString
