@@ -554,6 +554,18 @@ object Queries {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // Benchmark decontamination: docs sharing 5-gram shingles with the
+    // "eval set" (doc_id < 20). Exact-membership oracle; the ratio is a
+    // single int/int IEEE division (bit-identical cross-engine).
+    "x_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Contamination.overlapCounts(
+        docs.filter(col("doc_id") >= 20), "doc_id", "text",
+        docs.filter(col("doc_id") < 20), "text", n = 5)
+        .select(col("id").as("doc_id"), col("n_overlap"),
+          col("n_shingles"), col("overlap_ratio"))
+    }),
+
     // Document fingerprints (rolling hash) — rows-only (hash seed is
     // engine-specific); dup-fingerprint count asserted in tests.
     "x_fingerprint" -> ((s, d) => {
@@ -831,6 +843,25 @@ object Queries {
         |)
         |SELECT lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
         |FROM quality WHERE q >= 0.3 GROUP BY lang""".stripMargin,
+
+    "x_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(ts)-4),
+        |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4])) AS s
+        |  FROM toks WHERE len(ts) >= 5
+        |), bench AS (
+        |  SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id < 20
+        |), corpus AS (
+        |  SELECT doc_id, len(s) AS n_shingles, unnest(s) AS shingle FROM sh WHERE doc_id >= 20
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap,
+        |  CAST(n_shingles AS BIGINT) AS n_shingles,
+        |  CAST(count(*) AS DOUBLE) / n_shingles AS overlap_ratio
+        |FROM corpus JOIN bench USING (shingle)
+        |GROUP BY doc_id, n_shingles""".stripMargin,
 
     // same double-modular-multiplication bucket as
     // graft.operators.Sampling (salt 0): all intermediates < 2^63 so
