@@ -566,6 +566,26 @@ object Queries {
           col("n_shingles"), col("overlap_ratio"))
     }),
 
+    // PII detection + redaction. The corpus is synthetic and PII-free,
+    // so deterministic PII is INJECTED by the query itself (same
+    // expression on the oracle side) — the regex scrubbing is verified
+    // on real matches, not vacuous zeros.
+    "x_pii_redact" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val augmented = docs.withColumn("text2", concat(
+        col("text"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit(" contact user"), col("doc_id").cast(StringType),
+            lit("@example.com"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          concat(lit(" from 10.0."),
+            pmod(col("doc_id"), lit(256)).cast(StringType),
+            lit(".7"))).otherwise(lit(""))))
+      graft.operators.Pii.piiStats(augmented, "doc_id", "text2")
+        .select(col("doc_id"), col("n_emails"), col("n_ipv4"),
+          col("n_phones"), col("redacted"))
+    }),
+
     // Document fingerprints (rolling hash) — rows-only (hash seed is
     // engine-specific); dup-fingerprint count asserted in tests.
     "x_fingerprint" -> ((s, d) => {
@@ -843,6 +863,27 @@ object Queries {
         |)
         |SELECT lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
         |FROM quality WHERE q >= 0.3 GROUP BY lang""".stripMargin,
+
+    // regex patterns are the Java/RE2-common subset (see Pii.scala), so
+    // counts and replacements agree bit-for-bit
+    "x_pii_redact" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END
+        |    AS text2
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text2, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ipv4,
+        |  CAST(len(regexp_extract_all(text2, '\+?[0-9][0-9()\- ]{6,}[0-9]')) AS BIGINT) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(text2,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+        |    '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+        |FROM aug""".stripMargin,
 
     "x_decontaminate" ->
       """WITH toks AS (
