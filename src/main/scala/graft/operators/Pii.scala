@@ -43,7 +43,11 @@ object Pii {
       PhonePattern, "<PHONE>")
 
   /** Per-document PII stats: counts per class + the redacted text.
-    * One codegen'd projection.
+    * One codegen'd projection. Counts are INDEPENDENT detections on the
+    * original text, not placeholder tallies: a string matching two
+    * classes (an email whose domain parses as an IPv4) counts once per
+    * class but is redacted once, by the first pattern in [[redact]]'s
+    * order — do not reconcile counts against placeholder occurrences.
     */
   def piiStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(
