@@ -78,6 +78,31 @@ class StreamingValidation(
       ()
     }
 
+  /** Streaming exact dedup on arbitrary key columns — the streaming
+    * face of [[graft.operators.Dedup.exactDedup]]. State is keyed by
+    * the dedup keys and BOUNDED by the watermark:
+    * `dropDuplicatesWithinWatermark` drops any record whose keys were
+    * seen within the watermark delay and evicts key state once the
+    * event-time watermark passes it, so a high-cardinality key space
+    * (content hashes of a document firehose) cannot grow state without
+    * bound. Exactly-once within the watermark window; duplicates
+    * farther apart than the delay are a documented recall tradeoff —
+    * route the output through the batch dedup in a periodic compaction
+    * for full-history guarantees.
+    */
+  def dedupStream(
+      stream: DataFrame,
+      keyCols: Seq[String],
+      timeCol: String,
+      watermark: String = "1 hour"
+  ): DataFrame =
+    stream
+      .withColumn("__event_time", col(timeCol).cast("timestamp"))
+      .filter(col("__event_time").isNotNull)
+      .withWatermark("__event_time", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+      .drop("__event_time")
+
   /** Windowed error-rate summary over the annotated stream: per
     * (event-time window, line) row/error counts with a watermark to
     * bound state — the streaming analogue of the reference's

@@ -119,6 +119,38 @@ class StreamingSpec extends SparkTestBase {
     assert(rows("PROD-D4") == Seq("LOOKUP")) // demo set would have passed it
   }
 
+  test("dedupStream drops within-watermark duplicates across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, String, String)] // (ts, doc_key, payload)
+    val deduped = new StreamingValidation(cfg).dedupStream(
+      mem.toDF().toDF("ts", "doc_key", "payload"),
+      keyCols = Seq("doc_key"), timeCol = "ts", watermark = "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("stream_dedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        ("2024-02-15 08:00:00", "K1", "first"),
+        ("2024-02-15 08:05:00", "K1", "dup-same-batch"),
+        ("2024-02-15 08:10:00", "K2", "other"))
+      q.processAllAvailable()
+      // duplicate arriving in a LATER micro-batch, still inside the
+      // watermark -> state remembers K1 and drops it
+      mem.addData(("2024-02-15 08:20:00", "K1", "dup-next-batch"))
+      q.processAllAvailable()
+      // a null event time is dropped, not crashed on
+      mem.addData(("not-a-time", "K3", "bad-ts"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("stream_dedup")
+      .select("doc_key", "payload").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(rows.count(_._1 == "K1") == 1)
+    assert(rows.collect { case ("K1", p) => p }.head == "first")
+    assert(rows.count(_._1 == "K2") == 1)
+    assert(!rows.exists(_._1 == "K3"))
+  }
+
   test("runningCounts keeps per-key state across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
