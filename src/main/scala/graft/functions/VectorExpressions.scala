@@ -41,6 +41,41 @@ object Kernels {
   def hashString(s: UTF8String, seed: Long): Long =
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
 
+  /** Sum of token lengths in characters (mean-token-length numerator).
+    * Null elements count 0 — `split` never produces them, but a
+    * hand-built array must not NPE.
+    */
+  def tokenCharSum(tokens: ArrayData): Long = {
+    var sum = 0L
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) sum += tokens.getUTF8String(i).numChars()
+      i += 1
+    }
+    sum
+  }
+
+  /** Order-sensitive polynomial rolling fingerprint over token hashes —
+    * bit-identical to the previous HOF formulation
+    * `aggregate(toks, 1125899906842597L, acc*31 + xxhash64(t))` (Spark's
+    * xxhash64 is XXH64 with seed 42), but one fused JVM loop instead of
+    * an interpreted per-element lambda.
+    */
+  def fingerprint64(tokens: ArrayData): Long = {
+    var acc = 1125899906842597L
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      // HOF semantics: a null token nulls the whole fold; split() never
+      // emits nulls, so treat as absorbing zero-hash instead of NPE
+      val h = if (tokens.isNullAt(i)) 0L else hashString(tokens.getUTF8String(i), 42L)
+      acc = acc * 31 + h
+      i += 1
+    }
+    acc
+  }
+
   /** MinHash signature: each shingle is xxhash64'd ONCE, then the k hash
     * functions are the affine family g_j(h) = a_j*h + b_j (odd a_j) —
     * O(shingles + shingles*k cheap arithmetic) instead of k string
@@ -446,6 +481,30 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression with ArrayEl
     copy(child = newChild)
 }
 
+case class TokenCharSumExpr(child: Expression) extends UnaryExpression with ArrayElemTypes {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkStringArray(child, "tokens")
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.tokenCharSum(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.tokenCharSum($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class Fingerprint64Expr(child: Expression) extends UnaryExpression with ArrayElemTypes {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkStringArray(child, "tokens")
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.fingerprint64(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.fingerprint64($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class DotProductExpr(left: Expression, right: Expression)
     extends BinaryExpression with ArrayElemTypes {
   override def dataType: DataType = DoubleType
@@ -552,6 +611,8 @@ object VectorFunctions {
   def minHashBands(shingles: Column, numHashes: Int, bands: Int): Column =
     c(MinHashBandsExpr(e(shingles), numHashes, bands))
   def simHash64(tokens: Column): Column = c(SimHash64Expr(e(tokens)))
+  def tokenCharSum(tokens: Column): Column = c(TokenCharSumExpr(e(tokens)))
+  def fingerprint64(tokens: Column): Column = c(Fingerprint64Expr(e(tokens)))
   def dot(a: Column, b: Column): Column = c(DotProductExpr(e(a), e(b)))
   def cosine(a: Column, b: Column): Column = c(CosineSimilarityExpr(e(a), e(b)))
   def signBucket(vec: Column, planes: Int, seed: Long): Column =

@@ -122,9 +122,14 @@ object Multimodal {
     * sampled frame would again be partition-wise).
     */
   def sampleOffsets(media: DataFrame, everyBytes: Int = 1024): DataFrame =
-    media.select(
-      col("media_id"),
-      explode(
-        sequence(lit(0L), greatest(col("meta.n_bytes") - 1, lit(0L)),
-          lit(everyBytes.toLong))).as("byte_offset"))
+    media
+      // an empty payload samples NOTHING — without this filter the
+      // greatest(-1, 0) clamp would emit a bogus offset-0 row that a
+      // real frame decoder would read out of bounds on
+      .filter(col("meta.n_bytes") > 0)
+      .select(
+        col("media_id"),
+        explode(
+          sequence(lit(0L), col("meta.n_bytes") - 1,
+            lit(everyBytes.toLong))).as("byte_offset"))
 }

@@ -65,8 +65,12 @@ object Similarity {
 
   /** Exact top-k for MANY queries at once: broadcast the (small) query
     * set against the corpus, window row_number per query. One corpus
-    * scan regardless of query count; the shuffle is on query_id (small
-    * cardinality × k survives the window).
+    * scan regardless of query count. The `row_number <= k` filter is
+    * rewritten by Catalyst into a PARTIAL WindowGroupLimit ahead of the
+    * exchange (guarded by a PlanSpec test), so each map task reduces to
+    * <= k rows per query before shuffling — the shuffle carries
+    * O(queries × k × partitions), never the corpus, and no single
+    * reducer sorts a whole query partition.
     */
   def batchTopK(
       corpus: DataFrame, idCol: String, vecCol: String,

@@ -55,12 +55,14 @@ object TextAnalysis {
       markerHits(tokens(lower(text)), stopwords).cast(DoubleType) / n)
   }
 
-  /** Mean token length in characters. */
+  /** Mean token length in characters. Native kernel for the sum — an
+    * `aggregate` HOF lambda here would be interpreted per element, the
+    * 10-100x trap the kernel layer exists to avoid.
+    */
   def meanTokenLen(text: Column): Column = {
     val toks = tokens(text)
     when(size(toks) === 0 || text.isNull, 0.0).otherwise(
-      aggregate(toks, lit(0L), (acc, t) => acc + length(t))
-        .cast(DoubleType) / size(toks))
+      VectorFunctions.tokenCharSum(toks).cast(DoubleType) / size(toks))
   }
 
   /** Composite quality score in [0,1]: favors mid-length docs with low
@@ -99,13 +101,13 @@ object TextAnalysis {
   }
 
   /** Order-sensitive 64-bit document fingerprint: polynomial rolling hash
-    * over token hashes (fold, codegen'd). Equal fingerprints ⇒ equal
-    * token sequences (mod collisions) — cheap exact-dup key that ignores
-    * whitespace differences.
+    * over token xxhash64s (native kernel — one fused loop per row,
+    * values bit-identical to the previous HOF formulation). Equal
+    * fingerprints ⇒ equal token sequences (mod collisions) — cheap
+    * exact-dup key that ignores whitespace differences.
     */
   def fingerprint(text: Column): Column =
-    aggregate(tokens(text), lit(1125899906842597L),
-      (acc, t) => acc * 31 + xxhash64(t))
+    VectorFunctions.fingerprint64(tokens(text))
 
   /** Per-document feature frame: the standard text-quality projection. */
   def documentFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame =

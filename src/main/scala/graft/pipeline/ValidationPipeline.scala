@@ -464,12 +464,17 @@ class ValidationPipeline(
     // (data/*/report.csv) or sanitization can map two files to one
     // basename — a bare basename key would silently overwrite the first
     // file's output while both report success
-    val seen = scala.collection.mutable.Map.empty[String, Int]
+    // names are probed until unused AND reserved, so a generated
+    // "name_2" can never collide with a later file literally named
+    // "name_2" (or vice versa)
+    val taken = scala.collection.mutable.Set.empty[String]
     val names = matched.map { p =>
       val base = p.getName.replaceAll("[^A-Za-z0-9._-]", "_")
-      val k = seen.getOrElse(base, 0)
-      seen(base) = k + 1
-      if (k == 0) base else s"${base}_${k + 1}"
+      val name = Iterator.single(base)
+        .concat(Iterator.from(2).map(k => s"${base}_$k"))
+        .find(!taken.contains(_)).get
+      taken += name
+      name
     }
     BatchResult(matched.zip(names).map { case (p, name) =>
       try {
@@ -562,7 +567,11 @@ class ValidationPipeline(
 object ValidationPipeline {
   val ErrorsCol = "errors"
   val FileSourceCol = "_file_source"
-  private def presenceFlag(table: String) = s"__present_${table.replaceAll("[^A-Za-z0-9]", "_")}"
+  // the readable sanitized name is NOT injective ("a_b:c" and "a:b_c"
+  // both sanitize to a_b_c) — suffix a hash of the raw key so distinct
+  // lookup rules always get distinct join columns
+  private def presenceFlag(table: String) =
+    s"__present_${table.replaceAll("[^A-Za-z0-9]", "_")}_${table.hashCode & 0x7fffffff}"
   private def statMean(field: String) = s"__stat_mean_$field"
   private def statStd(field: String) = s"__stat_std_$field"
 }

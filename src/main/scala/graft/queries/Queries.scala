@@ -802,6 +802,10 @@ object Queries {
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
 
+    // NOT isnan(c) mirrors the Spark side's NaN filter: a zero vector's
+    // cosine is undefined, and DuckDB sorts NaN ABOVE all numbers under
+    // DESC — without the guard a zero vector would take rank 1 here
+    // while Spark excludes it
     "x_cosine_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
         |scored AS (
@@ -809,7 +813,7 @@ object Queries {
         |  FROM embeddings, q WHERE vec_id <> 0)
         |SELECT vec_id,
         |  CAST(row_number() OVER (ORDER BY c DESC, vec_id ASC) AS INTEGER) AS rank
-        |FROM scored ORDER BY c DESC, vec_id ASC LIMIT 10""".stripMargin,
+        |FROM scored WHERE NOT isnan(c) ORDER BY c DESC, vec_id ASC LIMIT 10""".stripMargin,
 
     "x_json_extract" ->
       """SELECT event_type,

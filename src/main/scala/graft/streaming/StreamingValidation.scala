@@ -89,6 +89,12 @@ class StreamingValidation(
     * farther apart than the delay are a documented recall tradeoff —
     * route the output through the batch dedup in a periodic compaction
     * for full-history guarantees.
+    *
+    * Rows whose `timeCol` is null or fails the timestamp cast are
+    * DROPPED — a watermark-bounded operator cannot hold state for a
+    * record with no event time. Validate timestamps upstream (the rule
+    * engine's required/date_range rules route malformed rows to the
+    * error sink) if those rows must be preserved.
     */
   def dedupStream(
       stream: DataFrame,
@@ -107,6 +113,11 @@ class StreamingValidation(
     * (event-time window, line) row/error counts with a watermark to
     * bound state — the streaming analogue of the reference's
     * processing summary (src/etl_processor.py:148-157).
+    *
+    * Rows with a null/uncastable `timeCol` cannot be assigned to any
+    * event-time window and are excluded from these counts (they still
+    * flow to the error SINK via the writer — this summary is windowed
+    * observability, not the system of record for bad rows).
     */
   def errorRateByWindow(
       annotated: DataFrame,

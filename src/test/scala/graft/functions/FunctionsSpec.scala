@@ -89,6 +89,32 @@ class FunctionsSpec extends SparkTestBase {
         VectorFunctions.shingles(col("t"), 3), 8).as("sig"))
       .collect()(0).getSeq[Long](0)
     assert(fromEval == fromDf)
+
+    // fingerprint + tokenCharSum: interpreted Literal eval vs codegen'd DF
+    val words = ArrayData.toArrayData(
+      Array("alpha", "beta", "gamma").map(UTF8String.fromString): Array[Any])
+    val lit3 = org.apache.spark.sql.catalyst.expressions.Literal.create(
+      words, org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType))
+    val fpEval = Fingerprint64Expr(lit3).eval(InternalRow.empty)
+    val sumEval = TokenCharSumExpr(lit3).eval(InternalRow.empty)
+    val row = Seq("alpha beta gamma").toDF("t")
+      .select(
+        VectorFunctions.fingerprint64(split(col("t"), "\\s+")).as("fp"),
+        VectorFunctions.tokenCharSum(split(col("t"), "\\s+")).as("cs"))
+      .collect()(0)
+    assert(fpEval == row.getLong(0))
+    assert(sumEval == row.getLong(1) && row.getLong(1) == 14L)
+  }
+
+  test("fingerprint kernel is bit-identical to the HOF formulation it replaced") {
+    val texts = Seq("the quick brown fox", "a", "", "  spaced   out  ").toDF("t")
+    val rows = texts.select(
+      graft.operators.TextAnalysis.fingerprint(col("t")).as("kernel"),
+      aggregate(split(trim(col("t")), "\\s+"), lit(1125899906842597L),
+        (acc, tok) => acc * 31 + xxhash64(tok)).as("hof"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
   test("SQL registration: kernels callable from spark.sql") {

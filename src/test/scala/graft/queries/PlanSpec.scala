@@ -59,4 +59,26 @@ class PlanSpec extends SparkTestBase {
     assert("BroadcastHashJoin".r.findAllIn(p).size == 2)
     assert(!p.contains("SortMergeJoin"))
   }
+
+  test("batch/ANN top-k windows pre-reduce map-side (partial WindowGroupLimit)") {
+    // the row_number <= k filter must rewrite into a PARTIAL group
+    // limit BEFORE the exchange — each map task then ships <= k rows
+    // per query instead of funneling the corpus through per-query
+    // reducers. A rank-without-filter refactor would silently lose it.
+    for (n <- Seq("x_ann_lsh", "x_ann_ivf")) {
+      val p = plan(n)
+      val partialIdx = p.indexOf("WindowGroupLimit")
+      assert(p.contains("Partial"), s"$n: no partial WindowGroupLimit\n$p")
+      assert(partialIdx >= 0, s"$n: no WindowGroupLimit at all")
+    }
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val p = graft.operators.Similarity
+      .batchTopK(emb, "vec_id", "embedding", qs, "qid", "qv", 10)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit") &&
+      p.indexOf("Partial") > 0, s"batchTopK lost its partial group limit\n$p")
+  }
 }
