@@ -89,7 +89,11 @@ object GraftExtensions {
       arity("graft_token_set_count", 2)(args =>
         TokenSetCountExpr(args(0), stringSeqArg(args(1), "words")))),
     ("graft_jaccard", info("graft_jaccard", "exact jaccard similarity of two string arrays"),
-      arity("graft_jaccard", 2)(args => JaccardExpr(args(0), args(1))))
+      arity("graft_jaccard", 2)(args => JaccardExpr(args(0), args(1)))),
+    ("graft_fingerprint", info("graft_fingerprint", "rolling 64-bit fingerprint of a token array"),
+      arity("graft_fingerprint", 1)(args => Fingerprint64Expr(args(0)))),
+    ("graft_token_char_sum", info("graft_token_char_sum", "total characters across a token array"),
+      arity("graft_token_char_sum", 1)(args => TokenCharSumExpr(args(0))))
   )
 
   /** Register on an already-running session. */

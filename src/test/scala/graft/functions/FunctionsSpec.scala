@@ -124,13 +124,19 @@ class FunctionsSpec extends SparkTestBase {
         |       graft_simhash(array('a','b')) = graft_simhash(array('a','b')) AS same,
         |       graft_shingles('a b c', 2) AS sh,
         |       graft_token_set_count(array('x','y','x'), array('x')) AS n,
-        |       graft_jaccard(array('a','b','c'), array('b','c','d')) AS j
+        |       graft_jaccard(array('a','b','c'), array('b','c','d')) AS j,
+        |       graft_fingerprint(array('a','b')) = graft_fingerprint(array('a','b')) AS fp_same,
+        |       graft_fingerprint(array('a','b')) = graft_fingerprint(array('b','a')) AS fp_ordered,
+        |       graft_token_char_sum(array('ab','cde')) AS cs
         |""".stripMargin).collect()(0)
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
     assert(r.getBoolean(1))
     assert(r.getSeq[String](2) == Seq("a b", "b c"))
     assert(r.getLong(3) == 2L)
     assert(r.getDouble(4) == 0.5) // |{b,c}| / |{a,b,c,d}|
+    assert(r.getBoolean(5))
+    assert(!r.getBoolean(6)) // order-sensitive
+    assert(r.getLong(7) == 5L)
   }
 
   test("signBucket: similar vectors share more buckets than dissimilar ones") {
