@@ -374,13 +374,17 @@ object Queries {
     // MinHash-LSH near-dups. The candidate stage is not SQL-expressible,
     // but the VERIFIED output is oracle-checked against a DuckDB exact
     // shingle-jaccard all-pairs join: every true pair in the corpus has
-    // j >= 0.9, where these LSH parameters (16 bands of 4 rows) miss a
-    // pair with probability (1-0.9^4)^16 ~ 4e-8 — so LSH output = exact
-    // set, and the jaccard measure itself (one int/int IEEE division)
-    // is bit-identical across engines. Golden-pair assertions in
-    // DedupSpec. storage=NONE: the returned frame is lazy so nothing
-    // could ever unpersist a cache from here, and at this scale
-    // recomputing the projection beats cache churn.
+    // j >= 0.8, where these LSH parameters (16 bands of 4 rows) miss a
+    // pair with probability <= (1-0.8^4)^16 ~ 2e-4 — and the hashing is
+    // deterministic, so equality is a checkable fact, verified LSH
+    // output == exact set at BOTH sf0.01 (25 pairs) and sf0.1 (256
+    // pairs, incl. the one j=0.8 pair). The jaccard measure itself (one
+    // int/int IEEE division) is bit-identical across engines.
+    // Golden-pair assertions in DedupSpec. storage=NONE: the returned
+    // frame is lazy so nothing could ever unpersist a cache from here,
+    // and at this scale recomputing the projection beats cache churn.
+    // NOTE: the DuckDB side is all-pairs — ~2 s at sf0.01 but >10 min
+    // at sf0.1; the oracle gate runs at sf0.01 only.
     "x_dedup_minhash" -> ((s, d) => {
       Dedup.minHashNearDups(t(s, d, "documents"), "doc_id", "text",
         shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5,
