@@ -29,7 +29,8 @@ class MainSpec extends SparkTestBase {
     // RI is skipped (no dim registered at the CLI) -> 4 valid
     assert(valid.count() == 4)
     assert(!Files.exists(csv)) // archived away
-    assert(Files.list(out.resolve("processed")).count() == 1)
+    val processed = Files.list(out.resolve("processed"))
+    try assert(processed.count() == 1) finally processed.close()
   }
 
   test("CLI rejects unknown arguments") {
@@ -40,7 +41,7 @@ class MainSpec extends SparkTestBase {
     spark
     val cfgPath = getClass.getResource("/mapping_config.xml").getPath
     val dir = Files.createTempDirectory("main_batch_")
-    val header = "timestamp,line_id,batch_number,product_code,temperature_c,pressure_kpa,humidity_pct,operator_id,defect_count\n"
+    val header = fixtureHeader
     Files.writeString(dir.resolve("prod_a.csv"), header +
       "2024-02-15 08:30:00,LINE001,B1,PROD-A1,145.5,450.2,45.5,OP0001,0\n")
     Files.writeString(dir.resolve("prod_b.csv"),
@@ -59,6 +60,7 @@ class MainSpec extends SparkTestBase {
     // success archived away; the corrupt file stays for inspection
     assert(!Files.exists(dir.resolve("prod_a.csv")))
     assert(Files.exists(dir.resolve("prod_b.csv")))
-    assert(Files.list(dir.resolve("processed")).count() == 1)
+    val archived = Files.list(dir.resolve("processed"))
+    try assert(archived.count() == 1) finally archived.close()
   }
 }

@@ -25,4 +25,10 @@ abstract class SparkTestBase extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestBase.spark
   /** sf0.001 testdata dir (smoke scale). */
   val sfDir = "/root/testdata/sf0.001"
+  /** Canonical 9-column fixture CSV header (single source of truth for
+    * every test that writes fixture-shaped CSVs; deliberately corrupted
+    * variants stay inline where used).
+    */
+  val fixtureHeader =
+    "timestamp,line_id,batch_number,product_code,temperature_c,pressure_kpa,humidity_pct,operator_id,defect_count\n"
 }

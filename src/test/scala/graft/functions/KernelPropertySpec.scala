@@ -13,14 +13,17 @@ import org.apache.spark.sql.functions._
 class KernelPropertySpec extends SparkTestBase {
   import spark.implicits._
 
-  private val rnd = new scala.util.Random(0xC0FFEE)
+  // fresh RNG per test (seed derived from the test name) so a failure
+  // reproduces under `testOnly -- -z <name>` regardless of suite order
+  private def rng(testName: String) = new scala.util.Random(testName.hashCode.toLong)
 
-  private def randomTokenSet(maxLen: Int): Seq[String] =
+  private def randomTokenSet(rnd: scala.util.Random, maxLen: Int): Seq[String] =
     (0 until (1 + rnd.nextInt(maxLen))).map(_ => s"tok${rnd.nextInt(40)}").distinct
 
   test("jaccard kernel agrees with the set definition on random pairs") {
+    val rnd = rng("jaccard-set-agreement")
     val cases = (1 to 300).map { _ =>
-      (randomTokenSet(30), randomTokenSet(30))
+      (randomTokenSet(rnd, 30), randomTokenSet(rnd, 30))
     }
     val got = cases.toDF("a", "b")
       .select(VectorFunctions.jaccard(col("a"), col("b")).as("j"))
@@ -37,7 +40,8 @@ class KernelPropertySpec extends SparkTestBase {
   test("minhash union law: sig(A ++ B) == elementwise min(sig(A), sig(B))") {
     // the algebraic property that makes signatures composable from
     // partial aggregates — and the basis of LSH banding
-    val cases = (1 to 100).map { _ => (randomTokenSet(20), randomTokenSet(20)) }
+    val rnd = rng("minhash-union-law")
+    val cases = (1 to 100).map { _ => (randomTokenSet(rnd, 20), randomTokenSet(rnd, 20)) }
     val rows = cases.toDF("a", "b")
       .select(
         VectorFunctions.minHashSignature(col("a"), 32).as("sa"),
@@ -52,6 +56,7 @@ class KernelPropertySpec extends SparkTestBase {
   }
 
   test("simhash is token-order invariant (vote sums commute)") {
+    val rnd = rng("simhash-order-invariance")
     val cases = (1 to 100).map { _ =>
       val toks = (0 until (1 + rnd.nextInt(25))).map(_ => s"w${rnd.nextInt(30)}")
       (toks, rnd.shuffle(toks))
@@ -64,6 +69,7 @@ class KernelPropertySpec extends SparkTestBase {
   }
 
   test("shingles: every n-gram has n tokens; count == distinct windows") {
+    val rnd = rng("shingle-windows")
     val texts = (1 to 200).map { _ =>
       (0 until rnd.nextInt(12)).map(_ => s"t${rnd.nextInt(6)}").mkString(" ")
     }
@@ -82,6 +88,7 @@ class KernelPropertySpec extends SparkTestBase {
   }
 
   test("cosine kernel is symmetric and 1.0 on self (non-zero vectors)") {
+    val rnd = rng("cosine-symmetry")
     val vecs = (1 to 100).map { _ =>
       ((0 until 16).map(_ => rnd.nextDouble() + 0.1).toArray,
         (0 until 16).map(_ => rnd.nextDouble() + 0.1).toArray)
@@ -101,6 +108,7 @@ class KernelPropertySpec extends SparkTestBase {
 
   test("hashBucket stays in range and near-uniform over random ids") {
     import graft.operators.Sampling
+    val rnd = rng("hash-bucket-uniformity")
     val ids = (1 to 20000).map(_ => math.abs(rnd.nextLong()) / 2).toDF("id")
     val buckets = ids.select(Sampling.hashBucket(col("id")).as("b"))
       .groupBy("b").count().collect().map(r => r.getLong(0) -> r.getLong(1))

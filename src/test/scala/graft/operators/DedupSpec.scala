@@ -73,7 +73,9 @@ class DedupSpec extends SparkTestBase {
     val pairs = Dedup.simHashNearDups(docs, "doc_id", "text", maxDistance = 8)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(pairs.contains((1L, 2L))) // identical -> distance 0
-    assert(!pairs.exists(p => p._1 == 4L && p._2 == 5L))
+    // the unrelated docs must pair with NOTHING, not merely not each other
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
   test("embeddingNearDups on the testdata finds pairs above threshold, verified exactly") {
@@ -106,7 +108,7 @@ class DedupSpec extends SparkTestBase {
     // earlier tests used the lazy variants (caller-owned lifecycle) —
     // start from a clean cache so the assertion is about THIS call
     spark.sharedState.cacheManager.clearCache()
-    def cachedCount = spark.sharedState.cacheManager.isEmpty
+    def cacheIsEmpty = spark.sharedState.cacheManager.isEmpty
     val result = Dedup.minHashNearDupsResult(docs, "doc_id", "text", threshold = 0.5)
     // deterministic, caller-keyed observation name — no hidden counter
     assert(result.bucketMetric == "graft_dedup_buckets_minhash_doc_id_text")
@@ -115,7 +117,7 @@ class DedupSpec extends SparkTestBase {
       pairs.count()
     }
     assert(n > 0)
-    assert(cachedCount, "use{} must unpersist the intermediate projection")
+    assert(cacheIsEmpty, "use{} must unpersist the intermediate projection")
     // no persistent RDD blocks left behind either
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }

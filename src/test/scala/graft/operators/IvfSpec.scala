@@ -31,14 +31,20 @@ class IvfSpec extends SparkTestBase {
     val nlist = 32
     val nProbe = 4
     val index = Ivf.buildIndex(emb, "vec_id", "embedding", nlist)
+    // coalesce(1): exactly one part file per cell dir, so the
+    // files-read assertion below pins PRUNING, not the incidental
+    // (task × cell) file layout of the source partitioning
     val assigned = Ivf.assign(
-      emb.select(col("vec_id").as("id"), col("embedding").as("v")), "v", index)
+      emb.select(col("vec_id").as("id"), col("embedding").as("v")).coalesce(1),
+      "v", index)
     val dir = java.nio.file.Files.createTempDirectory("ivf_index_").toString
     Ivf.writeIndex(assigned, dir)
 
     // one directory per occupied cell on disk
-    val cellDirs = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-      .filter(p => p.getFileName.toString.startsWith("cell=")).count()
+    val listing = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    val cellDirs =
+      try listing.filter(_.getFileName.toString.startsWith("cell=")).count()
+      finally listing.close()
     val occupiedCells = assigned.select("cell").distinct().count()
     assert(cellDirs == occupiedCells)
 

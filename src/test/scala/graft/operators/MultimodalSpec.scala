@@ -27,7 +27,11 @@ class MultimodalSpec extends SparkTestBase {
     // stub decode invariants: image duration 0, dims in [64, 191]
     assert(f1.forall(_.getAs[Long]("duration_ms") == 0L))
     assert(f1.filter(_.getAs[Long]("n_bytes") > 0)
-      .forall(r => r.getAs[Int]("width") >= 64 && r.getAs[Int]("width") <= 191))
+      .forall(r => r.getAs[Int]("width") >= 64 && r.getAs[Int]("width") <= 191 &&
+        r.getAs[Int]("height") >= 64 && r.getAs[Int]("height") <= 191))
+    // 1-byte payload: midpoint byte indexing must not go out of bounds
+    val tiny = Multimodal.decodeStub("image", Array[Byte](7))
+    assert(tiny._1 >= 64 && tiny._2 >= 64)
   }
 
   test("decodeStub handles null/empty payloads") {

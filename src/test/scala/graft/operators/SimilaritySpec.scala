@@ -77,11 +77,8 @@ class SimilaritySpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall >= 0.3, s"LSH recall $recall too low")
-    // every returned candidate's cosine must be exact (re-ranked) — the
-    // self-match (query in corpus) must rank first with cosine ~1
-    val self = Similarity.lshTopK(emb, "vec_id", "embedding",
-      queries, "qid", "qv", k = 10, planes = 6, tables = 12)
-      .filter(col("query_id") === col("id"))
-    assert(self.count() == 5) // each query finds itself
+    // every query probes its own bucket, so the self-match must be in
+    // the already-collected result — no need to re-run the LSH job
+    assert(approx.count(p => p._1 == p._2) == 5)
   }
 }

@@ -307,7 +307,7 @@ class PipelineSpec extends SparkTestBase {
 
   test("glob source reads many files in one scan with per-file lineage") {
     val dir = Files.createTempDirectory("glob_")
-    val header = "timestamp,line_id,batch_number,product_code,temperature_c,pressure_kpa,humidity_pct,operator_id,defect_count\n"
+    val header = fixtureHeader
     Files.writeString(dir.resolve("production_a.csv"), header +
       "2024-02-15 08:30:00,LINE001,B1,PROD-A1,145.5,450.2,45.5,OP0001,0\n")
     Files.writeString(dir.resolve("production_b.csv"), header +
@@ -327,7 +327,7 @@ class PipelineSpec extends SparkTestBase {
     // with enforceSchema=false Spark's header checker does the same — without
     // it a reordered vendor CSV in a glob is silently read positionally
     val dir = Files.createTempDirectory("reorder_")
-    val good = "timestamp,line_id,batch_number,product_code,temperature_c,pressure_kpa,humidity_pct,operator_id,defect_count\n" +
+    val good = fixtureHeader +
       "2024-02-15 08:30:00,LINE001,B1,PROD-A1,145.5,450.2,45.5,OP0001,0\n"
     // line_id and batch_number swapped — same column SET, wrong ORDER
     val reordered = "timestamp,batch_number,line_id,product_code,temperature_c,pressure_kpa,humidity_pct,operator_id,defect_count\n" +
@@ -364,7 +364,7 @@ class PipelineSpec extends SparkTestBase {
 
   test("runBatch isolates a corrupt file and reports success/total") {
     val dir = Files.createTempDirectory("batch_")
-    val header = "timestamp,line_id,batch_number,product_code,temperature_c,pressure_kpa,humidity_pct,operator_id,defect_count\n"
+    val header = fixtureHeader
     Files.writeString(dir.resolve("prod_a.csv"), header +
       "2024-02-15 08:30:00,LINE001,B1,PROD-A1,145.5,450.2,45.5,OP0001,0\n")
     // corrupt: column-reordered header (per-file header check rejects it)
@@ -393,7 +393,7 @@ class PipelineSpec extends SparkTestBase {
 
   test("runBatch disambiguates colliding basenames from a multi-dir glob") {
     val dir = Files.createTempDirectory("collide_")
-    val header = "timestamp,line_id,batch_number,product_code,temperature_c,pressure_kpa,humidity_pct,operator_id,defect_count\n"
+    val header = fixtureHeader
     Files.createDirectories(dir.resolve("vendorA"))
     Files.createDirectories(dir.resolve("vendorB"))
     Files.writeString(dir.resolve("vendorA/report.csv"), header +

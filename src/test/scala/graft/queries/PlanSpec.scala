@@ -65,20 +65,27 @@ class PlanSpec extends SparkTestBase {
     // limit BEFORE the exchange — each map task then ships <= k rows
     // per query instead of funneling the corpus through per-query
     // reducers. A rank-without-filter refactor would silently lose it.
-    for (n <- Seq("x_ann_lsh", "x_ann_ivf")) {
-      val p = plan(n)
-      val partialIdx = p.indexOf("WindowGroupLimit")
-      assert(p.contains("Partial"), s"$n: no partial WindowGroupLimit\n$p")
-      assert(partialIdx >= 0, s"$n: no WindowGroupLimit at all")
+    // Plans print top-down, so the Partial node (a CHILD of the
+    // exchange = executed before the shuffle) must appear on a line
+    // BELOW the query_id hash exchange.
+    def assertPartialBeforeExchange(name: String, p: String): Unit = {
+      val lines = p.linesIterator.toIndexedSeq
+      val pi = lines.indexWhere(l =>
+        l.contains("WindowGroupLimit") && l.contains("Partial"))
+      assert(pi >= 0, s"$name: no Partial-mode WindowGroupLimit\n$p")
+      val ei = lines.lastIndexWhere(
+        _.contains("Exchange hashpartitioning(query_id"), pi)
+      assert(ei >= 0 && ei < pi,
+        s"$name: Partial group limit is not upstream of the query_id exchange\n$p")
     }
+    for (n <- Seq("x_ann_lsh", "x_ann_ivf"))
+      assertPartialBeforeExchange(n, plan(n))
     import org.apache.spark.sql.functions._
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val qs = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val p = graft.operators.Similarity
+    assertPartialBeforeExchange("batchTopK", graft.operators.Similarity
       .batchTopK(emb, "vec_id", "embedding", qs, "qid", "qv", 10)
-      .queryExecution.executedPlan.toString
-    assert(p.contains("WindowGroupLimit") &&
-      p.indexOf("Partial") > 0, s"batchTopK lost its partial group limit\n$p")
+      .queryExecution.executedPlan.toString)
   }
 }

@@ -25,7 +25,7 @@ class StreamingSpec extends SparkTestBase {
     val inDir = Files.createTempDirectory("stream_in_")
     val outDir = Files.createTempDirectory("stream_out_")
     val ckpt = Files.createTempDirectory("stream_ckpt_")
-    val header = "timestamp,line_id,batch_number,product_code,temperature_c,pressure_kpa,humidity_pct,operator_id,defect_count\n"
+    val header = fixtureHeader
     Files.writeString(inDir.resolve("batch1.csv"), header + fixtureRows)
 
     val sv = new StreamingValidation(cfg)
