@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sequence packing for pretraining batches: concatenate-and-chunk
+  * bin assignment, deterministically.
+  *
+  * Semantics (the standard pretraining pack): within each
+  * `partitionCol` group, documents are laid out head-to-tail in
+  * `idCol` order and the resulting token stream is cut into
+  * `maxTokensPerBin`-sized chunks. `bin` is the chunk a document
+  * STARTS in and `bin_offset` its token position there — a document
+  * crossing a boundary continues into the next chunk, exactly how a
+  * concat-then-split-at-max_len data loader consumes it. Every bin
+  * except each group's last is exactly full. Deterministic in
+  * (partition key, id) — no RNG, stable across retries.
+  *
+  * Plan shape: ONE partitioned window (running sum over the partition
+  * key, ordered by id) — per-key state only, no global ordering, no
+  * unpartitioned window. The partition key should be whatever the
+  * training mix groups by anyway (language, source, split); keys'
+  * groups pack independently, which is exactly what a per-source
+  * curriculum wants.
+  */
+object Packing {
+
+  /** Adds `bin` (0-based within the partition key) and `bin_offset`
+    * (token offset of this doc within its bin).
+    */
+  def packBins(
+      df: DataFrame,
+      idCol: String,
+      tokenCol: String,
+      maxTokensPerBin: Long,
+      partitionCol: String
+  ): DataFrame = {
+    require(maxTokensPerBin > 0, "maxTokensPerBin must be positive")
+    val w = Window.partitionBy(col(partitionCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val runningIncl = sum(col(tokenCol).cast(LongType)).over(w)
+    val runningBefore = runningIncl - col(tokenCol).cast(LongType)
+    df
+      .withColumn("bin", floor(runningBefore / maxTokensPerBin).cast(LongType))
+      .withColumn("bin_offset",
+        (runningBefore - col("bin") * maxTokensPerBin).cast(LongType))
+  }
+}

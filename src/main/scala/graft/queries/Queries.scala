@@ -590,6 +590,36 @@ object Queries {
           col("n_phones"), col("redacted"))
     }),
 
+    // Sequence packing (concatenate-and-chunk): per-(lang, bin) doc and
+    // token totals. One partitioned window; bin math is integer
+    // arithmetic — oracle-exact.
+    "x_pack_bins" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast(LongType).as("n_tok"))
+      graft.operators.Packing.packBins(docs, "doc_id", "n_tok",
+          maxTokensPerBin = 512L, partitionCol = "lang")
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    }),
+
+    // JSONL round-trip: write documents as JSON-lines, read back with an
+    // explicit schema, aggregate — must equal the direct aggregation
+    // (which is what the oracle computes on the parquet).
+    "x_jsonl_roundtrip" -> ((s, d) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_roundtrip"
+      graft.sources.Jsonl.write(
+        t(s, d, "documents").select(col("doc_id"), col("lang"), col("text")), out)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("text", StringType)))
+      graft.sources.Jsonl.read(s, out, schema)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast(LongType)).as("n_tokens"),
+          sum(length(col("text")).cast(LongType)).as("n_chars"))
+    }),
+
     // Document fingerprints (rolling hash) — rows-only (hash seed is
     // engine-specific); dup-fingerprint count asserted in tests.
     "x_fingerprint" -> ((s, d) => {
@@ -871,6 +901,31 @@ object Queries {
         |)
         |SELECT lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
         |FROM quality WHERE q >= 0.3 GROUP BY lang""".stripMargin,
+
+    // Spark floor(long/long) goes through exact-below-2^53 double
+    // division; DuckDB // is integer division — identical for these
+    // nonnegative magnitudes
+    "x_pack_bins" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
+        |  FROM documents
+        |), packed AS (
+        |  SELECT lang, n_tok,
+        |    CAST((SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) // 512 AS BIGINT) AS bin
+        |  FROM toks
+        |)
+        |SELECT lang, bin, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |FROM packed GROUP BY lang, bin""".stripMargin,
+
+    // the oracle aggregates the parquet directly — equality proves the
+    // JSONL write+read round-trip is lossless
+    "x_jsonl_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS n_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars
+        |FROM documents GROUP BY lang""".stripMargin,
 
     // regex patterns are the Java/RE2-common subset (see Pii.scala), so
     // counts and replacements agree bit-for-bit
