@@ -28,7 +28,9 @@ import org.apache.spark.sql.types._
 object Packing {
 
   /** Adds `bin` (0-based within the partition key) and `bin_offset`
-    * (token offset of this doc within its bin).
+    * (token offset of this doc within its bin). NULL token counts pack
+    * as zero-width (coalesced — a NULL must not poison the row's own
+    * bin while the window sum skips it for everyone else).
     */
   def packBins(
       df: DataFrame,
@@ -38,13 +40,17 @@ object Packing {
       partitionCol: String
   ): DataFrame = {
     require(maxTokensPerBin > 0, "maxTokensPerBin must be positive")
+    val tok = coalesce(col(tokenCol).cast(LongType), lit(0L))
     val w = Window.partitionBy(col(partitionCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val runningIncl = sum(col(tokenCol).cast(LongType)).over(w)
-    val runningBefore = runningIncl - col(tokenCol).cast(LongType)
+    // `div` = IntegralDivide: exact at any magnitude — a double-division
+    // floor() would round the wrong way within an ulp of a bin boundary
+    // once running sums approach 2^53
     df
-      .withColumn("bin", floor(runningBefore / maxTokensPerBin).cast(LongType))
+      .withColumn("__running_before", sum(tok).over(w) - tok)
+      .withColumn("bin", expr(s"__running_before div ${maxTokensPerBin}L"))
       .withColumn("bin_offset",
-        (runningBefore - col("bin") * maxTokensPerBin).cast(LongType))
+        col("__running_before") - col("bin") * maxTokensPerBin)
+      .drop("__running_before")
   }
 }

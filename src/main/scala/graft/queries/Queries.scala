@@ -607,9 +607,13 @@ object Queries {
     // explicit schema, aggregate — must equal the direct aggregation
     // (which is what the oracle computes on the parquet).
     "x_jsonl_roundtrip" -> ((s, d) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_roundtrip"
+      // path scoped by dataset dir: a fixed path would race concurrent
+      // Verify/Bench runs at different SFs (and stale-read across them)
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_roundtrip_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
       graft.sources.Jsonl.write(
-        t(s, d, "documents").select(col("doc_id"), col("lang"), col("text")), out)
+        t(s, d, "documents").select(col("doc_id"), col("lang"), col("text")),
+        out, mode = "overwrite")
       val schema = StructType(Seq(
         StructField("doc_id", LongType), StructField("lang", StringType),
         StructField("text", StringType)))
@@ -902,13 +906,12 @@ object Queries {
         |SELECT lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
         |FROM quality WHERE q >= 0.3 GROUP BY lang""".stripMargin,
 
-    // Spark floor(long/long) goes through exact-below-2^53 double
-    // division; DuckDB // is integer division — identical for these
-    // nonnegative magnitudes
+    // both sides use true integer division (Spark `div` = IntegralDivide,
+    // DuckDB `//`) — exact at any magnitude
     "x_pack_bins" ->
       """WITH toks AS (
         |  SELECT doc_id, lang,
-        |    CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
+        |    CASE WHEN text IS NULL OR trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
         |  FROM documents
         |), packed AS (
         |  SELECT lang, n_tok,

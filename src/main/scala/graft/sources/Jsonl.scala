@@ -25,6 +25,14 @@ object Jsonl {
   ): DataFrame =
     spark.read.options(options).schema(schema).json(path)
 
-  def write(df: DataFrame, path: String, options: Map[String, String] = Map.empty): Unit =
-    df.write.options(options).mode("overwrite").json(path)
+  /** `mode` defaults to Spark's errorifexists — pass "overwrite"
+    * explicitly when replacing a target is intended; a silent default
+    * overwrite would make every caller destructive.
+    */
+  def write(
+      df: DataFrame, path: String,
+      mode: String = "errorifexists",
+      options: Map[String, String] = Map.empty
+  ): Unit =
+    df.write.options(options).mode(mode).json(path)
 }

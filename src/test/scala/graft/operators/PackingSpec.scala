@@ -38,6 +38,16 @@ class PackingSpec extends SparkTestBase {
     assert(totals("b")._2 == 0L) // the oversized doc STARTS in bin 0
   }
 
+  test("null token counts pack as zero-width, not a null bin") {
+    val withNull = docs.withColumn("n_tok2",
+      when(col("id") === 21L, lit(null).cast("long")).otherwise(col("n_tok")))
+    val packed = Packing.packBins(withNull, "id", "n_tok2", 512L, "grp")
+      .select("id", "bin", "bin_offset").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(packed(21L) == (0L, 0L)) // coalesced to 0 — no null poisoning
+    assert(packed(20L) == (0L, 0L))
+  }
+
   test("rejects non-positive bin size") {
     assertThrows[IllegalArgumentException](
       Packing.packBins(docs, "id", "n_tok", 0L, "grp"))
