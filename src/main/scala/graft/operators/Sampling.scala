@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Deterministic corpus splitting and sampling for training-data
   * pipelines (train/val/test splits, per-stratum downsampling).
@@ -80,6 +82,34 @@ object Sampling {
       salt: Long = 0L
   ): DataFrame =
     df.withColumn("split", splitLabel(col(idCol), weights, salt))
+
+  /** Deterministic token-budget sampling: keep documents, in hashed
+    * order, until each partition key's running token total reaches the
+    * budget — the way training mixes are actually specified ("20B
+    * tokens of code, 5B of forum text"), where a doc-count fraction
+    * would over/under-shoot with varying doc lengths. The hash order
+    * makes the kept set a uniform random-looking sample yet exactly
+    * reproducible; the last kept doc may overflow the budget (streaming
+    * cutoff — same contract as [[Packing.packBins]]'s final bin).
+    *
+    * One partitioned window (running sum ordered by bucket, id) —
+    * per-key state, no global sort. Distinct decisions need distinct
+    * salts, same rule as [[stratifiedSample]].
+    */
+  def sampleToTokenBudget(
+      df: DataFrame, idCol: String, tokenCol: String,
+      budgetPerKey: Long, partitionCol: String,
+      salt: Long = 2L
+  ): DataFrame = {
+    require(budgetPerKey > 0, "budgetPerKey must be positive")
+    val tok = coalesce(col(tokenCol).cast(LongType), lit(0L))
+    val w = Window.partitionBy(col(partitionCol))
+      .orderBy(hashBucket(col(idCol), salt), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__tok_before", sum(tok).over(w) - tok)
+      .filter(col("__tok_before") < budgetPerKey)
+      .drop("__tok_before")
+  }
 
   /** Deterministic stratified downsample: keep a per-stratum fraction
     * (per-mill) of rows, decided by the id bucket — no shuffle, no RNG,

@@ -624,6 +624,17 @@ object Queries {
           sum(length(col("text")).cast(LongType)).as("n_chars"))
     }),
 
+    // Token-budget sampling: keep ~3000 tokens per language, hashed
+    // order, exact membership. Partitioned-window cumsum + cutoff.
+    "x_token_budget" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast(LongType).as("n_tok"))
+      graft.operators.Sampling.sampleToTokenBudget(
+          docs, "doc_id", "n_tok", budgetPerKey = 3000L, partitionCol = "lang")
+        .select(col("doc_id"), col("lang"), col("n_tok"))
+    }),
+
     // Document fingerprints (rolling hash) — rows-only (hash seed is
     // engine-specific); dup-fingerprint count asserted in tests.
     "x_fingerprint" -> ((s, d) => {
@@ -905,6 +916,23 @@ object Queries {
         |)
         |SELECT lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
         |FROM quality WHERE q >= 0.3 GROUP BY lang""".stripMargin,
+
+    // salt 2 (sampleToTokenBudget's default); cumsum-before cutoff in
+    // hashed order, mirrored exactly
+    "x_token_budget" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN text IS NULL OR trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+        |    (((((doc_id % 2147483647) + 2) * 1103515245) % 2147483647) * 784588716) % 2147483647 % 1000 AS bucket
+        |  FROM documents
+        |), ordered AS (
+        |  SELECT doc_id, lang, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY lang ORDER BY bucket, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS tok_before
+        |  FROM toks
+        |)
+        |SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tok
+        |FROM ordered WHERE tok_before < 3000""".stripMargin,
 
     // both sides use true integer division (Spark `div` = IntegralDivide,
     // DuckDB `//`) — exact at any magnitude

@@ -80,6 +80,27 @@ class SamplingSpec extends SparkTestBase {
       s"sample+split produced only $splits — correlated decisions")
   }
 
+  test("sampleToTokenBudget stops at the budget per key, overflowing by at most one doc") {
+    val withTok = docs.select(col("doc_id"), col("lang"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+    val kept = Sampling.sampleToTokenBudget(withTok, "doc_id", "n_tok",
+      budgetPerKey = 500L, partitionCol = "lang")
+    val perLang = kept.groupBy("lang")
+      .agg(sum(col("n_tok")).as("toks"), max(col("n_tok")).as("max_doc"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(perLang.nonEmpty)
+    perLang.foreach { case (lang, (total, maxDoc)) =>
+      // cutoff semantics: total < budget + the largest kept doc
+      assert(total < 500L + maxDoc, s"$lang overshot: $total")
+    }
+    // deterministic: same call, same membership
+    val ids1 = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.sampleToTokenBudget(withTok, "doc_id", "n_tok",
+      budgetPerKey = 500L, partitionCol = "lang")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+  }
+
   test("no shuffle in the split projection (scale guard)") {
     val plan = Sampling.withSplit(docs, "doc_id")
       .queryExecution.executedPlan.toString
