@@ -35,4 +35,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // forever) and give the compiled code room
   "-XX:-DontCompileHugeMethods",
   "-XX:ReservedCodeCacheSize=512m",
+  // segmented code cache keeps profiled/non-profiled nmethods apart so
+  // sweeping fragmentation can't wedge the JIT into the degenerate
+  // all-interpreted session state BENCH_r04 caught (see BASELINE.md)
+  "-XX:+SegmentedCodeCache",
 )

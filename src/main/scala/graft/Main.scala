@@ -82,10 +82,15 @@ object Main {
                 if (!dryRun) {
                   // runBatch reports qualified Hadoop paths (file:/...);
                   // Hadoop's Path handles spaces/# that java.net.URI rejects
-                  val p = Paths.get(
-                    new org.apache.hadoop.fs.Path(f.file).toUri.getPath)
-                  if (Files.isRegularFile(p))
-                    pipeline.archive(p, p.toAbsolutePath.getParent.resolve("processed"))
+                  val hadoopUri = new org.apache.hadoop.fs.Path(f.file).toUri
+                  // archive is a LOCAL-filesystem move; a remote scheme
+                  // (hdfs://host/x) must not archive a coincidentally
+                  // existing local /x
+                  if (hadoopUri.getScheme == null || hadoopUri.getScheme == "file") {
+                    val p = Paths.get(hadoopUri.getPath)
+                    if (Files.isRegularFile(p))
+                      pipeline.archive(p, p.toAbsolutePath.getParent.resolve("processed"))
+                  }
                 }
               case None =>
                 println(s"${f.file}: FAILED: ${f.error.getOrElse("")}")

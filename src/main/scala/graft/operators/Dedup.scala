@@ -119,14 +119,16 @@ object Dedup {
     * the `graft_dedup_buckets_*` query metric (see [[candidatePairs]]).
     *
     * The (id, shingles) projection feeds both candidate generation and
-    * pair verification; with the default `storage` it is persisted so
-    * the shingle kernel (the most expensive per-row work) runs once.
-    * `StorageLevel.NONE` skips the cache (recompute the projection on
-    * both branches — often faster at small scale, where cache churn
-    * costs more than the kernel). At 100 TB, checkpoint that projection
-    * to parquet instead of relying on executor block storage. The lazy
-    * return value cannot release its own cache — long-running sessions
-    * should call [[minHashNearDupsResult]] and `use`/unpersist.
+    * pair verification. This handle-less convenience wrapper defaults to
+    * `StorageLevel.NONE` (recompute the projection on both branches):
+    * the returned frame is lazy, so nothing here could ever release a
+    * cache, and a persisted default would leak executor storage in
+    * long-running sessions (callers had no handle to unpersist). Pass an
+    * explicit `storage` AND manage the lifecycle via
+    * [[minHashNearDupsResult]]'s `use`/unpersist when the projection is
+    * worth caching; at 100 TB, checkpoint it to parquet instead
+    * (`checkpointDir` on the Result variant) rather than relying on
+    * executor block storage.
     *
     * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     */
@@ -139,7 +141,7 @@ object Dedup {
       bands: Int = 16,
       threshold: Double = 0.7,
       maxBucket: Int = 1000,
-      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+      storage: StorageLevel = StorageLevel.NONE,
       metricName: Option[String] = None
   ): DataFrame =
     minHashNearDupsResult(df, idCol, textCol, shingleSize, numHashes, bands,
@@ -150,6 +152,16 @@ object Dedup {
     * `metricName` must be unique within a single combined query when
     * composing several dedup plans (default is derived from the column
     * names, deterministic across runs).
+    *
+    * `checkpointDir` is the 100 TB scale path for the shared (id,
+    * shingles) projection: when set, the projection is written to
+    * parquet there ONCE (eagerly, at call time) and both consumers —
+    * candidate generation and pair verification — re-read it, so the
+    * shingle kernel runs exactly once per document and the intermediate
+    * lives on durable storage instead of executor block memory
+    * (`storage` is ignored; there is nothing to unpersist). The caller
+    * owns the directory's lifecycle — delete it only after the pairs
+    * frame is fully materialized.
     */
   def minHashNearDupsResult(
       df: DataFrame,
@@ -161,15 +173,21 @@ object Dedup {
       threshold: Double = 0.7,
       maxBucket: Int = 1000,
       storage: StorageLevel = StorageLevel.MEMORY_AND_DISK,
-      metricName: Option[String] = None
+      metricName: Option[String] = None,
+      checkpointDir: Option[String] = None
   ): NearDupResult = {
     val metric = metricName.getOrElse(s"graft_dedup_buckets_minhash_${idCol}_$textCol")
     val projected = df
       .select(col(idCol).as("id"),
         shingles(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
-    val withShingles =
-      if (storage == StorageLevel.NONE) projected else projected.persist(storage)
+    val withShingles = checkpointDir match {
+      case Some(dir) =>
+        projected.write.mode("overwrite").parquet(dir)
+        df.sparkSession.read.parquet(dir)
+      case None =>
+        if (storage == StorageLevel.NONE) projected else projected.persist(storage)
+    }
     val sigs = withShingles
       .select(col("id"),
         posexplode(minHashBands(col("sh"), numHashes, bands)))
@@ -181,7 +199,8 @@ object Dedup {
       jaccard(col("payload_a"), col("payload_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
     NearDupResult(verified, metric,
-      if (storage == StorageLevel.NONE) None else Some(withShingles))
+      if (checkpointDir.isDefined || storage == StorageLevel.NONE) None
+      else Some(withShingles))
   }
 
   /** Id-only candidate pairs from banded rows (`id`, `bk:{band,bucket}`):
@@ -252,6 +271,8 @@ object Dedup {
     * blocks; any pair within distance d agrees exactly on >= 1 block, so
     * grouping by (block index, block value) finds all candidates with
     * ONE shuffle — no all-pairs join. Verified with exact hamming.
+    * Handle-less wrapper → `storage` defaults to NONE (no way to
+    * unpersist from here); use [[simHashNearDupsResult]] to cache.
     */
   def simHashNearDups(
       df: DataFrame,
@@ -259,7 +280,7 @@ object Dedup {
       textCol: String,
       maxDistance: Int = 3,
       maxBucket: Int = 1000,
-      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+      storage: StorageLevel = StorageLevel.NONE,
       metricName: Option[String] = None
   ): DataFrame =
     simHashNearDupsResult(df, idCol, textCol, maxDistance, maxBucket,
@@ -310,6 +331,8 @@ object Dedup {
   /** Embedding-cosine near-dup pairs via random-hyperplane LSH buckets
     * (reuses Similarity.signBucket); candidates verified with exact
     * cosine. Same one-shuffle bucket-join shape as MinHash.
+    * Handle-less wrapper → `storage` defaults to NONE (no way to
+    * unpersist from here); use [[embeddingNearDupsResult]] to cache.
     */
   def embeddingNearDups(
       df: DataFrame,
@@ -319,7 +342,7 @@ object Dedup {
       planes: Int = 12,
       tables: Int = 4,
       maxBucket: Int = 1000,
-      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+      storage: StorageLevel = StorageLevel.NONE,
       metricName: Option[String] = None
   ): DataFrame =
     embeddingNearDupsResult(df, idCol, vecCol, threshold, planes, tables,

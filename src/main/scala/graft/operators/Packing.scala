@@ -31,6 +31,10 @@ object Packing {
     * (token offset of this doc within its bin). NULL token counts pack
     * as zero-width (coalesced — a NULL must not poison the row's own
     * bin while the window sum skips it for everyone else).
+    *
+    * `bin`, `bin_offset`, and `__running_before` are reserved output/
+    * scratch names — an input that already carries one would be
+    * silently overwritten by `withColumn`, so it is rejected instead.
     */
   def packBins(
       df: DataFrame,
@@ -40,6 +44,10 @@ object Packing {
       partitionCol: String
   ): DataFrame = {
     require(maxTokensPerBin > 0, "maxTokensPerBin must be positive")
+    Seq("bin", "bin_offset", "__running_before").foreach { c =>
+      require(!df.columns.contains(c),
+        s"input already has a column named '$c' (reserved by packBins)")
+    }
     val tok = coalesce(col(tokenCol).cast(LongType), lit(0L))
     val w = Window.partitionBy(col(partitionCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -75,13 +75,18 @@ object Sampling {
 
   /** Corpus with a `split` column — the reproducible train/val/test
     * assignment. A filter on `split` stays a codegen'd scan predicate.
+    * `split` is a reserved output name: an input that already carries
+    * one is rejected rather than silently overwritten.
     */
   def withSplit(
       df: DataFrame, idCol: String,
       weights: Seq[(String, Int)] = Seq("train" -> 800, "val" -> 100, "test" -> 100),
       salt: Long = 0L
-  ): DataFrame =
+  ): DataFrame = {
+    require(!df.columns.contains("split"),
+      "input already has a column named 'split' (reserved by withSplit)")
     df.withColumn("split", splitLabel(col(idCol), weights, salt))
+  }
 
   /** Deterministic token-budget sampling: keep documents, in hashed
     * order, until each partition key's running token total reaches the
@@ -102,6 +107,8 @@ object Sampling {
       salt: Long = 2L
   ): DataFrame = {
     require(budgetPerKey > 0, "budgetPerKey must be positive")
+    require(!df.columns.contains("__tok_before"),
+      "input already has a column named '__tok_before' (reserved scratch)")
     val tok = coalesce(col(tokenCol).cast(LongType), lit(0L))
     val w = Window.partitionBy(col(partitionCol))
       .orderBy(hashBucket(col(idCol), salt), col(idCol))
