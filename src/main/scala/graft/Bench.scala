@@ -13,8 +13,10 @@ import org.apache.spark.sql.SparkSession
   * where the JIT stops compiling the large generated methods (code-cache
   * pressure — see BASELINE.md) and EVERY query in the session runs
   * 3-10x slow; medians within that session cannot detect it. So this
-  * main (a) emits per-rep times for every query so bimodality is visible
-  * in the artifact, and (b) when the pass total exceeds
+  * main (a) writes per-rep times for every query to a side file
+  * (`target/bench_reps.json`, override with SPARK_GRAFT_BENCH_REPS_FILE)
+  * so bimodality stays visible without bloating the stdout summary line
+  * past the driver's tail-capture window, and (b) when the pass total exceeds
   * SPARK_GRAFT_BENCH_BUDGET seconds (default 45 — ~1.5x the healthy
   * sf0.1 total), runs ONE full extra pass and reports per-query
   * min-of-medians across passes: both passes fully measured the same
@@ -102,10 +104,24 @@ object Bench {
     def jNum(d: Double): String = if (d.isNaN || d.isInfinite) "-1.0" else d.toString
     val qs = medians.map { case (k, v) => s"\"" + k + "\":" + jNum(v) }
       .mkString("{", ",", "}")
+    // Per-rep arrays go to a side file, NOT the stdout summary line: the
+    // driver tail-captures stdout with a fixed window, and a 47-query ×
+    // reps blob inlined into the summary made the line overflow it in
+    // round 5 (BENCH_r05.json parsed:null). The short summary must be
+    // the LAST stdout line; bimodality diagnostics live in the side file.
     val repsJson = allReps.map { case (k, ts) =>
       s"\"" + k + "\":[" + ts.map(jNum).mkString(",") + "]"
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${total(medians)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"sick":$sick,"reps":$repsJson,"io_queries":["x_jsonl_roundtrip"]}""")
+    val repsPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS_FILE", "target/bench_reps.json"))
+    try {
+      Option(repsPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(repsPath,
+        s"""{"sf":"$sfDir","passes":$passes,"sick":$sick,"reps":$repsJson}""".getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write reps file $repsPath: ${e.getMessage}")
+    }
+    println(s"""{"metric":"total","value":${total(medians)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"sick":$sick,"io_queries":["x_jsonl_roundtrip"],"reps_file":"$repsPath"}""")
     spark.stop()
   }
 }

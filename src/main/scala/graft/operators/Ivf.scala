@@ -83,28 +83,28 @@ object Ivf {
     assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
 
   /** ANN top-k over a written index: compute each query's probe cells,
-    * then scan ONLY those cells' partitions. The probe-cell collect is
-    * bounded by nlist (there are at most nlist distinct cells), so the
-    * driver-side literal predicate stays small no matter how many
-    * queries are in the batch.
+    * then scan ONLY those cells' partitions. Only the DISTINCT probe
+    * cells are collected to the driver — at most nlist values, however
+    * many queries are in the batch — to build the partition-pruning
+    * `cell IN (...)` predicate; the (query, cell) probe frame itself
+    * stays a lazy DataFrame on the broadcast side of the join, so a
+    * large query batch never materializes queries×nProbe rows as a
+    * driver-side Array (the broadcast relation is subject to Spark's
+    * broadcast memory accounting instead). The probe projection (a
+    * narrow map over the query batch) is evaluated twice — once for the
+    * distinct cells, once in the join — which is cheaper than pinning
+    * it for the lifetime of the query.
     */
   def ivfTopKFromIndex(
       spark: SparkSession, indexPath: String, index: IvfIndex,
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int, nProbe: Int = 8
   ): DataFrame = {
-    // materialize the probe frame ONCE, driver-side: it is broadcast in
-    // the join anyway (so it must fit on the driver), and both the cell
-    // literals and the join side derive from the same collected rows —
-    // otherwise the queries subtree + centroid kernel would run twice
     val probeFrame = probeCells(queries, qidCol, qvecCol, index, nProbe)
-    val rows = probeFrame.collect()
-    val cellIdx = probeFrame.schema.fieldIndex("cell")
-    val cells = rows.map(_.getInt(cellIdx)).distinct.toSeq
-    val probes = spark.createDataFrame(
-      java.util.Arrays.asList(rows: _*), probeFrame.schema)
+    val cells = probeFrame.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
     val corpus = spark.read.parquet(indexPath).filter(col("cell").isin(cells: _*))
-    rank(corpus.join(broadcast(probes), Seq("cell"))
+    rank(corpus.join(broadcast(probeFrame), Seq("cell"))
       .select(col("query_id"), col("id"),
         Similarity.cosine(col("v"), col("qv")).as("cosine")), k)
   }

@@ -82,6 +82,40 @@ class IvfSpec extends SparkTestBase {
     assert(fromDisk == inMemory)
   }
 
+  test("ivfTopKFromIndex handles a large query batch without driver-side row materialization") {
+    val nlist = 16
+    val index = Ivf.buildIndex(emb, "vec_id", "embedding", nlist)
+    val assigned = Ivf.assign(
+      emb.select(col("vec_id").as("id"), col("embedding").as("v")), "v", index)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_index_big_").toString
+    Ivf.writeIndex(assigned, dir)
+
+    // 2000-query synthetic batch (4 shifted replicas of the corpus):
+    // large enough that an Array[Row] materialization of queries×nProbe
+    // would be the old driver-side path this test exists to forbid
+    val big = emb.crossJoin(spark.range(4).select(col("id").as("rep")))
+      .select((col("vec_id") + col("rep") * lit(10000L)).as("qid"),
+        col("embedding").as("qv"))
+    val res = Ivf.ivfTopKFromIndex(spark, dir, index, big, "qid", "qv",
+      k = 3, nProbe = 2)
+
+    // plan pin: the probe side must remain the lazy query-frame subtree.
+    // The old implementation collect()ed the probe rows and re-created a
+    // DataFrame from them, which surfaces as a LocalRelation/
+    // LocalTableScan leaf in the plan — forbid that shape.
+    val optimized = res.queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val localLeaves = optimized.collect { case l: LocalRelation => l }
+    assert(localLeaves.isEmpty,
+      s"probe side was materialized driver-side:\n$optimized")
+
+    // every query probes its own vector's cell, so every query finds at
+    // least its self-match and all 2000 query ids come back ranked
+    val perQuery = res.groupBy("query_id").count().collect()
+    assert(perQuery.length == 2000)
+    assert(perQuery.forall(r => r.getLong(1) >= 1 && r.getLong(1) <= 3))
+  }
+
   test("ivfTopK finds the self-match and achieves reasonable recall") {
     val exact = Similarity.batchTopK(emb, "vec_id", "embedding",
       queries, "qid", "qv", 10)
