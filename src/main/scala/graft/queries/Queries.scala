@@ -635,11 +635,22 @@ object Queries {
         .select(col("doc_id"), col("lang"), col("n_tok"))
     }),
 
-    // Document fingerprints (rolling hash) — rows-only (hash seed is
-    // engine-specific); dup-fingerprint count asserted in tests.
+    // Document fingerprints (rolling hash). The hash VALUES are
+    // engine-specific, but the equality PARTITION they induce is not:
+    // equal fingerprints ⇔ equal whitespace-token sequences (mod
+    // collisions — none at oracle scale). So the catalog emits each
+    // doc's group representative (min doc_id over its fingerprint
+    // group), which DuckDB reproduces exactly by partitioning on the
+    // whitespace-normalized text — a full hash-match oracle for a query
+    // whose raw output is unportable. One shuffle (window on the
+    // fingerprint key).
     "x_fingerprint" -> ((s, d) => {
-      t(s, d, "documents").select(col("doc_id"),
-        TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+      import org.apache.spark.sql.expressions.Window
+      t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .withColumn("group_rep",
+          min(col("doc_id")).over(Window.partitionBy(col("fingerprint"))))
+        .select(col("doc_id"), col("group_rep"))
     })
   )
 
@@ -788,6 +799,16 @@ object Queries {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
         |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5""".stripMargin,
+
+    // fingerprint-group invariant: equal rolling-hash fingerprints ⇔
+    // equal whitespace-token sequences ⇔ equal whitespace-normalized
+    // text, so the group representative is engine-independent even
+    // though the fingerprint values are not
+    "x_fingerprint" ->
+      """SELECT doc_id,
+        |  min(doc_id) OVER (
+        |    PARTITION BY regexp_replace(trim(text), '\s+', ' ', 'g')) AS group_rep
+        |FROM documents""".stripMargin,
 
     "s6_error_report" ->
       """SELECT * FROM (
