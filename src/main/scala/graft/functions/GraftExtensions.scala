@@ -93,7 +93,9 @@ object GraftExtensions {
     ("graft_fingerprint", info("graft_fingerprint", "rolling 64-bit fingerprint of a token array"),
       arity("graft_fingerprint", 1)(args => Fingerprint64Expr(args(0)))),
     ("graft_token_char_sum", info("graft_token_char_sum", "total characters across a token array"),
-      arity("graft_token_char_sum", 1)(args => TokenCharSumExpr(args(0))))
+      arity("graft_token_char_sum", 1)(args => TokenCharSumExpr(args(0)))),
+    ("graft_bpe_count", info("graft_bpe_count", "BPE token count with the vendored merge table"),
+      arity("graft_bpe_count", 1)(args => BpeCountExpr(args(0))))
   )
 
   /** Register on an already-running session. */

@@ -27,6 +27,14 @@ object TextAnalysis {
   def bpeishTokenCount(text: Column): Column =
     coalesce(regexp_count(text, lit("\\w+|[^\\w\\s]")), lit(0))
 
+  /** Real BPE token count with the vendored merge table (see
+    * [[graft.functions.BpeVocab]]) — same pretokenization as
+    * [[bpeishTokenCount]], then subword merges, so
+    * `bpeishTokenCount <= bpeTokenCount <= non-space char count`.
+    */
+  def bpeTokenCount(text: Column): Column =
+    coalesce(graft.functions.BpeFunctions.bpeTokenCount(text), lit(0L))
+
   /** Punctuation character ratio. */
   def punctRatio(text: Column): Column = {
     val len = length(text).cast(DoubleType)

@@ -635,6 +635,18 @@ object Queries {
         .select(col("doc_id"), col("lang"), col("n_tok"))
     }),
 
+    // Real-BPE token counts with the vendored merge table — rows-only
+    // (the segmentation is vocabulary-data, not SQL-expressible; the
+    // algorithm is pinned by BpeSpec's independent rank-sequential
+    // oracle + goldens). Whitespace and proxy counts ride along so the
+    // three granularities are comparable in one frame.
+    "x_bpe_tokens" -> ((s, d) => {
+      t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+        TextAnalysis.bpeishTokenCount(col("text")).cast(LongType).as("n_pretokens"),
+        TextAnalysis.tokenCount(col("text")).cast(LongType).as("n_ws_tokens"))
+    }),
+
     // Document fingerprints (rolling hash). The hash VALUES are
     // engine-specific, but the equality PARTITION they induce is not:
     // equal fingerprints ⇔ equal whitespace-token sequences (mod
