@@ -506,6 +506,22 @@ object Queries {
           length(col("payload")).cast(LongType).as("payload_bytes"))
     }),
 
+    // Full multimodal decode path, end-to-end through the driver: wrap
+    // documents as media (both kinds, so both duration branches run),
+    // then the byte-budgeted mapPartitions feature extraction. The stub
+    // decode is deterministic byte arithmetic, so the ENTIRE frame —
+    // width/height/duration and the rolling signed-byte checksum — is
+    // hash-verified against a DuckDB re-derivation (hex-string byte
+    // access + list_reduce mod 2^64).
+    "x_multimodal_features" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val media = Multimodal
+        .toMediaFrame(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", "image")
+        .unionAll(Multimodal
+          .toMediaFrame(docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", "video"))
+      Multimodal.extractFeatures(s, media)
+    }),
+
     // Skew-safe salted aggregation: two-stage count on a low-cardinality
     // (hot) key column — result identical to a plain groupBy count.
     "x_salted_count" -> ((s, d) => {
@@ -1084,6 +1100,40 @@ object Queries {
       """SELECT doc_id AS media_id, 'image' AS kind,
         |octet_length(encode(text)) AS n_bytes,
         |octet_length(encode(text)) AS payload_bytes
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // Re-derives the stub decode byte-for-byte: UTF-8 bytes via the hex
+    // string (DuckDB has no blob indexing), JVM SIGNED bytes for the
+    // checksum (>=128 -> -256), and the Long wraparound as mod 2^64 in
+    // HUGEINT mapped back to signed. Seed 1125899906842597 prepended
+    // because this DuckDB's list_reduce takes no initial accumulator.
+    "x_multimodal_features" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'video' END AS kind,
+        |         hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents),
+        |bytes AS (
+        |  SELECT *,
+        |    list_transform(regexp_extract_all(hx, '..'), x -> ('0x'||x)::INT) AS ub,
+        |    list_transform(regexp_extract_all(hx, '..'),
+        |      x -> (CASE WHEN ('0x'||x)::INT >= 128 THEN ('0x'||x)::INT - 256
+        |            ELSE ('0x'||x)::INT END)::HUGEINT) AS sb
+        |  FROM b),
+        |ck AS (
+        |  SELECT doc_id, kind, n,
+        |    CASE WHEN n = 0 THEN 0 ELSE 64 + (ub[1] & 127) END AS width,
+        |    CASE WHEN n = 0 THEN 0 ELSE 64 + (ub[(n // 2) + 1] & 127) END AS height,
+        |    list_reduce(list_prepend(1125899906842597::HUGEINT, sb),
+        |      (acc, x) -> ((acc * 31 + x) % 18446744073709551616
+        |                   + 18446744073709551616) % 18446744073709551616) AS raw
+        |  FROM bytes)
+        |SELECT doc_id AS media_id, kind, n AS n_bytes, width, height,
+        |  CASE WHEN kind = 'image' THEN 0 ELSE n * 10 END AS duration_ms,
+        |  CASE WHEN raw >= 9223372036854775808
+        |       THEN (raw - 18446744073709551616)::BIGINT
+        |       ELSE raw::BIGINT END AS checksum
+        |FROM ck""".stripMargin
   )
 }
