@@ -522,6 +522,16 @@ object Queries {
       Multimodal.extractFeatures(s, media)
     }),
 
+    // Frame-sampling offsets: codegen'd sequence + explode, one row per
+    // sampled byte offset. Pure integer arithmetic — oracle-exact
+    // (DuckDB generate_series has the same inclusive-stop semantics as
+    // Spark sequence).
+    "x_multimodal_offsets" -> ((s, d) => {
+      Multimodal.sampleOffsets(
+        Multimodal.toMediaFrame(t(s, d, "documents"), "doc_id", "text", "video"),
+        everyBytes = 256)
+    }),
+
     // Skew-safe salted aggregation: two-stage count on a low-cardinality
     // (hot) key column — result identical to a plain groupBy count.
     "x_salted_count" -> ((s, d) => {
@@ -1134,6 +1144,12 @@ object Queries {
         |  CASE WHEN raw >= 9223372036854775808
         |       THEN (raw - 18446744073709551616)::BIGINT
         |       ELSE raw::BIGINT END AS checksum
-        |FROM ck""".stripMargin
+        |FROM ck""".stripMargin,
+
+    "x_multimodal_offsets" ->
+      """SELECT doc_id AS media_id,
+        |  unnest(generate_series(0, octet_length(encode(text)) - 1, 256)) AS byte_offset
+        |FROM documents
+        |WHERE octet_length(encode(text)) > 0""".stripMargin
   )
 }

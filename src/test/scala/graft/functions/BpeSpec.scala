@@ -115,6 +115,26 @@ class BpeSpec extends SparkTestBase {
     assert(r.getLong(1) == 0L)
   }
 
+  test("BPE counts drive the token-budget sampler (the composition the vocab exists for)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"),
+        col("text"))
+    val budget = 4000L
+    val kept = graft.operators.Sampling
+      .sampleToTokenBudget(docs, "doc_id", "n_bpe", budget, "lang")
+      .collect()
+    assert(kept.nonEmpty && kept.length < 500)
+    // counts flowing through the sampler are real BPE counts
+    kept.foreach(r => assert(r.getLong(2) == replayCount(r.getString(3))))
+    // budget respected per lang: everything before the last-kept doc fits
+    // strictly under budget, i.e. sum(kept) < budget + max single doc
+    kept.groupBy(_.getString(1)).foreach { case (lang, rows) =>
+      val toks = rows.map(_.getLong(2))
+      assert(toks.sum < budget + toks.max, s"lang $lang over budget")
+    }
+  }
+
   test("parse rejects malformed merge lines; comments and blanks skipped") {
     intercept[IllegalArgumentException] {
       Bpe.parse(Iterator("a\tb", "nodelimiter"))
