@@ -56,6 +56,37 @@ object Kernels {
     sum
   }
 
+  /** Frequency share of the most common token n-gram: max n-gram count
+    * over the number of n-grams (0 when fewer than n tokens). The
+    * boilerplate/repetition signal LLM-corpus quality filters use
+    * (Gopher-style "top n-gram fraction") — high values mean templated
+    * or looping text. Tokens cannot contain whitespace (they come from
+    * `split`), so the space-joined gram key is injective.
+    */
+  def topNgramFraction(tokens: ArrayData, n: Int): Double = {
+    val total = tokens.numElements()
+    val grams = total - n + 1
+    if (grams <= 0) return 0.0
+    val counts = new java.util.HashMap[String, Array[Int]](grams * 2)
+    var best = 0
+    var i = 0
+    while (i < grams) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        if (!tokens.isNullAt(i + j)) sb.append(tokens.getUTF8String(i + j).toString)
+        j += 1
+      }
+      var c = counts.get(sb.toString)
+      if (c == null) { c = new Array[Int](1); counts.put(sb.toString, c) }
+      c(0) += 1
+      if (c(0) > best) best = c(0)
+      i += 1
+    }
+    best.toDouble / grams
+  }
+
   /** Order-sensitive polynomial rolling fingerprint over token hashes —
     * bit-identical to the previous HOF formulation
     * `aggregate(toks, 1125899906842597L, acc*31 + xxhash64(t))` (Spark's
@@ -493,6 +524,20 @@ case class TokenCharSumExpr(child: Expression) extends UnaryExpression with Arra
     copy(child = newChild)
 }
 
+case class TopNgramFractionExpr(child: Expression, n: Int)
+    extends UnaryExpression with ArrayElemTypes {
+  require(n > 0, s"n-gram size must be positive, got $n")
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkStringArray(child, "tokens")
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.topNgramFraction(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.topNgramFraction($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class Fingerprint64Expr(child: Expression) extends UnaryExpression with ArrayElemTypes {
   override def dataType: DataType = LongType
   override def checkInputDataTypes(): TypeCheckResult =
@@ -613,6 +658,8 @@ object VectorFunctions {
   def simHash64(tokens: Column): Column = c(SimHash64Expr(e(tokens)))
   def tokenCharSum(tokens: Column): Column = c(TokenCharSumExpr(e(tokens)))
   def fingerprint64(tokens: Column): Column = c(Fingerprint64Expr(e(tokens)))
+  def topNgramFraction(tokens: Column, n: Int): Column =
+    c(TopNgramFractionExpr(e(tokens), n))
   def dot(a: Column, b: Column): Column = c(DotProductExpr(e(a), e(b)))
   def cosine(a: Column, b: Column): Column = c(CosineSimilarityExpr(e(a), e(b)))
   def signBucket(vec: Column, planes: Int, seed: Long): Column =

@@ -35,6 +35,25 @@ object TextAnalysis {
   def bpeTokenCount(text: Column): Column =
     coalesce(graft.functions.BpeFunctions.bpeTokenCount(text), lit(0L))
 
+  /** Fraction of lines that duplicate an earlier line —
+    * `(lines - distinct lines) / lines`. The classic boilerplate signal
+    * (navigation menus, cookie banners, chat headers repeat verbatim).
+    * Built-ins only, so it fuses into the scan's codegen span.
+    */
+  def duplicateLineFraction(text: Column): Column = {
+    val lines = split(text, "\n", -1)
+    val nl = size(lines).cast(DoubleType)
+    when(text.isNull, 0.0)
+      .otherwise((nl - size(array_distinct(lines)).cast(DoubleType)) / nl)
+  }
+
+  /** Frequency share of the most common token n-gram (Gopher-style
+    * repetition signal; 0 when the document has fewer than n tokens).
+    * Native kernel — one fused loop per row, no interpreted lambdas.
+    */
+  def topNgramFraction(text: Column, n: Int): Column =
+    coalesce(VectorFunctions.topNgramFraction(tokens(text), n), lit(0.0))
+
   /** Punctuation character ratio. */
   def punctRatio(text: Column): Column = {
     val len = length(text).cast(DoubleType)

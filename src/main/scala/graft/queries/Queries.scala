@@ -532,6 +532,24 @@ object Queries {
         everyBytes = 256)
     }),
 
+    // Repetition / boilerplate quality signals (Gopher-style): duplicate
+    // -line fraction and top-{2,3}-gram frequency share. The corpus has
+    // no newlines, so (as x_pii_redact does for PII) the query injects
+    // repeated boilerplate lines into every 7th doc to keep the line
+    // signal non-vacuous; the n-gram shares are naturally non-trivial.
+    // All three are deterministic integer-ratio arithmetic — hash-
+    // verified against a DuckDB re-derivation.
+    "x_repetition_stats" -> ((s, d) => {
+      val boiler = "\nsubscribe now\nsubscribe now\nsubscribe now"
+      val docs = t(s, d, "documents").withColumn("text2",
+        when(pmod(col("doc_id"), lit(7)) === 0, concat(col("text"), lit(boiler)))
+          .otherwise(col("text")))
+      docs.select(col("doc_id"),
+        TextAnalysis.duplicateLineFraction(col("text2")).as("dup_line_frac"),
+        TextAnalysis.topNgramFraction(col("text2"), 2).as("top2_frac"),
+        TextAnalysis.topNgramFraction(col("text2"), 3).as("top3_frac"))
+    }),
+
     // Skew-safe salted aggregation: two-stage count on a low-cardinality
     // (hot) key column — result identical to a plain groupBy count.
     "x_salted_count" -> ((s, d) => {
@@ -1150,6 +1168,41 @@ object Queries {
       """SELECT doc_id AS media_id,
         |  unnest(generate_series(0, octet_length(encode(text)) - 1, 256)) AS byte_offset
         |FROM documents
-        |WHERE octet_length(encode(text)) > 0""".stripMargin
+        |WHERE octet_length(encode(text)) > 0""".stripMargin,
+
+    // same boilerplate injection as the Spark side; gram keys are
+    // space-joined (tokens cannot contain whitespace, so injective);
+    // all ratios are int-derived IEEE divisions — bit-identical
+    "x_repetition_stats" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text
+        |      || chr(10) || 'subscribe now' || chr(10) || 'subscribe now'
+        |      || chr(10) || 'subscribe now' ELSE text END AS text2
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text2) = '' THEN []::VARCHAR[]
+        |         ELSE string_split_regex(trim(text2), '\s+') END AS t,
+        |    string_split(text2, chr(10)) AS lines
+        |  FROM aug),
+        |base AS (SELECT doc_id, t, len(t) AS nt,
+        |                len(lines) AS nl, len(list_distinct(lines)) AS ndl FROM toks),
+        |grams AS (
+        |  SELECT doc_id, nl, ndl,
+        |    CASE WHEN nt >= 2 THEN list_transform(generate_series(1, nt-1),
+        |      i -> t[i] || ' ' || t[i+1]) ELSE []::VARCHAR[] END AS g2,
+        |    CASE WHEN nt >= 3 THEN list_transform(generate_series(1, nt-2),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) ELSE []::VARCHAR[] END AS g3
+        |  FROM base)
+        |SELECT doc_id,
+        |  (nl - ndl)::DOUBLE / nl AS dup_line_frac,
+        |  CASE WHEN len(g2) = 0 THEN 0.0 ELSE
+        |    (SELECT max(c)::DOUBLE FROM (SELECT count(*) AS c FROM unnest(g2) AS u(x) GROUP BY x)) / len(g2)
+        |  END AS top2_frac,
+        |  CASE WHEN len(g3) = 0 THEN 0.0 ELSE
+        |    (SELECT max(c)::DOUBLE FROM (SELECT count(*) AS c FROM unnest(g3) AS u(x) GROUP BY x)) / len(g3)
+        |  END AS top3_frac
+        |FROM grams""".stripMargin
   )
 }

@@ -60,6 +60,37 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(rows(0) != rows(2)) // order-sensitive
   }
 
+  test("repetition signals: goldens and kernel-vs-brute-force on real docs") {
+    // goldens: hand-computed
+    val rows = Seq(
+      "a b a b a b",          // 5 bigrams: "a b"x3, "b a"x2 -> 3/5; lines: 1 dup 0
+      "x\ny\nx\nx",           // 4 lines, 2 distinct -> 2/4; bigrams unique -> 1/3
+      "one two three",        // all bigrams unique -> 1/2
+      "solo",                 // <2 tokens -> 0
+      "")                     // empty -> 0, single empty line -> 0
+      .toDF("t").select(
+        TextAnalysis.duplicateLineFraction(col("t")).as("d"),
+        TextAnalysis.topNgramFraction(col("t"), 2).as("g2"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(rows.toSeq == Seq((0.0, 3.0 / 5), (0.5, 1.0 / 3), (0.0, 0.5),
+      (0.0, 0.0), (0.0, 0.0)))
+
+    // kernel agrees with a naive Scala recomputation over the corpus
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("text"), TextAnalysis.topNgramFraction(col("text"), 3).as("g3"))
+      .collect()
+    docs.foreach { r =>
+      val toks = r.getString(0).trim.split("\\s+").toSeq
+      val expect =
+        if (toks.length < 3) 0.0
+        else {
+          val grams = toks.sliding(3).map(_.mkString(" ")).toSeq
+          grams.groupBy(identity).values.map(_.size).max.toDouble / grams.size
+        }
+      assert(r.getDouble(1) == expect)
+    }
+  }
+
   test("documentFeatures projects the full feature set over real docs") {
     val feats = TextAnalysis.documentFeatures(
       spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
