@@ -254,6 +254,141 @@ object Dedup {
       .select(col("id_a"), col("id_b"), measure)
 
   // ---------------------------------------------------------------------
+  // Incremental MinHash index (dedup new batches against a corpus)
+  // ---------------------------------------------------------------------
+
+  /** Persist a corpus's MinHash-LSH index so incoming batches can be
+    * near-dup-checked WITHOUT re-reading or re-shingling the corpus —
+    * the production shape at 100 TB, where each crawl increment is tiny
+    * relative to the accumulated corpus. Two parquet datasets under
+    * `path`:
+    *
+    *  - `bands/`: (band, bucket, bucket_size, id), partitioned by band
+    *    — the LSH postings. `bucket_size` is denormalized per row so a
+    *    probe can cap hot buckets with a cheap scan filter; the cap is
+    *    a PROBE-time parameter, nothing is lost at build time.
+    *  - `shingles/`: (id, sh) — the shingle sets, for exact-Jaccard
+    *    verification of candidates.
+    *
+    * One shuffle (the bucket groupBy); the corpus text is read exactly
+    * once. Growing the corpus = appending new docs' postings (build the
+    * increment's index with `mode="append"` after probing it).
+    */
+  def writeMinHashIndex(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      mode: String = "error"
+  ): Unit = {
+    val spark = corpus.sparkSession
+    corpus
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .write.mode(mode).parquet(s"$path/shingles")
+    // re-read so the shingle kernel ran exactly once per doc
+    spark.read.parquet(s"$path/shingles")
+      .select(col("id"), posexplode(minHashBands(col("sh"), numHashes, bands)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("id")).as("ids"))
+      .select(col("band"), col("bucket"),
+        size(col("ids")).as("bucket_size"), explode(col("ids")).as("id"))
+      .write.mode(mode).partitionBy("band").parquet(s"$path/bands")
+  }
+
+  /** Near-dup pairs between a new `batch` and an indexed corpus (see
+    * [[writeMinHashIndex]]): returns (batch_id, corpus_id, jaccard)
+    * with jaccard >= threshold.
+    *
+    * Plan shape: the batch is shingled/banded in memory, joined to the
+    * index postings on (band, bucket) — the only corpus-sized work is
+    * that join's scan of `bands/` (id-only postings, a small fraction
+    * of corpus bytes), and verification reads only the candidate ids'
+    * shingle rows. Hot corpus buckets are skipped by the
+    * `bucket_size <= maxBucket` scan filter — deliberately PUSHED DOWN
+    * to the parquet scan (row-group skipping), which also means an
+    * attached `observe` could not see the skipped rows; quantify the
+    * loss with [[minHashIndexStats]] instead (a one-column scan).
+    *
+    * Must use the same shingleSize/numHashes/bands as the index build —
+    * the LSH bucket hashes are deterministic kernels, so equal
+    * parameters mean batch and corpus band into identical buckets.
+    *
+    * The batch shingle projection is evaluated twice (banding +
+    * verification); a crawl increment is small by definition, so
+    * recompute beats cache management here — persist `batch` upstream
+    * if yours is not.
+    */
+  def minHashProbeIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.7,
+      maxBucket: Int = 1000
+  ): DataFrame = {
+    val batchSh = batch
+      .select(col(idCol).as("batch_id"), shingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val batchBands = batchSh
+      .select(col("batch_id"), posexplode(minHashBands(col("sh"), numHashes, bands)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val postings = spark.read.parquet(s"$path/bands")
+      .filter(col("bucket_size") <= maxBucket)
+    val candidates = postings
+      .join(batchBands, Seq("band", "bucket"))
+      .select(col("batch_id"), col("id").as("corpus_id"))
+      .filter(col("batch_id") =!= col("corpus_id"))
+      .dropDuplicates("batch_id", "corpus_id")
+    val corpusSh = spark.read.parquet(s"$path/shingles")
+    candidates
+      .join(batchSh.select(col("batch_id"), col("sh").as("sh_a")), "batch_id")
+      .join(corpusSh.select(col("id").as("corpus_id"), col("sh").as("sh_b")), "corpus_id")
+      .select(col("batch_id"), col("corpus_id"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Recall loss a probe with this `maxBucket` would incur: postings in
+    * overflowing buckets, distinct overflowing buckets, and the largest
+    * bucket. One aggregate over the postings' two small int columns
+    * (parquet reads nothing else) — run it to size `maxBucket` against
+    * a real corpus before probing.
+    */
+  def minHashIndexStats(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      maxBucket: Int
+  ): (Long, Long, Int) = {
+    val r = spark.read.parquet(s"$path/bands")
+      .agg(
+        sum(when(col("bucket_size") > maxBucket, 1L).otherwise(0L)).as("overflow_postings"),
+        // each overflowing bucket contributes bucket_size postings, so
+        // count 1/bucket_size per posting — exact, single pass
+        coalesce(sum(when(col("bucket_size") > maxBucket,
+          lit(1.0) / col("bucket_size"))), lit(0.0)).as("overflow_buckets"),
+        coalesce(max(col("bucket_size")), lit(0)).as("max_bucket_size"))
+      .collect()(0)
+    (r.getLong(0), math.round(r.getDouble(1)), r.getInt(2))
+  }
+
+  /** The batch rows NOT near-duplicating the indexed corpus — the
+    * "keep only novel documents" step of an incremental ingest.
+    */
+  def keepNovel(batch: DataFrame, idCol: String, probePairs: DataFrame): DataFrame =
+    batch.join(
+      probePairs.select(col("batch_id").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
+  // ---------------------------------------------------------------------
   // SimHash
   // ---------------------------------------------------------------------
 

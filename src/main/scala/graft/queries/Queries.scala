@@ -391,6 +391,23 @@ object Queries {
         storage = StorageLevel.NONE)
     }),
 
+    // Incremental dedup: index 4/5 of the corpus once, probe the other
+    // 1/5 as an incoming batch — the 100 TB ingest pattern (the corpus
+    // is never re-shingled per crawl). Oracle-exact for the same reason
+    // x_dedup_minhash is: at this SF the banded candidates subsume every
+    // true pair >= threshold, and verification is exact Jaccard.
+    "x_dedup_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val idxPath = s"${System.getProperty("java.io.tmpdir")}/graft_minhash_idx_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      Dedup.writeMinHashIndex(
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text",
+        idxPath, mode = "overwrite")
+      Dedup.minHashProbeIndex(
+        s, docs.filter(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text",
+        idxPath, threshold = 0.5)
+    }),
+
     // SimHash near-dups (hamming <= 3) — rows-only.
     "x_dedup_simhash" -> ((s, d) => {
       Dedup.simHashNearDups(t(s, d, "documents"), "doc_id", "text",
@@ -855,6 +872,25 @@ object Queries {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
         |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5""".stripMargin,
+
+    // same shingle/jaccard formulation as x_dedup_minhash, restricted to
+    // (batch, corpus) cross pairs
+    "x_dedup_incremental" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(ts)-2),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+        |  FROM toks WHERE len(ts) >= 3
+        |)
+        |SELECT b.doc_id AS batch_id, a.doc_id AS corpus_id,
+        |  CAST(len(list_intersect(b.s, a.s)) AS DOUBLE) /
+        |    (len(b.s) + len(a.s) - len(list_intersect(b.s, a.s))) AS jaccard
+        |FROM sh b JOIN sh a ON b.doc_id % 5 = 0 AND a.doc_id % 5 <> 0
+        |WHERE CAST(len(list_intersect(b.s, a.s)) AS DOUBLE) /
+        |    (len(b.s) + len(a.s) - len(list_intersect(b.s, a.s))) >= 0.5""".stripMargin,
 
     // fingerprint-group invariant: equal rolling-hash fingerprints ⇔
     // equal whitespace-token sequences ⇔ equal whitespace-normalized

@@ -189,4 +189,52 @@ class DedupSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("incremental index probe equals the in-memory cross pair set at sf0.01") {
+    val docs01 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("graft_idx_").toString
+    Dedup.writeMinHashIndex(
+      docs01.filter(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text",
+      idx, mode = "overwrite")
+    val probed = Dedup.minHashProbeIndex(
+      spark, docs01.filter(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text",
+      idx, threshold = 0.5)
+    // reference: the all-docs in-memory pair set, restricted to
+    // (batch, corpus) cross pairs, either orientation
+    val all = Dedup.minHashNearDups(docs01, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = all.flatMap { case (a, b) =>
+      if (a % 5 == 0 && b % 5 != 0) Some((a, b))
+      else if (b % 5 == 0 && a % 5 != 0) Some((b, a))
+      else None
+    }.toSet
+    val got = probed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected, s"probe mismatch: extra=${got -- expected}, missing=${expected -- got}")
+    assert(got.nonEmpty, "vacuous: no cross pairs at sf0.01")
+
+    // keepNovel drops exactly the batch ids with a matching corpus doc
+    val batch = docs01.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val novel = Dedup.keepNovel(batch, "doc_id", probed)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(novel == batch.select("doc_id").collect().map(_.getLong(0)).toSet
+      -- got.map(_._1))
+  }
+
+  test("probe-time bucket cap filters postings; stats quantify the loss") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_idx_cap_").toString
+    Dedup.writeMinHashIndex(docs, "doc_id", "text", idx, mode = "overwrite")
+    // every posting sits in a bucket of size >= 1; cap 0 removes all
+    val probed = Dedup.minHashProbeIndex(
+      spark, docs, "doc_id", "text", idx, threshold = 0.0, maxBucket = 0)
+    assert(probed.count() == 0)
+    val (overflowPostings, overflowBuckets, maxSize) =
+      Dedup.minHashIndexStats(spark, idx, maxBucket = 0)
+    assert(overflowPostings > 0 && overflowBuckets > 0 && maxSize >= 1)
+    // a generous cap loses nothing, and bucket arithmetic is consistent
+    val (p2, b2, _) = Dedup.minHashIndexStats(spark, idx, maxBucket = maxSize)
+    assert(p2 == 0 && b2 == 0)
+    // the cap-0 filter pushes to the parquet scan (no observe barrier)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(!plan.contains("CollectMetrics"))
+  }
 }
