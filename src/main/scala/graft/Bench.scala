@@ -114,14 +114,19 @@ object Bench {
     }.mkString("{", ",", "}")
     val repsPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS_FILE", "target/bench_reps.json"))
-    try {
-      Option(repsPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
-      java.nio.file.Files.write(repsPath,
-        s"""{"sf":"$sfDir","passes":$passes,"sick":$sick,"reps":$repsJson}""".getBytes("UTF-8"))
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write reps file $repsPath: ${e.getMessage}")
-    }
-    println(s"""{"metric":"total","value":${total(medians)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"sick":$sick,"io_queries":["x_jsonl_roundtrip","x_dedup_incremental"],"reps_file":"$repsPath"}""")
+    // the summary must not point at a reps file that failed to write (or
+    // worse, a stale one from a previous run) — report null on failure
+    val repsRef =
+      try {
+        Option(repsPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.write(repsPath,
+          s"""{"sf":"$sfDir","passes":$passes,"sick":$sick,"reps":$repsJson}""".getBytes("UTF-8"))
+        s"\"$repsPath\""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write reps file $repsPath: ${e.getMessage}")
+        "null"
+      }
+    println(s"""{"metric":"total","value":${total(medians)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"sick":$sick,"io_queries":["x_jsonl_roundtrip","x_dedup_incremental"],"reps_file":$repsRef}""")
     spark.stop()
   }
 }

@@ -60,8 +60,13 @@ object Kernels {
     * over the number of n-grams (0 when fewer than n tokens). The
     * boilerplate/repetition signal LLM-corpus quality filters use
     * (Gopher-style "top n-gram fraction") — high values mean templated
-    * or looping text. Tokens cannot contain whitespace (they come from
-    * `split`), so the space-joined gram key is injective.
+    * or looping text.
+    *
+    * Precondition (callers from the public Column API included): tokens
+    * come from a whitespace split, so none contains a space and the
+    * space-joined gram key is injective. Hand-built arrays with nulls,
+    * empty strings, or space-bearing tokens can alias distinct grams
+    * (null renders as "") and overstate the fraction.
     */
   def topNgramFraction(tokens: ArrayData, n: Int): Double = {
     val total = tokens.numElements()
@@ -78,8 +83,9 @@ object Kernels {
         if (!tokens.isNullAt(i + j)) sb.append(tokens.getUTF8String(i + j).toString)
         j += 1
       }
-      var c = counts.get(sb.toString)
-      if (c == null) { c = new Array[Int](1); counts.put(sb.toString, c) }
+      val key = sb.toString
+      var c = counts.get(key)
+      if (c == null) { c = new Array[Int](1); counts.put(key, c) }
       c(0) += 1
       if (c(0) > best) best = c(0)
       i += 1

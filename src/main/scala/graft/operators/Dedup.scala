@@ -257,6 +257,43 @@ object Dedup {
   // Incremental MinHash index (dedup new batches against a corpus)
   // ---------------------------------------------------------------------
 
+  /** LSH parameters an index was built with, persisted as `meta.txt`
+    * beside the data (any Hadoop filesystem). Key=value lines — no
+    * parser dependencies, human-readable at 3 AM.
+    */
+  private[operators] final case class IndexMeta(
+      shingleSize: Int, numHashes: Int, bands: Int, nShards: Int)
+
+  private[operators] object IndexMeta {
+    private def metaPath(path: String) = new org.apache.hadoop.fs.Path(s"$path/meta.txt")
+
+    def write(spark: org.apache.spark.sql.SparkSession, path: String, m: IndexMeta): Unit = {
+      val p = metaPath(path)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val out = fs.create(p, true)
+      try out.write(
+        s"shingleSize=${m.shingleSize}\nnumHashes=${m.numHashes}\nbands=${m.bands}\nnShards=${m.nShards}\n"
+          .getBytes("UTF-8"))
+      finally out.close()
+    }
+
+    def read(spark: org.apache.spark.sql.SparkSession, path: String): Option[IndexMeta] = {
+      val p = metaPath(path)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val text =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val kv = text.linesIterator.filter(_.contains('=')).map { l =>
+          val Array(k, v) = l.split("=", 2); (k.trim, v.trim.toInt)
+        }.toMap
+        Some(IndexMeta(kv("shingleSize"), kv("numHashes"), kv("bands"), kv("nShards")))
+      }
+    }
+  }
+
   /** Persist a corpus's MinHash-LSH index so incoming batches can be
     * near-dup-checked WITHOUT re-reading or re-shingling the corpus —
     * the production shape at 100 TB, where each crawl increment is tiny
@@ -267,12 +304,23 @@ object Dedup {
     *    — the LSH postings. `bucket_size` is denormalized per row so a
     *    probe can cap hot buckets with a cheap scan filter; the cap is
     *    a PROBE-time parameter, nothing is lost at build time.
-    *  - `shingles/`: (id, sh) — the shingle sets, for exact-Jaccard
-    *    verification of candidates.
+    *  - `shingles/`: (id, sh), partitioned by `shard` =
+    *    pmod(xxhash64(id), nShards) — the shingle sets, for
+    *    exact-Jaccard verification of candidates. Sharding lets a probe
+    *    read only the shards holding candidate ids instead of the whole
+    *    (corpus-sized) shingle store.
+    *  - `meta.txt`: the LSH parameters. A probe with different
+    *    parameters would bucket into silently disjoint hash spaces and
+    *    report zero pairs — [[minHashProbeIndex]] validates against
+    *    this file and fails loudly instead.
     *
     * One shuffle (the bucket groupBy); the corpus text is read exactly
     * once. Growing the corpus = appending new docs' postings (build the
-    * increment's index with `mode="append"` after probing it).
+    * increment's index with `mode="append"` after probing it). Under
+    * append, `bucket_size` is per-INCREMENT: a probe's `maxBucket` cap
+    * bounds each increment's contribution to a bucket rather than the
+    * union bucket (probe cost stays bounded by increments × cap; no
+    * candidates are lost that a global count would have kept).
     */
   def writeMinHashIndex(
       corpus: DataFrame,
@@ -282,22 +330,47 @@ object Dedup {
       shingleSize: Int = 3,
       numHashes: Int = 64,
       bands: Int = 16,
-      mode: String = "error"
+      mode: String = "error",
+      nShards: Int = 64,
+      storage: StorageLevel = StorageLevel.NONE
   ): Unit = {
     val spark = corpus.sparkSession
-    corpus
+    val params = IndexMeta(shingleSize, numHashes, bands, nShards)
+    // append onto an existing index must use ITS parameters, or the
+    // increments' buckets/shards live in disjoint hash spaces
+    IndexMeta.read(spark, path).foreach { existing =>
+      require(existing == params,
+        s"index at $path was built with $existing; cannot $mode with $params")
+    }
+    // band from THIS frame's projection, never from a re-read of
+    // path/shingles: under mode="append" (the corpus-growth workflow) a
+    // re-read would see old increments too and re-append every existing
+    // posting — duplicated ids, conflicting bucket_size values, and
+    // quadratic index growth per increment. Both writes are actions
+    // inside this call, so an optional persist (one shingle-kernel run
+    // instead of two) can be released before returning.
+    val projected = corpus
       .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
-      .write.mode(mode).parquet(s"$path/shingles")
-    // re-read so the shingle kernel ran exactly once per doc
-    spark.read.parquet(s"$path/shingles")
-      .select(col("id"), posexplode(minHashBands(col("sh"), numHashes, bands)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      .groupBy(col("band"), col("bucket"))
-      .agg(collect_list(col("id")).as("ids"))
-      .select(col("band"), col("bucket"),
-        size(col("ids")).as("bucket_size"), explode(col("ids")).as("id"))
-      .write.mode(mode).partitionBy("band").parquet(s"$path/bands")
+    val src = if (storage == StorageLevel.NONE) projected else projected.persist(storage)
+    try {
+      src
+        .withColumn("shard", pmod(xxhash64(col("id")), lit(nShards.toLong)))
+        // co-locate shards before the partitioned write: without this,
+        // every task splits into every shard — tasks × nShards small
+        // files at corpus scale
+        .repartition(col("shard"))
+        .write.mode(mode).partitionBy("shard").parquet(s"$path/shingles")
+      src
+        .select(col("id"), posexplode(minHashBands(col("sh"), numHashes, bands)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+        .groupBy(col("band"), col("bucket"))
+        .agg(collect_list(col("id")).as("ids"))
+        .select(col("band"), col("bucket"),
+          size(col("ids")).as("bucket_size"), explode(col("ids")).as("id"))
+        .write.mode(mode).partitionBy("band").parquet(s"$path/bands")
+    } finally if (storage != StorageLevel.NONE) src.unpersist()
+    IndexMeta.write(spark, path, params)
   }
 
   /** Near-dup pairs between a new `batch` and an indexed corpus (see
@@ -307,21 +380,29 @@ object Dedup {
     * Plan shape: the batch is shingled/banded in memory, joined to the
     * index postings on (band, bucket) — the only corpus-sized work is
     * that join's scan of `bands/` (id-only postings, a small fraction
-    * of corpus bytes), and verification reads only the candidate ids'
-    * shingle rows. Hot corpus buckets are skipped by the
+    * of corpus bytes). Verification then reads ONLY the shingle shards
+    * containing candidate ids: candidate corpus_ids are hashed to their
+    * shard, the distinct shards are collected (bounded by the index's
+    * nShards, like Ivf's cell literals) and pushed as a partition
+    * filter, so a small probe touches a small slice of the shingle
+    * store instead of all of it. Hot corpus buckets are skipped by the
     * `bucket_size <= maxBucket` scan filter — deliberately PUSHED DOWN
     * to the parquet scan (row-group skipping), which also means an
     * attached `observe` could not see the skipped rows; quantify the
     * loss with [[minHashIndexStats]] instead (a one-column scan).
     *
-    * Must use the same shingleSize/numHashes/bands as the index build —
-    * the LSH bucket hashes are deterministic kernels, so equal
-    * parameters mean batch and corpus band into identical buckets.
+    * Parameters must match the index build — the LSH bucket hashes are
+    * deterministic kernels, so differing parameters means disjoint hash
+    * spaces and silently zero pairs. The build writes them to
+    * `meta.txt`; this probe validates against it and fails loudly on
+    * mismatch (indexes without the file are trusted as documented).
     *
     * The batch shingle projection is evaluated twice (banding +
-    * verification); a crawl increment is small by definition, so
-    * recompute beats cache management here — persist `batch` upstream
-    * if yours is not.
+    * verification) and the candidate frame twice (shard discovery +
+    * verification); every input is a parquet scan through deterministic
+    * kernels, so the evaluations agree. A crawl increment is small by
+    * definition — recompute beats cache management here; persist
+    * `batch` upstream if yours is not.
     */
   def minHashProbeIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -335,6 +416,14 @@ object Dedup {
       threshold: Double = 0.7,
       maxBucket: Int = 1000
   ): DataFrame = {
+    val meta = IndexMeta.read(spark, path)
+    meta.foreach { built =>
+      val probing = IndexMeta(shingleSize, numHashes, bands, built.nShards)
+      require(built == probing,
+        s"index at $path was built with $built; probing with $probing would " +
+          "bucket into a disjoint hash space and silently find nothing")
+    }
+    val nShards = meta.map(_.nShards)
     val batchSh = batch
       .select(col(idCol).as("batch_id"), shingles(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -348,7 +437,18 @@ object Dedup {
       .select(col("batch_id"), col("id").as("corpus_id"))
       .filter(col("batch_id") =!= col("corpus_id"))
       .dropDuplicates("batch_id", "corpus_id")
-    val corpusSh = spark.read.parquet(s"$path/shingles")
+    val corpusShAll = spark.read.parquet(s"$path/shingles")
+    // prune the shingle scan to the shards that hold candidates: the
+    // collect is bounded by nShards (distinct shard values), never by
+    // candidate count
+    val corpusSh = nShards match {
+      case Some(n) =>
+        val hit = candidates
+          .select(pmod(xxhash64(col("corpus_id")), lit(n.toLong)).as("shard"))
+          .distinct().collect().map(_.getLong(0))
+        corpusShAll.filter(col("shard").isin(hit: _*))
+      case None => corpusShAll // pre-sharding index layout: full scan
+    }
     candidates
       .join(batchSh.select(col("batch_id"), col("sh").as("sh_a")), "batch_id")
       .join(corpusSh.select(col("id").as("corpus_id"), col("sh").as("sh_b")), "corpus_id")
@@ -370,7 +470,8 @@ object Dedup {
   ): (Long, Long, Int) = {
     val r = spark.read.parquet(s"$path/bands")
       .agg(
-        sum(when(col("bucket_size") > maxBucket, 1L).otherwise(0L)).as("overflow_postings"),
+        coalesce(sum(when(col("bucket_size") > maxBucket, 1L).otherwise(0L)),
+          lit(0L)).as("overflow_postings"),
         // each overflowing bucket contributes bucket_size postings, so
         // count 1/bucket_size per posting — exact, single pass
         coalesce(sum(when(col("bucket_size") > maxBucket,

@@ -93,7 +93,15 @@ object Ivf {
     * broadcast memory accounting instead). The probe projection (a
     * narrow map over the query batch) is evaluated twice — once for the
     * distinct cells, once in the join — which is cheaper than pinning
-    * it for the lifetime of the query.
+    * it for the lifetime of the query, but is only CORRECT when the two
+    * evaluations agree: if the query frame contains a nondeterministic
+    * expression (rand-derived ids, sampling), evaluation #2 could probe
+    * a cell the pruning predicate from evaluation #1 never saw, and
+    * that query would silently lose candidates. Such frames are
+    * detected and probed WITHOUT cell pruning (full index scan —
+    * correct, just unpruned). Sources that return different data across
+    * two scans (a directory being concurrently rewritten) are not
+    * detectable here; snapshot such inputs first.
     */
   def ivfTopKFromIndex(
       spark: SparkSession, indexPath: String, index: IvfIndex,
@@ -101,9 +109,15 @@ object Ivf {
       k: Int, nProbe: Int = 8
   ): DataFrame = {
     val probeFrame = probeCells(queries, qidCol, qvecCol, index, nProbe)
-    val cells = probeFrame.select(col("cell")).distinct()
-      .collect().map(_.getInt(0)).toSeq
-    val corpus = spark.read.parquet(indexPath).filter(col("cell").isin(cells: _*))
+    val deterministic = queries.queryExecution.analyzed
+      .find(_.expressions.exists(!_.deterministic)).isEmpty
+    val all = spark.read.parquet(indexPath)
+    val corpus =
+      if (deterministic) {
+        val cells = probeFrame.select(col("cell")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        all.filter(col("cell").isin(cells: _*))
+      } else all
     rank(corpus.join(broadcast(probeFrame), Seq("cell"))
       .select(col("query_id"), col("id"),
         Similarity.cosine(col("v"), col("qv")).as("cosine")), k)

@@ -220,6 +220,49 @@ class DedupSpec extends SparkTestBase {
       -- got.map(_._1))
   }
 
+  test("probe validates index parameters from meta.txt and prunes shingle shards") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_idx_meta_").toString
+    val docs01 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    Dedup.writeMinHashIndex(docs01.filter(col("doc_id") < 400), "doc_id", "text",
+      idx, mode = "overwrite", nShards = 16)
+    // mismatched bands -> disjoint hash space -> must fail loudly
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minHashProbeIndex(spark, docs01.filter(col("doc_id") >= 400),
+        "doc_id", "text", idx, bands = 8)
+    }
+    assert(e.getMessage.contains("disjoint hash space"))
+
+    // pick a batch doc that HAS candidates (a no-candidate doc collapses
+    // the whole plan to an empty LocalTableScan — nothing to assert on),
+    // then check its probe reads only its candidates' shards
+    val any = Dedup.minHashProbeIndex(spark, docs01.filter(col("doc_id") >= 400),
+      "doc_id", "text", idx, threshold = 0.0)
+    val chosen = any.groupBy("batch_id").count()
+      .orderBy(col("count"), col("batch_id")).first().getLong(0)
+    val hitShards = any.filter(col("batch_id") === chosen)
+      .select(pmod(xxhash64(col("corpus_id")), lit(16L))).distinct().count()
+    val probed = Dedup.minHashProbeIndex(spark,
+      docs01.filter(col("doc_id") === chosen), "doc_id", "text", idx, threshold = 0.0)
+    assert(probed.collect().nonEmpty)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scansOf(p: SparkPlan): Seq[FileSourceScanExec] = {
+      val direct = p.collect { case f: FileSourceScanExec => f }
+      val nested = p.collect {
+        case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+        case q: QueryStageExec => scansOf(q.plan)
+      }.flatten
+      direct ++ nested
+    }
+    val shingleScans = scansOf(probed.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("shingles")))
+    assert(shingleScans.nonEmpty, probed.queryExecution.executedPlan.toString)
+    val parts = shingleScans.map(_.metrics("numFiles").value).sum
+    assert(parts <= hitShards && parts < 16,
+      s"shingle scan read $parts files for $hitShards candidate shards " +
+        "— shard pruning did not fire")
+  }
+
   test("probe-time bucket cap filters postings; stats quantify the loss") {
     val idx = java.nio.file.Files.createTempDirectory("graft_idx_cap_").toString
     Dedup.writeMinHashIndex(docs, "doc_id", "text", idx, mode = "overwrite")

@@ -116,6 +116,49 @@ class IvfSpec extends SparkTestBase {
     assert(perQuery.forall(r => r.getLong(1) >= 1 && r.getLong(1) <= 3))
   }
 
+  test("nondeterministic query frames probe without cell pruning (no silent drops)") {
+    val nlist = 16
+    val index = Ivf.buildIndex(emb, "vec_id", "embedding", nlist)
+    val assigned = Ivf.assign(
+      emb.select(col("vec_id").as("id"), col("embedding").as("v")), "v", index)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_index_nd_").toString
+    Ivf.writeIndex(assigned, dir)
+
+    // rand() makes the frame nondeterministic even though qid/qv are
+    // stable — the pruning predicate and the join side could disagree,
+    // so pruning must be skipped entirely
+    val noisy = queries.withColumn("noise", rand())
+    val res = Ivf.ivfTopKFromIndex(spark, dir, index, noisy, "qid", "qv",
+      k = 3, nProbe = 2)
+    res.collect()
+    // the scan was NOT pruned: every index file was read
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scansOf(p: SparkPlan): Seq[FileSourceScanExec] = {
+      val direct = p.collect { case f: FileSourceScanExec => f }
+      val nested = p.collect {
+        case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+        case q: QueryStageExec => scansOf(q.plan)
+      }.flatten
+      direct ++ nested
+    }
+    val idxScans = scansOf(res.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("ivf_index_nd_")))
+    assert(idxScans.nonEmpty)
+    val allFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    assert(idxScans.map(_.metrics("numFiles").value).sum == allFiles,
+      "expected an unpruned scan under a nondeterministic query frame")
+    // results identical to the deterministic frame's (noise is unused)
+    val clean = Ivf.ivfTopKFromIndex(spark, dir, index, queries, "qid", "qv",
+      k = 3, nProbe = 2)
+      .select("query_id", "id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val got = res.select("query_id", "id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == clean)
+  }
+
   test("ivfTopK finds the self-match and achieves reasonable recall") {
     val exact = Similarity.batchTopK(emb, "vec_id", "embedding",
       queries, "qid", "qv", 10)

@@ -3,8 +3,10 @@
 
 Trains a classic character-level BPE merge table (Sennrich et al. 2016,
 "Neural Machine Translation of Rare Words with Subword Units" — the
-published algorithm, reimplemented from the paper) on the sf0.01
-documents table, and writes the ranked merge list to
+published algorithm, reimplemented from the paper) on the sf0.1
+documents table (the DOCS default below — the committed merge table was
+built from it; retrain from the same corpus or every BpeSpec golden
+breaks), and writes the ranked merge list to
 src/main/resources/graft/bpe_merges.txt, which the runtime
 BpeVocab loads from the classpath. Re-run to regenerate; the output is
 committed so builds are hermetic (no network, no training at runtime).
