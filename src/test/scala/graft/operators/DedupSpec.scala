@@ -263,6 +263,37 @@ class DedupSpec extends SparkTestBase {
         "— shard pruning did not fire")
   }
 
+  test("append-mode corpus growth: probe after append equals a fresh full index") {
+    val docs01 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val a = docs01.filter(col("doc_id") < 200)
+    val b = docs01.filter(col("doc_id") >= 200 && col("doc_id") < 400)
+    val probe = docs01.filter(col("doc_id") >= 400)
+
+    val grown = java.nio.file.Files.createTempDirectory("graft_idx_grow_").toString
+    Dedup.writeMinHashIndex(a, "doc_id", "text", grown, mode = "overwrite")
+    Dedup.writeMinHashIndex(b, "doc_id", "text", grown, mode = "append")
+
+    val fresh = java.nio.file.Files.createTempDirectory("graft_idx_full_").toString
+    Dedup.writeMinHashIndex(docs01.filter(col("doc_id") < 400), "doc_id", "text",
+      fresh, mode = "overwrite")
+
+    def pairs(idx: String) = Dedup
+      .minHashProbeIndex(spark, probe, "doc_id", "text", idx, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(grown) == pairs(fresh))
+
+    // no posting duplication: every (band, bucket, id) appears once
+    val postings = spark.read.parquet(s"$grown/bands")
+    assert(postings.count() ==
+      postings.dropDuplicates("band", "bucket", "id").count())
+
+    // appending with different parameters is refused
+    val e = intercept[IllegalArgumentException] {
+      Dedup.writeMinHashIndex(b, "doc_id", "text", grown, mode = "append", bands = 8)
+    }
+    assert(e.getMessage.contains("built with"))
+  }
+
   test("probe-time bucket cap filters postings; stats quantify the loss") {
     val idx = java.nio.file.Files.createTempDirectory("graft_idx_cap_").toString
     Dedup.writeMinHashIndex(docs, "doc_id", "text", idx, mode = "overwrite")
