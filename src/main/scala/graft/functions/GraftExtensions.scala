@@ -95,7 +95,11 @@ object GraftExtensions {
     ("graft_token_char_sum", info("graft_token_char_sum", "total characters across a token array"),
       arity("graft_token_char_sum", 1)(args => TokenCharSumExpr(args(0)))),
     ("graft_bpe_count", info("graft_bpe_count", "BPE token count with the vendored merge table"),
-      arity("graft_bpe_count", 1)(args => BpeCountExpr(args(0))))
+      arity("graft_bpe_count", 1)(args => BpeCountExpr(args(0)))),
+    ("graft_top_ngram_fraction",
+      info("graft_top_ngram_fraction", "frequency share of the most common token n-gram"),
+      arity("graft_top_ngram_fraction", 2)(args =>
+        TopNgramFractionExpr(args(0), intArg(args(1), "n"))))
   )
 
   /** Register on an already-running session. */

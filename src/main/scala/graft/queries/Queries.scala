@@ -567,6 +567,20 @@ object Queries {
         TextAnalysis.topNgramFraction(col("text2"), 3).as("top3_frac"))
     }),
 
+    // Model-based quality classification: linear logit over engineered
+    // features, the fastText-style filter stage of corpus curation.
+    // Punctuation injected into every 13th doc (the synthetic corpus
+    // has none) so every model term is exercised; the logit is a
+    // left-associated IEEE sum over int-derived features — hash-exact.
+    "x_quality_classifier" -> ((s, d) => {
+      val docs = t(s, d, "documents").withColumn("text2",
+        when(pmod(col("doc_id"), lit(13)) === 0,
+          concat(col("text"), lit(" !!! ??? ;;;"))).otherwise(col("text")))
+      graft.operators.QualityClassifier.score(docs, "text2")
+        .select(col("doc_id"), col("logit"),
+          col("keep").cast(IntegerType).as("keep_flag"))
+    }),
+
     // Skew-safe salted aggregation: two-stage count on a low-cardinality
     // (hot) key column — result identical to a plain groupBy count.
     "x_salted_count" -> ((s, d) => {
@@ -1205,6 +1219,36 @@ object Queries {
         |  unnest(generate_series(0, octet_length(encode(text)) - 1, 256)) AS byte_offset
         |FROM documents
         |WHERE octet_length(encode(text)) > 0""".stripMargin,
+
+    // feature formulations copied from the x_corpus_prep oracle (proven
+    // IEEE-identical); logit term order mirrors LinearModel.defaultModel
+    // left-to-right. mean_token_len's numerator: sum of token lengths ==
+    // count of non-whitespace characters.
+    "x_quality_classifier" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN text || ' !!! ??? ;;;' ELSE text END AS text2
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text2) = '' THEN 0.0
+        |         ELSE CAST(len(string_split_regex(trim(text2), '\s+')) AS DOUBLE) END AS n_tok,
+        |    CASE WHEN length(text2) = 0 THEN 0.0
+        |         ELSE CAST(len(regexp_extract_all(text2, '[!-/:-@\[-`{-~]')) AS DOUBLE) / length(text2) END AS punct_ratio,
+        |    CASE WHEN trim(text2) = '' THEN 0.0
+        |         ELSE CAST(len(list_filter(string_split_regex(trim(text2),'\s+'), t -> lower(t) IN ('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by','it','be','this','that'))) AS DOUBLE)
+        |              / len(string_split_regex(trim(text2), '\s+')) END AS stop_ratio,
+        |    CASE WHEN trim(text2) = '' THEN 0.0
+        |         ELSE CAST(length(regexp_replace(text2, '\s', '', 'g')) AS DOUBLE)
+        |              / len(string_split_regex(trim(text2), '\s+')) END AS mtl
+        |  FROM aug),
+        |scored AS (
+        |  SELECT doc_id,
+        |    -2.0 + 0.02 * n_tok + -10.0 * punct_ratio + 5.0 * stop_ratio + 0.1 * mtl AS logit
+        |  FROM f)
+        |SELECT doc_id, logit,
+        |  CASE WHEN logit >= 0.0 THEN 1 ELSE 0 END AS keep_flag
+        |FROM scored""".stripMargin,
 
     // same boilerplate injection as the Spark side; gram keys are
     // space-joined (tokens cannot contain whitespace, so injective);
