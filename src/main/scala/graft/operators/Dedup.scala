@@ -254,6 +254,69 @@ object Dedup {
       .select(col("id_a"), col("id_b"), measure)
 
   // ---------------------------------------------------------------------
+  // Exact n-gram Jaccard
+  // ---------------------------------------------------------------------
+
+  /** EXACT n-gram Jaccard near-dup pairs — no LSH approximation. The
+    * intersection size |A∩B| is computed distributively from shingle
+    * posting lists: explode distinct shingles → group by shingle → emit
+    * within-list id pairs → count shared shingles per pair — then
+    * Jaccard from |A∩B| and the per-doc set sizes, all without ever
+    * comparing shingle arrays pairwise.
+    *
+    * Two shuffles (posting groupBy, pair-count groupBy) plus the size
+    * joins. Cost is Σ |posting|² over shingles, so `maxPostings` caps
+    * hot shingles (a shingle appearing in more docs than the cap is
+    * dropped from candidate generation — pairs sharing ONLY such
+    * stop-shingles are missed, everything else stays exact; the loss is
+    * observable via the `metricName` observation, same contract as the
+    * LSH bucket cap). With the cap the cost is bounded per shingle, but
+    * the exact family is inherently heavier than MinHash — at 100 TB
+    * use [[minHashNearDupsResult]] and keep this for bounded corpora or
+    * candidate re-checks.
+    *
+    * Returns (id_a, id_b, jaccard), id_a < id_b, jaccard >= threshold.
+    */
+  def ngramJaccardNearDups(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      threshold: Double = 0.7,
+      maxPostings: Int = 1000,
+      metricName: Option[String] = None
+  ): DataFrame = {
+    val metric = metricName.getOrElse(s"graft_ngram_postings_${idCol}_$textCol")
+    val sh = df
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sizes = sh.select(col("id"), size(col("sh")).as("n"))
+    val sortedIds = array_sort(col("ids"))
+    val sz = size(col("ids"))
+    val inter = sh
+      .select(col("id"), explode(col("sh")).as("shingle"))
+      .groupBy(col("shingle"))
+      .agg(collect_list(col("id")).as("ids"))
+      .observe(metric,
+        sum(when(sz > maxPostings, 1L).otherwise(0L)).as("overflow_postings"),
+        coalesce(max(sz), lit(0)).as("max_posting_size"))
+      .filter(sz.between(2, maxPostings))
+      .select(explode(
+        flatten(transform(sortedIds, (a, i) =>
+          transform(slice(sortedIds, i + 2, size(sortedIds)), b =>
+            struct(a.as("a"), b.as("b")))))).as("p"))
+      .groupBy(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast(DoubleType) /
+          (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ---------------------------------------------------------------------
   // Incremental MinHash index (dedup new batches against a corpus)
   // ---------------------------------------------------------------------
 

@@ -391,6 +391,15 @@ object Queries {
         storage = StorageLevel.NONE)
     }),
 
+    // Exact n-gram Jaccard near-dups (posting-list intersection counts,
+    // no LSH): the DIRECT computation of what x_dedup_minhash
+    // approximates-then-verifies. The oracle is the same all-pairs
+    // formulation; this operator's output must equal it exactly.
+    "x_dedup_ngram" -> ((s, d) => {
+      Dedup.ngramJaccardNearDups(t(s, d, "documents"), "doc_id", "text",
+        shingleSize = 3, threshold = 0.5)
+    }),
+
     // Incremental dedup: index 4/5 of the corpus once, probe the other
     // 1/5 as an incoming batch — the 100 TB ingest pattern (the corpus
     // is never re-shingled per crawl). Oracle-exact for the same reason
@@ -871,6 +880,25 @@ object Queries {
     // exact all-pairs jaccard: O(n²) list ops — fine at the oracle's
     // sf0.01 (500 docs); the Spark side is the one that must scale
     "x_dedup_minhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(ts)-2),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+        |  FROM toks WHERE len(ts) >= 3
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5""".stripMargin,
+
+    // identical formulation to x_dedup_minhash's oracle: both operators
+    // compute the same exact pair set at this threshold
+    "x_dedup_ngram" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS ts
         |  FROM documents

@@ -190,6 +190,26 @@ class DedupSpec extends SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("exact ngram-jaccard equals minhash-verified pairs at sf0.01; cap is observable") {
+    val docs01 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val exact = Dedup.ngramJaccardNearDups(docs01, "doc_id", "text", threshold = 0.5,
+      metricName = Some("ngram_sf001"))
+    val got = exact.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // minhash-with-exact-verify finds the same set at this SF (its
+    // completeness is oracle-pinned), so the two must agree exactly
+    val viaMinhash = Dedup.minHashNearDups(docs01, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == viaMinhash && got.nonEmpty)
+    // no posting list overflowed -> the exact set is complete, not capped
+    val m = exact.queryExecution.observedMetrics("ngram_sf001")
+    assert(m.getAs[Long]("overflow_postings") == 0L, m.toString)
+    assert(m.getAs[Int]("max_posting_size") >= 2)
+
+    // a cap of 1 drops every shared shingle -> no pairs at all
+    assert(Dedup.ngramJaccardNearDups(docs01, "doc_id", "text",
+      threshold = 0.0, maxPostings = 1).count() == 0)
+  }
+
   test("incremental index probe equals the in-memory cross pair set at sf0.01") {
     val docs01 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val idx = java.nio.file.Files.createTempDirectory("graft_idx_").toString
