@@ -24,9 +24,9 @@ import org.apache.spark.sql.SparkSession
   * the code costs in a healthy session. `passes` and `sick` in the
   * output record when this fired.
   *
-  * `x_jsonl_roundtrip` and `x_dedup_incremental` are the catalog
+  * `x_jsonl_roundtrip`, `x_dedup_incremental`, and `x_incremental_ingest` are the catalog
   * entries whose timing includes a real disk write+read (a round-trip
-  * and an index build are their correctness contracts); they are listed
+  * and index builds are their correctness contracts); they are listed
   * under `io_queries` so total-time comparisons can discount them.
   */
 object Bench {
@@ -126,7 +126,7 @@ object Bench {
         System.err.println(s"[bench] could not write reps file $repsPath: ${e.getMessage}")
         "null"
       }
-    println(s"""{"metric":"total","value":${total(medians)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"sick":$sick,"io_queries":["x_jsonl_roundtrip","x_dedup_incremental"],"reps_file":$repsRef}""")
+    println(s"""{"metric":"total","value":${total(medians)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"sick":$sick,"io_queries":["x_jsonl_roundtrip","x_dedup_incremental","x_incremental_ingest"],"reps_file":$repsRef}""")
     spark.stop()
   }
 }

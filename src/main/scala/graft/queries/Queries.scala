@@ -417,6 +417,28 @@ object Queries {
         idxPath, threshold = 0.5)
     }),
 
+    // The full incremental-ingest composition: probe the batch against
+    // the indexed corpus, keep only novel docs, quality-filter them,
+    // report per-language intake. Every stage's formulation is
+    // individually oracle-verified (x_dedup_incremental,
+    // x_quality_classifier); this entry proves they compose.
+    "x_incremental_ingest" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val idxPath = s"${System.getProperty("java.io.tmpdir")}/graft_ingest_idx_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      Dedup.writeMinHashIndex(
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text",
+        idxPath, mode = "overwrite")
+      val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      val pairs = Dedup.minHashProbeIndex(
+        s, batch, "doc_id", "text", idxPath, threshold = 0.5)
+      val novel = Dedup.keepNovel(batch, "doc_id", pairs)
+      graft.operators.QualityClassifier.filterByQuality(novel, "text")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast(LongType)).as("n_tokens"))
+    }),
+
     // SimHash near-dups (hamming <= 3) — rows-only.
     "x_dedup_simhash" -> ((s, d) => {
       Dedup.simHashNearDups(t(s, d, "documents"), "doc_id", "text",
@@ -895,6 +917,47 @@ object Queries {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
         |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5""".stripMargin,
+
+    // stage-by-stage composition of the x_dedup_incremental and
+    // x_quality_classifier oracle formulations (near-dup batch ids ->
+    // NOT IN -> logit >= 0 -> per-lang intake)
+    "x_incremental_ingest" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(ts)-2),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+        |  FROM toks WHERE len(ts) >= 3
+        |), dup_batch AS (
+        |  SELECT DISTINCT b.doc_id
+        |  FROM sh b JOIN sh a ON b.doc_id % 5 = 0 AND a.doc_id % 5 <> 0
+        |  WHERE CAST(len(list_intersect(b.s, a.s)) AS DOUBLE) /
+        |    (len(b.s) + len(a.s) - len(list_intersect(b.s, a.s))) >= 0.5
+        |), novel AS (
+        |  SELECT * FROM documents
+        |  WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT doc_id FROM dup_batch)
+        |), f AS (
+        |  SELECT *,
+        |    CASE WHEN trim(text) = '' THEN 0.0
+        |         ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) END AS n_tok,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |         ELSE CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS DOUBLE) / length(text) END AS punct_ratio,
+        |    CASE WHEN trim(text) = '' THEN 0.0
+        |         ELSE CAST(len(list_filter(string_split_regex(trim(text),'\s+'), t -> lower(t) IN ('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by','it','be','this','that'))) AS DOUBLE)
+        |              / len(string_split_regex(trim(text), '\s+')) END AS stop_ratio,
+        |    CASE WHEN trim(text) = '' THEN 0.0
+        |         ELSE CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |              / len(string_split_regex(trim(text), '\s+')) END AS mtl
+        |  FROM novel
+        |), kept AS (
+        |  SELECT * FROM f
+        |  WHERE -2.0 + 0.02 * n_tok + -10.0 * punct_ratio + 5.0 * stop_ratio + 0.1 * mtl >= 0.0
+        |)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS n_tokens
+        |FROM kept GROUP BY lang""".stripMargin,
 
     // identical formulation to x_dedup_minhash's oracle: both operators
     // compute the same exact pair set at this threshold
