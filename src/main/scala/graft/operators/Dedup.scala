@@ -257,23 +257,26 @@ object Dedup {
   // Exact n-gram Jaccard
   // ---------------------------------------------------------------------
 
-  /** EXACT n-gram Jaccard near-dup pairs — no LSH approximation. The
-    * intersection size |A∩B| is computed distributively from shingle
-    * posting lists: explode distinct shingles → group by shingle → emit
-    * within-list id pairs → count shared shingles per pair — then
-    * Jaccard from |A∩B| and the per-doc set sizes, all without ever
-    * comparing shingle arrays pairwise.
+  /** EXACT n-gram Jaccard near-dup pairs — no LSH approximation.
+    * Candidate generation is an inverted shingle index: docs sharing
+    * any (non-capped) shingle become a candidate pair, via the same
+    * one-shuffle id-pair expansion the LSH family uses
+    * ([[candidatePairs]] with the shingle itself as the bucket key).
+    * Every candidate is then verified with the exact-Jaccard kernel
+    * over the full shingle sets, so the EMITTED jaccard is always exact
+    * — `maxPostings` (a stop-shingle cap, same contract as the LSH
+    * bucket cap) affects only RECALL: a pair is missed only when every
+    * shingle it shares overflows. The loss is observable via the
+    * [[NearDupResult.bucketMetric]] observation. The transient posting
+    * array of a hot shingle is still materialized in the aggregation
+    * buffer before the cap drops it (bounded by the corpus' hottest
+    * shingle, spillable) — the cap bounds the quadratic pair expansion,
+    * not that buffer.
     *
-    * Two shuffles (posting groupBy, pair-count groupBy) plus the size
-    * joins. Cost is Σ |posting|² over shingles, so `maxPostings` caps
-    * hot shingles (a shingle appearing in more docs than the cap is
-    * dropped from candidate generation — pairs sharing ONLY such
-    * stop-shingles are missed, everything else stays exact; the loss is
-    * observable via the `metricName` observation, same contract as the
-    * LSH bucket cap). With the cap the cost is bounded per shingle, but
-    * the exact family is inherently heavier than MinHash — at 100 TB
-    * use [[minHashNearDupsResult]] and keep this for bounded corpora or
-    * candidate re-checks.
+    * Candidate count is Σ |posting|² over kept shingles, far above the
+    * banded-LSH collision rate — at 100 TB use
+    * [[minHashNearDupsResult]]; this is the exact family for bounded
+    * corpora or candidate re-checks.
     *
     * Returns (id_a, id_b, jaccard), id_a < id_b, jaccard >= threshold.
     */
@@ -285,35 +288,41 @@ object Dedup {
       threshold: Double = 0.7,
       maxPostings: Int = 1000,
       metricName: Option[String] = None
-  ): DataFrame = {
+  ): DataFrame =
+    ngramJaccardNearDupsResult(df, idCol, textCol, shingleSize, threshold,
+      maxPostings, StorageLevel.NONE, metricName).pairs
+
+  /** [[ngramJaccardNearDups]] with the [[NearDupResult]] cache-ownership
+    * protocol: `storage` persists the shared (id, shingles) projection
+    * (it feeds candidate generation once and verification twice), and
+    * the caller releases it via the handle.
+    */
+  def ngramJaccardNearDupsResult(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      threshold: Double = 0.7,
+      maxPostings: Int = 1000,
+      storage: StorageLevel = StorageLevel.NONE,
+      metricName: Option[String] = None
+  ): NearDupResult = {
     val metric = metricName.getOrElse(s"graft_ngram_postings_${idCol}_$textCol")
-    val sh = df
+    val projected = df
       .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
-    val sizes = sh.select(col("id"), size(col("sh")).as("n"))
-    val sortedIds = array_sort(col("ids"))
-    val sz = size(col("ids"))
-    val inter = sh
-      .select(col("id"), explode(col("sh")).as("shingle"))
-      .groupBy(col("shingle"))
-      .agg(collect_list(col("id")).as("ids"))
-      .observe(metric,
-        sum(when(sz > maxPostings, 1L).otherwise(0L)).as("overflow_postings"),
-        coalesce(max(sz), lit(0)).as("max_posting_size"))
-      .filter(sz.between(2, maxPostings))
-      .select(explode(
-        flatten(transform(sortedIds, (a, i) =>
-          transform(slice(sortedIds, i + 2, size(sortedIds)), b =>
-            struct(a.as("a"), b.as("b")))))).as("p"))
-      .groupBy(col("p.a").as("id_a"), col("p.b").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        (col("inter").cast(DoubleType) /
-          (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
+    val withShingles =
+      if (storage == StorageLevel.NONE) projected else projected.persist(storage)
+    val asBuckets = withShingles
+      .select(col("id"), explode(col("sh")).as("bucket"))
+      .withColumn("band", lit(0))
+    val pairs = candidatePairs(asBuckets, maxPostings, metric)
+    val verified = verifyPairs(pairs,
+      withShingles.select(col("id"), col("sh").as("payload")),
+      jaccard(col("payload_a"), col("payload_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    NearDupResult(verified, metric,
+      if (storage == StorageLevel.NONE) None else Some(withShingles))
   }
 
   // ---------------------------------------------------------------------

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.config.{FieldMapping, ValidationRule}
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, QualityClassifier, Similarity, TextAnalysis}
 import graft.rules.RuleCompiler
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -25,6 +25,23 @@ object Queries {
 
   private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Shared 4/5-corpus / 1/5-batch MinHash index build + probe used by
+    * x_dedup_incremental and x_incremental_ingest — one place for the
+    * split, the tmp index path (dataset-dir-scoped: a fixed path would
+    * race concurrent runs at different SFs), and the LSH parameters.
+    * Returns (batch frame, near-dup pairs at jaccard >= 0.5).
+    */
+  private def indexAndProbe(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val docs = t(s, d, "documents")
+    val idxPath = s"${System.getProperty("java.io.tmpdir")}/graft_minhash_idx_" +
+      d.replaceAll("[^A-Za-z0-9]", "_")
+    Dedup.writeMinHashIndex(
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text",
+      idxPath, mode = "overwrite")
+    val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    (batch, Dedup.minHashProbeIndex(s, batch, "doc_id", "text", idxPath, threshold = 0.5))
+  }
 
   /** events.parquet carries a NANOSECOND timestamp, which Spark's parquet
     * reader rejects ([PARQUET_TYPE_ILLEGAL]); read `ts` as raw
@@ -406,15 +423,8 @@ object Queries {
     // x_dedup_minhash is: at this SF the banded candidates subsume every
     // true pair >= threshold, and verification is exact Jaccard.
     "x_dedup_incremental" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val idxPath = s"${System.getProperty("java.io.tmpdir")}/graft_minhash_idx_" +
-        d.replaceAll("[^A-Za-z0-9]", "_")
-      Dedup.writeMinHashIndex(
-        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text",
-        idxPath, mode = "overwrite")
-      Dedup.minHashProbeIndex(
-        s, docs.filter(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text",
-        idxPath, threshold = 0.5)
+      val (batch, pairs) = indexAndProbe(s, d)
+      pairs
     }),
 
     // The full incremental-ingest composition: probe the batch against
@@ -423,17 +433,9 @@ object Queries {
     // individually oracle-verified (x_dedup_incremental,
     // x_quality_classifier); this entry proves they compose.
     "x_incremental_ingest" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val idxPath = s"${System.getProperty("java.io.tmpdir")}/graft_ingest_idx_" +
-        d.replaceAll("[^A-Za-z0-9]", "_")
-      Dedup.writeMinHashIndex(
-        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text",
-        idxPath, mode = "overwrite")
-      val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
-      val pairs = Dedup.minHashProbeIndex(
-        s, batch, "doc_id", "text", idxPath, threshold = 0.5)
+      val (batch, pairs) = indexAndProbe(s, d)
       val novel = Dedup.keepNovel(batch, "doc_id", pairs)
-      graft.operators.QualityClassifier.filterByQuality(novel, "text")
+      QualityClassifier.filterByQuality(novel, "text")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(TextAnalysis.tokenCount(col("text")).cast(LongType)).as("n_tokens"))

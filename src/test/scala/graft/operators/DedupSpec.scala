@@ -201,9 +201,10 @@ class DedupSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == viaMinhash && got.nonEmpty)
     // no posting list overflowed -> the exact set is complete, not capped
+    // (shared candidatePairs observation: bucket == shingle here)
     val m = exact.queryExecution.observedMetrics("ngram_sf001")
-    assert(m.getAs[Long]("overflow_postings") == 0L, m.toString)
-    assert(m.getAs[Int]("max_posting_size") >= 2)
+    assert(m.getAs[Long]("overflow_buckets") == 0L, m.toString)
+    assert(m.getAs[Int]("max_bucket_size") >= 2)
 
     // a cap of 1 drops every shared shingle -> no pairs at all
     assert(Dedup.ngramJaccardNearDups(docs01, "doc_id", "text",
