@@ -219,18 +219,43 @@ object Dedup {
     * `overflow_rows` / `max_bucket_size`, surfaced through
     * `Dataset.observe` → `QueryExecutionListener` or
     * `df.queryExecution.observedMetrics` after an action.
+    *
+    * The cap is TWO-PHASE so it bounds memory, not just pair expansion:
+    * phase 1 is an algebraic `count(*)` per (band, bucket) — constant
+    * -size aggregation buffers, map-side partials — whose output keys
+    * the surviving buckets; only those are joined back and
+    * `collect_list`ed in phase 2. A viral duplicate (10⁷–10⁸ copies of
+    * one document at 100 TB) therefore never materializes its id list
+    * in any reducer's aggregation buffer — per-bucket memory is bounded
+    * by `maxBucket` ids. Phase 1's post-partial-agg rows are one narrow
+    * row per distinct bucket per input partition, and its filtered
+    * output is small, so AQE typically broadcasts it back onto `banded`
+    * (one real shuffle of the banded rows, for the phase-2 groupBy).
+    * One degenerate-case caveat: when EVERY bucket is filtered out,
+    * AQE's empty-relation propagation prunes the observation subtree
+    * along with the join, so `observedMetrics` has no entry for
+    * `metric` — read it defensively (`.get`) if a total wipeout is
+    * possible; any surviving bucket keeps the observation alive.
+    * `banded` is evaluated twice (count + collect); it derives from
+    * deterministic kernels over the caller's projection, which callers
+    * may persist/checkpoint via their `storage` parameter.
     */
   private def candidatePairs(banded: DataFrame, maxBucket: Int, metric: String): DataFrame = {
-    val sortedIds = array_sort(col("ids"))
-    val sz = size(col("ids"))
-    banded
+    val sz = col("bucket_size")
+    val keep = banded
       .groupBy(col("band"), col("bucket"))
-      .agg(collect_list(col("id")).as("ids"))
+      .agg(count(lit(1)).cast(IntegerType).as("bucket_size"))
       .observe(metric,
         sum(when(sz > maxBucket, 1L).otherwise(0L)).as("overflow_buckets"),
         sum(when(sz > maxBucket, sz.cast(LongType)).otherwise(0L)).as("overflow_rows"),
         coalesce(max(sz), lit(0)).as("max_bucket_size"))
       .filter(sz.between(2, maxBucket))
+      .select(col("band"), col("bucket"))
+    val sortedIds = array_sort(col("ids"))
+    banded
+      .join(keep, Seq("band", "bucket"))
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("id")).as("ids"))
       .select(explode(
         flatten(transform(sortedIds, (a, i) =>
           transform(slice(sortedIds, i + 2, size(sortedIds)), b =>
@@ -267,11 +292,11 @@ object Dedup {
     * — `maxPostings` (a stop-shingle cap, same contract as the LSH
     * bucket cap) affects only RECALL: a pair is missed only when every
     * shingle it shares overflows. The loss is observable via the
-    * [[NearDupResult.bucketMetric]] observation. The transient posting
-    * array of a hot shingle is still materialized in the aggregation
-    * buffer before the cap drops it (bounded by the corpus' hottest
-    * shingle, spillable) — the cap bounds the quadratic pair expansion,
-    * not that buffer.
+    * [[NearDupResult.bucketMetric]] observation. The cap is two-phase
+    * (see [[candidatePairs]]): a hot shingle's posting list is counted
+    * algebraically and dropped BEFORE any id list is collected, so
+    * per-shingle memory is bounded by `maxPostings` ids — the corpus'
+    * hottest shingle cannot OOM a reducer.
     *
     * Candidate count is Σ |posting|² over kept shingles, far above the
     * banded-LSH collision rate — at 100 TB use
@@ -386,8 +411,12 @@ object Dedup {
     *    report zero pairs — [[minHashProbeIndex]] validates against
     *    this file and fails loudly instead.
     *
-    * One shuffle (the bucket groupBy); the corpus text is read exactly
-    * once. Growing the corpus = appending new docs' postings (build the
+    * The bucket sizes come from an algebraic count(*) joined back onto
+    * the posting rows (no collect_list — per-bucket memory is constant,
+    * so a viral duplicate cannot OOM a reducer at build time); pass
+    * `storage` to persist the shingle projection when recomputing the
+    * banding for the count and posting branches is worth avoiding.
+    * Growing the corpus = appending new docs' postings (build the
     * increment's index with `mode="append"` after probing it). Under
     * append, `bucket_size` is per-INCREMENT: a probe's `maxBucket` cap
     * bounds each increment's contribution to a bucket rather than the
@@ -433,13 +462,21 @@ object Dedup {
         // files at corpus scale
         .repartition(col("shard"))
         .write.mode(mode).partitionBy("shard").parquet(s"$path/shingles")
-      src
+      // bucket_size via an algebraic count + join-back, NOT a
+      // collect_list+size: a viral duplicate's bucket would otherwise
+      // be materialized whole in one reducer's aggregation buffer just
+      // to be measured. count(*) buffers are constant-size with
+      // map-side partials, and the join re-attaches the size to each
+      // posting row (AQE broadcasts the small count side).
+      val bandedIdx = src
         .select(col("id"), posexplode(minHashBands(col("sh"), numHashes, bands)))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      val bucketSizes = bandedIdx
         .groupBy(col("band"), col("bucket"))
-        .agg(collect_list(col("id")).as("ids"))
-        .select(col("band"), col("bucket"),
-          size(col("ids")).as("bucket_size"), explode(col("ids")).as("id"))
+        .agg(count(lit(1)).cast(IntegerType).as("bucket_size"))
+      bandedIdx
+        .join(bucketSizes, Seq("band", "bucket"))
+        .select(col("band"), col("bucket"), col("bucket_size"), col("id"))
         .write.mode(mode).partitionBy("band").parquet(s"$path/bands")
     } finally if (storage != StorageLevel.NONE) src.unpersist()
     IndexMeta.write(spark, path, params)

@@ -183,6 +183,43 @@ class DedupSpec extends SparkTestBase {
       s"minhash bucket cap fired at sf0.01: $row")
   }
 
+  test("two-phase cap: a viral duplicate's bucket is dropped with the loss observed") {
+    // 40 identical docs -> one signature -> every one of their 16 band
+    // buckets holds all 40 ids, over the cap of 10. With the two-phase
+    // cap their id lists are never collected (the phase-1 count drops
+    // the buckets first); the genuine near-dup pair among the normal
+    // docs survives, and its surviving buckets keep the observation
+    // alive (AQE prunes the CollectMetrics subtree only in the
+    // degenerate every-bucket-dropped case).
+    val viral = spark.range(0, 40).select((col("id") + 100).as("doc_id"),
+      lit("the same viral document body repeated everywhere forever again").as("text"))
+    val input = docs.filter(col("doc_id").isin(1, 3)).union(viral)
+    val result = Dedup.minHashNearDupsResult(input, "doc_id", "text",
+      threshold = 0.5, maxBucket = 10,
+      storage = org.apache.spark.storage.StorageLevel.NONE)
+    val pairs = result.pairs.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs == Set((1L, 3L)), "viral bucket dropped; genuine pair kept")
+    val m = result.pairs.queryExecution.observedMetrics(result.bucketMetric)
+    assert(m.getAs[Long]("overflow_buckets") == 16L) // the viral doc's 16 bands
+    assert(m.getAs[Long]("overflow_rows") == 16L * 40)
+    assert(m.getAs[Int]("max_bucket_size") == 40)
+  }
+
+  test("collect_list runs only above the bucket-count join (two-phase plan shape)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val plan = Dedup.minHashNearDups(docs, "doc_id", "text")
+      .queryExecution.optimizedPlan
+    val collectAggs = plan.collect {
+      case a: Aggregate
+          if a.aggregateExpressions.exists(_.toString.contains("collect_list")) => a
+    }
+    assert(collectAggs.nonEmpty)
+    assert(collectAggs.forall(a =>
+      a.collectFirst { case j: Join => j }.nonEmpty),
+      "id lists must be collected only for buckets surviving the count filter")
+  }
+
   test("near-dup plans contain no cartesian product (scale guard)") {
     val plan = Dedup.minHashNearDups(docs, "doc_id", "text")
       .queryExecution.executedPlan.toString
