@@ -17,12 +17,18 @@ import org.apache.spark.sql.SparkSession
   * (`target/bench_reps.json`, override with SPARK_GRAFT_BENCH_REPS_FILE)
   * so bimodality stays visible without bloating the stdout summary line
   * past the driver's tail-capture window, and (b) when the pass total exceeds
-  * SPARK_GRAFT_BENCH_BUDGET seconds (default 45 — ~1.5x the healthy
-  * sf0.1 total), runs ONE full extra pass and reports per-query
-  * min-of-medians across passes: both passes fully measured the same
-  * deterministic plans, so the minimum is the honest estimate of what
-  * the code costs in a healthy session. `passes` and `sick` in the
-  * output record when this fired.
+  * SPARK_GRAFT_BENCH_BUDGET seconds, runs ONE full extra pass and
+  * reports per-query min-of-medians across passes: both passes fully
+  * measured the same deterministic plans, so the minimum is the honest
+  * estimate of what the code costs in a healthy session. `passes` and
+  * `sick` in the output record when this fired. The default budget is
+  * DERIVED FROM THE CATALOG — 0.9 s per query plus 4 s per io-query —
+  * so growing the catalog cannot silently erode the headroom the way a
+  * flat constant did (a 45 s flat budget calibrated for 47 queries
+  * false-alarmed on a healthy 55-query session in round 6). At today's
+  * 55 queries / 3 io-queries that is ~61 s: ~1.8x the healthy ~34 s
+  * sf0.1 total, while a degenerate JIT session (3-10x slow) still
+  * trips it.
   *
   * `x_jsonl_roundtrip`, `x_dedup_incremental`, and `x_incremental_ingest` are the catalog
   * entries whose timing includes a real disk write+read (a round-trip
@@ -57,7 +63,13 @@ object Bench {
       throw new IllegalArgumentException(
         s"SPARK_GRAFT_BENCH_REPS must be an integer >= 1, got '$repsRaw'"))
     require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
-    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "45").toDouble
+    val ioQueries = Seq("x_jsonl_roundtrip", "x_dedup_incremental", "x_incremental_ingest")
+    // catalog-derived degenerate-session budget (see scaladoc); the env
+    // var remains an explicit override for experiments
+    val nIo = ioQueries.count(SparkEntry.queries.contains)
+    val defaultBudget = 0.9 * SparkEntry.queries.size + 4.0 * nIo
+    val budget = sys.env.get("SPARK_GRAFT_BENCH_BUDGET")
+      .map(_.toDouble).getOrElse(defaultBudget)
 
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -126,7 +138,8 @@ object Bench {
         System.err.println(s"[bench] could not write reps file $repsPath: ${e.getMessage}")
         "null"
       }
-    println(s"""{"metric":"total","value":${total(medians)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"sick":$sick,"io_queries":["x_jsonl_roundtrip","x_dedup_incremental","x_incremental_ingest"],"reps_file":$repsRef}""")
+    val ioJson = ioQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${total(medians)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"sick":$sick,"io_queries":$ioJson,"reps_file":$repsRef}""")
     spark.stop()
   }
 }
