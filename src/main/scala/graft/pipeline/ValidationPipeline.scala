@@ -515,15 +515,52 @@ class ValidationPipeline(
   /** S4 parity sink: batched JDBC append of the valid rows into the
     * configured target table (reference src/etl_processor.py:53-108 —
     * per-row INSERT with commit every BatchSize rows; Spark's JDBC
-    * writer batches with the same knob). Untested here (no database in
-    * the harness); the parquet sinks are the verified path.
+    * writer batches with the same knob, per-partition and in parallel).
+    * Execution-verified against embedded Derby in PipelineSpec.
     */
-  def writeJdbc(annotated: DataFrame, url: String, props: java.util.Properties): Unit =
-    validOutput(annotated)
-      .write
+  def writeJdbc(annotated: DataFrame, url: String, props: java.util.Properties): Unit = {
+    val out = validOutput(annotated)
+    out.write
       .mode("append")
       .option("batchsize", config.etl.batchSize)
+      .option("createTableColumnTypes", varcharDdl(out, wide = Set("FileSource")))
       .jdbc(url, config.target.targetTable, props)
+  }
+
+  /** S4 parity sink for the error log: batched JDBC append of the
+    * exploded error rows (reference src/etl_processor.py:110-144 —
+    * per-row INSERT into the hard-coded Production.DataValidationErrors
+    * table, one commit at the end; FieldValue is already truncated to
+    * 255 chars by [[errorOutput]], matching the reference's
+    * `str(...)[:255]`). Same batchsize knob as the valid sink.
+    */
+  def writeErrorsJdbc(
+      annotated: DataFrame,
+      url: String,
+      props: java.util.Properties,
+      table: String = "Production.DataValidationErrors"
+  ): Unit = {
+    val out = errorOutput(annotated)
+    out.write
+      .mode("append")
+      .option("batchsize", config.etl.batchSize)
+      .option("createTableColumnTypes",
+        varcharDdl(out, wide = Set("FileSource", "ErrorMessage")))
+      .jdbc(url, table, props)
+  }
+
+  /** Explicit VARCHAR DDL for the string columns of a JDBC sink frame.
+    * Some dialects (Derby among them) default StringType to CLOB, which
+    * cannot be compared — so pushed-down predicates on those columns
+    * fail server-side. The sinks' string fields are bounded (FieldValue
+    * is pre-truncated to 255; paths/messages get a wider 1024), so
+    * declaring VARCHAR is both safe and index/filter-friendly.
+    */
+  private def varcharDdl(df: DataFrame, wide: Set[String]): String =
+    df.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.StringType =>
+        s"${f.name} VARCHAR(${if (wide(f.name)) 1024 else 255})"
+    }.mkString(", ")
 
   /** S6/A3: processing-summary over a loaded QualityData frame through
     * the SQL surface (reference src/etl_processor.py:146-158: last-N-days

@@ -431,4 +431,59 @@ class PipelineSpec extends SparkTestBase {
     assert(!Files.exists(f))
     assert(dest.get.getFileName.toString.matches("""\d{8}_\d{6}_input\.csv"""))
   }
+
+  // ------------------------------------------------------------------
+  // S4: JDBC sinks against embedded Derby (reference's primary load
+  // path, src/etl_processor.py:53-144)
+  // ------------------------------------------------------------------
+
+  test("S4: JDBC sinks round-trip valid + error rows through embedded Derby") {
+    System.setProperty("derby.stream.error.file", "target/derby.log")
+    val url = "jdbc:derby:memory:graftS4;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+
+    // BatchSize=2 over 6 valid rows forces multiple JDBC batches, so the
+    // batching path is exercised, not just a single executeBatch.
+    val small = cfg.copy(etl = cfg.etl.copy(batchSize = 2))
+    val p = new ValidationPipeline(small, parityMode = true)
+    val annotated = p.annotate(p.readCsv(spark, fixtureCsv)).cache()
+    try {
+      // the reference's config-declared schema; create it up front so the
+      // writer's CREATE TABLE PRODUCTION.x lands in an existing schema
+      val conn = java.sql.DriverManager.getConnection(url)
+      try conn.createStatement().execute("CREATE SCHEMA PRODUCTION")
+      catch { case _: java.sql.SQLException => () } // already exists
+      finally conn.close()
+
+      p.writeJdbc(annotated, url, props)
+      p.writeErrorsJdbc(annotated, url, props)
+
+      val validBack = spark.read.jdbc(url, small.target.targetTable, props)
+      val errorsBack = spark.read.jdbc(url, "Production.DataValidationErrors", props)
+      assert(validBack.count() == 6)
+      assert(errorsBack.count() == 4)
+
+      // full-row fidelity: read-back set equals the sink projection
+      val expectedValid = p.validOutput(annotated)
+      assert(validBack.columns.sorted.toSeq == expectedValid.columns.sorted.toSeq)
+      val alignedValid = validBack.select(expectedValid.columns.map(col): _*)
+      assert(alignedValid.except(expectedValid).isEmpty)
+      assert(expectedValid.except(alignedValid).isEmpty)
+      val expectedErr = p.errorOutput(annotated)
+      val alignedErr = errorsBack.select(expectedErr.columns.map(col): _*)
+      assert(alignedErr.except(expectedErr).isEmpty)
+      assert(expectedErr.except(alignedErr).isEmpty)
+
+      // append semantics: a second load accumulates, reference-style
+      p.writeJdbc(annotated, url, props)
+      assert(spark.read.jdbc(url, small.target.targetTable, props).count() == 12)
+    } finally {
+      annotated.unpersist()
+      // in-memory Derby db is dropped via the drop=true connection attribute,
+      // which "fails" with SQLState 08006 on success
+      try java.sql.DriverManager.getConnection("jdbc:derby:memory:graftS4;drop=true")
+      catch { case _: java.sql.SQLException => () }
+    }
+  }
 }
