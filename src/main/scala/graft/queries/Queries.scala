@@ -1240,6 +1240,21 @@ object Queries {
         |WHERE (((((doc_id % 2147483647) + 1) * 1103515245) % 2147483647) * 784588716) % 2147483647 % 1000
         |  < CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 200 ELSE 0 END""".stripMargin,
 
+    // n_bpe_tokens comes from a committed golden parquet generated by an
+    // INDEPENDENT Python replay of the merge kernel
+    // (tools/gen_bpe_golden.py), keyed by md5(text) so the check is
+    // scale-factor-agnostic: counts are a pure function of the text, and
+    // an unseen text surfaces as a null-vs-value hash mismatch through
+    // the LEFT JOIN. The other two columns reuse the DuckDB expressions
+    // already hash-proven by x_text_tokens.
+    "x_bpe_tokens" ->
+      """SELECT d.doc_id, g.n_bpe_tokens,
+        |len(regexp_extract_all(d.text, '\w+|[^\w\s]')) AS n_pretokens,
+        |CASE WHEN trim(d.text) = '' THEN 0 ELSE len(string_split_regex(trim(d.text), '\s+')) END AS n_ws_tokens
+        |FROM documents d
+        |LEFT JOIN read_parquet('/root/repo/tools/golden/bpe_counts.parquet') g
+        |  ON md5(d.text) = g.text_md5""".stripMargin,
+
     "x_text_tokens" ->
       """SELECT doc_id,
         |CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
