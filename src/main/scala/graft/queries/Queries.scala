@@ -1075,6 +1075,43 @@ object Queries {
     // cosine is undefined, and DuckDB sorts NaN ABOVE all numbers under
     // DESC — without the guard a zero vector would take rank 1 here
     // while Spark excludes it
+    // Hyperplane-LSH outputs are engine-specific (deterministic
+    // splitmix64 planes) but fully deterministic, so they verify against
+    // committed goldens produced by an independent Python kernel replay
+    // (tools/gen_lsh_golden.py — bit-exact doubles via identical
+    // accumulation order). corpus_key picks the golden subset for the
+    // embeddings table under test: floor/power-of-two/integer-sum
+    // arithmetic is exact in both engines, and an unseen corpus selects
+    // zero golden rows — a loud row-count failure, never a silent pass.
+    "x_ann_lsh" ->
+      """WITH ck AS (SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 281474976710656) AS BIGINT)) AS BIGINT) AS k FROM embeddings)
+        |SELECT query_id, id, rank
+        |FROM read_parquet('/root/repo/tools/golden/lsh_topk.parquet') g, ck
+        |WHERE g.corpus_key = ck.k""".stripMargin,
+
+    // Same replay-golden scheme (tools/gen_hash_goldens.py — includes a
+    // from-spec Python XXH64 independent of Spark's port) for the two
+    // remaining engine-hash entries. The documents corpus_key is
+    // sum((doc_id+1) * length(text)) — code-point length, exact integer
+    // arithmetic in both engines.
+    "x_dedup_simhash" ->
+      """WITH ck AS (SELECT CAST(sum((doc_id+1)*length(text)) AS BIGINT) AS k FROM documents WHERE text IS NOT NULL)
+        |SELECT id_a, id_b, hamming
+        |FROM read_parquet('/root/repo/tools/golden/simhash_pairs.parquet') g, ck
+        |WHERE g.corpus_key = ck.k""".stripMargin,
+
+    "x_ann_ivf" ->
+      """WITH ck AS (SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 281474976710656) AS BIGINT)) AS BIGINT) AS k FROM embeddings)
+        |SELECT query_id, id, rank
+        |FROM read_parquet('/root/repo/tools/golden/ivf_topk.parquet') g, ck
+        |WHERE g.corpus_key = ck.k""".stripMargin,
+
+    "x_dedup_embedding" ->
+      """WITH ck AS (SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 281474976710656) AS BIGINT)) AS BIGINT) AS k FROM embeddings)
+        |SELECT id_a, id_b, cosine
+        |FROM read_parquet('/root/repo/tools/golden/embedding_pairs.parquet') g, ck
+        |WHERE g.corpus_key = ck.k""".stripMargin,
+
     "x_cosine_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
         |scored AS (

@@ -1,0 +1,280 @@
+#!/usr/bin/env python3
+"""Golden-oracle generator for x_dedup_simhash and x_ann_ivf.
+
+Like tools/gen_lsh_golden.py, these two catalog entries hash data
+through engine-side kernels (XXH64 token hashes for SimHash; an
+XXH64-ordered centroid sample for IVF), so their outputs are
+engine-specific but fully deterministic. This script replays the
+kernels in Python — including a from-spec XXH64 (Collet's public
+xxHash, the same algorithm Spark's XXH64 ports) — and writes:
+
+  tools/golden/simhash_pairs.parquet (corpus_key, id_a, id_b, hamming)
+  tools/golden/ivf_topk.parquet      (corpus_key, query_id, id, rank)
+
+corpus_key discriminates the table under test, computed portably in
+DuckDB and here:
+  documents:  sum((doc_id+1) * length(text))   -- code-point length
+  embeddings: sum(floor(first_component * 2^48))
+Exact integer arithmetic both sides; an unseen corpus selects zero
+golden rows and fails as a row-count mismatch.
+
+Replication notes:
+ - SimHash tokens are Spark `split(trim(text), '\\s+')`: trim strips
+   ASCII spaces only; split keeps every empty token (limit -1, Java
+   ASCII \\s) — Python re.split matches with re.ASCII;
+ - each token's XXH64 (seed 7) votes per bit; banding is 4 x 16-bit
+   blocks (maxDistance 3); buckets capped at 1000; pairs verified at
+   hamming <= 3;
+ - IVF centroids are the nlist=64 corpus vectors with the smallest
+   SIGNED xxhash64(id) (Spark's xxhash64, seed 42, long input), in
+   that hash order; assignment/probing replays the insertion-sorted
+   nearest-centroid kernel (strict >, ties keep the earlier centroid)
+   with the same sequential float accumulation so doubles are
+   bit-exact.
+
+Usage: python3 tools/gen_hash_goldens.py
+"""
+import math
+import re
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SFS = ["0.001", "0.01", "0.1"]
+M64 = (1 << 64) - 1
+P1 = 0x9E3779B185EBCA87
+P2 = 0xC2B2AE3D27D4EB4F
+P3 = 0x165667B19E3779F9
+P4 = 0x85EBCA77C2B2AE63
+P5 = 0x27D4EB2F165667C5
+
+
+def rotl(x, r):
+    return ((x << r) | (x >> (64 - r))) & M64
+
+
+def fmix(h):
+    h ^= h >> 33
+    h = (h * P2) & M64
+    h ^= h >> 29
+    h = (h * P3) & M64
+    h ^= h >> 32
+    return h
+
+
+def xxh64(data, seed):
+    """Reference XXH64 over bytes (little-endian reads)."""
+    n = len(data)
+    if n >= 32:
+        v1 = (seed + P1 + P2) & M64
+        v2 = (seed + P2) & M64
+        v3 = seed & M64
+        v4 = (seed - P1) & M64
+        def rnd(acc, lane):
+            return (rotl((acc + lane * P2) & M64, 31) * P1) & M64
+
+        i = 0
+        while i + 32 <= n:
+            v1 = rnd(v1, int.from_bytes(data[i:i + 8], "little"))
+            v2 = rnd(v2, int.from_bytes(data[i + 8:i + 16], "little"))
+            v3 = rnd(v3, int.from_bytes(data[i + 16:i + 24], "little"))
+            v4 = rnd(v4, int.from_bytes(data[i + 24:i + 32], "little"))
+            i += 32
+        h = (rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)) & M64
+        for v in (v1, v2, v3, v4):
+            h ^= (rotl((v * P2) & M64, 31) * P1) & M64
+            h = ((h * P1) + P4) & M64
+    else:
+        h = (seed + P5) & M64
+        i = 0
+    h = (h + n) & M64
+    while i + 8 <= n:
+        lane = int.from_bytes(data[i:i + 8], "little")
+        h ^= (rotl((lane * P2) & M64, 31) * P1) & M64
+        h = ((rotl(h, 27) * P1) + P4) & M64
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i:i + 4], "little") * P1) & M64
+        h = ((rotl(h, 23) * P2) + P3) & M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * P5) & M64
+        h = (rotl(h, 11) * P1) & M64
+        i += 1
+    return fmix(h)
+
+
+def xxh64_long(value, seed):
+    """Spark XXH64.hashLong: one 8-byte lane, not byte hashing."""
+    h = (seed + P5 + 8) & M64
+    h ^= (rotl(((value & M64) * P2) & M64, 31) * P1) & M64
+    h = ((rotl(h, 27) * P1) + P4) & M64
+    return fmix(h)
+
+
+def signed64(v):
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+# ---------------------------------------------------------------------
+# SimHash near-dup replay (Dedup.simHashNearDups, maxDistance=3)
+# ---------------------------------------------------------------------
+
+WS = re.compile(r"\s+", re.ASCII)
+
+
+def tokens(text):
+    return WS.split(text.strip(" "))
+
+
+def simhash64(toks):
+    votes = [0] * 64
+    for t in toks:
+        h = xxh64(t.encode("utf-8"), 7)
+        for j in range(64):
+            votes[j] += 1 if (h >> j) & 1 else -1
+    out = 0
+    for j in range(64):
+        if votes[j] > 0:
+            out |= 1 << j
+    return out
+
+
+def simhash_pairs(docs, max_distance=3, max_bucket=1000):
+    hashes = {did: simhash64(tokens(t)) for did, t in docs.items()}
+    blocks = max_distance + 1
+    bits = 64 // blocks
+    mask = (1 << bits) - 1
+    groups = {}
+    for did, h in hashes.items():
+        for b in range(blocks):
+            groups.setdefault((b, (h >> (b * bits)) & mask), []).append(did)
+    pairs = set()
+    for ids in groups.values():
+        if 2 <= len(ids) <= max_bucket:
+            ids = sorted(ids)
+            for i, a in enumerate(ids):
+                for b in ids[i + 1:]:
+                    pairs.add((a, b))
+    out = []
+    for a, b in sorted(pairs):
+        ham = bin(hashes[a] ^ hashes[b]).count("1")
+        if ham <= max_distance:
+            out.append((a, b, ham))
+    return out
+
+
+# ---------------------------------------------------------------------
+# IVF top-k replay (Ivf.ivfTopK: k=10, nlist=64, nProbe=8)
+# ---------------------------------------------------------------------
+
+def nearest_centroids(vec, centroids, n_probe):
+    """Kernel replay: insertion-sorted descending top list, strict >."""
+    vn = 0.0
+    v = list(vec)
+    for x in v:
+        vn += x * x
+    top_idx = [0] * min(n_probe, len(centroids))
+    top_sim = [float("-inf")] * len(top_idx)
+    for c, cent in enumerate(centroids):
+        dot = 0.0
+        cn = 0.0
+        for j in range(min(len(v), len(cent))):
+            x = cent[j]
+            dot += v[j] * x
+            cn += x * x
+        denom = math.sqrt(vn) * math.sqrt(cn)
+        sim = 0.0 if denom == 0.0 else dot / denom
+        pos = len(top_idx) - 1
+        if sim > top_sim[pos]:
+            while pos > 0 and sim > top_sim[pos - 1]:
+                top_sim[pos] = top_sim[pos - 1]
+                top_idx[pos] = top_idx[pos - 1]
+                pos -= 1
+            top_sim[pos] = sim
+            top_idx[pos] = c
+    return top_idx
+
+
+def cosine(a, b):
+    dot = 0.0
+    na = 0.0
+    nb = 0.0
+    for x, y in zip(a, b):
+        dot += x * y
+        na += x * x
+        nb += y * y
+    denom = math.sqrt(na) * math.sqrt(nb)
+    return 0.0 if denom == 0.0 else dot / denom
+
+
+def ivf_topk(vecs, k=10, nlist=64, n_probe=8):
+    by_hash = sorted(
+        (vid for vid, v in vecs.items() if v),
+        key=lambda vid: signed64(xxh64_long(vid, 42)),
+    )
+    centroids = [vecs[vid] for vid in by_hash[:nlist]]
+    cell = {vid: nearest_centroids(v, centroids, 1)[0] for vid, v in vecs.items()}
+    out = []
+    for qid in sorted(v for v in vecs if v < 5):
+        qv = vecs[qid]
+        probes = set(nearest_centroids(qv, centroids, n_probe))
+        cands = [vid for vid, c in cell.items() if c in probes]
+        scored = sorted(((cosine(vecs[c], qv), c) for c in cands),
+                        key=lambda t: (-t[0], t[1]))
+        for rank, (_, vid) in enumerate(scored[:k], start=1):
+            out.append((qid, vid, rank))
+    return out
+
+
+# ---------------------------------------------------------------------
+
+sim_rows, ivf_rows = [], []
+for sf in SFS:
+    docs = dict(
+        duckdb.sql(
+            f"SELECT doc_id, text FROM '/root/testdata/sf{sf}/documents.parquet' "
+            f"WHERE text IS NOT NULL"
+        ).fetchall()
+    )
+    doc_key = sum((did + 1) * len(t) for did, t in docs.items())
+    pairs = simhash_pairs(docs)
+    sim_rows += [(doc_key, a, b, h) for a, b, h in pairs]
+
+    vecs = {
+        vid: list(v)
+        for vid, v in duckdb.sql(
+            f"SELECT vec_id, embedding FROM "
+            f"'/root/testdata/sf{sf}/embeddings.parquet'"
+        ).fetchall()
+    }
+    emb_key = sum(math.floor(v[0] * float(1 << 48)) for v in vecs.values())
+    topk = ivf_topk(vecs)
+    ivf_rows += [(emb_key, q, i, r) for q, i, r in topk]
+    print(f"sf{sf}: doc_key={doc_key} ({len(pairs)} simhash pairs), "
+          f"emb_key={emb_key} ({len(topk)} ivf rows)")
+
+pq.write_table(
+    pa.table(
+        {
+            "corpus_key": pa.array([r[0] for r in sim_rows], pa.int64()),
+            "id_a": pa.array([r[1] for r in sim_rows], pa.int64()),
+            "id_b": pa.array([r[2] for r in sim_rows], pa.int64()),
+            "hamming": pa.array([r[3] for r in sim_rows], pa.int32()),
+        }
+    ),
+    "tools/golden/simhash_pairs.parquet",
+)
+pq.write_table(
+    pa.table(
+        {
+            "corpus_key": pa.array([r[0] for r in ivf_rows], pa.int64()),
+            "query_id": pa.array([r[1] for r in ivf_rows], pa.int64()),
+            "id": pa.array([r[2] for r in ivf_rows], pa.int64()),
+            "rank": pa.array([r[3] for r in ivf_rows], pa.int32()),
+        }
+    ),
+    "tools/golden/ivf_topk.parquet",
+)
+print("wrote tools/golden/{simhash_pairs,ivf_topk}.parquet")
