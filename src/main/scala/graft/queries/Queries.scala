@@ -6,6 +6,7 @@ import graft.rules.RuleCompiler
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 import org.apache.spark.storage.StorageLevel
 
@@ -74,6 +75,12 @@ object Queries {
     FieldMapping("l_returnflag", "return_flag", "varchar(1)", required = true,
       Seq(ValidationRule("not_null", Map.empty)))
   )
+
+  /** Memory-sink table names must be unique per streaming query within
+    * a session; bench reps rerun catalog entries, so each run takes a
+    * fresh suffix.
+    */
+  private val streamRun = new java.util.concurrent.atomic.AtomicLong(0L)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -504,6 +511,47 @@ object Queries {
         .select(col("query_id"), col("id"), col("rank"))
     }),
 
+    // Structured Streaming surface, driver-visible: the windowed
+    // error-rate summary over a file-source micro-batch stream of
+    // lineitem, annotated by the SAME compiled rule set the batch
+    // entries use (streaming/batch parity is by construction — the
+    // row rules are plain expressions). Runs to completion with
+    // Trigger.AvailableNow into a memory sink in COMPLETE mode: append
+    // would hold back the final watermark's windows in a bounded run;
+    // complete keeps all window state, which is right for verification
+    // (production tails use append+watermark via the foreachBatch
+    // writer). Aggregation is exact, so the result is micro-batch-
+    // partitioning-independent and fully oracle-checkable.
+    "x_stream_error_rate" -> ((s, d) => {
+      val schema = t(s, d, "lineitem").schema
+      // the file stream source watches a DIRECTORY (the landing-dir
+      // contract); testdata ships flat single files, so expose the one
+      // file through a dataset-scoped scratch dir via symlink
+      val streamDir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_stream_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      java.nio.file.Files.createDirectories(streamDir)
+      val link = streamDir.resolve("lineitem.parquet")
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(
+          link, java.nio.file.Paths.get(d, "lineitem.parquet").toAbsolutePath)
+      val stream = s.readStream.schema(schema).parquet(streamDir.toString)
+      val annotated = stream.withColumn("errors", RuleCompiler.compileRow(lineitemRules))
+      val rates = graft.streaming.StreamingValidation.errorRateByWindow(
+        annotated, timeCol = "l_shipdate", windowLen = "1 hour",
+        watermark = "2 hours", keyCol = "l_returnflag")
+      // memory-sink names must be unique per ACTIVE query; reruns in the
+      // same session (bench reps) each get a fresh table
+      val name = s"x_stream_error_rate_${streamRun.incrementAndGet()}"
+      val q = rates.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+      s.table(name).select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("l_returnflag").as("return_flag"),
+        col("total_rows"), col("invalid_rows"), col("error_count"))
+    }),
+
     // JSON/multimodal props extraction (events.props is a JSON string).
     "x_json_extract" -> ((s, d) => {
       events(s, d)
@@ -845,6 +893,25 @@ object Queries {
         |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
         |  count(*) AS n_events
         |FROM sessions GROUP BY user_id, session_seq""".stripMargin,
+
+    // Streaming windowed error rate: the aggregation is exact (complete
+    // mode, AvailableNow), so the batch-SQL equivalent is a plain
+    // hour-truncated group-by with the same rule flags p8 already
+    // hash-verifies. Spark's window() aligns to the epoch, which for
+    // "1 hour" is exactly date_trunc('hour', ...).
+    "x_stream_error_rate" ->
+      """WITH flags AS (
+        |  SELECT CAST(l_shipdate AS TIMESTAMP) AS evt, l_returnflag,
+        |    (CASE WHEN l_quantity < 5 OR l_quantity > 45 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN l_discount < 0 OR l_discount > 0.05 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN l_shipdate < TIMESTAMP '1995-06-01' OR l_shipdate > TIMESTAMP '2000-12-31' THEN 1 ELSE 0 END)
+        |    + (CASE WHEN l_returnflag IS NULL OR trim(l_returnflag) = '' THEN 1 ELSE 0 END) AS n_err
+        |  FROM lineitem WHERE CAST(l_shipdate AS TIMESTAMP) IS NOT NULL)
+        |SELECT strftime(date_trunc('hour', evt), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  l_returnflag AS return_flag, count(*) AS total_rows,
+        |  CAST(sum(CASE WHEN n_err > 0 THEN 1 ELSE 0 END) AS BIGINT) AS invalid_rows,
+        |  CAST(sum(n_err) AS BIGINT) AS error_count
+        |FROM flags GROUP BY 1, 2""".stripMargin,
 
     "p2_required_check" ->
       """SELECT o_orderkey,

@@ -126,6 +126,23 @@ class StreamingValidation(
       watermark: String = "2 hours",
       keyCol: String = "line_id"
   ): DataFrame =
+    StreamingValidation.errorRateByWindow(annotated, timeCol, windowLen, watermark, keyCol)
+}
+
+object StreamingValidation {
+
+  /** Windowed error-rate summary over an annotated stream (see the
+    * instance method's doc). Static because it needs no config — only
+    * the `errors` column any annotated frame carries — so catalog
+    * queries can exercise the streaming surface without an XML config.
+    */
+  def errorRateByWindow(
+      annotated: DataFrame,
+      timeCol: String,
+      windowLen: String = "1 hour",
+      watermark: String = "2 hours",
+      keyCol: String = "line_id"
+  ): DataFrame =
     annotated
       .withColumn("__event_time", col(timeCol).cast("timestamp"))
       .filter(col("__event_time").isNotNull)
@@ -136,9 +153,6 @@ class StreamingValidation(
         sum(when(size(col(ValidationPipeline.ErrorsCol)) > 0, 1L).otherwise(0L))
           .as("invalid_rows"),
         sum(size(col(ValidationPipeline.ErrorsCol)).cast("long")).as("error_count"))
-}
-
-object StreamingValidation {
 
   /** Per-key running validation state for [[sessionizedCounts]]. */
   case class LineState(total: Long, invalid: Long)
