@@ -264,6 +264,47 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** [[candidatePairs]] carrying each id's SET SIZE (`sz` column on
+    * `banded`) through the bucket expansion, so pairs whose size ratio
+    * `min(|A|,|B|) / max(|A|,|B|) < minRatio` are pruned BEFORE the
+    * global pair-dedup shuffle. For set-Jaccard callers this is an
+    * EXACT bound, not a heuristic: |A∩B| ≤ min and |A∪B| ≥ max, so
+    * J(A,B) ≤ min/max — a pruned pair could never pass a
+    * `jaccard >= minRatio` verification (and IEEE division is monotone,
+    * so the float comparisons agree too). Same two-phase hot-bucket cap
+    * and observation contract as [[candidatePairs]]; per-bucket memory
+    * is maxBucket (id, sz) structs instead of bare ids.
+    */
+  private def candidatePairsSized(
+      banded: DataFrame, maxBucket: Int, metric: String, minRatio: Double): DataFrame = {
+    val bsz = col("bucket_size")
+    val keep = banded
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).cast(IntegerType).as("bucket_size"))
+      .observe(metric,
+        sum(when(bsz > maxBucket, 1L).otherwise(0L)).as("overflow_buckets"),
+        sum(when(bsz > maxBucket, bsz.cast(LongType)).otherwise(0L)).as("overflow_rows"),
+        coalesce(max(bsz), lit(0)).as("max_bucket_size"))
+      .filter(bsz.between(2, maxBucket))
+      .select(col("band"), col("bucket"))
+    // struct sort order is field-by-field; id is unique, so this is the
+    // same id-ascending order candidatePairs uses
+    val sorted = array_sort(col("entries"))
+    banded
+      .join(keep, Seq("band", "bucket"))
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(struct(col("id"), col("sz"))).as("entries"))
+      .select(explode(
+        flatten(transform(sorted, (a, i) =>
+          transform(slice(sorted, i + 2, size(sorted)), b =>
+            struct(a.getField("id").as("a"), b.getField("id").as("b"),
+              a.getField("sz").as("sz_a"), b.getField("sz").as("sz_b")))))).as("p"))
+      .filter(least(col("p.sz_a"), col("p.sz_b")).cast(DoubleType)
+        / greatest(col("p.sz_a"), col("p.sz_b")) >= minRatio)
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** Re-attach payloads to id pairs and compute a verification measure.
     * Two hash joins keyed on id; AQE picks broadcast vs shuffle by the
     * actual pair/payload sizes.
@@ -286,7 +327,10 @@ object Dedup {
     * Candidate generation is an inverted shingle index: docs sharing
     * any (non-capped) shingle become a candidate pair, via the same
     * one-shuffle id-pair expansion the LSH family uses
-    * ([[candidatePairs]] with the shingle itself as the bucket key).
+    * ([[candidatePairsSized]] with the shingle itself as the bucket
+    * key), with an exact length-ratio prune — J(A,B) ≤ min/max of the
+    * set sizes, so sub-threshold-ratio pairs drop before the dedup
+    * shuffle and verify joins without any recall change.
     * Every candidate is then verified with the exact-Jaccard kernel
     * over the full shingle sets, so the EMITTED jaccard is always exact
     * — `maxPostings` (a stop-shingle cap, same contract as the LSH
@@ -298,10 +342,14 @@ object Dedup {
     * per-shingle memory is bounded by `maxPostings` ids — the corpus'
     * hottest shingle cannot OOM a reducer.
     *
-    * Candidate count is Σ |posting|² over kept shingles, far above the
-    * banded-LSH collision rate — at 100 TB use
+    * Candidate count is Σ |posting|² over kept PREFIX shingles, far
+    * above the banded-LSH collision rate — at 100 TB use
     * [[minHashNearDupsResult]]; this is the exact family for bounded
-    * corpora or candidate re-checks.
+    * corpora or candidate re-checks. (Measured at sf0.1: 5000 docs ×
+    * 52 avg shingles yield just 256 verified pairs — at that scale the
+    * entry's wall time is Spark stage overhead, not candidate volume;
+    * the prefix/ratio prunes are for the corpus sizes where volume
+    * dominates.)
     *
     * Returns (id_a, id_b, jaccard), id_a < id_b, jaccard >= threshold.
     */
@@ -338,10 +386,28 @@ object Dedup {
       .filter(size(col("sh")) > 0)
     val withShingles =
       if (storage == StorageLevel.NONE) projected else projected.persist(storage)
+    // Prefix filter (Bayardo et al., WWW 2007; Vernica et al., SIGMOD
+    // 2010 — the standard exact set-similarity join): under ANY global
+    // total order on shingles, two sets with J >= t MUST share one of
+    // each other's first n - ceil(t*n) + 1 shingles, so only that
+    // prefix is indexed — candidate volume drops from sum(|posting|^2)
+    // over ALL shingles to the prefix postings, with zero recall
+    // change. Order = (xxhash64, shingle): deterministic, global, and
+    // frequency-agnostic. The 1e-9 slack makes the float ceil round
+    // toward a LONGER prefix, never a shorter (missed-pair) one.
+    val ordered = transform(
+      array_sort(transform(col("sh"), sh => struct(xxhash64(sh).as("h"), sh.as("s")))),
+      e => e.getField("s"))
+    val pfxLen = (size(col("sh"))
+      - ceil(lit(threshold) * size(col("sh")) - lit(1e-9)) + 1).cast(IntegerType)
     val asBuckets = withShingles
-      .select(col("id"), explode(col("sh")).as("bucket"))
+      .select(col("id"), size(col("sh")).as("sz"),
+        explode(slice(ordered, lit(1), pfxLen)).as("bucket"))
       .withColumn("band", lit(0))
-    val pairs = candidatePairs(asBuckets, maxPostings, metric)
+    // length-ratio prune: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so pairs
+    // under the threshold ratio are dropped before the pair-dedup
+    // shuffle and the payload verify joins — exact, zero recall change
+    val pairs = candidatePairsSized(asBuckets, maxPostings, metric, threshold)
     val verified = verifyPairs(pairs,
       withShingles.select(col("id"), col("sh").as("payload")),
       jaccard(col("payload_a"), col("payload_b")).as("jaccard"))
