@@ -369,4 +369,50 @@ class DedupSpec extends SparkTestBase {
     val plan = probed.queryExecution.executedPlan.toString
     assert(!plan.contains("CollectMetrics"))
   }
+
+  test("property: pruned ngram join equals brute-force all-pairs at several thresholds") {
+    // The r8 prefix filter and length-ratio prune claim EXACTNESS: no
+    // pair with J >= t may be lost. Adversarial check on randomized
+    // corpora with planted near-dups (mutated copies of earlier docs),
+    // at thresholds whose prefix lengths n - ceil(t*n) + 1 round
+    // differently — a float-rounding bug in the prefix arithmetic or a
+    // wrong ratio bound shows up as a missing pair here.
+    val rnd = new scala.util.Random(0x5eed)
+    val pool = (0 until 30).map(i => s"w$i")
+    val base = (0 until 40).map { id =>
+      (id.toLong, (0 until (6 + rnd.nextInt(20))).map(_ => pool(rnd.nextInt(pool.size))).mkString(" "))
+    }
+    // plant near-dups: mutate a suffix of an earlier doc
+    val mutated = (0 until 20).map { k =>
+      val (srcId, text) = base(rnd.nextInt(base.size))
+      val toks = text.split(" ").toBuffer
+      (0 until (1 + rnd.nextInt(3))).foreach { _ =>
+        toks(rnd.nextInt(toks.size)) = pool(rnd.nextInt(pool.size))
+      }
+      (100L + k, toks.mkString(" "))
+    }
+    val corpus = base ++ mutated
+    val df = corpus.toDF("doc_id", "text")
+
+    def shingleSet(text: String, n: Int): Set[String] = {
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+      if (toks.length < n) Set.empty
+      else toks.sliding(n).map(_.mkString(" ")).toSet
+    }
+    for (t <- Seq(0.34, 0.5, 0.7, 0.9)) {
+      val expected = (for {
+        i <- corpus.indices; j <- (i + 1) until corpus.size
+        (ia, ta) = corpus(i); (ib, tb) = corpus(j)
+        sa = shingleSet(ta, 3); sb = shingleSet(tb, 3)
+        if sa.nonEmpty && sb.nonEmpty
+        jac = sa.intersect(sb).size.toDouble / sa.union(sb).size
+        if jac >= t
+      } yield (math.min(ia, ib), math.max(ia, ib), jac)).toSet
+      val got = Dedup.ngramJaccardNearDups(df, "doc_id", "text", 3, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == expected,
+        s"threshold $t: got ${got.size} pairs, expected ${expected.size}; " +
+          s"missing=${expected -- got} extra=${got -- expected}")
+    }
+  }
 }
