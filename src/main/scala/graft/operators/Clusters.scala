@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Duplicate-CLUSTER resolution: the stage after pair generation.
+  *
+  * Every near-dup operator in [[Dedup]] emits PAIRS (id_a, id_b). At
+  * corpus scale that is not yet actionable — near-duplication is
+  * transitive in practice (A≈B, B≈C ⇒ the whole group is one logical
+  * document), so the keep/drop decision needs the connected COMPONENTS
+  * of the pair graph and one canonical survivor per component. The
+  * reference has no analogue (its duplicate handling is per-key demotion,
+  * reference src/data_validator.py:204-226); this is the standard
+  * web-corpus dedup shape (cluster → keep one).
+  *
+  * Scale design: components are computed with the alternating
+  * large-star / small-star algorithm (Kiveris et al., "Connected
+  * Components in MapReduce and Beyond", ACM SoCC 2014) — O(log²n)
+  * rounds, each round two hash-shuffles over an ID-ONLY edge list
+  * (16 bytes/edge). No vertex ever holds its whole component in one
+  * aggregation buffer (the classic BFS/label-frontier approach does),
+  * and the edge list SHRINKS monotonically toward one star per
+  * component, so late rounds are nearly free. The iteration is
+  * checkpointed every round to truncate lineage — `localCheckpoint`
+  * (executor blocks) by default, or durable parquet under
+  * `checkpointDir` for long-running production jobs where losing an
+  * executor mid-iteration must not restart the computation from round 0.
+  */
+object Clusters {
+
+  /** Connected components of the undirected graph whose edges are the
+    * rows of `pairs`. Returns (id, component): one row per DISTINCT
+    * vertex appearing in a non-self edge; `component` is the smallest
+    * vertex id reachable from it (so `id === component` marks the
+    * component's canonical root). Self-pairs (u,u) carry no linkage and
+    * are ignored; vertices not present in `pairs` are absent from the
+    * result (singletons — callers coalesce, see [[withClusterIds]]).
+    *
+    * Ids are cast to Long (every Dedup operator emits long ids; a
+    * lossy cast would silently merge distinct vertices, so wider types
+    * are the caller's responsibility to pre-hash).
+    *
+    * Each round materializes the new edge list (one action for the
+    * convergence check); `maxIter` is a hard failure bound, not a
+    * quality knob — the alternating algorithm provably converges in
+    * O(log² n) rounds, so 50 covers any graph that fits on disk.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      srcCol: String = "id_a",
+      dstCol: String = "id_b",
+      maxIter: Int = 50,
+      checkpointDir: Option[String] = None
+  ): DataFrame = {
+    val spark = pairs.sparkSession
+
+    def checkpoint(df: DataFrame, round: Int): DataFrame = checkpointDir match {
+      case Some(dir) =>
+        val path = s"$dir/round_$round"
+        df.write.mode("overwrite").parquet(path)
+        spark.read.parquet(path)
+      case None => df.localCheckpoint()
+    }
+
+    var edges = checkpoint(
+      pairs
+        .select(col(srcCol).cast(LongType).as("u"), col(dstCol).cast(LongType).as("v"))
+        .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .dropDuplicates("u", "v"),
+      0)
+
+    var sig = signature(edges)
+    var converged = false
+    var it = 0
+    while (it < maxIter && !converged) {
+      it += 1
+      val next = checkpoint(smallStar(largeStar(edges)), it)
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      edges = next
+      sig = nextSig
+    }
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "the alternating algorithm needs O(log^2 n) rounds, so this " +
+        "indicates a bug or a corrupted edge list, not a small maxIter")
+
+    // fixpoint = one star per component, every edge (member, root):
+    // members take their root, roots take themselves. The final groupBy
+    // collapses the root's multiple appearances on the v side.
+    edges.select(col("u").as("id"), col("v").as("component"))
+      .union(edges.select(col("v").as("id"), col("v").as("component")))
+      .groupBy("id")
+      .agg(min("component").as("component"))
+  }
+
+  /** Large-star round: every vertex u points its LARGER neighbors at
+    * the minimum of its neighborhood (min(u ∪ N(u))) — long chains
+    * contract toward small ids. Emitted edges are (v, m) with
+    * v > u ≥ m, so the output is already high→low oriented.
+    */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("u"), col("v"))
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u").agg(min("v").as("mv"))
+      .select(col("u"), least(col("u"), col("mv")).as("m"))
+    sym.join(mins, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v"))
+      .dropDuplicates("u", "v")
+  }
+
+  /** Small-star round: orient edges high→low, then every vertex links
+    * its smaller neighbors (and itself) directly to its minimum
+    * neighbor — stars flatten to depth 1.
+    */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val oriented = edges.select(
+      greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+    val mins = oriented.groupBy("u").agg(min("v").as("m"))
+    oriented.join(mins, "u")
+      .select(explode(array(
+        struct(col("v").as("a"), col("m").as("b")),
+        struct(col("u").as("a"), col("m").as("b")))).as("e"))
+      .select(col("e.a").as("u"), col("e.b").as("v"))
+      .filter(col("u") =!= col("v"))
+      .dropDuplicates("u", "v")
+  }
+
+  /** Convergence signature: (edge count, Σ xxhash64(u,v), Σu, Σv) in
+    * one tiny aggregate. Sums wrap in Long deterministically. The edge
+    * set evolves monotonically under large/small-star, so a signature
+    * collision between DIFFERENT consecutive edge sets needs a 64-bit
+    * hash-sum collision on top of equal counts and coordinate sums —
+    * vanishingly unlikely, and the alternative (two `except` shuffles
+    * per round) would double the cost of every round to guard against
+    * it.
+    */
+  private def signature(edges: DataFrame): (Long, Long, Long, Long) = {
+    val r = edges.agg(
+      count(lit(1)),
+      coalesce(sum(xxhash64(col("u"), col("v"))), lit(0L)),
+      coalesce(sum(col("u")), lit(0L)),
+      coalesce(sum(col("v")), lit(0L))).collect()(0)
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
+
+  /** Annotate `df` with a `cluster_id` column: the component root for
+    * members of any near-dup cluster, the row's own id otherwise
+    * (singletons form their own cluster). `components` is
+    * [[connectedComponents]] output — small relative to the corpus
+    * (only vertices that appeared in a pair), so AQE broadcasts it and
+    * the corpus frame is never shuffled.
+    */
+  def withClusterIds(df: DataFrame, idCol: String, components: DataFrame): DataFrame =
+    df.join(
+      components.select(col("id").as(idCol), col("component")),
+      Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("component"), col(idCol)))
+      .drop("component")
+
+  /** Keep ONE canonical row per cluster — the component root (minimum
+    * id) — plus every singleton. Expressed as an anti-join against the
+    * non-root members, so the corpus frame is filtered in place
+    * (broadcast anti-join under AQE), never aggregated or shuffled.
+    */
+  def dedupClusters(df: DataFrame, idCol: String, components: DataFrame): DataFrame =
+    df.join(
+      components.filter(col("id") =!= col("component")).select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
+}

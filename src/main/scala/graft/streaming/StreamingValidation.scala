@@ -102,12 +102,7 @@ class StreamingValidation(
       timeCol: String,
       watermark: String = "1 hour"
   ): DataFrame =
-    stream
-      .withColumn("__event_time", col(timeCol).cast("timestamp"))
-      .filter(col("__event_time").isNotNull)
-      .withWatermark("__event_time", watermark)
-      .dropDuplicatesWithinWatermark(keyCols)
-      .drop("__event_time")
+    StreamingValidation.dedupStream(stream, keyCols, timeCol, watermark)
 
   /** Windowed error-rate summary over the annotated stream: per
     * (event-time window, line) row/error counts with a watermark to
@@ -130,6 +125,27 @@ class StreamingValidation(
 }
 
 object StreamingValidation {
+
+  /** Streaming exact dedup (see the instance method's doc — watermark-
+    * bounded state via `dropDuplicatesWithinWatermark`). Static because
+    * it needs no config, so catalog queries can exercise the streaming
+    * dedup surface without an XML config. The dedup GUARANTEE holds for
+    * duplicates whose event times differ by less than `watermark`;
+    * choose a delay covering the whole replayed span when using this
+    * for bounded verification runs.
+    */
+  def dedupStream(
+      stream: DataFrame,
+      keyCols: Seq[String],
+      timeCol: String,
+      watermark: String = "1 hour"
+  ): DataFrame =
+    stream
+      .withColumn("__event_time", col(timeCol).cast("timestamp"))
+      .filter(col("__event_time").isNotNull)
+      .withWatermark("__event_time", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+      .drop("__event_time")
 
   /** Windowed error-rate summary over an annotated stream (see the
     * instance method's doc). Static because it needs no config — only

@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class ClustersSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Independent oracle: union-find with path compression over the
+    * same edge list, run on the driver.
+    */
+  private def bruteComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      if (a != b) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
+    // roots after all unions; min-id root is guaranteed by the ordered union above
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Clusters.connectedComponents(edges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("matches union-find on seeded random graphs across densities") {
+    for (seed <- 1 to 4; density <- Seq(0.3, 1.0, 3.0)) {
+      val rnd = new scala.util.Random(seed * 1000 + (density * 10).toInt)
+      val n = 120
+      val nEdges = (n * density).toInt
+      val edges = Seq.fill(nEdges)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val expected = bruteComponents(edges)
+      assert(run(edges) == expected, s"seed=$seed density=$density")
+    }
+  }
+
+  test("a long chain collapses to one component rooted at its minimum") {
+    val chain = (1L until 60L).map(i => (i, i + 1))
+    val got = run(chain)
+    assert(got.keySet == (1L to 60L).toSet)
+    assert(got.values.toSet == Set(1L))
+  }
+
+  test("disjoint cliques keep distinct roots; self-pairs carry no linkage") {
+    val cliqueA = for (a <- 10L to 13L; b <- 10L to 13L if a < b) yield (a, b)
+    val cliqueB = for (a <- 20L to 22L; b <- 20L to 22L if a < b) yield (a, b)
+    val got = run(cliqueA ++ cliqueB ++ Seq((99L, 99L)))
+    assert(got == ((10L to 13L).map(_ -> 10L) ++ (20L to 22L).map(_ -> 20L)).toMap)
+  }
+
+  test("empty pair set yields an empty component frame") {
+    assert(run(Seq.empty) == Map.empty)
+  }
+
+  test("withClusterIds coalesces singletons to their own id; dedupClusters keeps roots and singletons") {
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("doc_id", "text")
+    val comps = Clusters.connectedComponents(Seq((1L, 3L)).toDF("id_a", "id_b"))
+    val withIds = Clusters.withClusterIds(df, "doc_id", comps)
+      .select("doc_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(withIds == Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 4L))
+    val kept = Clusters.dedupClusters(df, "doc_id", comps)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 2L, 4L))
+  }
+
+  test("durable checkpointDir produces the same components") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    val edges = Seq((1L, 2L), (2L, 3L), (7L, 8L))
+    val got = Clusters.connectedComponents(
+      edges.toDF("id_a", "id_b"), checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("end-to-end: ngram near-dup pairs cluster transitively over documents") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"), // near 1
+      (3L, "alpha beta gamma delta epsilon zeta eta theta mu lambda"),   // near 2, farther from 1
+      (4L, "totally different text about spark shuffle partitions and joins here")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardNearDups(docs, "doc_id", "text", threshold = 0.5)
+    val comps = Clusters.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 1-2 and 2-3 are pairs; 1-3 may or may not pass the threshold, but
+    // transitivity must place all three in component 1 either way
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    val survivors = Clusters.dedupClusters(docs, "doc_id",
+      Clusters.connectedComponents(Dedup.ngramJaccardNearDups(docs, "doc_id", "text", threshold = 0.5)))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(survivors == Seq(1L, 4L))
+  }
+}
