@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.config.{FieldMapping, ValidationRule}
-import graft.operators.{Dedup, Multimodal, QualityClassifier, Similarity, TextAnalysis}
+import graft.operators.{Clusters, Dedup, Multimodal, QualityClassifier, Similarity, TemporalJoins, TextAnalysis}
 import graft.rules.RuleCompiler
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -81,6 +81,23 @@ object Queries {
     * fresh suffix.
     */
   private val streamRun = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** The file stream source watches a DIRECTORY (the landing-dir
+    * contract); testdata ships flat single files, so expose lineitem
+    * through a dataset-scoped scratch dir via symlink. Shared by every
+    * streaming catalog entry.
+    */
+  private def lineitemStreamDir(d: String): String = {
+    val streamDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_stream_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    java.nio.file.Files.createDirectories(streamDir)
+    val link = streamDir.resolve("lineitem.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(d, "lineitem.parquet").toAbsolutePath)
+    streamDir.toString
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -192,6 +209,45 @@ object Queries {
           sum(isNew).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .groupBy(col("user_id"), col("session_seq"))
         .agg(count(lit(1)).as("n_events"))
+    }),
+
+    // As-of join: every purchase event gets the user's most recent
+    // PRIOR (inclusive) non-purchase event — union + one shuffle on the
+    // key + an ordered window, never a range join. Timestamps go out as
+    // epoch-microsecond longs so the oracle compare is representation-
+    // proof. (user_id, ts) is unique in the data; the operator's
+    // payload-struct tie-break makes the entry deterministic even if it
+    // were not.
+    "x_asof_join" -> ((s, d) => {
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_utc"))
+      val others = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("ts_utc"), col("event_type"), col("value"))
+      TemporalJoins.asofBackward(purchases, others, Seq("user_id"),
+          "ts_utc", "ts_utc", Seq("event_type", "value"), prefix = "prior_")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts_utc")).as("purchase_us"),
+          unix_micros(col("prior_ts_utc")).as("prior_us"),
+          col("prior_event_type").as("prior_type"),
+          col("prior_value"))
+    }),
+
+    // Interval (range) join: clicks in the hour strictly before each
+    // purchase, per user — bucketed equi-join (≤2× left explode), exact
+    // range post-filter, then a per-purchase aggregate. Decimal-cast
+    // addends so Spark's and DuckDB's summation order agree.
+    "x_interval_join" -> ((s, d) => {
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_utc"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_utc").as("click_ts"), col("value"))
+      TemporalJoins.intervalJoin(purchases, clicks, Seq("user_id"),
+          "ts_utc", "click_ts", -3600L * 1000000L, 0L, Seq("value"), prefix = "click_")
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_clicks"),
+          dec4(sum(dec4(col("click_value")))).cast(DoubleType).as("sum_click_value"))
     }),
 
     // ------------------------------------------------------------------
@@ -424,6 +480,19 @@ object Queries {
         shingleSize = 3, threshold = 0.5)
     }),
 
+    // Duplicate-CLUSTER resolution: near-dup pairs → connected
+    // components (alternating large-star/small-star) → (doc, cluster
+    // root). Pairs come from the exact n-gram family, so the component
+    // structure is SQL-expressible and the oracle closes it with a
+    // recursive CTE. Output covers exactly the docs that appear in a
+    // pair; cluster_id is the smallest reachable doc_id.
+    "x_dedup_clusters" -> ((s, d) => {
+      val pairs = Dedup.ngramJaccardNearDups(t(s, d, "documents"), "doc_id", "text",
+        shingleSize = 3, threshold = 0.5)
+      Clusters.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+    }),
+
     // Incremental dedup: index 4/5 of the corpus once, probe the other
     // 1/5 as an incoming batch — the 100 TB ingest pattern (the corpus
     // is never re-shingled per crawl). Oracle-exact for the same reason
@@ -524,18 +593,7 @@ object Queries {
     // partitioning-independent and fully oracle-checkable.
     "x_stream_error_rate" -> ((s, d) => {
       val schema = t(s, d, "lineitem").schema
-      // the file stream source watches a DIRECTORY (the landing-dir
-      // contract); testdata ships flat single files, so expose the one
-      // file through a dataset-scoped scratch dir via symlink
-      val streamDir = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
-        "graft_stream_" + d.replaceAll("[^A-Za-z0-9]", "_"))
-      java.nio.file.Files.createDirectories(streamDir)
-      val link = streamDir.resolve("lineitem.parquet")
-      if (!java.nio.file.Files.exists(link))
-        java.nio.file.Files.createSymbolicLink(
-          link, java.nio.file.Paths.get(d, "lineitem.parquet").toAbsolutePath)
-      val stream = s.readStream.schema(schema).parquet(streamDir.toString)
+      val stream = s.readStream.schema(schema).parquet(lineitemStreamDir(d))
       val annotated = stream.withColumn("errors", RuleCompiler.compileRow(lineitemRules))
       val rates = graft.streaming.StreamingValidation.errorRateByWindow(
         annotated, timeCol = "l_shipdate", windowLen = "1 hour",
@@ -550,6 +608,26 @@ object Queries {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("l_returnflag").as("return_flag"),
         col("total_rows"), col("invalid_rows"), col("error_count"))
+    }),
+
+    // Streaming exact dedup (dropDuplicatesWithinWatermark) replayed
+    // over the bounded lineitem file. The watermark delay (10 years)
+    // exceeds the data's whole event-time span, so the dedup GUARANTEE
+    // covers every duplicate pair and the output is exactly the
+    // distinct key set regardless of micro-batch partitioning — which
+    // also makes it oracle-checkable (the surviving ROW per key is
+    // arrival-order-dependent, so the entry projects the keys only).
+    "x_stream_dedup" -> ((s, d) => {
+      val schema = t(s, d, "lineitem").schema
+      val stream = s.readStream.schema(schema).parquet(lineitemStreamDir(d))
+      val deduped = graft.streaming.StreamingValidation.dedupStream(
+        stream, Seq("l_orderkey", "l_returnflag"), "l_shipdate",
+        watermark = "87600 hours")
+      val name = s"x_stream_dedup_${streamRun.incrementAndGet()}"
+      val q = deduped.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+      s.table(name).select(col("l_orderkey"), col("l_returnflag"))
     }),
 
     // JSON/multimodal props extraction (events.props is a JSON string).
@@ -894,6 +972,52 @@ object Queries {
         |  count(*) AS n_events
         |FROM sessions GROUP BY user_id, session_seq""".stripMargin,
 
+    // latest-prior row per purchase via LATERAL top-1; CAST(ts AS
+    // TIMESTAMP) floors ns→µs exactly like the Spark side's
+    // timestamp_micros(ts div 1000). The ORDER BY tie-break (ts, then
+    // payload fields DESC) mirrors the operator's max-payload-struct
+    // rule; (user_id, ts) is unique in the data, so it is belt and
+    // braces either way
+    "x_asof_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |  FROM events
+        |), p AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+        |o AS (SELECT * FROM ev WHERE event_type <> 'purchase')
+        |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_us,
+        |  pr.prior_us, pr.prior_type, pr.prior_value
+        |FROM p LEFT JOIN LATERAL (
+        |  SELECT epoch_us(o.ts) AS prior_us, o.event_type AS prior_type,
+        |    o.value AS prior_value
+        |  FROM o
+        |  WHERE o.user_id = p.user_id AND o.ts <= p.ts
+        |  ORDER BY o.ts DESC, o.event_type DESC, o.value DESC
+        |  LIMIT 1
+        |) pr ON TRUE""".stripMargin,
+
+    // plain range-predicate join — fine at oracle scale; the engine
+    // side replaces it with the bucketed equi-join
+    "x_interval_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |  FROM events
+        |)
+        |SELECT p.event_id, count(*) AS n_clicks,
+        |  CAST(CAST(sum(CAST(c.value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_click_value
+        |FROM ev p JOIN ev c
+        |  ON c.user_id = p.user_id AND p.event_type = 'purchase'
+        |  AND c.event_type = 'click'
+        |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+        |GROUP BY p.event_id""".stripMargin,
+
+    // the streaming dedup's watermark delay exceeds the data's event-
+    // time span, so its guaranteed output is exactly the distinct key
+    // set (the entry projects keys only — the surviving full ROW is
+    // arrival-order-dependent by design)
+    "x_stream_dedup" ->
+      """SELECT DISTINCT l_orderkey, l_returnflag FROM lineitem
+        |WHERE CAST(l_shipdate AS TIMESTAMP) IS NOT NULL""".stripMargin,
+
     // Streaming windowed error rate: the aggregation is exact (complete
     // mode, AvailableNow), so the batch-SQL equivalent is a plain
     // hour-truncated group-by with the same rule flags p8 already
@@ -1027,6 +1151,35 @@ object Queries {
         |SELECT lang, count(*) AS n_docs,
         |  CAST(sum(CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS n_tokens
         |FROM kept GROUP BY lang""".stripMargin,
+
+    // same exact pair set as x_dedup_ngram, closed transitively with a
+    // recursive min-label propagation: each vertex accumulates every
+    // reachable label, so min(comp) is the smallest reachable doc_id —
+    // the same component root large-star/small-star converges to
+    "x_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(ts)-2),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+        |  FROM toks WHERE len(ts) >= 3
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+        |), edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION
+        |  SELECT id_b AS u, id_a AS v FROM pairs
+        |), lbl(id, comp) AS (
+        |  SELECT u, least(u, min(v)) FROM edges GROUP BY u
+        |  UNION
+        |  SELECT e.u, l.comp FROM edges e JOIN lbl l ON e.v = l.id
+        |)
+        |SELECT id AS doc_id, min(comp) AS cluster_id FROM lbl GROUP BY id""".stripMargin,
 
     // identical formulation to x_dedup_minhash's oracle: both operators
     // compute the same exact pair set at this threshold
