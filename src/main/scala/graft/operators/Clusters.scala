@@ -46,13 +46,28 @@ object Clusters {
     * convergence check); `maxIter` is a hard failure bound, not a
     * quality knob — the alternating algorithm provably converges in
     * O(log² n) rounds, so 50 covers any graph that fits on disk.
+    *
+    * Small-graph finisher: whenever the current edge list has at most
+    * `localThreshold` edges (checked from the same per-round signature
+    * action, no extra job), it is collected and finished with
+    * union-find on the driver — a BOUNDED collect by construction, like
+    * Ivf's cell-literal collect. This is not just a small-input
+    * shortcut: large/small-star shrinks the edge list monotonically
+    * (most mass collapses in the first 2-3 rounds; the O(log² n) tail
+    * is long CHAINS, which are tiny), so even a 100 TB-corpus pair
+    * graph typically crosses the threshold after a few rounds and the
+    * finisher eliminates the many near-empty tail rounds — the
+    * iteration cost profile every production CC implementation guards
+    * against. Set `localThreshold = 0` to force the pure distributed
+    * iteration (property tests do).
     */
   def connectedComponents(
       pairs: DataFrame,
       srcCol: String = "id_a",
       dstCol: String = "id_b",
       maxIter: Int = 50,
-      checkpointDir: Option[String] = None
+      checkpointDir: Option[String] = None,
+      localThreshold: Long = 200000
   ): DataFrame = {
     val spark = pairs.sparkSession
 
@@ -75,7 +90,7 @@ object Clusters {
     var sig = signature(edges)
     var converged = false
     var it = 0
-    while (it < maxIter && !converged) {
+    while (it < maxIter && !converged && sig._1 > localThreshold) {
       it += 1
       val next = checkpoint(smallStar(largeStar(edges)), it)
       val nextSig = signature(next)
@@ -83,18 +98,50 @@ object Clusters {
       edges = next
       sig = nextSig
     }
-    require(converged,
-      s"connectedComponents did not converge in $maxIter rounds — " +
-        "the alternating algorithm needs O(log^2 n) rounds, so this " +
-        "indicates a bug or a corrupted edge list, not a small maxIter")
 
-    // fixpoint = one star per component, every edge (member, root):
-    // members take their root, roots take themselves. The final groupBy
-    // collapses the root's multiple appearances on the v side.
-    edges.select(col("u").as("id"), col("v").as("component"))
-      .union(edges.select(col("v").as("id"), col("v").as("component")))
-      .groupBy("id")
-      .agg(min("component").as("component"))
+    if (!converged && sig._1 <= localThreshold) {
+      // bounded by localThreshold edges — finish on the driver
+      val local = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val comps = unionFind(local)
+      import spark.implicits._
+      spark.createDataset(comps.toSeq).toDF("id", "component")
+    } else {
+      require(converged,
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "the alternating algorithm needs O(log^2 n) rounds, so this " +
+          "indicates a bug or a corrupted edge list, not a small maxIter")
+      // fixpoint = one star per component, every edge (member, root):
+      // members take their root, roots take themselves. The final groupBy
+      // collapses the root's multiple appearances on the v side.
+      edges.select(col("u").as("id"), col("v").as("component"))
+        .union(edges.select(col("v").as("id"), col("v").as("component")))
+        .groupBy("id")
+        .agg(min("component").as("component"))
+    }
+  }
+
+  /** Driver-side union-find (union-by-min + path compression) for the
+    * small-graph finisher: min-id roots by construction, matching the
+    * distributed fixpoint exactly.
+    */
+  private def unionFind(edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    // iterative find + full path compression: a threshold-length CHAIN
+    // must not overflow the stack
+    def find(x: Long): Long = {
+      var root = x
+      while (parent.getOrElseUpdate(root, root) != root) root = parent(root)
+      var cur = x
+      while (parent(cur) != root) {
+        val next = parent(cur); parent(cur) = root; cur = next
+      }
+      root
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keysIterator.map(k => k -> find(k)).toMap
   }
 
   /** Large-star round: every vertex u points its LARGER neighbors at

@@ -26,11 +26,15 @@ class ClustersSpec extends SparkTestBase {
     parent.keys.map(k => k -> find(k)).toMap
   }
 
-  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    Clusters.connectedComponents(edges.toDF("id_a", "id_b"))
+  /** localThreshold = 0 forces the pure distributed large/small-star
+    * iteration — the 100 TB path the property tests must cover; the
+    * driver finisher is exercised separately below.
+    */
+  private def run(edges: Seq[(Long, Long)], localThreshold: Long = 0L): Map[Long, Long] =
+    Clusters.connectedComponents(edges.toDF("id_a", "id_b"), localThreshold = localThreshold)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
-  test("matches union-find on seeded random graphs across densities") {
+  test("distributed iteration matches union-find on seeded random graphs across densities") {
     for (seed <- 1 to 4; density <- Seq(0.3, 1.0, 3.0)) {
       val rnd = new scala.util.Random(seed * 1000 + (density * 10).toInt)
       val n = 120
@@ -40,6 +44,21 @@ class ClustersSpec extends SparkTestBase {
       val expected = bruteComponents(edges)
       assert(run(edges) == expected, s"seed=$seed density=$density")
     }
+  }
+
+  test("small-graph finisher agrees with the distributed iteration") {
+    val rnd = new scala.util.Random(99)
+    val edges = Seq.fill(150)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+    assert(run(edges, localThreshold = 1000000L) == run(edges, localThreshold = 0L))
+  }
+
+  test("mid-iteration threshold crossing finishes on the driver with the same result") {
+    // chain shrinks round over round; a threshold between 0 and the
+    // initial edge count forces the distributed rounds first, then the
+    // driver finisher
+    val chain = (1L until 60L).map(i => (i, i + 1))
+    assert(run(chain, localThreshold = 20L) == run(chain, localThreshold = 0L))
   }
 
   test("a long chain collapses to one component rooted at its minimum") {
@@ -76,7 +95,7 @@ class ClustersSpec extends SparkTestBase {
     val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
     val edges = Seq((1L, 2L), (2L, 3L), (7L, 8L))
     val got = Clusters.connectedComponents(
-      edges.toDF("id_a", "id_b"), checkpointDir = Some(dir))
+      edges.toDF("id_a", "id_b"), checkpointDir = Some(dir), localThreshold = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
   }
