@@ -45,6 +45,23 @@ object Similarity {
   /** Cosine similarity of two vectors (one-pass kernel; 0.0 on zero norm). */
   def cosine(a: Column, b: Column): Column = VectorFunctions.cosine(a, b)
 
+  /** Symmetric int8 scalar quantization — the standard 4× compression
+    * for embedding stores feeding ANN search. Returns a struct
+    * (`max_abs`, `q`): `q(i) = floor(x(i) * 127 / max|x|)` ∈
+    * [-127, 127], all-zero for a zero vector. floor, NOT round: both
+    * engines' round() tie-breaks differ (see Verify discipline), while
+    * floor on exact IEEE doubles is bit-deterministic everywhere —
+    * the ≤ half-ulp asymmetry is irrelevant to retrieval quality.
+    * Dequantize as `q * max_abs / 127`; reconstruction error is
+    * bounded by one quantization step (`max_abs / 127`) per element.
+    */
+  def int8Quantize(vec: Column): Column = {
+    val mx = array_max(transform(vec, x => abs(x.cast(DoubleType))))
+    val q = when(mx === 0.0, transform(vec, _ => lit(0L)))
+      .otherwise(transform(vec, x => floor(x.cast(DoubleType) * lit(127.0) / mx)))
+    struct(mx.as("max_abs"), q.as("q"))
+  }
+
   /** Exact top-k by cosine against one literal query vector.
     * Plan: scan → project(cosine) → TakeOrderedAndProject(k) — per-
     * partition heaps then a single k-row reduce; nothing shuffles.

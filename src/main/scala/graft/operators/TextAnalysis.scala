@@ -21,6 +21,25 @@ object TextAnalysis {
   def tokenCount(text: Column): Column =
     when(trim(text) === "" || text.isNull, 0).otherwise(size(tokens(text)))
 
+  /** Corpus token-frequency vocabulary: the `k` most frequent
+    * whitespace tokens, ties broken by token ascending so the result
+    * (including the cut at rank k) is deterministic.
+    *
+    * Plan shape: explode → hash agg with MAP-SIDE partial counts (each
+    * input partition shrinks to its distinct tokens before the one
+    * shuffle) → `TakeOrderedAndProject` (per-partition k-row heaps, a
+    * single k-row driver reduce) — the vocabulary-building step of a
+    * tokenizer-training pipeline, safe at corpus scale because nothing
+    * ever materializes the full token multiset.
+    */
+  def vocabulary(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(k)
+
   /** BPE-ish subword count: word chunks + standalone punctuation, the
     * usual cheap proxy for LLM token counts (regex `\w+|[^\w\s]`).
     */

@@ -558,6 +558,19 @@ object Queries {
           (col("pos") + 1).cast(IntegerType).as("rank"))
     }),
 
+    // Int8 scalar quantization over the embedding store (the 4×
+    // compression step before ANN serving). Exactness-by-construction
+    // outputs: max_abs is an element value (no accumulation), sum_q a
+    // BIGINT sum — both bit-deterministic across engines.
+    "x_embed_quantize" -> ((s, d) => {
+      val q = Similarity.int8Quantize(col("embedding"))
+      t(s, d, "embeddings").select(
+        col("vec_id"),
+        q.getField("max_abs").as("max_abs"),
+        aggregate(q.getField("q"), lit(0L), (acc, x) => acc + x).as("sum_q"),
+        size(col("embedding")).cast(LongType).as("n_dims"))
+    }),
+
     // LSH-bucketed ANN — rows-only; recall vs brute force asserted in
     // SimilaritySpec.
     "x_ann_lsh" -> ((s, d) => {
@@ -649,6 +662,13 @@ object Queries {
         TextAnalysis.bpeishTokenCount(col("text")).cast(LongType).as("n_bpeish_tokens"),
         TextAnalysis.markerHits(TextAnalysis.tokens(lower(col("text"))),
           TextAnalysis.stopwordsEn).as("n_stopwords"))
+    }),
+
+    // Vocabulary building: top-100 corpus tokens by frequency with a
+    // deterministic tie-break — map-side-combined hash agg plus a
+    // TakeOrderedAndProject, never a full sort of the token multiset.
+    "x_vocab_topk" -> ((s, d) => {
+      TextAnalysis.vocabulary(t(s, d, "documents"), "text", 100)
     }),
 
     // Text analysis rollup per language tag.
@@ -1341,6 +1361,21 @@ object Queries {
         |  CAST(row_number() OVER (ORDER BY c DESC, vec_id ASC) AS INTEGER) AS rank
         |FROM scored WHERE NOT isnan(c) ORDER BY c DESC, vec_id ASC LIMIT 10""".stripMargin,
 
+    // float→double widening, abs/max comparisons, one multiply+divide
+    // per element, floor, and an integer sum — every step
+    // bit-deterministic on both engines, no float accumulation anywhere
+    "x_embed_quantize" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS max_abs
+        |  FROM embeddings)
+        |SELECT vec_id, max_abs,
+        |  CASE WHEN max_abs = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST(list_sum(list_transform(embedding,
+        |         x -> CAST(floor(CAST(x AS DOUBLE) * 127 / max_abs) AS BIGINT))) AS BIGINT) END AS sum_q,
+        |  CAST(len(embedding) AS BIGINT) AS n_dims
+        |FROM m""".stripMargin,
+
     "x_json_extract" ->
       """SELECT event_type,
         |CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
@@ -1520,6 +1555,15 @@ object Queries {
         |    t -> lower(t) IN ('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by','it','be','this','that')))
         |  AS n_stopwords
         |FROM documents""".stripMargin,
+
+    "x_vocab_topk" ->
+      """SELECT t AS token, count(*) AS freq
+        |FROM (SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+        |        x -> x <> '')) AS t
+        |      FROM documents)
+        |GROUP BY t
+        |ORDER BY freq DESC, token ASC
+        |LIMIT 100""".stripMargin,
 
     "x_text_stats" ->
       """SELECT lang, count(*) AS n_docs,

@@ -81,4 +81,33 @@ class SimilaritySpec extends SparkTestBase {
     // the already-collected result — no need to re-run the LSH job
     assert(approx.count(p => p._1 == p._2) == 5)
   }
+
+  test("int8Quantize: range bounds, zero-vector guard, reconstruction error within one step") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)), // zero vector -> all-zero q
+      (3L, Seq(-3.0f, 2.0f, 1.5f, -0.1f))
+    ).toDF("vec_id", "v")
+    val rows = vecs.select(col("vec_id"), col("v"),
+      Similarity.int8Quantize(col("v")).as("z")).collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1)
+      val z = r.getStruct(2)
+      val maxAbs = z.getDouble(0)
+      val q = z.getSeq[Long](1)
+      assert(maxAbs == v.map(x => math.abs(x.toDouble)).max)
+      assert(q.length == v.length)
+      if (maxAbs == 0.0) assert(q.forall(_ == 0L))
+      else {
+        assert(q.forall(x => x >= -127L && x <= 127L))
+        // dequantized value within one quantization step of the input
+        val step = maxAbs / 127.0
+        v.zip(q).foreach { case (x, qi) =>
+          assert(math.abs(qi * step - x.toDouble) <= step + 1e-12,
+            s"x=$x q=$qi step=$step")
+        }
+      }
+    }
+  }
 }

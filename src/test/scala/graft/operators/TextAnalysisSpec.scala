@@ -91,6 +91,26 @@ class TextAnalysisSpec extends SparkTestBase {
     }
   }
 
+  test("vocabulary: frequency order, token tie-break, empty-token filter, k cut") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "b a a a"),
+      (2L, "b b c a"),
+      (3L, "   "), // whitespace-only: contributes nothing
+      (4L, "d c")
+    ).toDF("doc_id", "text")
+    // freqs: a=4, b=3, c=2, d=1 — k=3 cuts d; ties (none here at the
+    // cut) would resolve token-ascending
+    val top = TextAnalysis.vocabulary(docs, "text", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(top == Seq(("a", 4L), ("b", 3L), ("c", 2L)))
+    // tie at the cut: x and y both freq 1 — x wins alphabetically
+    val tied = TextAnalysis.vocabulary(
+      Seq((1L, "z z y x")).toDF("doc_id", "text"), "text", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(tied == Seq(("z", 2L), ("x", 1L)))
+  }
+
   test("documentFeatures projects the full feature set over real docs") {
     val feats = TextAnalysis.documentFeatures(
       spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
