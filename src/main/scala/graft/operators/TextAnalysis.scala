@@ -146,6 +146,69 @@ object TextAnalysis {
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** Term-frequency frame: one row per (document, token) with the
+    * in-document count. The explode never materializes per-document
+    * token multisets across rows — map-side partial counts shrink each
+    * input partition to its distinct (doc, token) pairs before the one
+    * shuffle.
+    */
+  def termFrequencies(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(tokens(lower(col(textCol)))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** TF-IDF scores, all (document, token) pairs. Two idf variants:
+    *
+    *   - `logIdf = true` (default, classic): `tf * ln((N+1)/(df+1))`
+    *     (smoothed) — use this in production ranking pipelines.
+    *   - `logIdf = false` (rational): `tf * (N+1)/(df+1)` — same
+    *     monotone-decreasing dependence on document frequency, but the
+    *     score is ONE integer-exact multiply and ONE IEEE division, both
+    *     correctly rounded, so two independent engines agree
+    *     bit-for-bit. `ln` carries no such guarantee (libm vs
+    *     `Math.log` differ in final ulps), which is why the
+    *     oracle-checked catalog entry pins this variant. Note the
+    *     rational idf stretches the idf range, so top-k SETS can differ
+    *     between variants when tf differences fight idf differences.
+    *
+    * Plan shape: [[termFrequencies]] (1 shuffle, map-side combined) →
+    * token-keyed doc-frequency agg (2nd shuffle, #tokens rows) → join
+    * back on token (AQE broadcasts the vocab side when it fits) → a
+    * single-row corpus-count broadcast (never a global window). Nothing
+    * in the plan holds per-document or per-corpus state in one task.
+    */
+  def tfidf(df: DataFrame, idCol: String, textCol: String,
+      logIdf: Boolean = true): DataFrame = {
+    val tf = termFrequencies(df, idCol, textCol)
+    val docFreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val idf = {
+      val ratio = (col("n_docs") + lit(1L)).cast(DoubleType) /
+        (col("df") + lit(1L)).cast(DoubleType)
+      if (logIdf) log(ratio) else ratio
+    }
+    tf.join(docFreq, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf").cast(DoubleType) * idf)
+      .drop("n_docs")
+  }
+
+  /** Top-`k` TF-IDF terms per document (rank + deterministic token
+    * tie-break). The per-document window rides the third shuffle, keyed
+    * by the document id — per-key state only, and the rank filter is
+    * pushed into the sort as a `WindowGroupLimit`, so no task ever holds
+    * more than a k-row heap per document.
+    */
+  def tfidfTopK(df: DataFrame, idCol: String, textCol: String, k: Int,
+      logIdf: Boolean = true): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("score").desc, col("token").asc)
+    tfidf(df, idCol, textCol, logIdf)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Order-sensitive 64-bit document fingerprint: polynomial rolling hash
     * over token xxhash64s (native kernel — one fused loop per row,
     * values bit-identical to the previous HOF formulation). Equal

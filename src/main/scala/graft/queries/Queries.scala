@@ -671,6 +671,18 @@ object Queries {
       TextAnalysis.vocabulary(t(s, d, "documents"), "text", 100)
     }),
 
+    // TF-IDF keyword extraction: top-5 terms per document. Uses the
+    // rational-idf variant (one exact multiply + one IEEE division) so
+    // the float score is bit-reproducible across engines — the classic
+    // log-idf variant is spec-pinned instead (ln differs in final ulps
+    // between libm and the JVM, which would make a hash oracle flaky).
+    "x_tfidf_topk" -> ((s, d) => {
+      TextAnalysis.tfidfTopK(t(s, d, "documents"), "doc_id", "text",
+          k = 5, logIdf = false)
+        .select(col("doc_id"), col("rank").cast(LongType).as("rank"),
+          col("token"), col("tf"), col("df"), col("score"))
+    }),
+
     // Text analysis rollup per language tag.
     "x_text_stats" -> ((s, d) => {
       t(s, d, "documents")
@@ -1564,6 +1576,26 @@ object Queries {
         |GROUP BY t
         |ORDER BY freq DESC, token ASC
         |LIMIT 100""".stripMargin,
+
+    "x_tfidf_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+        |    CAST(tf.tf AS DOUBLE) *
+        |      (CAST(n.n_docs + 1 AS DOUBLE) / CAST(dfreq.df + 1 AS DOUBLE)) AS score
+        |  FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, token, tf, df, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, token ASC) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, token, tf, df, score FROM ranked WHERE rank <= 5""".stripMargin,
 
     "x_text_stats" ->
       """SELECT lang, count(*) AS n_docs,

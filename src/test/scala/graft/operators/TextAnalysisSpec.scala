@@ -111,6 +111,37 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(tied == Seq(("z", 2L), ("x", 1L)))
   }
 
+  test("tfidf: log variant matches a hand computation; topK ranks deterministically") {
+    import spark.implicits._
+    // 3 docs; "cat" in 1 doc, "the" in all 3, "dog" in 2
+    val docs = Seq(
+      (1L, "the cat the cat sat"),
+      (2L, "the dog sat"),
+      (3L, "THE dog ran")
+    ).toDF("doc_id", "text")
+
+    val scored = TextAnalysis.tfidf(docs, "doc_id", "text", logIdf = true)
+      .collect().map(r => ((r.getLong(1), r.getString(0)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    def idf(df: Long) = math.log(4.0 / (df + 1))
+    // doc 1: the tf=2 df=3; cat tf=2 df=1; sat tf=1 df=2
+    assert(scored((1L, "cat")) == ((2L, 1L, 2.0 * idf(1))))
+    assert(scored((1L, "the")) == ((2L, 3L, 2.0 * idf(3))))
+    assert(scored((2L, "sat")) == ((1L, 2L, 1.0 * idf(2))))
+    assert(scored((3L, "the"))._1 == 1L) // lower-cased tokenization
+
+    // topK: doc 1's best term is "cat" (high tf, rare); rank 1 exactly
+    val top1 = TextAnalysis.tfidfTopK(docs, "doc_id", "text", k = 1)
+      .select("doc_id", "token").as[(Long, String)].collect().toMap
+    assert(top1(1L) == "cat")
+    // tie-break: doc 3's "dog" and "ran"... dog df=2, ran df=1 -> ran wins;
+    // within equal (tf, df) scores the token ascending order decides
+    val d3 = TextAnalysis.tfidfTopK(docs, "doc_id", "text", k = 3)
+      .filter($"doc_id" === 3L).orderBy($"rank")
+      .select("token").as[String].collect().toSeq
+    assert(d3 == Seq("ran", "dog", "the"))
+  }
+
   test("documentFeatures projects the full feature set over real docs") {
     val feats = TextAnalysis.documentFeatures(
       spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
