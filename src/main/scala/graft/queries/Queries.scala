@@ -87,17 +87,19 @@ object Queries {
     * through a dataset-scoped scratch dir via symlink. Shared by every
     * streaming catalog entry.
     */
-  private def lineitemStreamDir(d: String): String = {
+  private def tableStreamDir(d: String, table: String): String = {
     val streamDir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
-      "graft_stream_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      s"graft_stream_${table}_" + d.replaceAll("[^A-Za-z0-9]", "_"))
     java.nio.file.Files.createDirectories(streamDir)
-    val link = streamDir.resolve("lineitem.parquet")
+    val link = streamDir.resolve(s"$table.parquet")
     if (!java.nio.file.Files.exists(link))
       java.nio.file.Files.createSymbolicLink(
-        link, java.nio.file.Paths.get(d, "lineitem.parquet").toAbsolutePath)
+        link, java.nio.file.Paths.get(d, s"$table.parquet").toAbsolutePath)
     streamDir.toString
   }
+
+  private def lineitemStreamDir(d: String): String = tableStreamDir(d, "lineitem")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -643,6 +645,31 @@ object Queries {
       s.table(name).select(col("l_orderkey"), col("l_returnflag"))
     }),
 
+    // Streaming sessionization via session_window over the events
+    // stream: per-user sessions with a 30-minute gap. The watermark
+    // delay (10 years) covers the whole event-time span, so every
+    // session closes with its full event set and the output is the
+    // exact session partition regardless of micro-batching — which
+    // makes the batch gaps-and-islands SQL a valid oracle. Session
+    // bounds are projected as epoch micros (the engines' shared
+    // timestamp precision; see the batch x_sessionize precision note).
+    "x_stream_sessionize" -> ((s, d) => {
+      val stream = s.readStream.schema(eventsSchema)
+        .parquet(tableStreamDir(d, "events"))
+        .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      val sessions = graft.streaming.StreamingValidation.sessionizeStream(
+        stream, keyCol = "user_id", timeCol = "ts_utc",
+        gap = "30 minutes", watermark = "87600 hours")
+      val name = s"x_stream_sessionize_${streamRun.incrementAndGet()}"
+      val q = sessions.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+      s.table(name).select(col("user_id"),
+        unix_micros(col("session_start")).as("session_start_us"),
+        unix_micros(col("session_end")).as("session_end_us"),
+        col("n_events"))
+    }),
+
     // JSON/multimodal props extraction (events.props is a JSON string).
     "x_json_extract" -> ((s, d) => {
       events(s, d)
@@ -1049,6 +1076,29 @@ object Queries {
     "x_stream_dedup" ->
       """SELECT DISTINCT l_orderkey, l_returnflag FROM lineitem
         |WHERE CAST(l_shipdate AS TIMESTAMP) IS NOT NULL""".stripMargin,
+
+    // Gaps-and-islands at microsecond precision: a new session starts
+    // when the gap is STRICTLY greater than 30 min (an event landing
+    // exactly on the previous session's end still merges — pinned by
+    // StreamingSpec); session end = last event + gap.
+    "x_stream_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us FROM events WHERE ts IS NOT NULL),
+        |marked AS (
+        |  SELECT user_id, ts_us,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |           OR ts_us - lag(ts_us) OVER w > 1800000000
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+        |numbered AS (
+        |  SELECT user_id, ts_us,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+        |      ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM marked)
+        |SELECT user_id, min(ts_us) AS session_start_us,
+        |  max(ts_us) + 1800000000 AS session_end_us,
+        |  count(*) AS n_events
+        |FROM numbered GROUP BY user_id, sess""".stripMargin,
 
     // Streaming windowed error rate: the aggregation is exact (complete
     // mode, AvailableNow), so the batch-SQL equivalent is a plain

@@ -170,6 +170,43 @@ object StreamingValidation {
           .as("invalid_rows"),
         sum(size(col(ValidationPipeline.ErrorsCol)).cast("long")).as("error_count"))
 
+  /** Event-time sessionization on a stream: per-key `session_window`
+    * aggregation — an event merges into the open session while its time
+    * is at most the session end (last event + `gap`); only a STRICTLY
+    * larger gap starts a new session.
+    * The streaming face of the batch gaps-and-islands sessionizer
+    * (`x_sessionize`), with two scale properties the batch window
+    * doesn't need: state is keyed by (key, open session) only — Spark
+    * merges sessions inside each micro-batch before touching the state
+    * store — and the watermark closes sessions whose end falls behind
+    * it, so an unbounded stream of high-cardinality keys cannot grow
+    * state without bound.
+    *
+    * Rows with a null/uncastable `timeCol` cannot join any session and
+    * are dropped (same contract as [[dedupStream]]). For bounded
+    * verification replays, a span-covering watermark makes the output
+    * the EXACT session set — micro-batch-partitioning-independent,
+    * hence oracle-checkable; production tails use a real delay with
+    * append mode.
+    */
+  def sessionizeStream(
+      stream: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      gap: String = "30 minutes",
+      watermark: String = "1 hour"
+  ): DataFrame =
+    stream
+      .withColumn("__event_time", col(timeCol).cast("timestamp"))
+      .filter(col("__event_time").isNotNull)
+      .withWatermark("__event_time", watermark)
+      .groupBy(session_window(col("__event_time"), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   /** Per-key running validation state for [[sessionizedCounts]]. */
   case class LineState(total: Long, invalid: Long)
   case class LineUpdate(key: String, total: Long, invalid: Long)

@@ -151,6 +151,48 @@ class StreamingSpec extends SparkTestBase {
     assert(!rows.exists(_._1 == "K3"))
   }
 
+  test("sessionizeStream merges sub-gap events and splits at the gap boundary") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, String)] // (ts, user)
+    val sessions = StreamingValidation.sessionizeStream(
+      mem.toDF().toDF("ts", "user"),
+      keyCol = "user", timeCol = "ts", gap = "30 minutes", watermark = "10 days")
+    val q = sessions.writeStream.format("memory").queryName("stream_sess")
+      .outputMode("complete").start()
+    try {
+      mem.addData(
+        ("2024-02-15 08:00:00", "u1"),
+        ("2024-02-15 08:29:59", "u1"), // 29:59 gap < 30 min -> same session
+        ("2024-02-15 09:00:00", "u2"))
+      q.processAllAvailable()
+      // sessions merge ACROSS micro-batches: 08:29:59 + 30 min spans
+      // 08:45; this event extends u1's open session
+      mem.addData(("2024-02-15 08:45:00", "u1"))
+      q.processAllAvailable()
+      // exactly at the previous session's end -> still MERGES (Spark's
+      // session windows close at gap STRICTLY greater than the gap
+      // duration, matching the batch x_sessionize `gap > 30min` rule)
+      mem.addData(("2024-02-15 09:15:00", "u1"))
+      q.processAllAvailable()
+      // one second past the boundary -> a new session
+      mem.addData(("2024-02-15 09:45:01", "u1"))
+      q.processAllAvailable()
+      // null event time dropped, not crashed on
+      mem.addData(("not-a-time", "u3"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("stream_sess")
+      .select(col("user"), date_format(col("session_start"), "HH:mm:ss"),
+        date_format(col("session_end"), "HH:mm:ss"), col("n_events"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(r => (r._1, r._2))
+    assert(rows.toSeq == Seq(
+      ("u1", "08:00:00", "09:45:00", 4L), // boundary event merged
+      ("u1", "09:45:01", "10:15:01", 1L), // past-boundary event split
+      ("u2", "09:00:00", "09:30:00", 1L)))
+  }
+
   test("runningCounts keeps per-key state across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
