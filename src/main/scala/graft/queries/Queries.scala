@@ -899,6 +899,35 @@ object Queries {
     // JSONL round-trip: write documents as JSON-lines, read back with an
     // explicit schema, aggregate — must equal the direct aggregation
     // (which is what the oracle computes on the parquet).
+    // Bucketed co-located join: write orders and lineitem bucketed by
+    // their join key into the same bucket count, then join WITHOUT a
+    // shuffle on either side (BucketingSpec asserts zero Exchanges feed
+    // the join). The one-time write cost buys every subsequent
+    // fact-to-fact join at 100 TB; results are layout-invariant, so the
+    // oracle is the plain join SQL.
+    "x_bucketed_join" -> ((s, d) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      val suffix = d.replaceAll("[^A-Za-z0-9]", "_")
+      graft.sources.Bucketing.writeBucketed(
+        t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_orderstatus")),
+        s"graft_orders_b_$suffix", s"$base/orders", numBuckets = 8,
+        bucketCols = Seq("o_orderkey"), sortCols = Seq("o_orderkey"))
+      graft.sources.Bucketing.writeBucketed(
+        t(s, d, "lineitem").select(col("l_orderkey"), col("l_extendedprice")),
+        s"graft_lineitem_b_$suffix", s"$base/lineitem", numBuckets = 8,
+        bucketCols = Seq("l_orderkey"), sortCols = Seq("l_orderkey"))
+      graft.sources.Bucketing.bucketedEquiJoin(s,
+          s"graft_orders_b_$suffix", s"graft_lineitem_b_$suffix",
+          Seq("o_orderkey" -> "l_orderkey"))
+        .filter(col("o_orderstatus") === "F")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          dec(sum(dec(col("l_extendedprice")))).cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
     "x_jsonl_roundtrip" -> ((s, d) => {
       // path scoped by dataset dir: a fixed path would race concurrent
       // Verify/Bench runs at different SFs (and stale-read across them)
@@ -1526,6 +1555,14 @@ object Queries {
 
     // the oracle aggregates the parquet directly — equality proves the
     // JSONL write+read round-trip is lossless
+    "x_bucketed_join" ->
+      """SELECT o_orderpriority,
+        |CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS revenue,
+        |count(*) AS n_lines
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority""".stripMargin,
+
     "x_jsonl_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS n_tokens,
