@@ -59,6 +59,44 @@ object Ivf {
       VectorFunctions.nearestCentroids(col(vecCol), index.centroids, index.dim, 1)
         .getItem(0))
 
+  /** Spherical k-means refinement of the coarse quantizer: `iters`
+    * Lloyd rounds of assign → recenter. Assignment is the same cosine
+    * kernel the query path uses; the recenter step averages
+    * L2-NORMALIZED vectors ([[Centroids.l2Normalize]]), whose direction
+    * is the argmax of summed cosine for a fixed assignment — so the
+    * objective (mean cosine to the assigned centroid) is monotonically
+    * non-decreasing, which IvfSpec asserts on real embeddings. Cells
+    * that attract no vectors keep their previous centroid.
+    *
+    * Each round is one distributed assign-and-aggregate pass
+    * ([[Centroids.groupCentroids]]: map-side-combined (cell, pos)
+    * partial sums); only the nlist×dim centroid table is collected —
+    * bounded by index size, never corpus size.
+    */
+  def refineCentroids(
+      corpus: DataFrame, vecCol: String, index: IvfIndex, iters: Int
+  ): IvfIndex = {
+    var cur = index
+    val vecs = corpus
+      .select(col(vecCol).cast("array<double>").as("v"))
+      .filter(col("v").isNotNull && size(col("v")) === cur.dim)
+      .withColumn("v", Centroids.l2Normalize(col("v")))
+    for (_ <- 1 to iters) {
+      val assigned = assign(vecs, "v", cur)
+      val flat = cur.centroids.clone()
+      Centroids.groupCentroids(assigned, "cell", "v")
+        .collect() // <= nlist rows, one dim-length array each
+        .foreach { r =>
+          val cell = r.getInt(0)
+          val c = r.getSeq[Double](2)
+          var j = 0
+          while (j < cur.dim) { flat(cell * cur.dim + j) = c(j); j += 1 }
+        }
+      cur = IvfIndex(flat, cur.dim, cur.nlist)
+    }
+    cur
+  }
+
   /** ANN top-k: probe each query's nProbe nearest cells, exact-cosine
     * re-rank within the candidate union. Returns
     * (query_id, id, cosine, rank).

@@ -573,6 +573,25 @@ object Queries {
         size(col("embedding")).cast(LongType).as("n_dims"))
     }),
 
+    // Per-label embedding centroids, surfaced through the integer-exact
+    // stage: int8-quantized element sums per (label, position) — the
+    // same posexplode → map-side-combined (key, pos) agg plan as
+    // Centroids.groupCentroids (double sums are addition-order-
+    // dependent, so the float centroid itself can't hash-match; the
+    // quantized sums can, and IvfSpec pins the float path). The k-means
+    // refinement built on this aggregation is spec-asserted monotone.
+    "x_embed_centroids" -> ((s, d) => {
+      val q = Similarity.int8Quantize(col("embedding")).getField("q")
+      t(s, d, "embeddings")
+        .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+        .select(col("label").cast(LongType).as("label"),
+          posexplode(q).as(Seq("pos", "qv")))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("qv")).as("sum_q"), count(lit(1)).as("n_vecs"))
+        .select(col("label"), col("pos").cast(LongType).as("pos"),
+          col("sum_q"), col("n_vecs"))
+    }),
+
     // LSH-bucketed ANN — rows-only; recall vs brute force asserted in
     // SimilaritySpec.
     "x_ann_lsh" -> ((s, d) => {
@@ -1466,6 +1485,22 @@ object Queries {
         |         x -> CAST(floor(CAST(x AS DOUBLE) * 127 / max_abs) AS BIGINT))) AS BIGINT) END AS sum_q,
         |  CAST(len(embedding) AS BIGINT) AS n_dims
         |FROM m""".stripMargin,
+
+    "x_embed_centroids" ->
+      """WITH m AS (
+        |  SELECT label, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS max_abs
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) > 0),
+        |e AS (
+        |  SELECT label, unnest(list_transform(embedding, (x, i) -> struct_pack(
+        |    pos := i - 1,
+        |    q := CASE WHEN max_abs = 0 THEN CAST(0 AS BIGINT)
+        |         ELSE CAST(floor(CAST(x AS DOUBLE) * 127 / max_abs) AS BIGINT) END))) AS u
+        |  FROM m)
+        |SELECT CAST(label AS BIGINT) AS label, CAST(u.pos AS BIGINT) AS pos,
+        |  CAST(sum(u.q) AS BIGINT) AS sum_q, count(*) AS n_vecs
+        |FROM e GROUP BY 1, 2""".stripMargin,
 
     "x_json_extract" ->
       """SELECT event_type,
