@@ -918,6 +918,30 @@ object Queries {
     // JSONL round-trip: write documents as JSON-lines, read back with an
     // explicit schema, aggregate — must equal the direct aggregation
     // (which is what the oracle computes on the parquet).
+    // CDC upsert merge: fold a derived update batch (price corrections
+    // on every 10th order, tombstones on multiples of 970, inserts at
+    // negated keys) into the orders snapshot, last-writer-wins. The
+    // max_by merge is partitioning-invariant and the derived batch is
+    // deterministic, so the merged snapshot hash-matches a window-based
+    // SQL re-derivation.
+    "x_upsert_merge" -> ((s, d) => {
+      val snap = t(s, d, "orders").select(
+        col("o_orderkey"), dec(col("o_totalprice")).as("price"),
+        lit(1L).as("version"), lit(false).as("is_delete"))
+      val upd = t(s, d, "orders").filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"),
+          (dec(col("o_totalprice")) + lit(1000)).cast(DecimalType(18, 2)).as("price"),
+          lit(2L).as("version"), (col("o_orderkey") % 970 === 0).as("is_delete"))
+      val ins = t(s, d, "orders").filter(col("o_orderkey") % 13 === 0)
+        .select((-col("o_orderkey")).as("o_orderkey"),
+          dec(col("o_totalprice")).as("price"),
+          lit(2L).as("version"), lit(false).as("is_delete"))
+      graft.operators.Upsert.mergeSnapshot(snap, upd.unionByName(ins),
+          Seq("o_orderkey"), "version", deleteCol = Some("is_delete"))
+        .select(col("o_orderkey"), col("price").cast(DoubleType).as("price"),
+          col("version"))
+    }),
+
     // Bucketed co-located join: write orders and lineitem bucketed by
     // their join key into the same bucket count, then join WITHOUT a
     // shuffle on either side (BucketingSpec asserts zero Exchanges feed
@@ -1590,6 +1614,31 @@ object Queries {
 
     // the oracle aggregates the parquet directly — equality proves the
     // JSONL write+read round-trip is lossless
+    // Survivor per key: highest (version, src); the catalog batch has
+    // at most one update per (key, version, src), so the window
+    // re-derivation needs no content tie-break.
+    "x_upsert_merge" ->
+      """WITH snap AS (
+        |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |    CAST(1 AS BIGINT) AS version, FALSE AS is_delete, 0 AS src
+        |  FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 1000 AS DECIMAL(18,2)) AS price,
+        |    CAST(2 AS BIGINT) AS version, (o_orderkey % 970 = 0) AS is_delete, 1 AS src
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |ins AS (
+        |  SELECT -o_orderkey AS o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |    CAST(2 AS BIGINT) AS version, FALSE AS is_delete, 1 AS src
+        |  FROM orders WHERE o_orderkey % 13 = 0),
+        |merged AS (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |    ORDER BY version DESC, src DESC) AS rn
+        |  FROM (SELECT * FROM snap UNION ALL SELECT * FROM upd
+        |        UNION ALL SELECT * FROM ins))
+        |SELECT o_orderkey, CAST(price AS DOUBLE) AS price, version
+        |FROM merged WHERE rn = 1 AND NOT is_delete""".stripMargin,
+
     "x_bucketed_join" ->
       """SELECT o_orderpriority,
         |CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS revenue,
