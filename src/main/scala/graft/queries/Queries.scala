@@ -971,6 +971,25 @@ object Queries {
           count(lit(1)).as("n_lines"))
     }),
 
+    // Small-file compaction round-trip: fragment documents into 16
+    // files, compact back to 1 (byte-derived count), and aggregate the
+    // compacted copy. Compaction is content-preserving, so the oracle
+    // is the same aggregate over the source table.
+    "x_compact_roundtrip" -> ((s, d) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_compact_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      t(s, d, "documents").repartition(16)
+        .write.mode("overwrite").parquet(s"$base/small")
+      val stats = graft.sources.Compaction.compact(
+        s, s"$base/small", s"$base/compacted", targetFileBytes = 1L << 30)
+      require(stats.filesAfter < stats.filesBefore,
+        s"compaction did not reduce files: $stats")
+      s.read.parquet(s"$base/compacted")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+    }),
+
     "x_jsonl_roundtrip" -> ((s, d) => {
       // path scoped by dataset dir: a fixed path would race concurrent
       // Verify/Bench runs at different SFs (and stale-read across them)
@@ -1646,6 +1665,11 @@ object Queries {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE o_orderstatus = 'F'
         |GROUP BY o_orderpriority""".stripMargin,
+
+    "x_compact_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang""".stripMargin,
 
     "x_jsonl_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,
