@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.config.{FieldMapping, ValidationRule}
-import graft.operators.{Clusters, Dedup, Multimodal, QualityClassifier, Similarity, TemporalJoins, TextAnalysis}
+import graft.operators.{Clusters, Dedup, HeavyHitters, Multimodal, NgramLm, QualityClassifier, Similarity, TemporalJoins, TextAnalysis}
 import graft.rules.RuleCompiler
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -717,6 +717,29 @@ object Queries {
       TextAnalysis.vocabulary(t(s, d, "documents"), "text", 100)
     }),
 
+    // Exact heavy hitters: tokens holding >= 0.2% of the corpus token
+    // stream, via the two-phase Misra-Gries candidates + exact-recount
+    // scheme (bounded shuffle — never a full distinct-token groupBy).
+    // Counts are exact, so the oracle is the plain HAVING query.
+    "x_heavy_hitters" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+      HeavyHitters.heavyHitters(toks, "token", minShare = 0.002)
+        .select(col("item").as("token"), col("cnt"))
+    }),
+
+    // CCNet-style char-trigram LM quality score: per-lang top-500
+    // trigram model trained on the corpus itself, each doc scored by
+    // average model frequency of its trigrams (rational arithmetic —
+    // exact long sums, one final IEEE division — so the doubles
+    // hash-match the oracle; see NgramLm scaladoc).
+    "x_lm_score" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val model = NgramLm.trainModel(docs, "lang", "text", n = 3, vocab = 500)
+      NgramLm.score(docs, "doc_id", "lang", "text", model, n = 3)
+    }),
+
     // TF-IDF keyword extraction: top-5 terms per document. Uses the
     // rational-idf variant (one exact multiply + one IEEE division) so
     // the float score is bit-reproducible across engines — the classic
@@ -988,6 +1011,22 @@ object Queries {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("total_chars"))
+    }),
+
+    // Range-clustered layout round-trip: rewrite documents sorted by
+    // n_chars (8 range files, tight row-group min/max), then answer a
+    // selective range predicate from the clustered copy. Layout is
+    // content-neutral so the oracle is the plain WHERE query; the
+    // row-group SKIPPING is plan-asserted in RangeLayoutSpec.
+    "x_range_layout" -> ((s, d) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_rangelayout_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      graft.sources.RangeLayout.write(
+        t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+        base, Seq("n_chars"), numFiles = 8)
+      graft.sources.RangeLayout.read(s, base)
+        .filter(col("n_chars").between(200, 400))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
     }),
 
     "x_jsonl_roundtrip" -> ((s, d) => {
@@ -1671,6 +1710,10 @@ object Queries {
         |CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang""".stripMargin,
 
+    "x_range_layout" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE n_chars BETWEEN 200 AND 400""".stripMargin,
+
     "x_jsonl_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS n_tokens,
@@ -1771,6 +1814,36 @@ object Queries {
         |GROUP BY t
         |ORDER BY freq DESC, token ASC
         |LIMIT 100""".stripMargin,
+
+    "x_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+        |    x -> x <> '')) AS token
+        |  FROM documents),
+        |n AS (SELECT count(*) AS total FROM toks)
+        |SELECT token, count(*) AS cnt
+        |FROM toks CROSS JOIN n
+        |GROUP BY token, total
+        |HAVING count(*) >= ceil(0.002 * total)""".stripMargin,
+
+    "x_lm_score" ->
+      """WITH tri AS (
+        |  SELECT doc_id, lang,
+        |    unnest([substr(lower(text), i, 3) for i in range(1, len(text) - 1)]) AS tg
+        |  FROM documents WHERE len(text) >= 3),
+        |model AS (
+        |  SELECT lang, tg, tg_cnt FROM (
+        |    SELECT lang, tg, count(*) AS tg_cnt,
+        |      row_number() OVER (PARTITION BY lang
+        |        ORDER BY count(*) DESC, tg ASC) AS rn
+        |    FROM tri GROUP BY lang, tg) WHERE rn <= 500),
+        |per_doc AS (
+        |  SELECT t.doc_id,
+        |    CAST(COALESCE(sum(m.tg_cnt), 0) AS DOUBLE) / count(*) AS lm_score
+        |  FROM tri t LEFT JOIN model m USING (lang, tg)
+        |  GROUP BY t.doc_id)
+        |SELECT d.doc_id, COALESCE(p.lm_score, 0.0) AS lm_score
+        |FROM documents d LEFT JOIN per_doc p USING (doc_id)""".stripMargin,
 
     "x_tfidf_topk" ->
       """WITH toks AS (
