@@ -366,6 +366,53 @@ object Kernels {
     while (t < tables) { out(t) = signBucket(vec, isFloat, planes, t * 7919L + baseSeed); t += 1 }
     ArrayData.toArrayData(out)
   }
+
+  /** Sliding character n-grams of lower(text), order-preserving (NOT
+    * deduplicated — LM scoring weighs repeats); empty when the text is
+    * shorter than n. One fused loop over UTF8String character indices
+    * — the equivalent sequence/transform/substr chain evaluates its
+    * lambda interpreted per element, measured several times slower at
+    * corpus scale.
+    */
+  def charNgrams(text: UTF8String, n: Int): ArrayData = {
+    val lowered = text.toLowerCase
+    val len = lowered.numChars()
+    if (len < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](len - n + 1)
+    var i = 0
+    while (i + n <= len) {
+      out(i) = lowered.substring(i, i + n)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Sum of per-language model counts over an n-gram array — the
+    * NgramLm scoring numerator. O(1) HASH lookups against the
+    * plan-constant nested map; contrast `element_at` on a Spark map
+    * VALUE, which is a linear scan per lookup (array-based map), and
+    * array HOF lambdas, which evaluate interpreted — both measured 2×+
+    * slower end-to-end on this kernel's query. Unknown language or
+    * n-gram contributes 0.
+    */
+  def ngramModelSum(
+      tgs: ArrayData,
+      lang: UTF8String,
+      model: java.util.HashMap[UTF8String, java.util.HashMap[UTF8String, java.lang.Long]]
+  ): Long = {
+    val m = model.get(lang)
+    if (m == null) return 0L
+    var sum = 0L
+    val n = tgs.numElements()
+    var i = 0
+    while (i < n) {
+      val c = m.get(tgs.getUTF8String(i))
+      if (c != null) sum += c.longValue()
+      i += 1
+    }
+    sum
+  }
 }
 
 // ---------------------------------------------------------------------
@@ -404,6 +451,23 @@ case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
     Kernels.shingles(input.asInstanceOf[UTF8String], n)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.shingles($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Sliding character n-grams of lower(text) (see [[Kernels.charNgrams]]). */
+case class CharNgramsExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, s"n-gram size must be positive, got $n")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"text must be string, got ${other.catalogString}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.charNgrams(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.charNgrams($c, $n)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -461,6 +525,40 @@ case class MultiTokenSetCountExpr(child: Expression, wordSets: Seq[Seq[String]])
 /** Exact Jaccard similarity of two string arrays — see
   * [[Kernels.jaccard]] for the set semantics (nulls ignored).
   */
+/** NgramLm scoring numerator: the per-language model ships as a
+  * plan-constant nested HashMap reference object (like
+  * [[NearestCentroidsExpr]]'s centroid table), so each row is one fused
+  * kernel call with O(1) lookups — no join, no map-value linear scans,
+  * no interpreted HOF lambdas.
+  */
+case class NgramModelSumExpr(
+    left: Expression, // array<string> n-grams
+    right: Expression, // string language key
+    model: java.util.HashMap[UTF8String, java.util.HashMap[UTF8String, java.lang.Long]])
+    extends BinaryExpression with ArrayElemTypes {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkStringArray(left, "ngrams") match {
+      case TypeCheckResult.TypeCheckSuccess => right.dataType match {
+        case StringType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"lang must be string, got ${other.catalogString}")
+      }
+      case f => f
+    }
+  override protected def nullSafeEval(tgs: Any, lang: Any): Any =
+    Kernels.ngramModelSum(tgs.asInstanceOf[ArrayData],
+      lang.asInstanceOf[UTF8String], model)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ngramModel", model, "java.util.HashMap")
+    defineCodeGen(ctx, ev, (a, l) =>
+      s"graft.functions.Kernels.ngramModelSum($a, $l, $ref)")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 case class JaccardExpr(left: Expression, right: Expression)
     extends BinaryExpression with ArrayElemTypes {
   override def dataType: DataType = DoubleType
@@ -652,11 +750,15 @@ object VectorFunctions {
   private def e(col: Column): Expression = GraftColumnBridge.expression(col)
 
   def shingles(text: Column, n: Int): Column = c(ShinglesExpr(e(text), n))
+  def charNgrams(text: Column, n: Int): Column = c(CharNgramsExpr(e(text), n))
   def tokenSetCount(tokens: Column, words: Seq[String]): Column =
     c(TokenSetCountExpr(e(tokens), words))
   def multiTokenSetCount(tokens: Column, wordSets: Seq[Seq[String]]): Column =
     c(MultiTokenSetCountExpr(e(tokens), wordSets))
   def jaccard(a: Column, b: Column): Column = c(JaccardExpr(e(a), e(b)))
+  def ngramModelSum(tgs: Column, lang: Column,
+      model: java.util.HashMap[UTF8String, java.util.HashMap[UTF8String, java.lang.Long]]): Column =
+    c(NgramModelSumExpr(e(tgs), e(lang), model))
   def minHashSignature(shingles: Column, numHashes: Int): Column =
     c(MinHashSignatureExpr(e(shingles), numHashes))
   def minHashBands(shingles: Column, numHashes: Int, bands: Int): Column =

@@ -220,42 +220,31 @@ object Dedup {
     * `Dataset.observe` → `QueryExecutionListener` or
     * `df.queryExecution.observedMetrics` after an action.
     *
-    * The cap is TWO-PHASE so it bounds memory, not just pair expansion:
-    * phase 1 is an algebraic `count(*)` per (band, bucket) — constant
-    * -size aggregation buffers, map-side partials — whose output keys
-    * the surviving buckets; only those are joined back and
-    * `collect_list`ed in phase 2. A viral duplicate (10⁷–10⁸ copies of
-    * one document at 100 TB) therefore never materializes its id list
-    * in any reducer's aggregation buffer — per-bucket memory is bounded
-    * by `maxBucket` ids. Phase 1's post-partial-agg rows are one narrow
-    * row per distinct bucket per input partition, and its filtered
-    * output is small, so AQE typically broadcasts it back onto `banded`
-    * (one real shuffle of the banded rows, for the phase-2 groupBy).
-    * One degenerate-case caveat: when EVERY bucket is filtered out,
-    * AQE's empty-relation propagation prunes the observation subtree
-    * along with the join, so `observedMetrics` has no entry for
-    * `metric` — read it defensively (`.get`) if a total wipeout is
-    * possible; any surviving bucket keeps the observation alive.
-    * `banded` is evaluated twice (count + collect); it derives from
-    * deterministic kernels over the caller's projection, which callers
-    * may persist/checkpoint via their `storage` parameter.
+    * The cap bounds MEMORY, not just pair expansion, via
+    * [[graft.functions.CappedCollect]]: one groupBy whose aggregation
+    * buffer holds at most `maxBucket` ids per bucket BY CONSTRUCTION
+    * while the exact group count keeps accumulating. A viral duplicate
+    * (10⁷–10⁸ copies of one document at 100 TB) therefore never
+    * materializes its id list in any reducer's buffer, and `banded` —
+    * an expensive kernel projection — is scanned exactly ONCE with one
+    * shuffle (the r8 two-phase count-then-collect variant bounded the
+    * buffer too, but paid a second full evaluation of `banded` for the
+    * pre-count; CappedCollect's exact `cnt` replaces it). The exact
+    * counts also feed the observation (`overflow_buckets` /
+    * `overflow_rows` / `max_bucket_size` under the caller-keyed
+    * [[NearDupResult.bucketMetric]] name) with nothing lost.
     */
   private def candidatePairs(banded: DataFrame, maxBucket: Int, metric: String): DataFrame = {
-    val sz = col("bucket_size")
-    val keep = banded
+    val sz = col("cc.cnt")
+    val sortedIds = array_sort(col("cc.vals"))
+    banded
       .groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).cast(IntegerType).as("bucket_size"))
+      .agg(graft.functions.CappedCollect.cappedCollect(col("id"), maxBucket).as("cc"))
       .observe(metric,
         sum(when(sz > maxBucket, 1L).otherwise(0L)).as("overflow_buckets"),
-        sum(when(sz > maxBucket, sz.cast(LongType)).otherwise(0L)).as("overflow_rows"),
-        coalesce(max(sz), lit(0)).as("max_bucket_size"))
+        sum(when(sz > maxBucket, sz).otherwise(0L)).as("overflow_rows"),
+        coalesce(max(sz), lit(0L)).cast(IntegerType).as("max_bucket_size"))
       .filter(sz.between(2, maxBucket))
-      .select(col("band"), col("bucket"))
-    val sortedIds = array_sort(col("ids"))
-    banded
-      .join(keep, Seq("band", "bucket"))
-      .groupBy(col("band"), col("bucket"))
-      .agg(collect_list(col("id")).as("ids"))
       .select(explode(
         flatten(transform(sortedIds, (a, i) =>
           transform(slice(sortedIds, i + 2, size(sortedIds)), b =>
@@ -271,29 +260,26 @@ object Dedup {
     * EXACT bound, not a heuristic: |A∩B| ≤ min and |A∪B| ≥ max, so
     * J(A,B) ≤ min/max — a pruned pair could never pass a
     * `jaccard >= minRatio` verification (and IEEE division is monotone,
-    * so the float comparisons agree too). Same two-phase hot-bucket cap
-    * and observation contract as [[candidatePairs]]; per-bucket memory
-    * is maxBucket (id, sz) structs instead of bare ids.
+    * so the float comparisons agree too). Same single-scan capped
+    * -collect hot-bucket cap and observation contract as
+    * [[candidatePairs]]; per-bucket memory is maxBucket (id, sz)
+    * structs instead of bare ids.
     */
   private def candidatePairsSized(
       banded: DataFrame, maxBucket: Int, metric: String, minRatio: Double): DataFrame = {
-    val bsz = col("bucket_size")
-    val keep = banded
-      .groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).cast(IntegerType).as("bucket_size"))
-      .observe(metric,
-        sum(when(bsz > maxBucket, 1L).otherwise(0L)).as("overflow_buckets"),
-        sum(when(bsz > maxBucket, bsz.cast(LongType)).otherwise(0L)).as("overflow_rows"),
-        coalesce(max(bsz), lit(0)).as("max_bucket_size"))
-      .filter(bsz.between(2, maxBucket))
-      .select(col("band"), col("bucket"))
+    val bsz = col("cc.cnt")
     // struct sort order is field-by-field; id is unique, so this is the
     // same id-ascending order candidatePairs uses
-    val sorted = array_sort(col("entries"))
+    val sorted = array_sort(col("cc.vals"))
     banded
-      .join(keep, Seq("band", "bucket"))
       .groupBy(col("band"), col("bucket"))
-      .agg(collect_list(struct(col("id"), col("sz"))).as("entries"))
+      .agg(graft.functions.CappedCollect.cappedCollect(
+        struct(col("id"), col("sz")), maxBucket).as("cc"))
+      .observe(metric,
+        sum(when(bsz > maxBucket, 1L).otherwise(0L)).as("overflow_buckets"),
+        sum(when(bsz > maxBucket, bsz).otherwise(0L)).as("overflow_rows"),
+        coalesce(max(bsz), lit(0L)).cast(IntegerType).as("max_bucket_size"))
+      .filter(bsz.between(2, maxBucket))
       .select(explode(
         flatten(transform(sorted, (a, i) =>
           transform(slice(sorted, i + 2, size(sorted)), b =>
@@ -336,11 +322,11 @@ object Dedup {
     * — `maxPostings` (a stop-shingle cap, same contract as the LSH
     * bucket cap) affects only RECALL: a pair is missed only when every
     * shingle it shares overflows. The loss is observable via the
-    * [[NearDupResult.bucketMetric]] observation. The cap is two-phase
-    * (see [[candidatePairs]]): a hot shingle's posting list is counted
-    * algebraically and dropped BEFORE any id list is collected, so
-    * per-shingle memory is bounded by `maxPostings` ids — the corpus'
-    * hottest shingle cannot OOM a reducer.
+    * [[NearDupResult.bucketMetric]] observation. The cap is a
+    * single-scan capped collect (see [[candidatePairs]]): a hot
+    * shingle's posting buffer stops growing at `maxPostings` ids while
+    * its exact count keeps accumulating, so the corpus' hottest
+    * shingle cannot OOM a reducer.
     *
     * Candidate count is Σ |posting|² over kept PREFIX shingles, far
     * above the banded-LSH collision rate — at 100 TB use
@@ -528,20 +514,22 @@ object Dedup {
         // files at corpus scale
         .repartition(col("shard"))
         .write.mode(mode).partitionBy("shard").parquet(s"$path/shingles")
-      // bucket_size via an algebraic count + join-back, NOT a
-      // collect_list+size: a viral duplicate's bucket would otherwise
-      // be materialized whole in one reducer's aggregation buffer just
-      // to be measured. count(*) buffers are constant-size with
-      // map-side partials, and the join re-attaches the size to each
-      // posting row (AQE broadcasts the small count side).
-      val bandedIdx = src
+      // bucket_size via a WINDOW count over (band, bucket), NOT a
+      // collect_list+size (a viral duplicate's bucket would be
+      // materialized whole in one reducer's non-spillable aggregation
+      // buffer just to be measured) and NOT a count+join-back (which
+      // re-evaluates the banding kernel for the pre-count — two full
+      // scans). WindowExec buffers each bucket through a SPILLABLE
+      // external sorter, so a viral bucket costs disk, never an OOM,
+      // and the kernel projection is scanned exactly once. The window's
+      // exchange also lands each band on few tasks, which is exactly
+      // the file layout the partitionBy("band") write wants.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("bucket"))
+      src
         .select(col("id"), posexplode(minHashBands(col("sh"), numHashes, bands)))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      val bucketSizes = bandedIdx
-        .groupBy(col("band"), col("bucket"))
-        .agg(count(lit(1)).cast(IntegerType).as("bucket_size"))
-      bandedIdx
-        .join(bucketSizes, Seq("band", "bucket"))
+        .withColumn("bucket_size", count(lit(1)).over(w).cast(IntegerType))
         .select(col("band"), col("bucket"), col("bucket_size"), col("id"))
         .write.mode(mode).partitionBy("band").parquet(s"$path/bands")
     } finally if (storage != StorageLevel.NONE) src.unpersist()

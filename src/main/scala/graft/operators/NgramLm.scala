@@ -28,24 +28,26 @@ import org.apache.spark.sql.types._
   * hash aggregate over (lang, ngram) — the distinct character-n-gram
   * universe is tiny relative to the corpus — followed by a per-language
   * window over the already-aggregated counts to keep the top `vocab`
-  * n-grams. Scoring re-scans the corpus once: explode → BROADCAST hash
-  * join against the (<= langs * vocab row) model — the stream is never
-  * shuffled for the join — then a partial-aggregated groupBy(doc) whose
-  * shuffle is ~1 row per document. No driver-side iteration anywhere.
+  * n-grams. Scoring is a PURE PROJECTION: the model (bounded at langs ×
+  * vocab entries by the train-time cap — a few MB) ships to executors
+  * as a plan-constant nested hash map inside a codegen kernel
+  * ([[graft.functions.NgramModelSumExpr]], the NearestCentroidsExpr
+  * pattern), so each doc costs one fused O(ngrams) loop with O(1)
+  * lookups — no join, no shuffle, no explode, and the corpus stream is
+  * scanned once. The model collect is the one bounded driver action
+  * (like Ivf's centroid collect); CCNet's deployment shape is the same
+  * — a pretrained model artifact applied to the stream.
   */
 object NgramLm {
 
   /** Character n-grams of lower(text), order-preserving; empty array
-    * when the text is shorter than n. Pure codegen'd SQL functions
-    * (sequence/transform/substr) — stays inside whole-stage codegen.
+    * when the text is shorter than n. A fused codegen kernel
+    * ([[graft.functions.CharNgramsExpr]]) — the equivalent
+    * sequence/transform/substr chain evaluates its lambda interpreted
+    * per element and measured ~3× slower over the corpus.
     */
-  def charNgrams(text: Column, n: Int): Column = {
-    val lowered = lower(text)
-    when(length(lowered) >= n,
-      transform(sequence(lit(1), length(lowered) - lit(n - 1)),
-        i => substr(lowered, i, lit(n))))
-      .otherwise(array().cast(ArrayType(StringType)))
-  }
+  def charNgrams(text: Column, n: Int): Column =
+    graft.functions.VectorFunctions.charNgrams(text, n)
 
   /** Per-language top-`vocab` character n-gram counts: columns `lang`,
     * `tg`, `tg_cnt`. Deterministic at the vocab boundary (count desc,
@@ -75,6 +77,13 @@ object NgramLm {
     * deployment). Columns: id column (caller's name kept), `lm_score`.
     * Documents shorter than n score 0.0 (no n-grams, maximally
     * atypical), as do documents of purely out-of-vocab n-grams.
+    *
+    * Scoring is a PURE PROJECTION via the [[graft.functions
+    * .NgramModelSumExpr]] kernel — see the object doc for the scale
+    * shape and why the naive map-column/HOF formulations are slow.
+    * The model frame is collected driver-side: bounded by langs ×
+    * `vocab` when it comes from [[trainModel]]; callers supplying a
+    * custom model frame own that bound.
     */
   def score(
       docs: DataFrame,
@@ -84,17 +93,29 @@ object NgramLm {
       model: DataFrame,
       n: Int = 3
   ): DataFrame = {
-    // explode_outer keeps zero-ngram docs as a single null-tg row, so
-    // every input doc appears in the output without a re-join
-    val tri = docs.select(col(idCol), col(langCol).as("lang"),
-      explode_outer(charNgrams(col(textCol), n)).as("tg"))
-    tri
-      .join(broadcast(model), Seq("lang", "tg"), "left")
-      .groupBy(col(idCol))
-      .agg(
-        when(count(col("tg")) > 0,
-          sum(coalesce(col("tg_cnt"), lit(0L))).cast(DoubleType) /
-            count(col("tg")).cast(DoubleType))
-          .otherwise(lit(0.0)).as("lm_score"))
+    import org.apache.spark.unsafe.types.UTF8String
+    val byLang =
+      new java.util.HashMap[UTF8String, java.util.HashMap[UTF8String, java.lang.Long]]
+    model.select(col("lang"), col("tg"), col("tg_cnt")).collect().foreach { r =>
+      val lang = UTF8String.fromString(r.getString(0))
+      var m = byLang.get(lang)
+      if (m == null) {
+        m = new java.util.HashMap[UTF8String, java.lang.Long]
+        byLang.put(lang, m)
+      }
+      m.put(UTF8String.fromString(r.getString(1)), java.lang.Long.valueOf(r.getLong(2)))
+    }
+    val tgs = col("__tgs")
+    docs
+      .select(col(idCol), col(langCol).as("__lang"),
+        charNgrams(col(textCol), n).as("__tgs"))
+      .select(col(idCol),
+        coalesce(
+          when(size(tgs) > 0,
+            graft.functions.VectorFunctions
+              .ngramModelSum(tgs, col("__lang"), byLang)
+              .cast(DoubleType) / size(tgs).cast(DoubleType))
+            .otherwise(lit(0.0)),
+          lit(0.0)).as("lm_score"))
   }
 }

@@ -672,6 +672,35 @@ object Queries {
     // makes the batch gaps-and-islands SQL a valid oracle. Session
     // bounds are projected as epoch micros (the engines' shared
     // timestamp precision; see the batch x_sessionize precision note).
+    // Stream-stream interval inner join (click→purchase attribution
+    // within 6 hours, per user) over two file-source streams of the
+    // same events table. Both sides are watermarked and the join
+    // condition bounds the event times against each other, so state is
+    // evictable (the operator's whole point — see intervalJoinStreams
+    // scaladoc); the span-covering delay makes the bounded replay emit
+    // the exact pair set, so the batch interval-join SQL is the oracle.
+    "x_stream_join" -> ((s, d) => {
+      def ev() = s.readStream.schema(eventsSchema)
+        .parquet(tableStreamDir(d, "events"))
+        .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      val clicks = ev().filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts_utc").as("click_ts"))
+      val purchases = ev().filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts_utc").as("purchase_ts"))
+      val pairs = graft.streaming.StreamingValidation.intervalJoinStreams(
+        clicks, purchases, Seq("user_id"), "click_ts", "purchase_ts",
+        maxDelay = "6 hours", watermark = "87600 hours")
+      val name = s"x_stream_join_${streamRun.incrementAndGet()}"
+      val q = pairs.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+      s.table(name).select(col("user_id"), col("click_id"), col("purchase_id"),
+        unix_micros(col("click_ts")).as("click_ts_us"),
+        unix_micros(col("purchase_ts")).as("purchase_ts_us"))
+    }),
+
     "x_stream_sessionize" -> ((s, d) => {
       val stream = s.readStream.schema(eventsSchema)
         .parquet(tableStreamDir(d, "events"))
@@ -955,7 +984,12 @@ object Queries {
         .select(col("o_orderkey"),
           (dec(col("o_totalprice")) + lit(1000)).cast(DecimalType(18, 2)).as("price"),
           lit(2L).as("version"), (col("o_orderkey") % 970 === 0).as("is_delete"))
-      val ins = t(s, d, "orders").filter(col("o_orderkey") % 13 === 0)
+      // key 0 negates to itself, which would land THREE rows on one key
+      // with a (version, src) TIE between its update and insert — Spark
+      // breaks ties by payload hash but the oracle's row_number cannot,
+      // so keep the insert key space strictly disjoint
+      val ins = t(s, d, "orders")
+        .filter(col("o_orderkey") % 13 === 0 && col("o_orderkey") =!= 0)
         .select((-col("o_orderkey")).as("o_orderkey"),
           dec(col("o_totalprice")).as("price"),
           lit(2L).as("version"), lit(false).as("is_delete"))
@@ -963,6 +997,26 @@ object Queries {
           Seq("o_orderkey"), "version", deleteCol = Some("is_delete"))
         .select(col("o_orderkey"), col("price").cast(DoubleType).as("price"),
           col("version"))
+    }),
+
+    // Keyed snapshot diff: classify every order key as added / removed
+    // / changed between the base snapshot and a mutated copy (drops,
+    // price bumps, inserts under negated keys). The join moves only
+    // (key, xxhash64(payload)) — ~16 bytes/row however wide the table —
+    // which is what lets two 100 TB snapshots reconcile cheaply; the
+    // oracle re-derives the classification with column-wise
+    // IS DISTINCT FROM over a FULL OUTER JOIN.
+    "x_snapshot_diff" -> ((s, d) => {
+      val base = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      val mutated = base.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 10 === 0, col("o_totalprice") + 1000)
+            .otherwise(col("o_totalprice")))
+        .unionByName(base.filter(col("o_orderkey") % 13 === 0)
+          .select((-col("o_orderkey")).as("o_orderkey"),
+            col("o_totalprice"), col("o_orderstatus")))
+      graft.operators.SnapshotDiff.diff(base, mutated, Seq("o_orderkey"))
     }),
 
     // Bucketed co-located join: write orders and lineitem bucketed by
@@ -1688,7 +1742,7 @@ object Queries {
         |ins AS (
         |  SELECT -o_orderkey AS o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
         |    CAST(2 AS BIGINT) AS version, FALSE AS is_delete, 1 AS src
-        |  FROM orders WHERE o_orderkey % 13 = 0),
+        |  FROM orders WHERE o_orderkey % 13 = 0 AND o_orderkey <> 0),
         |merged AS (
         |  SELECT *, row_number() OVER (PARTITION BY o_orderkey
         |    ORDER BY version DESC, src DESC) AS rn
@@ -1696,6 +1750,45 @@ object Queries {
         |        UNION ALL SELECT * FROM ins))
         |SELECT o_orderkey, CAST(price AS DOUBLE) AS price, version
         |FROM merged WHERE rn = 1 AND NOT is_delete""".stripMargin,
+
+    "x_snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+        |mutated AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderstatus
+        |  FROM base WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT -o_orderkey, o_totalprice, o_orderstatus
+        |  FROM base WHERE o_orderkey % 13 = 0),
+        |j AS (
+        |  SELECT coalesce(b.o_orderkey, m.o_orderkey) AS o_orderkey,
+        |    CASE WHEN m.o_orderkey IS NULL THEN 'removed'
+        |         WHEN b.o_orderkey IS NULL THEN 'added'
+        |         WHEN b.o_totalprice IS DISTINCT FROM m.o_totalprice
+        |           OR b.o_orderstatus IS DISTINCT FROM m.o_orderstatus
+        |           THEN 'changed'
+        |         ELSE 'unchanged' END AS change_type
+        |  FROM base b FULL OUTER JOIN mutated m ON b.o_orderkey = m.o_orderkey)
+        |SELECT o_orderkey, change_type FROM j
+        |WHERE change_type <> 'unchanged'""".stripMargin,
+
+    // CAST ns->us BEFORE comparing, mirroring the engine's `ts div
+    // 1000` truncation, so boundary pairs agree at shared precision
+    "x_stream_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |  FROM events)
+        |SELECT c.user_id,
+        |  c.event_id AS click_id, p.event_id AS purchase_id,
+        |  epoch_us(c.ts) AS click_ts_us,
+        |  epoch_us(p.ts) AS purchase_ts_us
+        |FROM ev c JOIN ev p
+        |  ON c.user_id = p.user_id
+        |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR""".stripMargin,
 
     "x_bucketed_join" ->
       """SELECT o_orderpriority,

@@ -207,6 +207,49 @@ object StreamingValidation {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** Stream-stream interval inner join — the streaming face of the
+    * batch [[graft.operators.TemporalJoins.intervalJoin]]: pair each
+    * left event with the right events of the same key whose event time
+    * falls in [left time, left time + `maxDelay`] (click→purchase
+    * attribution, request→response matching, sensor correlation).
+    *
+    * Both sides carry a watermark and the join condition bounds the
+    * two event times against each other — exactly what Spark's
+    * stream-stream join needs to EVICT state: a buffered left row can
+    * stop waiting once the right watermark passes its time + maxDelay,
+    * and vice versa, so state is bounded by delay × arrival rate, not
+    * stream length. Without the time bound the state store grows
+    * forever; this operator makes the bound impossible to forget.
+    *
+    * Column names (minus `keyCols`) must be disjoint across the sides
+    * — pre-rename as the call sites do. Null event times are dropped
+    * (they can never satisfy the range). For bounded verification
+    * replays a span-covering watermark makes the output the exact pair
+    * set, so the plain batch interval-join SQL is a valid oracle;
+    * production uses a real delay (inner stream-stream joins emit on
+    * append as matches become final).
+    */
+  def intervalJoinStreams(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTimeCol: String,
+      rightTimeCol: String,
+      maxDelay: String,
+      watermark: String
+  ): DataFrame = {
+    val l = left
+      .filter(col(leftTimeCol).isNotNull)
+      .withWatermark(leftTimeCol, watermark)
+    val r = right
+      .filter(col(rightTimeCol).isNotNull)
+      .withWatermark(rightTimeCol, watermark)
+    val keyEq = keyCols.map(k => l(k) === r(k)).reduce(_ && _)
+    val range = r(rightTimeCol) >= l(leftTimeCol) &&
+      r(rightTimeCol) <= l(leftTimeCol) + expr(s"INTERVAL $maxDelay")
+    keyCols.foldLeft(l.join(r, keyEq && range, "inner"))((df, k) => df.drop(r(k)))
+  }
+
   /** Per-key running validation state for [[sessionizedCounts]]. */
   case class LineState(total: Long, invalid: Long)
   case class LineUpdate(key: String, total: Long, invalid: Long)

@@ -1,0 +1,69 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class CappedCollectSpec extends SparkTestBase {
+  import spark.implicits._
+  import CappedCollect.cappedCollect
+
+  test("under the cap: exact count and the complete value set") {
+    val df = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L)).toDF("k", "v")
+    val got = df.groupBy("k").agg(cappedCollect(col("v"), 5).as("cc"))
+      .select(col("k"), col("cc.cnt"), array_sort(col("cc.vals")).as("vals"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2)))).toMap
+    assert(got(1L) == ((3L, Seq(10L, 11L, 12L))))
+    assert(got(2L) == ((1L, Seq(20L))))
+  }
+
+  test("over the cap: count stays exact while the buffer stops at cap") {
+    // 10k copies of one key across 8 partitions — the viral-duplicate
+    // shape; buffer must hold <= 3 values yet count all 10k exactly
+    val df = spark.range(10000).select(lit(7L).as("k"), col("id").as("v"))
+      .repartition(8)
+    val r = df.groupBy("k").agg(cappedCollect(col("v"), 3).as("cc"))
+      .select(col("cc.cnt"), size(col("cc.vals"))).collect()(0)
+    assert(r.getLong(0) == 10000L)
+    assert(r.getInt(1) == 3)
+  }
+
+  test("completeness invariant survives multi-partition merge at the cap boundary") {
+    // exactly cap values, spread over more partitions than cap
+    val df = spark.range(4).select(lit(1L).as("k"), col("id").as("v"))
+      .repartition(6)
+    val r = df.groupBy("k").agg(cappedCollect(col("v"), 4).as("cc"))
+      .select(col("cc.cnt"), array_sort(col("cc.vals"))).collect()(0)
+    assert(r.getLong(0) == 4L)
+    assert(r.getSeq[Long](1) == Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("nulls are neither counted nor collected") {
+    val df = Seq((1L, Some(5L)), (1L, None), (1L, Some(6L))).toDF("k", "v")
+    val r = df.groupBy("k").agg(cappedCollect(col("v"), 10).as("cc"))
+      .select(col("cc.cnt"), array_sort(col("cc.vals"))).collect()(0)
+    assert(r.getLong(0) == 2L)
+    assert(r.getSeq[Long](1) == Seq(5L, 6L))
+  }
+
+  test("struct elements round-trip through the serialized shuffle path") {
+    val df = Seq((1L, 10L, 3), (1L, 11L, 4), (2L, 20L, 5)).toDF("k", "id", "sz")
+      .repartition(4) // force partial/final split so serialize/deserialize runs
+    val got = df.groupBy("k")
+      .agg(cappedCollect(struct(col("id"), col("sz")), 10).as("cc"))
+      .select(col("k"), array_sort(col("cc.vals")).as("vals"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getLong(0), x.getInt(1))))
+      .toMap
+    assert(got(1L) == Seq((10L, 3), (11L, 4)))
+    assert(got(2L) == Seq((20L, 5)))
+  }
+
+  test("string elements are copied, not views over a reused row buffer") {
+    val df = (1 to 100).map(i => (i % 3L, s"v$i")).toDF("k", "s").repartition(5)
+    val got = df.groupBy("k").agg(cappedCollect(col("s"), 200).as("cc"))
+      .select(col("k"), col("cc.vals")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val expect = (1 to 100).groupBy(_ % 3L).view.mapValues(_.map(i => s"v$i").toSet)
+    assert(got == expect.toMap)
+  }
+}

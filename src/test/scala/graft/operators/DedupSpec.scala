@@ -206,18 +206,20 @@ class DedupSpec extends SparkTestBase {
     assert(m.getAs[Int]("max_bucket_size") == 40)
   }
 
-  test("collect_list runs only above the bucket-count join (two-phase plan shape)") {
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+  test("bucket ids are gathered by capped_collect, never unbounded collect_list") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
     val plan = Dedup.minHashNearDups(docs, "doc_id", "text")
       .queryExecution.optimizedPlan
-    val collectAggs = plan.collect {
+    // no unbounded collect anywhere in the candidate plan…
+    assert(!plan.toString.contains("collect_list"))
+    // …the bucket gather is the memory-bounded capped_collect, and the
+    // banded kernel projection feeds exactly ONE aggregate (single
+    // scan — the old two-phase shape evaluated it twice for a count)
+    val cappedAggs = plan.collect {
       case a: Aggregate
-          if a.aggregateExpressions.exists(_.toString.contains("collect_list")) => a
+          if a.aggregateExpressions.exists(_.toString.contains("capped_collect")) => a
     }
-    assert(collectAggs.nonEmpty)
-    assert(collectAggs.forall(a =>
-      a.collectFirst { case j: Join => j }.nonEmpty),
-      "id lists must be collected only for buckets surviving the count filter")
+    assert(cappedAggs.size == 1, plan.toString)
   }
 
   test("near-dup plans contain no cartesian product (scale guard)") {

@@ -193,6 +193,43 @@ class StreamingSpec extends SparkTestBase {
       ("u2", "09:00:00", "09:30:00", 1L)))
   }
 
+  test("intervalJoinStreams pairs within the delay bound and respects key equality") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[(String, Long, Long)]    // (ts, user, click_id)
+    val buys = MemoryStream[(String, Long, Long)]      // (ts, user, buy_id)
+    val joined = StreamingValidation.intervalJoinStreams(
+      clicks.toDF().toDF("cts", "user", "click_id")
+        .withColumn("cts", col("cts").cast("timestamp")),
+      buys.toDF().toDF("bts", "buser", "buy_id")
+        .withColumn("bts", col("bts").cast("timestamp"))
+        .withColumnRenamed("buser", "user"),
+      keyCols = Seq("user"), leftTimeCol = "cts", rightTimeCol = "bts",
+      maxDelay = "1 hour", watermark = "10 days")
+    val q = joined.writeStream.format("memory").queryName("stream_ij")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        ("2024-02-15 08:00:00", 1L, 100L),
+        ("2024-02-15 08:00:00", 2L, 200L))
+      // in-bound purchase, cross-micro-batch (state buffered the click)
+      buys.addData(("2024-02-15 08:59:59", 1L, 900L))
+      q.processAllAvailable()
+      // exactly at the bound -> included; 1s past -> excluded;
+      // before the click -> excluded; right user, wrong key -> excluded
+      buys.addData(
+        ("2024-02-15 09:00:00", 1L, 901L),
+        ("2024-02-15 09:00:01", 1L, 902L),
+        ("2024-02-15 07:59:59", 1L, 903L),
+        ("2024-02-15 08:30:00", 3L, 904L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("stream_ij")
+      .select("user", "click_id", "buy_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set((1L, 100L, 900L), (1L, 100L, 901L)))
+  }
+
   test("runningCounts keeps per-key state across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
