@@ -388,6 +388,59 @@ object Kernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Z-value for multi-column clustering: each value maps to its
+    * quantile bucket (binary search over the per-column boundary
+    * table), then the bucket bits interleave LSB-first across columns
+    * — the Morton curve over RANK space, which is what makes it
+    * skew-robust (linear min/max scaling would collapse under a heavy
+    * hitter). Null values map to bucket 0, clustering together.
+    * `boundaries(i)` holds the sorted interior cut points of column i;
+    * bucket count is boundaries(i).length + 1.
+    */
+  def zValue(vals: ArrayData, boundaries: Array[Array[Double]]): Long = {
+    val ncols = boundaries.length
+    var z = 0L
+    var i = 0
+    while (i < ncols) {
+      val bucket =
+        if (vals.isNullAt(i)) 0
+        else {
+          val v = vals.getDouble(i)
+          val b = boundaries(i)
+          // first index with b(idx) > v == count of cut points <= v
+          var lo = 0
+          var hi = b.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (b(mid) <= v) lo = mid + 1 else hi = mid
+          }
+          lo
+        }
+      // interleave this column's bucket bits at stride ncols
+      var bit = 0
+      var rem = bucket
+      while (rem != 0) {
+        z |= (rem & 1L) << (bit * ncols + i)
+        rem >>>= 1
+        bit += 1
+      }
+      i += 1
+    }
+    z
+  }
+
+  /** Bloom probe dispatch for [[BloomMightContainExpr]]'s interpreted
+    * path (codegen calls the sketch directly).
+    */
+  def bloomMightContain(
+      v: Any, bloom: org.apache.spark.util.sketch.BloomFilter): Boolean =
+    v match {
+      case s: UTF8String => bloom.mightContainBinary(s.getBytes)
+      case n: java.lang.Number => bloom.mightContainLong(n.longValue())
+      case other => throw new IllegalArgumentException(
+        s"unsupported bloom key ${other.getClass}")
+    }
+
   /** Sum of per-language model counts over an n-gram array — the
     * NgramLm scoring numerator. O(1) HASH lookups against the
     * plan-constant nested map; contrast `element_at` on a Spark map
@@ -451,6 +504,70 @@ case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
     Kernels.shingles(input.asInstanceOf[UTF8String], n)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.shingles($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Bloom membership probe with the filter as a plan-constant reference
+  * object — keeps bloom pruning inside whole-stage codegen (no UDF).
+  * Long keys probe `mightContainLong` (the sketch's native path);
+  * strings probe their UTF-8 bytes, matching what
+  * `DataFrameStatFunctions.bloomFilter` inserted. Null-propagating
+  * like every kernel here; the Column wrapper coalesces null → false
+  * (a null key is definitely absent — correct for join pruning, where
+  * null never matches).
+  */
+case class BloomMightContainExpr(
+    child: Expression,
+    bloom: org.apache.spark.util.sketch.BloomFilter)
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | IntegerType | ShortType | ByteType | StringType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bloom key must be an integral or string type, got ${other.catalogString}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.bloomMightContain(input, bloom)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloom", bloom,
+      "org.apache.spark.util.sketch.BloomFilter")
+    child.dataType match {
+      case StringType =>
+        defineCodeGen(ctx, ev, c => s"$ref.mightContainBinary($c.getBytes())")
+      case _ =>
+        defineCodeGen(ctx, ev, c => s"$ref.mightContainLong((long) $c)")
+    }
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Morton z-value over quantile-bucketed columns (see
+  * [[Kernels.zValue]]); the per-column boundary table ships as a
+  * plan-constant reference object.
+  */
+case class ZValueExpr(child: Expression, boundaries: Array[Array[Double]])
+    extends UnaryExpression with ArrayElemTypes {
+  require(boundaries.nonEmpty && boundaries.length <= 8,
+    s"z-order supports 1-8 columns, got ${boundaries.length}")
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkNumericArray(child, "values") match {
+      case TypeCheckResult.TypeCheckSuccess => child.dataType match {
+        case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"values must be array<double>, got ${other.catalogString}")
+      }
+      case f => f
+    }
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.zValue(input.asInstanceOf[ArrayData], boundaries)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("zBoundaries", boundaries, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.zValue($c, $ref)")
+  }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -759,6 +876,13 @@ object VectorFunctions {
   def ngramModelSum(tgs: Column, lang: Column,
       model: java.util.HashMap[UTF8String, java.util.HashMap[UTF8String, java.lang.Long]]): Column =
     c(NgramModelSumExpr(e(tgs), e(lang), model))
+  def bloomMightContain(key: Column,
+      bloom: org.apache.spark.util.sketch.BloomFilter): Column =
+    org.apache.spark.sql.functions.coalesce(
+      c(BloomMightContainExpr(e(key), bloom)),
+      org.apache.spark.sql.functions.lit(false))
+  def zValue(vals: Column, boundaries: Array[Array[Double]]): Column =
+    c(ZValueExpr(e(vals), boundaries))
   def minHashSignature(shingles: Column, numHashes: Int): Column =
     c(MinHashSignatureExpr(e(shingles), numHashes))
   def minHashBands(shingles: Column, numHashes: Int, bands: Int): Column =

@@ -999,6 +999,25 @@ object Queries {
           col("version"))
     }),
 
+    // Bloom-pruned selective join: build a bloom over the (selective)
+    // urgent-high-value order keys, filter lineitem AT THE SCAN before
+    // the join's exchange, then join exactly — false positives die in
+    // the join, so the result is bit-identical to the plain join and
+    // the oracle is the plain join SQL. At 100 TB this is the
+    // semi-join reduction that shrinks the fact shuffle to ~the dim's
+    // selectivity; BloomPruneSpec asserts the scan-side row reduction.
+    "x_bloom_prune" -> ((s, d) => {
+      val dim = t(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 250000)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val fact = t(s, d, "lineitem").select(col("l_orderkey"), col("l_extendedprice"))
+      graft.operators.BloomPrune.semiJoinReduced(
+          fact, "l_orderkey", dim, "o_orderkey", expectedItems = 20000)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_lines"),
+          dec(sum(dec(col("l_extendedprice")))).cast(DoubleType).as("revenue"))
+    }),
+
     // Keyed snapshot diff: classify every order key as added / removed
     // / changed between the base snapshot and a mutated copy (drops,
     // price bumps, inserts under negated keys). The join moves only
@@ -1080,6 +1099,22 @@ object Queries {
         base, Seq("n_chars"), numFiles = 8)
       graft.sources.RangeLayout.read(s, base)
         .filter(col("n_chars").between(200, 400))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+
+    // Z-order layout round-trip: rewrite documents Morton-clustered on
+    // (n_chars, doc_id), then answer a two-column predicate from the
+    // clustered copy. Content-neutral (oracle = plain WHERE); the
+    // per-dimension row-group skipping — including under skew — is
+    // plan-asserted in ZOrderSpec.
+    "x_zorder_layout" -> ((s, d) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      graft.sources.ZOrder.write(
+        t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+        base, Seq("n_chars", "doc_id"), numFiles = 8)
+      s.read.parquet(base)
+        .filter(col("n_chars").between(200, 400) && col("doc_id") % 3 === 0)
         .select(col("doc_id"), col("lang"), col("n_chars"))
     }),
 
@@ -1751,6 +1786,13 @@ object Queries {
         |SELECT o_orderkey, CAST(price AS DOUBLE) AS price, version
         |FROM merged WHERE rn = 1 AND NOT is_delete""".stripMargin,
 
+    "x_bloom_prune" ->
+      """SELECT o_orderstatus, count(*) AS n_lines,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 250000
+        |GROUP BY o_orderstatus""".stripMargin,
+
     "x_snapshot_diff" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
@@ -1806,6 +1848,10 @@ object Queries {
     "x_range_layout" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE n_chars BETWEEN 200 AND 400""".stripMargin,
+
+    "x_zorder_layout" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE n_chars BETWEEN 200 AND 400 AND doc_id % 3 = 0""".stripMargin,
 
     "x_jsonl_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,

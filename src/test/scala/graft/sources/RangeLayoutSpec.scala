@@ -47,9 +47,12 @@ class RangeLayoutSpec extends SparkTestBase {
     assert(filtered(s"$base/sorted").collect().map(_.getLong(0)).sorted.toSeq ==
       filtered(s"$base/random").collect().map(_.getLong(0)).sorted.toSeq)
     // …but the clustered copy's min/max stats confine the read to the
-    // one overlapping range slice (<= 10000/8 rows); the random layout
-    // overlaps everywhere and emits the full table from the scan
-    assert(sortedEmitted <= 10000L / 8)
+    // overlapping range slice(s) — ~10000/8 rows, plus sampling slack:
+    // repartitionByRange draws BOUNDARIES from a sample, so slice sizes
+    // wobble a few percent around the ideal (1265 observed once). The
+    // property under test is skipping, so assert a quarter-table bound
+    // with comfortable margin, not the exact ideal slice
+    assert(sortedEmitted <= 10000L / 4, s"clustered scan emitted $sortedEmitted")
     assert(randomEmitted == 10000L)
     assert(sortedEmitted >= 100L)
   }
