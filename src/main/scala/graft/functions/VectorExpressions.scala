@@ -429,6 +429,30 @@ object Kernels {
     z
   }
 
+  private val controlChars =
+    java.util.regex.Pattern.compile("[\\x00-\\x1F\\x7F-\\x9F]")
+  private val asciiWsRuns = java.util.regex.Pattern.compile("\\s+")
+
+  /** Corpus text normalization: Unicode NFC → C0/C1 control chars to
+    * spaces → ASCII-whitespace runs collapsed to one space → trim.
+    * The three steps are ordered so both regex passes see only ASCII
+    * whitespace (controls, incl. \t\n\r, became plain spaces first),
+    * which keeps Java-regex and RE2 semantics identical — the DuckDB
+    * oracle replays the exact chain with nfc_normalize +
+    * regexp_replace. Unicode spaces (NBSP etc.) are deliberately
+    * preserved: neither engine's `\s` matches them, and stripping
+    * them is a tokenizer decision, not a hygiene one.
+    */
+  def normalizeText(text: UTF8String): UTF8String = {
+    val nfc = java.text.Normalizer.normalize(
+      text.toString, java.text.Normalizer.Form.NFC)
+    val despaced = asciiWsRuns
+      .matcher(controlChars.matcher(nfc).replaceAll(" "))
+      .replaceAll(" ")
+      .trim
+    UTF8String.fromString(despaced)
+  }
+
   /** Bloom probe dispatch for [[BloomMightContainExpr]]'s interpreted
     * path (codegen calls the sketch directly).
     */
@@ -540,6 +564,22 @@ case class BloomMightContainExpr(
         defineCodeGen(ctx, ev, c => s"$ref.mightContainLong((long) $c)")
     }
   }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Corpus text normalization (see [[Kernels.normalizeText]]). */
+case class NormalizeTextExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"text must be string, got ${other.catalogString}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.normalizeText(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.normalizeText($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -883,6 +923,7 @@ object VectorFunctions {
       org.apache.spark.sql.functions.lit(false))
   def zValue(vals: Column, boundaries: Array[Array[Double]]): Column =
     c(ZValueExpr(e(vals), boundaries))
+  def normalizeText(text: Column): Column = c(NormalizeTextExpr(e(text)))
   def minHashSignature(shingles: Column, numHashes: Int): Column =
     c(MinHashSignatureExpr(e(shingles), numHashes))
   def minHashBands(shingles: Column, numHashes: Int, bands: Int): Column =

@@ -27,6 +27,67 @@ import org.apache.spark.sql.types._
   */
 object Packing {
 
+  /** Length-bucketed batch assignment — the padding minimizer for
+    * fixed-batch inference/eval: sort sequences by length (id
+    * tie-break) and cut the order into `batchSize`-row batches, so
+    * each batch's rows pad to a NEARBY max instead of the global one.
+    * Returns (idCol, lenCol, batch_id).
+    *
+    * Global contiguous numbering is inherently a global sort, but it
+    * does NOT need a single-task window: the rows are range-partitioned
+    * and sorted on (len, id) — Spark's distributed sort — and the
+    * per-partition row COUNTS (one long per partition, the bounded
+    * driver payload) turn local indexes into global ones inside one
+    * `mapPartitions` pass. Contrast `row_number() OVER (ORDER BY …)`,
+    * which funnels the whole table through one task's window.
+    * Deterministic in (len, id); null lengths sort first (batch with
+    * the shortest).
+    */
+  def lengthBatches(
+      df: DataFrame,
+      idCol: String,
+      lenCol: String,
+      batchSize: Int
+  ): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    val spark = df.sparkSession
+    val sorted = df
+      .select(col(idCol).cast(LongType).as("id"),
+        col(lenCol).cast(LongType).as("len"))
+      .repartitionByRange(col("len"), col("id"))
+      .sortWithinPartitions(col("len"), col("id"))
+    val withIdx = sorted.rdd.zipWithIndex() // one count job + one pass
+    val out = spark.createDataFrame(
+      withIdx.map { case (r, idx) =>
+        org.apache.spark.sql.Row(
+          r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1),
+          idx / batchSize)
+      },
+      StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("len", LongType, nullable = true),
+        StructField("batch_id", LongType, nullable = false))))
+    out.withColumnRenamed("id", idCol).withColumnRenamed("len", lenCol)
+  }
+
+  /** Per-batch padding stats over [[lengthBatches]] output: rows, max
+    * length, and the fraction of a (batchSize × max_len) dense batch
+    * that would be padding. Integer aggregates + one IEEE division —
+    * hash-oracle-stable.
+    */
+  def batchPaddingStats(batches: DataFrame, lenCol: String): DataFrame =
+    batches
+      .groupBy(col("batch_id"))
+      .agg(
+        count(lit(1)).as("n_seqs"),
+        max(coalesce(col(lenCol), lit(0L))).as("max_len"),
+        sum(coalesce(col(lenCol), lit(0L))).as("sum_len"))
+      .withColumn("padding_frac",
+        when(col("max_len") > 0,
+          (col("max_len") * col("n_seqs") - col("sum_len")).cast(DoubleType) /
+            (col("max_len") * col("n_seqs")).cast(DoubleType))
+          .otherwise(lit(0.0)))
+
   /** Adds `bin` (0-based within the partition key) and `bin_offset`
     * (token offset of this doc within its bin). NULL token counts pack
     * as zero-width (coalesced — a NULL must not poison the row's own

@@ -769,6 +769,35 @@ object Queries {
       NgramLm.score(docs, "doc_id", "lang", "text", model, n = 3)
     }),
 
+    // Corpus text normalization: NFC + control-char scrub + whitespace
+    // collapse via the NormalizeTextExpr kernel, over documents
+    // deterministically augmented with the mess the kernel exists for
+    // (tabs, a BEL control, a DECOMPOSED e+combining-acute, trailing
+    // runs). The oracle replays the exact chain with nfc_normalize +
+    // regexp_replace — including the composed-vs-decomposed é.
+    "x_normalize_text" -> ((s, d) => {
+      val aug = t(s, d, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0, lit("\t badly\u0007 spaced e\u0301"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit("  trailing  "))
+            .otherwise(lit(""))).as("t"))
+      aug.select(col("doc_id"),
+          graft.functions.VectorFunctions.normalizeText(col("t")).as("text_norm"))
+        .withColumn("n_chars_norm", length(col("text_norm")).cast(LongType))
+    }),
+
+    // Length-bucketed batching: sort by (length, id), cut into 32-row
+    // batches, report per-batch padding waste — the padding minimizer
+    // for fixed-batch inference. Global numbering WITHOUT a
+    // single-task window (range sort + per-partition count offsets;
+    // see Packing.lengthBatches).
+    "x_length_batches" -> ((s, d) => {
+      val b = graft.operators.Packing.lengthBatches(
+        t(s, d, "documents"), "doc_id", "n_chars", batchSize = 32)
+      graft.operators.Packing.batchPaddingStats(b, "n_chars")
+    }),
+
     // TF-IDF keyword extraction: top-5 terms per document. Uses the
     // rational-idf variant (one exact multiply + one IEEE division) so
     // the float score is bit-reproducible across engines — the classic
@@ -1116,6 +1145,20 @@ object Queries {
       s.read.parquet(base)
         .filter(col("n_chars").between(200, 400) && col("doc_id") % 3 === 0)
         .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+
+    // ORC source/sink round-trip (same contract as the JSONL one):
+    // layout-invariant aggregate over the re-read copy, so the oracle
+    // is the plain aggregate on the source table. Completes the format
+    // matrix: CSV in, parquet/JSONL/ORC both ways.
+    "x_orc_roundtrip" -> ((s, d) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_roundtrip_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      t(s, d, "documents").write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
     }),
 
     "x_jsonl_roundtrip" -> ((s, d) => {
@@ -1852,6 +1895,45 @@ object Queries {
     "x_zorder_layout" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE n_chars BETWEEN 200 AND 400 AND doc_id % 3 = 0""".stripMargin,
+
+    // chr(9)=tab, chr(7)=BEL, chr(769)=combining acute: the oracle
+    // builds the same decomposed mess and replays the normalize chain
+    "x_normalize_text" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 5 = 0
+        |         THEN chr(9) || ' badly' || chr(7) || ' spaced e' || chr(769)
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0 THEN '  trailing  ' ELSE '' END AS t
+        |  FROM documents),
+        |norm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(nfc_normalize(t),
+        |      '[\x00-\x1f\x7f-\x9f]', ' ', 'g'), '\s+', ' ', 'g')) AS text_norm
+        |  FROM aug)
+        |SELECT doc_id, text_norm,
+        |  CAST(length(text_norm) AS BIGINT) AS n_chars_norm
+        |FROM norm""".stripMargin,
+
+    "x_length_batches" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, n_chars,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rn
+        |  FROM documents),
+        |b AS (SELECT n_chars, rn // 32 AS batch_id FROM ranked)
+        |SELECT batch_id, count(*) AS n_seqs,
+        |  CAST(max(n_chars) AS BIGINT) AS max_len,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_len,
+        |  CASE WHEN max(n_chars) > 0
+        |    THEN CAST(max(n_chars) * count(*) - sum(n_chars) AS DOUBLE)
+        |      / (max(n_chars) * count(*))
+        |    ELSE 0.0 END AS padding_frac
+        |FROM b GROUP BY batch_id""".stripMargin,
+
+    "x_orc_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang""".stripMargin,
 
     "x_jsonl_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,

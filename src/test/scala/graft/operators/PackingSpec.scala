@@ -58,4 +58,48 @@ class PackingSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("SinglePartition"), plan)
   }
+
+  test("lengthBatches assigns batches by global (len, id) order without a global window") {
+    val df = spark.range(1000)
+      .select(col("id"), ((col("id") * 7919) % 350).as("len"))
+      .repartition(8)
+    val got = Packing.lengthBatches(df, "id", "len", batchSize = 32)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // oracle: rank in (len, id) order, integer-divided by batch size
+    val expect = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, len) => (len, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i / 32).toLong }.toMap
+    assert(got == expect)
+  }
+
+  test("lengthBatches cuts aggregate padding versus arrival-order batching") {
+    val df = spark.range(2048)
+      .select(col("id"), ((col("id") * 131) % 1000).as("len"))
+    val b = Packing.lengthBatches(df, "id", "len", batchSize = 64)
+    val stats = Packing.batchPaddingStats(b, "len").collect()
+    assert(stats.length == 2048 / 64)
+    def aggregateWaste(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val padded = rows.map(r => r.getAs[Long]("max_len") * r.getAs[Long]("n_seqs")).sum
+      (padded - rows.map(_.getAs[Long]("sum_len")).sum).toDouble / padded
+    }
+    // arrival-order batches mix the whole length range, wasting ~half
+    // of every dense batch on padding (uniform lengths)
+    val arrival = Packing.batchPaddingStats(
+      df.withColumn("batch_id", expr("id div 64")), "len").collect()
+    val sortedWaste = aggregateWaste(stats)
+    val arrivalWaste = aggregateWaste(arrival)
+    assert(sortedWaste < arrivalWaste / 4,
+      s"sorted $sortedWaste vs arrival $arrivalWaste")
+  }
+
+  test("lengthBatches handles null lengths (sorted first, padded as zero)") {
+    import spark.implicits._
+    val df = Seq((1L, Some(10L)), (2L, None), (3L, Some(5L)), (4L, None))
+      .toDF("id", "len")
+    val got = Packing.lengthBatches(df, "id", "len", batchSize = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // nulls (ids 2,4) sort before any length -> batch 0
+    assert(got(2L) == 0L && got(4L) == 0L)
+    assert(got(3L) == 1L && got(1L) == 1L)
+  }
 }
