@@ -99,7 +99,14 @@ object GraftExtensions {
     ("graft_top_ngram_fraction",
       info("graft_top_ngram_fraction", "frequency share of the most common token n-gram"),
       arity("graft_top_ngram_fraction", 2)(args =>
-        TopNgramFractionExpr(args(0), intArg(args(1), "n"))))
+        TopNgramFractionExpr(args(0), intArg(args(1), "n")))),
+    ("graft_char_ngrams",
+      info("graft_char_ngrams", "sliding character n-grams of lower(text)"),
+      arity("graft_char_ngrams", 2)(args =>
+        CharNgramsExpr(args(0), intArg(args(1), "n")))),
+    ("graft_normalize_text",
+      info("graft_normalize_text", "NFC + control scrub + whitespace-collapse text normalization"),
+      arity("graft_normalize_text", 1)(args => NormalizeTextExpr(args(0))))
   )
 
   /** Register on an already-running session. */

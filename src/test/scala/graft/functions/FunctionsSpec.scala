@@ -137,6 +137,12 @@ class FunctionsSpec extends SparkTestBase {
     assert(r.getBoolean(5))
     assert(!r.getBoolean(6)) // order-sensitive
     assert(r.getLong(7) == 5L)
+    val r2 = spark.sql(
+      """SELECT graft_char_ngrams('ABCD', 3) AS tg,
+        |       graft_normalize_text('  a   b ') AS norm
+        |""".stripMargin).collect()(0)
+    assert(r2.getSeq[String](0) == Seq("abc", "bcd"))
+    assert(r2.getString(1) == "a b")
   }
 
   test("signBucket: similar vectors share more buckets than dissimilar ones") {

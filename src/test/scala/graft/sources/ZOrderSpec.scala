@@ -51,6 +51,28 @@ class ZOrderSpec extends SparkTestBase {
     assert(zx >= 2560L && zy >= 2560L)
   }
 
+  test("z-value kernel interleaves bucket bits exactly") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    // boundaries k = {1..7}: bucket(v) = count of cut points <= v = v
+    // for integer v in [0,7]
+    val b = Array(Array(1d, 2d, 3d, 4d, 5d, 6d, 7d),
+      Array(1d, 2d, 3d, 4d, 5d, 6d, 7d))
+    def z(x: Double, y: Double): Long =
+      graft.functions.Kernels.zValue(
+        ArrayData.toArrayData(Array(x, y)), b)
+    // x=3 (0b011) at even bit positions, y=5 (0b101) at odd:
+    // bits set: x b0->pos0, x b1->pos2, y b0->pos1, y b2->pos5
+    assert(z(3, 5) == (1L | (1L << 1) | (1L << 2) | (1L << 5)))
+    assert(z(0, 0) == 0L)
+    assert(z(7, 7) == 63L) // all 6 low bits
+    // below the first cut point -> bucket 0; beyond the last -> max
+    assert(z(0.5, 0) == 0L)
+    assert(z(99, 0) == z(7, 0))
+    // monotone in each column with the other pinned
+    val xs = (0 to 7).map(v => z(v, 0))
+    assert(xs == xs.sorted && xs.distinct.size == 8)
+  }
+
   test("skew does not collapse the curve: quantile buckets, not min/max scaling") {
     // 90% of rows share x=0; a min/max scaler would put ALL of x's
     // information in one bucket and lose y-skipping entirely
