@@ -88,4 +88,44 @@ class PlanSpec extends SparkTestBase {
       .batchTopK(emb, "vec_id", "embedding", qs, "qid", "qv", 10)
       .queryExecution.executedPlan.toString)
   }
+
+  test("heavy hitters: candidate set broadcasts; the stream never shuffles for it") {
+    val p = plan("x_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("bloom prune filters the fact BEFORE the join's exchange") {
+    val p = plan("x_bloom_prune")
+    val lines = p.linesIterator.toIndexedSeq
+    // the kernel probe must appear in a Filter below (executed before)
+    // the l_orderkey exchange feeding the join
+    val probeLine = lines.indexWhere(l =>
+      l.contains("Filter") && l.toLowerCase.contains("bloommightcontain"))
+    assert(probeLine >= 0, s"no bloom filter node in plan\n$p")
+    val exchangeLine = lines.lastIndexWhere(
+      l => l.contains("Exchange hashpartitioning(l_orderkey"), lines.size - 1)
+    if (exchangeLine >= 0)
+      assert(exchangeLine < probeLine,
+        s"bloom probe is not upstream of the fact exchange\n$p")
+  }
+
+  test("lm score is a kernel projection: no join, no explode after training") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val model = graft.operators.NgramLm.trainModel(docs, "lang", "text")
+    val p = graft.operators.NgramLm.score(docs, "doc_id", "lang", "text", model)
+      .queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("ngrammodelsum"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("snapshot diff joins on (key, hash) projections") {
+    val p = plan("x_snapshot_diff")
+    // full-outer join on the key over xxhash64-projected sides — the
+    // operator's select guarantees no payload column crosses the join
+    assert(p.contains("FullOuter"), p)
+    assert(p.contains("xxhash64"), p)
+  }
 }
