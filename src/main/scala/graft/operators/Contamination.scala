@@ -64,4 +64,41 @@ object Contamination {
       .select(col("id").as(idCol))
     corpus.join(flagged, Seq(idCol), "left_anti")
   }
+
+  /** [[decontaminate]] for benchmark suites TOO BIG to broadcast as an
+    * exact shingle set (a full eval-suite union at modern scale is
+    * billions of distinct shingles; exact broadcast stops fitting long
+    * before the corpus does). The benchmark shingles collapse into a
+    * [[BloomPrune]] filter — fixed MBs at any benchmark size — and the
+    * corpus probes it in a codegen kernel projection: NO join at all,
+    * the corpus is scanned once and only the per-doc count aggregation
+    * shuffles.
+    *
+    * Safety direction: a bloom false positive counts a shingle as
+    * benchmark-contaminated when it is not, so removal is a SUPERSET of
+    * the exact operator's — eval integrity is never compromised; the
+    * cost is over-removal bounded by `fpp` per shingle (with
+    * `minOverlap` > 1 the FP noise must also clear the threshold).
+    * Build the filter once with [[BloomPrune.save]] and reuse it across
+    * every training run against the same benchmark suite.
+    */
+  def decontaminateBloom(
+      corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String,
+      n: Int = 8, minOverlap: Long = 1L,
+      expectedShingles: Long = 10L * 1000 * 1000, fpp: Double = 0.001
+  ): DataFrame = {
+    val benchShingles = benchmark
+      .select(explode(Dedup.shingles(col(benchTextCol), n)).as("shingle"))
+    val bloom = BloomPrune.build(benchShingles, "shingle", expectedShingles, fpp)
+    val flagged = corpus
+      .select(col(idCol),
+        explode(Dedup.shingles(col(textCol), n)).as("shingle"))
+      .filter(BloomPrune.mightContain(col("shingle"), bloom))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+      .select(col(idCol))
+    corpus.join(flagged, Seq(idCol), "left_anti")
+  }
 }

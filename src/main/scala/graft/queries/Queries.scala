@@ -963,6 +963,23 @@ object Queries {
           col("n_shingles"), col("overlap_ratio"))
     }),
 
+    // Bloom-path decontamination: same contamination semantics as
+    // x_decontaminate but the benchmark shingles collapse to a bloom
+    // filter (fixed MBs at ANY benchmark size) probed by a kernel —
+    // the eval-suite-too-big-to-broadcast shape. At fpp=1e-6 over this
+    // corpus the (deterministic, seed-fixed) false-positive mass is
+    // zero, so the EXACT kept-set SQL is a valid hash oracle; removal
+    // is a superset of exact by construction at any fpp (spec-pinned).
+    "x_decontaminate_bloom" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Contamination.decontaminateBloom(
+          docs.filter(col("doc_id") >= 20), "doc_id", "text",
+          docs.filter(col("doc_id") < 20), "text", n = 5,
+          expectedShingles = 1000000L, fpp = 1e-6)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+    }),
+
     // PII detection + redaction. The corpus is synthetic and PII-free,
     // so deterministic PII is INJECTED by the query itself (same
     // expression on the oracle side) — the regex scrubbing is verified
@@ -1961,6 +1978,27 @@ object Queries {
         |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
         |    '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g') AS redacted
         |FROM aug""".stripMargin,
+
+    // exact kept-set SQL — valid for the bloom entry because fpp=1e-6
+    // makes the deterministic FP mass zero at this corpus size
+    "x_decontaminate_bloom" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(ts)-4),
+        |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4])) AS s
+        |  FROM toks WHERE len(ts) >= 5
+        |), bench AS (
+        |  SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id < 20
+        |), flagged AS (
+        |  SELECT DISTINCT doc_id
+        |  FROM (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id >= 20)
+        |  JOIN bench USING (shingle))
+        |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents
+        |WHERE doc_id >= 20 AND doc_id NOT IN (SELECT doc_id FROM flagged)
+        |GROUP BY lang""".stripMargin,
 
     "x_decontaminate" ->
       """WITH toks AS (

@@ -51,4 +51,30 @@ class ContaminationSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("bloom variant agrees with exact at low fpp and is never less safe") {
+    for (minOverlap <- Seq(1L, 6L)) {
+      val exact = Contamination.decontaminate(
+        corpus, "doc_id", "text", benchmark, "text", n = 5, minOverlap = minOverlap)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val bloomed = Contamination.decontaminateBloom(
+        corpus, "doc_id", "text", benchmark, "text", n = 5, minOverlap = minOverlap,
+        expectedShingles = 10000L, fpp = 0.001)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      // removal is a superset -> the KEPT set is a subset of exact's
+      assert(bloomed.subsetOf(exact), s"minOverlap=$minOverlap")
+      // at this fpp/size the false-positive mass is ~0: exact agreement
+      assert(bloomed == exact, s"minOverlap=$minOverlap")
+    }
+  }
+
+  test("bloom variant plans no benchmark join at all — a kernel filter probe") {
+    val plan = Contamination.decontaminateBloom(
+      corpus, "doc_id", "text", benchmark, "text", n = 5)
+      .queryExecution.executedPlan.toString
+    // the only join is the final id anti-join; the shingle side is a
+    // Filter with the bloom kernel, not a join against benchmark rows
+    assert(plan.toLowerCase.contains("bloommightcontain"), plan)
+    assert(!plan.contains("BroadcastHashJoin Inner"), plan)
+  }
 }
