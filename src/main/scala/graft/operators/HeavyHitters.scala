@@ -19,29 +19,34 @@ import org.apache.spark.sql.types._
   * mergeable Misra-Gries summary (Misra & Gries 1982; merged-summary
   * guarantee per Agarwal et al., "Mergeable Summaries", PODS 2012):
   *
-  *  1. CANDIDATES — one `mapPartitions` pass keeps a Misra-Gries sketch
-  *     of `sketchSize` counters per partition (constant memory, no
-  *     spill) and emits only the surviving keys: at most `sketchSize`
-  *     rows per partition cross the wire, independent of data volume.
-  *     Any item with global share >= minShare has share >= minShare in
-  *     at least one partition (pigeonhole), and an MG sketch with m >=
-  *     ceil(1/minShare) counters retains every item whose in-partition
-  *     share exceeds 1/(m+1) — so the union of per-partition survivors
-  *     is a SUPERSET of the true heavy hitters (never a miss; possibly
-  *     false candidates, which phase 2 removes).
-  *  2. EXACT RECOUNT — a second scan counts ONLY the candidate set via
-  *     a broadcast left-semi join (map-side filter, no shuffle of the
-  *     stream; the post-filter groupBy shuffles at most |candidates|
-  *     partials per partition) and keeps items with count >=
-  *     ceil(minShare * N). Output counts are exact, so the result is
-  *     deterministic and oracle-checkable regardless of how the sketch
-  *     sliced the stream.
+  *  1. CANDIDATES + TOTAL — one `mapPartitions` pass keeps a
+  *     Misra-Gries sketch of `sketchSize` counters per partition
+  *     (constant memory, no spill) and emits the surviving keys plus
+  *     ONE per-partition row-count row: at most `sketchSize + 1` rows
+  *     per partition leave the scan, independent of data volume, and
+  *     the exact stream total N rides along for free (no separate
+  *     count() scan). Any item with global share >= minShare has share
+  *     >= minShare in at least one partition (pigeonhole), and an MG
+  *     sketch with m >= ceil(1/minShare) counters retains every item
+  *     whose in-partition share exceeds 1/(m+1) — so the union of
+  *     per-partition survivors is a SUPERSET of the true heavy hitters
+  *     (never a miss; possibly false candidates, which phase 2
+  *     removes). The phase-1 output is collected — a BOUNDED driver
+  *     payload ((sketchSize+1) × partitions rows, like Ivf's centroid
+  *     collect) — so nothing is scanned twice to read it.
+  *  2. EXACT RECOUNT — the second (and last) scan counts ONLY the
+  *     candidate set via a broadcast left-semi join (map-side filter,
+  *     no shuffle of the stream; the post-filter groupBy shuffles at
+  *     most |candidates| partials per partition) and keeps items with
+  *     count >= ceil(minShare * N). Output counts are exact, so the
+  *     result is deterministic and oracle-checkable regardless of how
+  *     the sketch sliced the stream.
   *
-  * Two scans of the input (callers with an expensive upstream should
-  * persist it); per-executor memory is O(sketchSize); candidate
-  * broadcast is <= sketchSize * numPartitions keys — with the default
-  * m = 2/minShare that stays in the tens of MB even at thousands of
-  * partitions for realistic thresholds (minShare >= 1e-4).
+  * Exactly two scans of the input (callers with an expensive upstream
+  * should persist it); per-executor memory is O(sketchSize); the
+  * candidate set is <= sketchSize * numPartitions keys — with the
+  * default m = 2/minShare that stays in the tens of MB even at
+  * thousands of partitions for realistic thresholds (minShare >= 1e-4).
   */
 object HeavyHitters {
 
@@ -70,22 +75,17 @@ object HeavyHitters {
       .select(col(itemCol).cast(StringType).as("item"))
       .filter(col("item").isNotNull)
 
-    // exact N for the threshold — a 1-value driver action, like the
-    // byte-budget agg in Multimodal.decodeFeatures
-    val total = items.agg(count(lit(1))).collect()(0).getLong(0)
-    val spark = df.sparkSession
-    if (total == 0L) {
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row],
-        StructType(Seq(StructField("item", StringType, nullable = false),
-          StructField("cnt", LongType, nullable = false))))
-    }
-    val threshold = math.ceil(minShare * total).toLong
-
-    val candSchema = StructType(Seq(StructField("item", StringType, nullable = false)))
-    val candidates = items.mapPartitions { rows =>
+    // phase 1: MG candidates + the per-partition row count in ONE scan;
+    // output is bounded by (m+1) × partitions rows, collected like
+    // Ivf's centroid table
+    val phase1Schema = StructType(Seq(
+      StructField("item", StringType, nullable = true),
+      StructField("n", LongType, nullable = false)))
+    val phase1 = items.mapPartitions { rows =>
       val counters = new java.util.HashMap[String, Long](m * 2)
+      var n = 0L
       rows.foreach { r =>
+        n += 1L
         val s = r.getString(0)
         val cur = counters.getOrDefault(s, 0L) // counters are always >= 1
         if (cur > 0L) counters.put(s, cur + 1L)
@@ -100,8 +100,22 @@ object HeavyHitters {
           }
         }
       }
-      counters.keySet().iterator().asScala.map(Row(_))
-    }(Encoders.row(candSchema)).distinct()
+      counters.keySet().iterator().asScala.map(Row(_, 0L)) ++
+        Iterator.single(Row(null, n))
+    }(Encoders.row(phase1Schema)).collect()
+
+    val total = phase1.iterator.map(_.getLong(1)).sum
+    val spark = df.sparkSession
+    if (total == 0L) {
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("item", StringType, nullable = false),
+          StructField("cnt", LongType, nullable = false))))
+    }
+    val threshold = math.ceil(minShare * total).toLong
+    val candidates = spark.createDataset(
+      phase1.iterator.filterNot(_.isNullAt(0)).map(_.getString(0))
+        .toSeq.distinct)(Encoders.STRING).toDF("item")
 
     items
       .join(broadcast(candidates), Seq("item"), "left_semi")
