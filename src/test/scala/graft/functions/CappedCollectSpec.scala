@@ -58,6 +58,39 @@ class CappedCollectSpec extends SparkTestBase {
     assert(got(2L) == Seq((20L, 5)))
   }
 
+  test("property: equals collect_list + count for random data under a generous cap") {
+    val rnd = new scala.util.Random(7)
+    for (round <- 0 until 3) {
+      val parts = 1 + rnd.nextInt(8)
+      val rows = (0 until 500).map(_ => (rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong))
+      val df = rows.toDF("k", "v").repartition(parts)
+      val got = df.groupBy("k")
+        .agg(cappedCollect(col("v"), 1000).as("cc"))
+        .select(col("k"), col("cc.cnt"), array_sort(col("cc.vals")))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2)))).toMap
+      val expect = rows.groupBy(_._1).map { case (k, vs) =>
+        k -> ((vs.size.toLong, vs.map(_._2).sorted.toSeq))
+      }
+      assert(got == expect, s"round $round parts $parts")
+    }
+  }
+
+  test("property: cnt stays exact under any cap; vals size = min(cnt, cap)") {
+    val rnd = new scala.util.Random(13)
+    for (cap <- Seq(1, 3, 17)) {
+      val rows = (0 until 400).map(_ => (rnd.nextInt(5).toLong, rnd.nextLong()))
+      val got = rows.toDF("k", "v").repartition(6)
+        .groupBy("k").agg(cappedCollect(col("v"), cap).as("cc"))
+        .select(col("k"), col("cc.cnt"), size(col("cc.vals")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      val exact = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      got.foreach { case (k, cnt, nVals) =>
+        assert(cnt == exact(k), s"cap $cap key $k")
+        assert(nVals == math.min(cnt, cap.toLong), s"cap $cap key $k")
+      }
+    }
+  }
+
   test("string elements are copied, not views over a reused row buffer") {
     val df = (1 to 100).map(i => (i % 3L, s"v$i")).toDF("k", "s").repartition(5)
     val got = df.groupBy("k").agg(cappedCollect(col("s"), 200).as("cc"))
