@@ -609,7 +609,7 @@ object Dedup {
         val hit = candidates
           .select(pmod(xxhash64(col("corpus_id")), lit(n.toLong)).as("shard"))
           .distinct().collect().map(_.getLong(0))
-        corpusShAll.filter(col("shard").isin(hit: _*))
+        corpusShAll.filter(col("shard").isin(hit.toIndexedSeq: _*))
       case None => corpusShAll // pre-sharding index layout: full scan
     }
     candidates

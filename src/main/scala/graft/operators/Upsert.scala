@@ -43,7 +43,7 @@ object Upsert {
   ): DataFrame = {
     val all = snapshot.withColumn("__src", lit(0))
       .unionByName(updates.withColumn("__src", lit(1)))
-    val payloadCols = all.columns.filterNot(_ == "__src")
+    val payloadCols = all.columns.filterNot(_ == "__src").toIndexedSeq
     val payload = struct(payloadCols.map(col): _*)
     val ord = struct(col(versionCol), col("__src"), xxhash64(payload))
     val merged = all

@@ -151,7 +151,7 @@ class ValidationPipeline(
       s"readCsvWithOrdinal needs a single concrete CSV file, got: $path")
     val base = readCsv(spark, path)
     val schema = base.schema.add("row_index", LongType, nullable = false)
-    val indexed = base.rdd.zipWithIndex.map { case (row, idx) =>
+    val indexed = base.rdd.zipWithIndex().map { case (row, idx) =>
       Row.fromSeq(row.toSeq :+ idx)
     }
     spark.createDataFrame(indexed, schema)
