@@ -292,4 +292,44 @@ object StreamingValidation {
           }
       }
   }
+
+  /** One alert row per (key, threshold) the moment the key's running
+    * invalid count crosses it. */
+  case class ThresholdAlert(key: String, threshold: Long, invalid: Long)
+
+  /** Threshold alerting via flatMapGroupsWithState — the 0..n-outputs
+    * -per-group stateful surface ([[runningCounts]]' mapGroupsWithState
+    * emits exactly one row per key per batch; alerting needs ZERO rows
+    * on quiet batches and SEVERAL when one batch blows through several
+    * thresholds at once). State per key is two longs (running invalid
+    * count + highest threshold already fired), so the state store is
+    * bounded by the key space regardless of stream length, and each
+    * threshold fires exactly once per key — an idempotent alert stream
+    * safe to fan out to a dashboard sink in Update mode.
+    */
+  def invalidAlerts(
+      spark: SparkSession,
+      keyed: org.apache.spark.sql.Dataset[(String, Boolean)],
+      thresholds: Seq[Long]
+  ): org.apache.spark.sql.Dataset[ThresholdAlert] = {
+    import spark.implicits._
+    require(thresholds.nonEmpty && thresholds == thresholds.sorted,
+      s"thresholds must be non-empty and ascending, got $thresholds")
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Boolean)], state: GroupState[LineState]) =>
+          val prev = state.getOption.getOrElse(LineState(0, 0))
+          var invalid = prev.invalid
+          var total = prev.total
+          rows.foreach { case (_, isInvalid) =>
+            total += 1
+            if (isInvalid) invalid += 1
+          }
+          state.update(LineState(total, invalid))
+          // fire every threshold in (prev.invalid, invalid] exactly once
+          thresholds.iterator
+            .filter(t => t > prev.invalid && t <= invalid)
+            .map(t => ThresholdAlert(key, t, invalid))
+      }
+  }
 }

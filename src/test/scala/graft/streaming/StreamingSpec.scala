@@ -230,6 +230,32 @@ class StreamingSpec extends SparkTestBase {
     assert(rows == Set((1L, 100L, 900L), (1L, 100L, 901L)))
   }
 
+  test("invalidAlerts fires each threshold once, several at a time when crossed together") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Boolean)]
+    val alerts = StreamingValidation.invalidAlerts(
+      spark, mem.toDS(), thresholds = Seq(2L, 5L))
+    val q = alerts.writeStream.format("memory").queryName("stream_alerts")
+      .outputMode("update").start()
+    try {
+      // batch 1: K1 reaches 1 invalid — below every threshold, no alert
+      mem.addData(("K1", true), ("K1", false), ("K2", true))
+      q.processAllAvailable()
+      // batch 2: K1 jumps 1 -> 6, crossing BOTH thresholds in one batch
+      mem.addData(("K1", true), ("K1", true), ("K1", true), ("K1", true), ("K1", true))
+      q.processAllAvailable()
+      // batch 3: K1 keeps failing — thresholds already fired, silence;
+      // K2 crosses 2 now
+      mem.addData(("K1", true), ("K2", true))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("stream_alerts")
+      .select("key", "threshold", "invalid").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set(("K1", 2L, 6L), ("K1", 5L, 6L), ("K2", 2L, 2L)))
+  }
+
   test("runningCounts keeps per-key state across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
