@@ -1164,6 +1164,23 @@ object Queries {
         .select(col("doc_id"), col("lang"), col("n_chars"))
     }),
 
+    // Hive-style partitioned layout: write documents partitioned by
+    // lang, answer a partition-column predicate from the copy. The
+    // predicate prunes DIRECTORIES at planning time (PartitionFilters —
+    // asserted with file-count metrics in PartitionedLayoutSpec, which
+    // also pins dynamic partition overwrite); layout is content-neutral
+    // so the oracle is the plain WHERE.
+    "x_partitioned_scan" -> ((s, d) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_partitioned_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      graft.sources.PartitionedLayout.write(
+        t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+        base, Seq("lang"))
+      graft.sources.PartitionedLayout.read(s, base)
+        .filter(col("lang") === "en")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+
     // ORC source/sink round-trip (same contract as the JSONL one):
     // layout-invariant aggregate over the re-read copy, so the oracle
     // is the plain aggregate on the source table. Completes the format
@@ -1951,6 +1968,10 @@ object Queries {
       """SELECT lang, count(*) AS n_docs,
         |CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang""".stripMargin,
+
+    "x_partitioned_scan" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE lang = 'en'""".stripMargin,
 
     "x_jsonl_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,
