@@ -66,7 +66,7 @@ object Bench {
     val ioQueries = Seq("x_jsonl_roundtrip", "x_dedup_incremental",
       "x_incremental_ingest", "x_bucketed_join", "x_compact_roundtrip",
       "x_range_layout", "x_zorder_layout", "x_orc_roundtrip",
-      "x_partitioned_scan")
+      "x_partitioned_scan", "x_hll_increments")
     // catalog-derived degenerate-session budget (see scaladoc); the env
     // var remains an explicit override for experiments
     val nIo = ioQueries.count(SparkEntry.queries.contains)

@@ -1164,6 +1164,38 @@ object Queries {
         .select(col("doc_id"), col("lang"), col("n_chars"))
     }),
 
+    // Incremental cardinality via persisted HLL sketches: sketch two
+    // ingest increments separately, answer per-lang distinct-token
+    // counts by unioning SKETCH BYTES (no rescan of either increment).
+    // HLL union is a register-wise max — order-invariant — so the
+    // estimate is deterministic; the entry pins it inside a 5% envelope
+    // against the exact count, and the oracle re-derives the exact
+    // count + the envelope verdict (TRUE) in SQL.
+    "x_hll_increments" -> ((s, d) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_hll_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      val toks = t(s, d, "documents")
+        .select(col("lang"), col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+      graft.operators.Sketches.writeHllSketches(
+        toks.filter(col("doc_id") % 2 === 0), Seq("lang"), "token",
+        s"$base/inc0", mode = "overwrite")
+      graft.operators.Sketches.writeHllSketches(
+        toks.filter(col("doc_id") % 2 === 1), Seq("lang"), "token",
+        s"$base/inc1", mode = "overwrite")
+      val est = graft.operators.Sketches.unionHllEstimates(
+        s, Seq(s"$base/inc0", s"$base/inc1"))
+      val exact = toks.groupBy(col("lang"))
+        .agg(countDistinct(col("token")).as("n_distinct_exact"))
+      est.join(exact, Seq("lang"))
+        .select(col("lang"), col("n_distinct_exact"),
+          (abs(col("n_distinct_est").cast(DoubleType) -
+              col("n_distinct_exact").cast(DoubleType)) /
+            col("n_distinct_exact").cast(DoubleType) <= 0.05)
+            .as("within_tolerance"))
+    }),
+
     // Hive-style partitioned layout: write documents partitioned by
     // lang, answer a partition-column predicate from the copy. The
     // predicate prunes DIRECTORIES at planning time (PartitionFilters —
@@ -1972,6 +2004,17 @@ object Queries {
     "x_partitioned_scan" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE lang = 'en'""".stripMargin,
+
+    // the estimate itself is engine-specific; the oracle checks the
+    // exact count and that the (deterministic) estimate verdict is TRUE
+    "x_hll_increments" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(list_filter(
+        |    string_split_regex(trim(text), '\s+'), x -> x <> '')) AS token
+        |  FROM documents)
+        |SELECT lang, count(DISTINCT token) AS n_distinct_exact,
+        |  TRUE AS within_tolerance
+        |FROM toks GROUP BY lang""".stripMargin,
 
     "x_jsonl_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,
