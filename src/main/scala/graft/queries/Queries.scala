@@ -718,6 +718,34 @@ object Queries {
         col("n_events"))
     }),
 
+    // Stateful threshold alerting (flatMapGroupsWithState) over the
+    // rule-annotated lineitem stream: one alert per (return_flag,
+    // threshold) the moment the key's running invalid count crosses it.
+    // The ALERT SET is micro-batch-partitioning-independent — a
+    // threshold fires exactly once per key, iff the key's final invalid
+    // count reaches it — so projecting (key, threshold) is
+    // deterministic and SQL-expressible even though the `invalid`
+    // column at fire time (the running count when the batch crossed)
+    // is not; the spec pins that column's semantics instead.
+    // No watermark/time filter: NoTimeout state keyed by 3 flags.
+    "x_stream_alerts" -> ((s, d) => {
+      import s.implicits._
+      val schema = t(s, d, "lineitem").schema
+      val stream = s.readStream.schema(schema).parquet(lineitemStreamDir(d))
+      val keyed = stream
+        .withColumn("errors", RuleCompiler.compileRow(lineitemRules))
+        .select(coalesce(col("l_returnflag"), lit("")).as("k"),
+          (size(col("errors")) > 0).as("inv"))
+        .as[(String, Boolean)]
+      val alerts = graft.streaming.StreamingValidation.invalidAlerts(
+        s, keyed, thresholds = Seq(10L, 100L, 1000L, 100000L))
+      val name = s"x_stream_alerts_${streamRun.incrementAndGet()}"
+      val q = alerts.writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+      s.table(name).select(col("key"), col("threshold"))
+    }),
+
     // JSON/multimodal props extraction (events.props is a JSON string).
     "x_json_extract" -> ((s, d) => {
       events(s, d)
@@ -1446,6 +1474,29 @@ object Queries {
         |  CAST(sum(CASE WHEN n_err > 0 THEN 1 ELSE 0 END) AS BIGINT) AS invalid_rows,
         |  CAST(sum(n_err) AS BIGINT) AS error_count
         |FROM flags GROUP BY 1, 2""".stripMargin,
+
+    // Threshold alerting: the fired (key, threshold) SET is exactly
+    // "every threshold <= the key's final invalid count" — each fires
+    // once, regardless of micro-batch boundaries (the running count is
+    // cumulative and thresholds are monotone). Same rule flags the
+    // error-rate oracle uses, but NO event-time filter: invalidAlerts
+    // has no watermark, so every row counts. Data note: sf lineitem has
+    // no null returnflags, so the COALESCE('' key) branch is exercised
+    // only by the spec, not the oracle.
+    "x_stream_alerts" ->
+      """WITH flags AS (
+        |  SELECT COALESCE(l_returnflag, '') AS key,
+        |    (CASE WHEN l_quantity < 5 OR l_quantity > 45 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN l_discount < 0 OR l_discount > 0.05 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN l_shipdate < TIMESTAMP '1995-06-01' OR l_shipdate > TIMESTAMP '2000-12-31' THEN 1 ELSE 0 END)
+        |    + (CASE WHEN l_returnflag IS NULL OR trim(l_returnflag) = '' THEN 1 ELSE 0 END) AS n_err
+        |  FROM lineitem),
+        |per_key AS (
+        |  SELECT key, sum(CASE WHEN n_err > 0 THEN 1 ELSE 0 END) AS invalid
+        |  FROM flags GROUP BY key)
+        |SELECT key, CAST(t.threshold AS BIGINT) AS threshold
+        |FROM per_key, (VALUES (10),(100),(1000),(100000)) t(threshold)
+        |WHERE t.threshold <= invalid""".stripMargin,
 
     "p2_required_check" ->
       """SELECT o_orderkey,

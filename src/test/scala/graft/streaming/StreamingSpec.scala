@@ -230,6 +230,81 @@ class StreamingSpec extends SparkTestBase {
     assert(rows == Set((1L, 100L, 900L), (1L, 100L, 901L)))
   }
 
+  test("dedupStream EVICTS key state once the watermark passes it (numRowsTotal drops)") {
+    // The catalog replays use a span-covering watermark (exactness);
+    // this pins the PRODUCTION-delay claim instead: with a real 1-hour
+    // delay, state for old keys is removed from the store once the
+    // event-time watermark passes eventTime + delay — verified through
+    // the state-store metrics, not scaladoc.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, String)] // (ts, doc_key)
+    val deduped = StreamingValidation.dedupStream(
+      mem.toDF().toDF("ts", "doc_key"),
+      keyCols = Seq("doc_key"), timeCol = "ts", watermark = "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("dedup_evict")
+      .outputMode("append").start()
+    def stateRows: Long =
+      q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    try {
+      // 100 distinct keys at 08:00 -> 100 state rows
+      mem.addData((0 until 100).map(i => ("2024-02-15 08:00:00", s"K$i")): _*)
+      q.processAllAvailable()
+      val afterLoad = stateRows
+      assert(afterLoad >= 100, s"expected >=100 buffered keys, got $afterLoad")
+      // an event far in the future advances the watermark past
+      // 08:00 + 1h delay (watermark updates at batch end, applies to
+      // the NEXT batch) ...
+      mem.addData(("2024-02-15 20:00:00", "LATE1"))
+      q.processAllAvailable()
+      // ... so this batch runs with watermark ~19:00 and evicts the
+      // 08:00 keys' state
+      mem.addData(("2024-02-15 20:00:01", "LATE2"))
+      q.processAllAvailable()
+      val afterEviction = stateRows
+      assert(afterEviction < 100,
+        s"state not evicted: $afterLoad rows before, $afterEviction after watermark passed")
+    } finally q.stop()
+  }
+
+  test("intervalJoinStreams EVICTS buffered rows once the watermark passes the delay bound") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[(String, Long, Long)]
+    val buys = MemoryStream[(String, Long, Long)]
+    val joined = StreamingValidation.intervalJoinStreams(
+      clicks.toDF().toDF("cts", "user", "click_id")
+        .withColumn("cts", col("cts").cast("timestamp")),
+      buys.toDF().toDF("bts", "buser", "buy_id")
+        .withColumn("bts", col("bts").cast("timestamp"))
+        .withColumnRenamed("buser", "user"),
+      keyCols = Seq("user"), leftTimeCol = "cts", rightTimeCol = "bts",
+      maxDelay = "1 hour", watermark = "1 hour")
+    val q = joined.writeStream.format("memory").queryName("ij_evict")
+      .outputMode("append").start()
+    def stateRows: Long =
+      q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    try {
+      // 100 left rows buffered waiting for right-side matches
+      clicks.addData((0 until 100).map(i => ("2024-02-15 08:00:00", i.toLong, i.toLong)): _*)
+      buys.addData(("2024-02-15 08:00:00", 0L, 900L))
+      q.processAllAvailable()
+      val afterLoad = stateRows
+      assert(afterLoad >= 100, s"expected >=100 buffered rows, got $afterLoad")
+      // both watermarks jump forward: a click at 08:00 can stop waiting
+      // once the right watermark passes 09:00 (time + maxDelay)
+      clicks.addData(("2024-02-15 20:00:00", 9999L, 9999L))
+      buys.addData(("2024-02-15 20:00:00", 9999L, 8888L))
+      q.processAllAvailable()
+      clicks.addData(("2024-02-15 20:00:01", 9998L, 9998L))
+      buys.addData(("2024-02-15 20:00:01", 9998L, 8887L))
+      q.processAllAvailable()
+      val afterEviction = stateRows
+      assert(afterEviction < afterLoad,
+        s"join state not evicted: $afterLoad rows before, $afterEviction after")
+    } finally q.stop()
+  }
+
   test("invalidAlerts fires each threshold once, several at a time when crossed together") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
