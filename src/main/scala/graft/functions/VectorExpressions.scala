@@ -592,6 +592,16 @@ case class ZValueExpr(child: Expression, boundaries: Array[Array[Double]])
     extends UnaryExpression with ArrayElemTypes {
   require(boundaries.nonEmpty && boundaries.length <= 8,
     s"z-order supports 1-8 columns, got ${boundaries.length}")
+  // each column's bucket index must fit its interleaved bit budget:
+  // Long `<<` takes shift mod 64, so a bucket needing > 64/ncols bits
+  // would silently wrap into other columns' bit positions and corrupt
+  // the interleaving (clustering quality, not correctness — __z is
+  // dropped after the sort — but corrupt clustering defeats the layout)
+  require(64 / boundaries.length >= 62 ||
+      boundaries.forall(_.length < (1L << (64 / boundaries.length))),
+    s"per-column bucket count must be < 2^(64/${boundaries.length}) " +
+      s"= ${1L << (64 / boundaries.length)}; got counts " +
+      boundaries.map(_.length + 1).mkString(","))
   override def dataType: DataType = LongType
   override def checkInputDataTypes(): TypeCheckResult =
     checkNumericArray(child, "values") match {

@@ -41,7 +41,8 @@ object Packing {
     * `mapPartitions` pass. Contrast `row_number() OVER (ORDER BY …)`,
     * which funnels the whole table through one task's window.
     * Deterministic in (len, id); null lengths sort first (batch with
-    * the shortest).
+    * the shortest — oracle SQL must say NULLS FIRST, DuckDB defaults
+    * to NULLS LAST); null ids are rejected with a clear error.
     */
   def lengthBatches(
       df: DataFrame,
@@ -59,6 +60,10 @@ object Packing {
     val withIdx = sorted.rdd.zipWithIndex() // one count job + one pass
     val out = spark.createDataFrame(
       withIdx.map { case (r, idx) =>
+        // null lengths are legal (sort first, batch with the shortest);
+        // null ids are not — fail loudly instead of NPEing in getLong
+        if (r.isNullAt(0)) throw new IllegalArgumentException(
+          s"lengthBatches: null $idCol — ids must be non-null")
         org.apache.spark.sql.Row(
           r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1),
           idx / batchSize)

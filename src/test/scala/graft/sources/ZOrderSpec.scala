@@ -73,6 +73,24 @@ class ZOrderSpec extends SparkTestBase {
     assert(xs == xs.sorted && xs.distinct.size == 8)
   }
 
+  test("ZValueExpr rejects per-column resolutions that would wrap the 64-bit interleave") {
+    // 4 columns -> 16 bits each; a 70000-cut-point table needs 17 bits
+    // and Long << (shift mod 64) would silently corrupt the curve —
+    // must be rejected at construction, not miscomputed
+    val tooFine = Array.fill(4)((1 to 70000).map(_.toDouble).toArray)
+    val ex = intercept[IllegalArgumentException] {
+      graft.functions.VectorFunctions.zValue(
+        array(lit(1d), lit(2d), lit(3d), lit(4d)), tooFine)
+    }
+    assert(ex.getMessage.contains("bucket count"))
+    // the same resolution over 2 columns (32 bits each) is fine
+    graft.functions.VectorFunctions.zValue(
+      array(lit(1d), lit(2d)), tooFine.take(2))
+    // single column: no practical bound (64-bit budget)
+    graft.functions.VectorFunctions.zValue(
+      array(lit(1d)), tooFine.take(1))
+  }
+
   test("skew does not collapse the curve: quantile buckets, not min/max scaling") {
     // 90% of rows share x=0; a min/max scaler would put ALL of x's
     // information in one bucket and lose y-skipping entirely
