@@ -101,6 +101,31 @@ object Queries {
 
   private def lineitemStreamDir(d: String): String = tableStreamDir(d, "lineitem")
 
+  /** Start a bounded AvailableNow replay into a uniquely-named memory
+    * sink and block until it drains; returns the sink table name.
+    * While the query runs, the session's shuffle partitions — which fix
+    * every stateful operator's STATE STORE partition count at query
+    * start — are temporarily sized to the replay volume: state here is
+    * tiny (<= ~33k rows), and 32 state-store instances per operator per
+    * micro-batch are pure provider/commit overhead at that volume
+    * (measured ~2x on the replay entries). Production queries size this
+    * to the cluster; the conf is restored before returning, so the
+    * batch entries around this one are untouched.
+    */
+  private def replayToMemory(
+      s: SparkSession, prefix: String, frame: DataFrame, mode: String,
+      statePartitions: Int = 4): String = {
+    val name = s"${prefix}_${streamRun.incrementAndGet()}"
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try {
+      val q = frame.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    name
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ------------------------------------------------------------------
@@ -633,11 +658,12 @@ object Queries {
         annotated, timeCol = "l_shipdate", windowLen = "1 hour",
         watermark = "2 hours", keyCol = "l_returnflag")
       // memory-sink names must be unique per ACTIVE query; reruns in the
-      // same session (bench reps) each get a fresh table
-      val name = s"x_stream_error_rate_${streamRun.incrementAndGet()}"
-      val q = rates.writeStream.format("memory").queryName(name)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      try q.awaitTermination() finally q.stop()
+      // same session (bench reps) each get a fresh table.
+      // HARNESS-ONLY SHAPE (applies to every x_stream_* entry): a
+      // memory sink materializes results driver-resident — bounded here
+      // by true output size (<= ~33k rows), but a production tail uses
+      // the foreachBatch writer / a durable sink, never format("memory")
+      val name = replayToMemory(s, "x_stream_error_rate", rates, "complete")
       s.table(name).select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("l_returnflag").as("return_flag"),
@@ -657,10 +683,12 @@ object Queries {
       val deduped = graft.streaming.StreamingValidation.dedupStream(
         stream, Seq("l_orderkey", "l_returnflag"), "l_shipdate",
         watermark = "87600 hours")
-      val name = s"x_stream_dedup_${streamRun.incrementAndGet()}"
-      val q = deduped.writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      try q.awaitTermination() finally q.stop()
+      // dedup is the one replay whose state is data-proportional
+      // (one row per distinct key, ~33k at sf0.1) — give it more state
+      // partitions than the small-state replays (measured: 8 beats
+      // both 4 and 32 here)
+      val name = replayToMemory(s, "x_stream_dedup", deduped, "append",
+        statePartitions = 8)
       s.table(name).select(col("l_orderkey"), col("l_returnflag"))
     }),
 
@@ -692,10 +720,7 @@ object Queries {
       val pairs = graft.streaming.StreamingValidation.intervalJoinStreams(
         clicks, purchases, Seq("user_id"), "click_ts", "purchase_ts",
         maxDelay = "6 hours", watermark = "87600 hours")
-      val name = s"x_stream_join_${streamRun.incrementAndGet()}"
-      val q = pairs.writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      try q.awaitTermination() finally q.stop()
+      val name = replayToMemory(s, "x_stream_join", pairs, "append")
       s.table(name).select(col("user_id"), col("click_id"), col("purchase_id"),
         unix_micros(col("click_ts")).as("click_ts_us"),
         unix_micros(col("purchase_ts")).as("purchase_ts_us"))
@@ -708,10 +733,7 @@ object Queries {
       val sessions = graft.streaming.StreamingValidation.sessionizeStream(
         stream, keyCol = "user_id", timeCol = "ts_utc",
         gap = "30 minutes", watermark = "87600 hours")
-      val name = s"x_stream_sessionize_${streamRun.incrementAndGet()}"
-      val q = sessions.writeStream.format("memory").queryName(name)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      try q.awaitTermination() finally q.stop()
+      val name = replayToMemory(s, "x_stream_sessionize", sessions, "complete")
       s.table(name).select(col("user_id"),
         unix_micros(col("session_start")).as("session_start_us"),
         unix_micros(col("session_end")).as("session_end_us"),
@@ -739,11 +761,30 @@ object Queries {
         .as[(String, Boolean)]
       val alerts = graft.streaming.StreamingValidation.invalidAlerts(
         s, keyed, thresholds = Seq(10L, 100L, 1000L, 100000L))
-      val name = s"x_stream_alerts_${streamRun.incrementAndGet()}"
-      val q = alerts.writeStream.format("memory").queryName(name)
-        .outputMode("update").trigger(Trigger.AvailableNow()).start()
-      try q.awaitTermination() finally q.stop()
+      val name = replayToMemory(s, "x_stream_alerts", alerts.toDF(), "update")
       s.table(name).select(col("key"), col("threshold"))
+    }),
+
+    // Running per-key valid/invalid counters (mapGroupsWithState) over
+    // the same keyed stream as x_stream_alerts. The per-batch emissions
+    // are micro-batch-dependent, but the counters are MONOTONE, so
+    // max() over the update-mode sink is exactly the final state —
+    // deterministic and SQL-expressible as plain per-key counts.
+    // Closes the last operator without a driver-visible catalog row.
+    "x_stream_counts" -> ((s, d) => {
+      import s.implicits._
+      val schema = t(s, d, "lineitem").schema
+      val stream = s.readStream.schema(schema).parquet(lineitemStreamDir(d))
+      val keyed = stream
+        .withColumn("errors", RuleCompiler.compileRow(lineitemRules))
+        .select(coalesce(col("l_returnflag"), lit("")).as("k"),
+          (size(col("errors")) > 0).as("inv"))
+        .as[(String, Boolean)]
+      val counts = graft.streaming.StreamingValidation.runningCounts(s, keyed)
+      val name = replayToMemory(s, "x_stream_counts", counts.toDF(), "update")
+      s.table(name).groupBy(col("key"))
+        .agg(max(col("total")).as("total_rows"),
+          max(col("invalid")).as("invalid_rows"))
     }),
 
     // JSON/multimodal props extraction (events.props is a JSON string).
@@ -1500,6 +1541,20 @@ object Queries {
         |SELECT key, CAST(t.threshold AS BIGINT) AS threshold
         |FROM per_key, (VALUES (10),(100),(1000),(100000)) t(threshold)
         |WHERE t.threshold <= invalid""".stripMargin,
+
+    // runningCounts' final state per key == plain per-key counts (the
+    // counters are monotone; the entry max-aggregates the update sink)
+    "x_stream_counts" ->
+      """WITH flags AS (
+        |  SELECT COALESCE(l_returnflag, '') AS key,
+        |    (CASE WHEN l_quantity < 5 OR l_quantity > 45 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN l_discount < 0 OR l_discount > 0.05 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN l_shipdate < TIMESTAMP '1995-06-01' OR l_shipdate > TIMESTAMP '2000-12-31' THEN 1 ELSE 0 END)
+        |    + (CASE WHEN l_returnflag IS NULL OR trim(l_returnflag) = '' THEN 1 ELSE 0 END) AS n_err
+        |  FROM lineitem)
+        |SELECT key, CAST(count(*) AS BIGINT) AS total_rows,
+        |  CAST(sum(CASE WHEN n_err > 0 THEN 1 ELSE 0 END) AS BIGINT) AS invalid_rows
+        |FROM flags GROUP BY key""".stripMargin,
 
     "p2_required_check" ->
       """SELECT o_orderkey,
