@@ -46,8 +46,10 @@ import org.apache.spark.sql.SparkSession
   * (`target/bench_medians.json`, override with
   * SPARK_GRAFT_BENCH_MEDIANS_FILE) next to the per-rep file, and the
   * stdout line carries only scalars (total, io subtotal, counts, sf,
-  * passes, sick) plus the side-file paths. The line length is asserted
-  * < 1500 bytes so catalog growth can never silently re-break parsing.
+  * passes, sick) plus the side-file paths; if absurd path overrides
+  * push the line past 1500 bytes, the path refs are dropped (stderr
+  * warning) rather than losing a completed run — catalog growth can
+  * never re-break parsing because per-query data never rides the line.
   *
   * SPARK_GRAFT_BENCH_ONLY=name1,name2 restricts the run to a subset of
   * catalog entries (budget scales to the subset) — an iteration aid for
@@ -92,6 +94,9 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names =>
+      // an exported-but-empty var must fail like a typo does — a
+      // zero-query run would print a healthy-looking 0.0 s total
+      require(names.nonEmpty, "SPARK_GRAFT_BENCH_ONLY is set but names no queries")
       val unknown = names -- SparkEntry.queries.keySet
       require(unknown.isEmpty, s"SPARK_GRAFT_BENCH_ONLY names not in catalog: ${unknown.mkString(",")}")
     }
@@ -177,15 +182,23 @@ object Bench {
     val ioSec = medians.collect { case (n, v) if v >= 0 && ioQueries.contains(n) => v }.sum
     val mediansRef = writeSide("SPARK_GRAFT_BENCH_MEDIANS_FILE", "target/bench_medians.json",
       s"""{"metric":"total","value":${total(medians)},"unit":"sec","sf":"$sfDir","passes":$passes,"sick":$sick,"io_sec":$ioSec,"io_queries":$ioJson,"queries":$qs}""")
-    val line =
+    def summaryLine(mediansJ: String, repsJ: String): String =
       s"""{"metric":"total","value":${total(medians)},"unit":"sec","sf":"$sfDir",""" +
         s""""n_queries":${medians.size},"passes":$passes,"sick":$sick,""" +
         s""""io_sec":$ioSec,"io_n":${ioQueries.count(selected.contains)},""" +
-        s""""medians_file":$mediansRef,"reps_file":$repsRef}"""
-    // hard guard: catalog growth must never re-break the driver's
-    // tail-window parse — this line is scalars + two paths by design
-    require(line.length < 1500,
-      s"bench summary line grew to ${line.length} bytes; keep it under the driver tail window")
+        s""""medians_file":$mediansJ,"reps_file":$repsJ}"""
+    // the line must fit the driver's ~2 KB stdout tail window; it is
+    // scalars + two paths by design, so overflow can only come from
+    // absurd env-var path overrides — drop the path refs rather than
+    // throwing away a completed benchmark (the files are still written)
+    val line = {
+      val full = summaryLine(mediansRef, repsRef)
+      if (full.length < 1500) full
+      else {
+        System.err.println(s"[bench] summary line ${full.length} bytes — omitting side-file paths to stay under the driver tail window")
+        summaryLine("null", "null")
+      }
+    }
     println(line)
     spark.stop()
   }

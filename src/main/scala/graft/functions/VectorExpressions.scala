@@ -599,8 +599,8 @@ case class ZValueExpr(child: Expression, boundaries: Array[Array[Double]])
   // dropped after the sort — but corrupt clustering defeats the layout)
   require(64 / boundaries.length >= 62 ||
       boundaries.forall(_.length < (1L << (64 / boundaries.length))),
-    s"per-column bucket count must be < 2^(64/${boundaries.length}) " +
-      s"= ${1L << (64 / boundaries.length)}; got counts " +
+    s"per-column bucket count must be <= 2^(64/${boundaries.length}) " +
+      s"= ${1L << (64 / boundaries.length)} (cut points strictly below); got counts " +
       boundaries.map(_.length + 1).mkString(","))
   override def dataType: DataType = LongType
   override def checkInputDataTypes(): TypeCheckResult =

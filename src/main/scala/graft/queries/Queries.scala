@@ -101,6 +101,43 @@ object Queries {
 
   private def lineitemStreamDir(d: String): String = tableStreamDir(d, "lineitem")
 
+  /** DuckDB n_err terms mirroring [[RuleCompiler]] over [[lineitemRules]],
+    * shared by the three streaming oracles (error_rate / alerts /
+    * counts) so a rule change edits ONE string. Each field's CASE
+    * mirrors the compiler's required-null short-circuit: a null value
+    * yields exactly ONE error (REQUIRED_FIELD_MISSING, no other rules
+    * run — RuleCompiler.compileField), a non-null value runs the
+    * field's rule; l_returnflag's not_null also fires on
+    * whitespace-only, and required-vs-not_null never double-counts
+    * (null short-circuits). Latent-null-safe: testdata currently has no
+    * nulls in these columns, but the oracle must not classify a
+    * null-quantity row as valid when the engine flags it.
+    */
+  private val lineitemFlagTermsSql: String =
+    """(CASE WHEN l_quantity IS NULL THEN 1
+      |         WHEN l_quantity < 5 OR l_quantity > 45 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN l_discount IS NULL THEN 1
+      |         WHEN l_discount < 0 OR l_discount > 0.05 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN l_shipdate IS NULL THEN 1
+      |         WHEN l_shipdate < TIMESTAMP '1995-06-01' OR l_shipdate > TIMESTAMP '2000-12-31' THEN 1 ELSE 0 END)
+      |    + (CASE WHEN l_returnflag IS NULL OR trim(l_returnflag) = '' THEN 1 ELSE 0 END)""".stripMargin
+
+  /** The rule-annotated lineitem stream keyed for the custom-state
+    * entries: (return_flag, is-invalid) pairs — shared by
+    * x_stream_alerts and x_stream_counts. The empty-string coalesce
+    * keeps a (hypothetical) null key groupable and oracle-joinable.
+    */
+  private def keyedInvalidStream(
+      s: SparkSession, d: String): org.apache.spark.sql.Dataset[(String, Boolean)] = {
+    import s.implicits._
+    val schema = t(s, d, "lineitem").schema
+    s.readStream.schema(schema).parquet(lineitemStreamDir(d))
+      .withColumn("errors", RuleCompiler.compileRow(lineitemRules))
+      .select(coalesce(col("l_returnflag"), lit("")).as("k"),
+        (size(col("errors")) > 0).as("inv"))
+      .as[(String, Boolean)]
+  }
+
   /** Start a bounded AvailableNow replay into a uniquely-named memory
     * sink and block until it drains; returns the sink table name.
     * While the query runs, the session's shuffle partitions — which fix
@@ -751,16 +788,8 @@ object Queries {
     // is not; the spec pins that column's semantics instead.
     // No watermark/time filter: NoTimeout state keyed by 3 flags.
     "x_stream_alerts" -> ((s, d) => {
-      import s.implicits._
-      val schema = t(s, d, "lineitem").schema
-      val stream = s.readStream.schema(schema).parquet(lineitemStreamDir(d))
-      val keyed = stream
-        .withColumn("errors", RuleCompiler.compileRow(lineitemRules))
-        .select(coalesce(col("l_returnflag"), lit("")).as("k"),
-          (size(col("errors")) > 0).as("inv"))
-        .as[(String, Boolean)]
       val alerts = graft.streaming.StreamingValidation.invalidAlerts(
-        s, keyed, thresholds = Seq(10L, 100L, 1000L, 100000L))
+        s, keyedInvalidStream(s, d), thresholds = Seq(10L, 100L, 1000L, 100000L))
       val name = replayToMemory(s, "x_stream_alerts", alerts.toDF(), "update")
       s.table(name).select(col("key"), col("threshold"))
     }),
@@ -772,15 +801,8 @@ object Queries {
     // deterministic and SQL-expressible as plain per-key counts.
     // Closes the last operator without a driver-visible catalog row.
     "x_stream_counts" -> ((s, d) => {
-      import s.implicits._
-      val schema = t(s, d, "lineitem").schema
-      val stream = s.readStream.schema(schema).parquet(lineitemStreamDir(d))
-      val keyed = stream
-        .withColumn("errors", RuleCompiler.compileRow(lineitemRules))
-        .select(coalesce(col("l_returnflag"), lit("")).as("k"),
-          (size(col("errors")) > 0).as("inv"))
-        .as[(String, Boolean)]
-      val counts = graft.streaming.StreamingValidation.runningCounts(s, keyed)
+      val counts = graft.streaming.StreamingValidation.runningCounts(
+        s, keyedInvalidStream(s, d))
       val name = replayToMemory(s, "x_stream_counts", counts.toDF(), "update")
       s.table(name).groupBy(col("key"))
         .agg(max(col("total")).as("total_rows"),
@@ -1506,12 +1528,9 @@ object Queries {
     // hash-verifies. Spark's window() aligns to the epoch, which for
     // "1 hour" is exactly date_trunc('hour', ...).
     "x_stream_error_rate" ->
-      """WITH flags AS (
+      s"""WITH flags AS (
         |  SELECT CAST(l_shipdate AS TIMESTAMP) AS evt, l_returnflag,
-        |    (CASE WHEN l_quantity < 5 OR l_quantity > 45 THEN 1 ELSE 0 END)
-        |    + (CASE WHEN l_discount < 0 OR l_discount > 0.05 THEN 1 ELSE 0 END)
-        |    + (CASE WHEN l_shipdate < TIMESTAMP '1995-06-01' OR l_shipdate > TIMESTAMP '2000-12-31' THEN 1 ELSE 0 END)
-        |    + (CASE WHEN l_returnflag IS NULL OR trim(l_returnflag) = '' THEN 1 ELSE 0 END) AS n_err
+        |    $lineitemFlagTermsSql AS n_err
         |  FROM lineitem WHERE CAST(l_shipdate AS TIMESTAMP) IS NOT NULL)
         |SELECT strftime(date_trunc('hour', evt), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  l_returnflag AS return_flag, count(*) AS total_rows,
@@ -1528,12 +1547,9 @@ object Queries {
     // no null returnflags, so the COALESCE('' key) branch is exercised
     // only by the spec, not the oracle.
     "x_stream_alerts" ->
-      """WITH flags AS (
+      s"""WITH flags AS (
         |  SELECT COALESCE(l_returnflag, '') AS key,
-        |    (CASE WHEN l_quantity < 5 OR l_quantity > 45 THEN 1 ELSE 0 END)
-        |    + (CASE WHEN l_discount < 0 OR l_discount > 0.05 THEN 1 ELSE 0 END)
-        |    + (CASE WHEN l_shipdate < TIMESTAMP '1995-06-01' OR l_shipdate > TIMESTAMP '2000-12-31' THEN 1 ELSE 0 END)
-        |    + (CASE WHEN l_returnflag IS NULL OR trim(l_returnflag) = '' THEN 1 ELSE 0 END) AS n_err
+        |    $lineitemFlagTermsSql AS n_err
         |  FROM lineitem),
         |per_key AS (
         |  SELECT key, sum(CASE WHEN n_err > 0 THEN 1 ELSE 0 END) AS invalid
@@ -1545,12 +1561,9 @@ object Queries {
     // runningCounts' final state per key == plain per-key counts (the
     // counters are monotone; the entry max-aggregates the update sink)
     "x_stream_counts" ->
-      """WITH flags AS (
+      s"""WITH flags AS (
         |  SELECT COALESCE(l_returnflag, '') AS key,
-        |    (CASE WHEN l_quantity < 5 OR l_quantity > 45 THEN 1 ELSE 0 END)
-        |    + (CASE WHEN l_discount < 0 OR l_discount > 0.05 THEN 1 ELSE 0 END)
-        |    + (CASE WHEN l_shipdate < TIMESTAMP '1995-06-01' OR l_shipdate > TIMESTAMP '2000-12-31' THEN 1 ELSE 0 END)
-        |    + (CASE WHEN l_returnflag IS NULL OR trim(l_returnflag) = '' THEN 1 ELSE 0 END) AS n_err
+        |    $lineitemFlagTermsSql AS n_err
         |  FROM lineitem)
         |SELECT key, CAST(count(*) AS BIGINT) AS total_rows,
         |  CAST(sum(CASE WHEN n_err > 0 THEN 1 ELSE 0 END) AS BIGINT) AS invalid_rows
@@ -2090,18 +2103,22 @@ object Queries {
         |  CAST(length(text_norm) AS BIGINT) AS n_chars_norm
         |FROM norm""".stripMargin,
 
+    // aggregates run over COALESCE(n_chars, 0) to mirror the engine's
+    // batchPaddingStats (max/sum over coalesce(len, 0)): an all-null
+    // batch — exactly what NULLS FIRST orders into batch 0 — must
+    // report 0/0/0.0 on both sides, not SQL-null-skipping aggregates
     "x_length_batches" ->
       """WITH ranked AS (
-        |  SELECT doc_id, n_chars,
+        |  SELECT doc_id, COALESCE(n_chars, 0) AS len,
         |    row_number() OVER (ORDER BY n_chars NULLS FIRST, doc_id) - 1 AS rn
         |  FROM documents),
-        |b AS (SELECT n_chars, rn // 32 AS batch_id FROM ranked)
+        |b AS (SELECT len, rn // 32 AS batch_id FROM ranked)
         |SELECT batch_id, count(*) AS n_seqs,
-        |  CAST(max(n_chars) AS BIGINT) AS max_len,
-        |  CAST(sum(n_chars) AS BIGINT) AS sum_len,
-        |  CASE WHEN max(n_chars) > 0
-        |    THEN CAST(max(n_chars) * count(*) - sum(n_chars) AS DOUBLE)
-        |      / (max(n_chars) * count(*))
+        |  CAST(max(len) AS BIGINT) AS max_len,
+        |  CAST(sum(len) AS BIGINT) AS sum_len,
+        |  CASE WHEN max(len) > 0
+        |    THEN CAST(max(len) * count(*) - sum(len) AS DOUBLE)
+        |      / (max(len) * count(*))
         |    ELSE 0.0 END AS padding_frac
         |FROM b GROUP BY batch_id""".stripMargin,
 
