@@ -64,7 +64,7 @@ object Queries {
   // --- the lineitem validation-rule set used by several queries --------
   // (range / date_range / not_null over typed parquet columns — the same
   // compiler the XML pipeline uses, pointed at the testdata tables)
-  private val lineitemRules: Seq[FieldMapping] = Seq(
+  private[queries] val lineitemRules: Seq[FieldMapping] = Seq(
     FieldMapping("l_quantity", "quantity", "double", required = true,
       Seq(ValidationRule("range", Map("min" -> "5", "max" -> "45")))),
     FieldMapping("l_discount", "discount", "double", required = true,
@@ -113,7 +113,7 @@ object Queries {
     * nulls in these columns, but the oracle must not classify a
     * null-quantity row as valid when the engine flags it.
     */
-  private val lineitemFlagTermsSql: String =
+  private[queries] val lineitemFlagTermsSql: String =
     """(CASE WHEN l_quantity IS NULL THEN 1
       |         WHEN l_quantity < 5 OR l_quantity > 45 THEN 1 ELSE 0 END)
       |    + (CASE WHEN l_discount IS NULL THEN 1
