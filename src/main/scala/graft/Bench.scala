@@ -34,10 +34,23 @@ import org.apache.spark.sql.SparkSession
   * entries whose timing includes a real disk write+read (a round-trip
   * and index builds are their correctness contracts); they are listed
   * under `io_queries` so total-time comparisons can discount them. The
-  * four `x_stream_*` replays are flagged the same way: their cost is
-  * dominated by micro-batch + state-store machinery (14.9 s of the r8
-  * total), a fixed harness overhead rather than plan work, so the
-  * budget weights them like io entries.
+  * `x_stream_*` replays are flagged the same way: their cost is
+  * dominated by micro-batch + state-store machinery, a fixed harness
+  * overhead rather than plan work, so the budget weights them like io
+  * entries.
+  *
+  * PER-QUERY WARMUP (round 10): the global q1_agg warmup pays for
+  * parquet-scan/shuffle/noop classloading, but each query still JIT-
+  * compiles its OWN generated code on first execution, and iterative
+  * entries (x_dedup_clusters: checkpoint + per-round codegen) spread
+  * that warmup over their first TWO reps — r9 recorded 11.1/8.1/3.0 s
+  * reps, so the median-of-3 reported 8.1 s for a 3.0 s-steady plan.
+  * The official artifact must track plan cost, not JVM mood: each query
+  * now runs ONE DISCARDED warmup execution immediately before its timed
+  * reps (pass 1 only — a sick-session second pass is already hot).
+  * Warmup times are recorded in the reps side file under "warmup" so
+  * the JIT cost stays visible; SPARK_GRAFT_BENCH_WARMUP=0 disables the
+  * extra execution for experiments that want cold-start numbers.
   *
   * STDOUT CONTRACT (learned twice — r5 and r8 both shipped
   * `parsed: null`): the driver tail-captures ~2 KB of stdout and the
@@ -46,14 +59,21 @@ import org.apache.spark.sql.SparkSession
   * (`target/bench_medians.json`, override with
   * SPARK_GRAFT_BENCH_MEDIANS_FILE) next to the per-rep file, and the
   * stdout line carries only scalars (total, io subtotal, counts, sf,
-  * passes, sick) plus the side-file paths; if absurd path overrides
+  * passes, sick, n_failed — a count of failure-sentinel medians, since
+  * the total excludes them and would otherwise read healthy-but-faster
+  * with a broken query) plus the side-file paths; if absurd path overrides
   * push the line past 1500 bytes, the path refs are dropped (stderr
   * warning) rather than losing a completed run — catalog growth can
   * never re-break parsing because per-query data never rides the line.
   *
   * SPARK_GRAFT_BENCH_ONLY=name1,name2 restricts the run to a subset of
-  * catalog entries (budget scales to the subset) — an iteration aid for
-  * perf work; the driver never sets it.
+  * catalog entries — an iteration aid for perf work; the driver never
+  * sets it. Subset runs are marked in both side-file bodies
+  * (`"only":[...]`) so a stale subset file cannot pass for a
+  * full-catalog round record, and they skip the degenerate-session
+  * budget check (the 0.9 s/query coefficient is calibrated for the
+  * full catalog's cost mix — a handful of heavy entries false-trips
+  * it) unless SPARK_GRAFT_BENCH_BUDGET is set explicitly.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -122,8 +142,16 @@ object Bench {
       }
     }
     val ordered = selected.toSeq.sortBy(_._1)
-    def runPass(): Seq[(String, Seq[Double])] =
-      ordered.map { case (name, fn) => name -> (1 to reps).map(_ => timeOnce(name, fn)) }
+    val doWarmup = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
+    // warmup times per query (pass-1 discarded reps), kept for the side
+    // file so the JIT/checkpoint cost stays visible even though it no
+    // longer pollutes the medians
+    val warmupTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def runPass(warm: Boolean): Seq[(String, Seq[Double])] =
+      ordered.map { case (name, fn) =>
+        if (warm) warmupTimes(name) = timeOnce(name, fn)
+        name -> (1 to reps).map(_ => timeOnce(name, fn))
+      }
     // ANY failed rep keeps the failure sentinel: an intermittently
     // failing query must not report its lone success as a healthy time
     def median(times: Seq[Double]): Double = {
@@ -132,16 +160,21 @@ object Bench {
     }
     def total(ms: Seq[(String, Double)]): Double = ms.map(_._2).filter(_ >= 0).sum
 
-    val pass1 = runPass()
+    val pass1 = runPass(warm = doWarmup)
     val medians1 = pass1.map { case (n, ts) => n -> median(ts) }
-    val sick = total(medians1) > budget
+    // the 0.9 s/query budget is calibrated against the FULL catalog's
+    // cost mix; a subset run of a few heavy entries false-trips it and
+    // doubles the iteration loop, so ONLY runs skip the degenerate-
+    // session check unless the experimenter set an explicit budget
+    val checkBudget = only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_BUDGET")
+    val sick = checkBudget && total(medians1) > budget
     val (allReps, medians, passes) =
       if (!sick) (pass1, medians1, 1)
       else {
         System.err.println(
           f"[bench] pass-1 total ${total(medians1)}%.1f s exceeds budget $budget%.1f s " +
             "— degenerate JIT session suspected; running a second full pass")
-        val pass2 = runPass()
+        val pass2 = runPass(warm = false)
         val medians2 = pass2.map { case (n, ts) => n -> median(ts) }
         // min-of-medians: a failed query (-1) stays failed only if it
         // failed in BOTH passes; a query healthy in either pass reports
@@ -171,20 +204,33 @@ object Bench {
         "null"
       }
     }
+    // subset-run marker: a SPARK_GRAFT_BENCH_ONLY run overwrites the
+    // default side files; without this field a stale subset file could
+    // be mistaken for a full-catalog round record
+    val onlyJson = only match {
+      case Some(names) => names.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+      case None => "null"
+    }
+    // a failed query's -1 sentinel is excluded from the total, so the
+    // headline number alone cannot reveal a broken query — n_failed > 0
+    // means the bench total is NOT comparable across rounds
+    val nFailed = medians.count(_._2 < 0)
     val repsJson = allReps.map { case (k, ts) =>
       s"\"" + k + "\":[" + ts.map(jNum).mkString(",") + "]"
     }.mkString("{", ",", "}")
+    val warmupJson = warmupTimes.map { case (k, v) => s"\"" + k + "\":" + jNum(v) }
+      .mkString("{", ",", "}")
     val repsRef = writeSide("SPARK_GRAFT_BENCH_REPS_FILE", "target/bench_reps.json",
-      s"""{"sf":"$sfDir","passes":$passes,"sick":$sick,"reps":$repsJson}""")
+      s"""{"sf":"$sfDir","passes":$passes,"sick":$sick,"only":$onlyJson,"warmup":$warmupJson,"reps":$repsJson}""")
     val qs = medians.map { case (k, v) => s"\"" + k + "\":" + jNum(v) }
       .mkString("{", ",", "}")
     val ioJson = ioQueries.filter(selected.contains).map("\"" + _ + "\"").mkString("[", ",", "]")
     val ioSec = medians.collect { case (n, v) if v >= 0 && ioQueries.contains(n) => v }.sum
     val mediansRef = writeSide("SPARK_GRAFT_BENCH_MEDIANS_FILE", "target/bench_medians.json",
-      s"""{"metric":"total","value":${total(medians)},"unit":"sec","sf":"$sfDir","passes":$passes,"sick":$sick,"io_sec":$ioSec,"io_queries":$ioJson,"queries":$qs}""")
+      s"""{"metric":"total","value":${total(medians)},"unit":"sec","sf":"$sfDir","passes":$passes,"sick":$sick,"n_failed":$nFailed,"only":$onlyJson,"io_sec":$ioSec,"io_queries":$ioJson,"queries":$qs}""")
     def summaryLine(mediansJ: String, repsJ: String): String =
       s"""{"metric":"total","value":${total(medians)},"unit":"sec","sf":"$sfDir",""" +
-        s""""n_queries":${medians.size},"passes":$passes,"sick":$sick,""" +
+        s""""n_queries":${medians.size},"n_failed":$nFailed,"passes":$passes,"sick":$sick,""" +
         s""""io_sec":$ioSec,"io_n":${ioQueries.count(selected.contains)},""" +
         s""""medians_file":$mediansJ,"reps_file":$repsJ}"""
     // the line must fit the driver's ~2 KB stdout tail window; it is

@@ -76,7 +76,14 @@ object Clusters {
         val path = s"$dir/round_$round"
         df.write.mode("overwrite").parquet(path)
         spark.read.parquet(path)
-      case None => df.localCheckpoint()
+      // LAZY local checkpoint: every checkpointed frame here is
+      // immediately followed by its signature() aggregate (or, for the
+      // finisher, a collect), so letting THAT action materialize the
+      // checkpoint blocks folds materialization + convergence check
+      // into ONE Spark job per round — the eager variant paid a second
+      // full job per iteration just to cache blocks the signature scan
+      // re-read a moment later (r9 verdict, defect-next #4).
+      case None => df.localCheckpoint(eager = false)
     }
 
     var edges = checkpoint(

@@ -148,6 +148,14 @@ object Queries {
     * (measured ~2x on the replay entries). Production queries size this
     * to the cluster; the conf is restored before returning, so the
     * batch entries around this one are untouched.
+    *
+    * SEQUENTIAL-EXECUTION ASSUMPTION: mutating the shared session conf
+    * is safe because both drivers that execute catalog entries (Verify
+    * and Bench) run them strictly one at a time; a future concurrent
+    * catalog runner would race batch entries onto this replay's tiny
+    * partition count and must isolate the conf first
+    * (`SparkSession.newSession()` shares the catalog but not runtime
+    * conf — start the replay from a cloned session there).
     */
   private def replayToMemory(
       s: SparkSession, prefix: String, frame: DataFrame, mode: String,

@@ -60,6 +60,32 @@ class NgramLmSpec extends SparkTestBase {
     assert(scores(1L) > scores(3L) && scores(2L) > scores(3L))
   }
 
+  test("model collect is cached per canonicalized model plan across rebuilt frames") {
+    val before = NgramLm.modelCacheSize
+    // two INDEPENDENTLY built model frames over the same source: new
+    // ExprIds throughout, but the canonicalized plans are equal, so the
+    // second score call must reuse the first call's collected model
+    val s1 = NgramLm.score(docs, "doc_id", "lang", "text",
+      NgramLm.trainModel(docs, "lang", "text", n = 3, vocab = 7), n = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val mid = NgramLm.modelCacheSize
+    val s2 = NgramLm.score(docs, "doc_id", "lang", "text",
+      NgramLm.trainModel(docs, "lang", "text", n = 3, vocab = 7), n = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s1 == s2)
+    assert(NgramLm.modelCacheSize == mid, "rebuilt identical model frame must hit the cache")
+    assert(mid > before, "first score call must populate the cache")
+    // a DIFFERENT model plan (other vocab cap) is a distinct entry, not
+    // a false hit — scores change where the vocab boundary matters
+    val s3 = NgramLm.score(docs, "doc_id", "lang", "text",
+      NgramLm.trainModel(docs, "lang", "text", n = 3, vocab = 1), n = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(NgramLm.modelCacheSize == mid + 1)
+    // vocab=1 keeps only "the":4 for en, so doc 1 loses credit for all
+    // its other in-vocab-at-7 trigrams
+    assert(s3(1L) < s1(1L))
+  }
+
   test("out-of-vocab trigrams contribute zero under a tight vocab cap") {
     val model = NgramLm.trainModel(docs, "lang", "text", n = 3, vocab = 1)
     val scores = NgramLm.score(docs, "doc_id", "lang", "text", model, n = 3)

@@ -305,6 +305,42 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("dedupStream under a production delay: late rows drop, on-time rows still emit") {
+    // The other half of the two-sided production-delay guarantee (the
+    // eviction test above pins the state bound): rows arriving BEHIND
+    // the event-time watermark are dropped deterministically — even for
+    // a never-seen key — while rows at or ahead of it keep flowing.
+    // This pair is inherently not oracle-exact (late-drop depends on
+    // micro-batch boundaries no batch SQL oracle can replay), which is
+    // why it lives here permanently rather than in the driver catalog —
+    // see SURVEY.md §2.5 (round 10).
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, String)] // (ts, doc_key)
+    val deduped = StreamingValidation.dedupStream(
+      mem.toDF().toDF("ts", "doc_key"),
+      keyCols = Seq("doc_key"), timeCol = "ts", watermark = "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("dedup_late")
+      .outputMode("append").start()
+    try {
+      mem.addData(("2024-02-15 08:00:00", "EARLY"))
+      q.processAllAvailable()
+      // jump the watermark forward: after this batch it sits at ~19:00
+      // (max event time - 1h delay), applying from the NEXT batch on
+      mem.addData(("2024-02-15 20:00:00", "MOVER"))
+      q.processAllAvailable()
+      mem.addData(
+        ("2024-02-15 08:05:00", "LATE_NEW"), // behind the watermark: dropped
+        ("2024-02-15 19:30:00", "ONTIME")) // ahead of it: emitted
+      q.processAllAvailable()
+    } finally q.stop()
+    val keys = spark.table("dedup_late")
+      .select("doc_key").collect().map(_.getString(0)).toSet
+    assert(Set("EARLY", "MOVER", "ONTIME").subsetOf(keys))
+    assert(!keys.contains("LATE_NEW"),
+      "a row older than the watermark must be dropped, not emitted")
+  }
+
   test("invalidAlerts fires each threshold once, several at a time when crossed together") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
