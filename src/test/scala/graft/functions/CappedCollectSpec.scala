@@ -91,6 +91,56 @@ class CappedCollectSpec extends SparkTestBase {
     }
   }
 
+  test("property: invariants hold under EXPLICIT partition splits and random merge trees") {
+    // The end-to-end property tests above leave the partial/merge split
+    // to whatever Spark's partitioning happens to produce; this drives
+    // update/merge/serialize DIRECTLY so every split shape and merge
+    // order is exercised — the associativity the partial-aggregation
+    // contract requires: for ANY split of the input into partial
+    // buffers and ANY merge tree over them, cnt is exact, |vals| =
+    // min(cnt, cap), vals ⊆ the input multiset, and (completeness
+    // invariant) cnt <= cap implies vals == the input multiset.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.LongType
+    val rnd = new scala.util.Random(20260813L)
+    for (trial <- 0 until 200) {
+      val cap = 1 + rnd.nextInt(8)
+      val agg = CappedCollect(BoundReference(0, LongType, nullable = false), cap)
+      val n = rnd.nextInt(40)
+      val values = Vector.fill(n)(rnd.nextInt(10).toLong) // duplicates likely
+      // random ordered split into 1..8 chunks (some possibly empty)
+      val nChunks = 1 + rnd.nextInt(8)
+      val cuts = (Vector.fill(nChunks - 1)(rnd.nextInt(n + 1)) :+ 0 :+ n).sorted
+      val chunks = cuts.sliding(2).map { case Seq(a, b) => values.slice(a, b) }.toVector
+      val partials = chunks.map { chunk =>
+        chunk.foldLeft(agg.createAggregationBuffer()) { (b, v) =>
+          agg.update(b, InternalRow(v))
+        }
+      }
+      // half the partials take the serialize/deserialize shuffle path
+      val pool = scala.collection.mutable.ArrayBuffer.from(partials.map { b =>
+        if (rnd.nextBoolean()) agg.deserialize(agg.serialize(b)) else b
+      })
+      // random merge TREE: repeatedly merge two random pool members
+      while (pool.size > 1) {
+        val a = pool.remove(rnd.nextInt(pool.size))
+        val b = pool.remove(rnd.nextInt(pool.size))
+        pool += agg.merge(a, b)
+      }
+      val fin = pool.head
+      assert(fin.cnt == n.toLong, s"trial $trial cap $cap")
+      assert(fin.vals.length == math.min(n, cap), s"trial $trial cap $cap")
+      val got = fin.vals.map(_.asInstanceOf[Long])
+      if (n <= cap) assert(got.sorted == values.sorted, s"trial $trial cap $cap")
+      // collected values never exceed their input multiplicities
+      val inputCounts = values.groupBy(identity).view.mapValues(_.size).toMap
+      got.groupBy(identity).foreach { case (v, occ) =>
+        assert(occ.size <= inputCounts.getOrElse(v, 0), s"trial $trial value $v")
+      }
+    }
+  }
+
   test("string elements are copied, not views over a reused row buffer") {
     val df = (1 to 100).map(i => (i % 3L, s"v$i")).toDF("k", "s").repartition(5)
     val got = df.groupBy("k").agg(cappedCollect(col("s"), 200).as("cc"))
