@@ -780,4 +780,45 @@ object Dedup {
     NearDupResult(verified, metric,
       if (storage == StorageLevel.NONE) None else Some(base))
   }
+
+  /** SEMANTIC dedup — the SemDeDup pipeline shape (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): embedding-cosine near-dup PAIRS → transitive
+    * closure into clusters → ONE canonical survivor (minimum id) per
+    * cluster; returns the rows of `df` that survive. Semantic
+    * duplicates (paraphrases, re-encodings, boilerplate variants) that
+    * token-level dedup cannot see are removed as groups, not just
+    * pairwise — the same pairs→components→survivor discipline the
+    * token-level family uses ([[Clusters]]), applied to the embedding
+    * space.
+    *
+    * Composition of three independently verified stages:
+    * [[embeddingNearDups]] (hyperplane-LSH candidates + exact-cosine
+    * verify), [[Clusters.connectedComponents]] (alternating
+    * large-star/small-star, bounded driver finisher), and
+    * [[Clusters.dedupClusters]] (anti-join — the corpus frame is
+    * filtered in place, never shuffled). Scale shape is inherited: one
+    * (band,bucket) shuffle over id-only candidates, id-only edge list
+    * for the components, and a broadcast anti-join back; nothing here
+    * is all-pairs. SemDeDup proper clusters with k-means and prunes
+    * within cells; hyperplane LSH buckets play the same
+    * candidate-bounding role with a tunable miss probability
+    * ((1-(1-θ/π)^planes)^tables per pair) and no float-seeded centroid
+    * nondeterminism — which is what keeps the output oracle-exact.
+    */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.95,
+      planes: Int = 12,
+      tables: Int = 4,
+      maxBucket: Int = 1000,
+      storage: StorageLevel = StorageLevel.NONE,
+      metricName: Option[String] = None
+  ): DataFrame = {
+    val pairs = embeddingNearDups(
+      df, idCol, vecCol, threshold, planes, tables, maxBucket, storage, metricName)
+    Clusters.dedupClusters(df, idCol, Clusters.connectedComponents(pairs))
+  }
 }

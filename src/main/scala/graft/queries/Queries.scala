@@ -603,6 +603,19 @@ object Queries {
         threshold = 0.35, planes = 6, tables = 8, storage = StorageLevel.NONE)
     }),
 
+    // SemDeDup-shaped semantic dedup: embedding near-dup pairs (same
+    // verified-exact params as x_dedup_embedding) → connected components
+    // → one min-id survivor per cluster. Oracle derives components from
+    // the committed golden pair set (the same corpus-keyed golden
+    // x_dedup_embedding hash-matches — pair membership is float-near-
+    // threshold, so live DuckDB cosine could flip a borderline pair;
+    // the component/survivor logic on top is pure set algebra).
+    "x_semantic_dedup" -> ((s, d) => {
+      Dedup.semanticDedup(t(s, d, "embeddings"), "vec_id", "embedding",
+        threshold = 0.35, planes = 6, tables = 8, storage = StorageLevel.NONE)
+        .select(col("vec_id"))
+    }),
+
     // Brute-force cosine top-k (exact ANN baseline): top 10 neighbors of
     // vec_id=0. Scan → TakeOrderedAndProject; ids+rank only (float-safe).
     // Rank is assigned by sorting the 10 surviving rows as an array —
@@ -1871,6 +1884,29 @@ object Queries {
         |SELECT id_a, id_b, cosine
         |FROM read_parquet('/root/repo/tools/golden/embedding_pairs.parquet') g, ck
         |WHERE g.corpus_key = ck.k""".stripMargin,
+
+    // components over the corpus-keyed golden pair set (same recursive
+    // min-label closure as x_dedup_clusters), survivors = every vec_id
+    // that is not a non-root cluster member
+    "x_semantic_dedup" ->
+      """WITH RECURSIVE ck AS (SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 281474976710656) AS BIGINT)) AS BIGINT) AS k FROM embeddings),
+        |pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM read_parquet('/root/repo/tools/golden/embedding_pairs.parquet') g, ck
+        |  WHERE g.corpus_key = ck.k
+        |), edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION
+        |  SELECT id_b AS u, id_a AS v FROM pairs
+        |), lbl(id, comp) AS (
+        |  SELECT u, least(u, min(v)) FROM edges GROUP BY u
+        |  UNION
+        |  SELECT e.u, l.comp FROM edges e JOIN lbl l ON e.v = l.id
+        |), comps AS (
+        |  SELECT id, min(comp) AS comp FROM lbl GROUP BY id
+        |)
+        |SELECT vec_id FROM embeddings
+        |WHERE vec_id NOT IN (SELECT id FROM comps WHERE id <> comp)""".stripMargin,
 
     "x_cosine_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

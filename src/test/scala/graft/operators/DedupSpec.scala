@@ -88,6 +88,29 @@ class DedupSpec extends SparkTestBase {
     assert(rows.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
   }
 
+  test("semanticDedup keeps one min-id survivor per TRANSITIVE cluster plus singletons") {
+    // 1≈2 and 2≈3 but cos(1,3)≈0.85 < 0.9: the {1,2,3} cluster exists
+    // only through the transitive closure — the property pairwise
+    // pruning (keep the lower id of each pair) would get wrong by
+    // dropping 2 and 3 against different survivors
+    val emb = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0.96f, 0.28f, 0f, 0f)),
+      (3L, Array(0.85f, 0.53f, 0f, 0f)),
+      (4L, Array(0f, 0f, 1f, 0f)), // singleton
+      (5L, Array(0f, 1f, 0f, 0f)),
+      (6L, Array(0f, 0.98f, 0.2f, 0f)) // pairs with 5 only
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(emb, "vec_id", "embedding",
+      threshold = 0.9, planes = 6, tables = 8)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs == Set((1L, 2L), (2L, 3L), (5L, 6L)))
+    val survivors = Dedup.semanticDedup(emb, "vec_id", "embedding",
+      threshold = 0.9, planes = 6, tables = 8)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L, 4L, 5L))
+  }
+
   test("minhash signature agreement estimates jaccard (statistical property)") {
     // For random sets with known overlap, the fraction of agreeing
     // signature entries converges to the true jaccard — the property
