@@ -25,10 +25,10 @@ import org.apache.spark.sql.SparkSession
   * DERIVED FROM THE CATALOG — 0.9 s per query plus 4 s per io-query —
   * so growing the catalog cannot silently erode the headroom the way a
   * flat constant did (a 45 s flat budget calibrated for 47 queries
-  * false-alarmed on a healthy 55-query session in round 6). At today's
-  * 55 queries / 3 io-queries that is ~61 s: ~1.8x the healthy ~34 s
-  * sf0.1 total, while a degenerate JIT session (3-10x slow) still
-  * trips it.
+  * false-alarmed on a healthy 55-query session in round 6). At the
+  * r10 catalog (84 queries, 16 io/streaming-flagged) that is ~140 s:
+  * ~2.4x the healthy ~59 s sf0.1 total, while a degenerate JIT
+  * session (3-10x slow) still trips it.
   *
   * `x_jsonl_roundtrip`, `x_dedup_incremental`, and `x_incremental_ingest` are the catalog
   * entries whose timing includes a real disk write+read (a round-trip
