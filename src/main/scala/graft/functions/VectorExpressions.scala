@@ -209,6 +209,39 @@ object Kernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Fixed-size token windows with stride over a raw text value: trim,
+    * whitespace-split, then chunks of `size` tokens starting every
+    * `stride` tokens, rejoined with single spaces. The LAST chunk is
+    * the one whose end reaches the final token — no trailing
+    * fully-contained sub-chunks are emitted, so the chunk COUNT is
+    * exactly `1 + ceil(max(0, m - size) / stride)` for m tokens
+    * (integer math both engines reproduce). One fused pass — the
+    * embedding-pipeline chunking step (RAG windows, long-doc encoder
+    * input) without an interpreted HOF chain.
+    */
+  def chunkTokens(text: UTF8String, size: Int, stride: Int): ArrayData = {
+    val toks = text.toString.trim.split("\\s+")
+    val m = toks.length
+    if (m == 0 || (m == 1 && toks(0).isEmpty))
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new scala.collection.mutable.ArrayBuffer[Any]
+    var i = 0
+    var done = false
+    while (!done) {
+      val end = math.min(i + size, m)
+      val sb = new java.lang.StringBuilder()
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      out += UTF8String.fromString(sb.toString)
+      if (end >= m) done = true else i += stride
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   /** Counts per word-set for one token array: out(k) = #tokens in set k.
     * One pass over the tokens regardless of how many sets.
     */
@@ -513,6 +546,28 @@ private[functions] trait ArrayElemTypes { self: Expression =>
       case other => TypeCheckResult.TypeCheckFailure(
         s"$side must be array<string>, got ${other.catalogString}")
     }
+}
+
+/** Fixed-size token windows with stride — see [[Kernels.chunkTokens]]
+  * for the emission rule (last chunk covers the tail; no redundant
+  * trailing sub-chunks).
+  */
+case class ChunkTokensExpr(child: Expression, size: Int, stride: Int)
+    extends UnaryExpression {
+  require(size > 0, s"chunk size must be positive, got $size")
+  require(stride > 0, s"stride must be positive, got $stride")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"text must be string, got ${other.catalogString}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.chunkTokens(input.asInstanceOf[UTF8String], size, stride)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.chunkTokens($c, $size, $stride)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
@@ -917,6 +972,8 @@ object VectorFunctions {
   private def e(col: Column): Expression = GraftColumnBridge.expression(col)
 
   def shingles(text: Column, n: Int): Column = c(ShinglesExpr(e(text), n))
+  def chunkTokens(text: Column, size: Int, stride: Int): Column =
+    c(ChunkTokensExpr(e(text), size, stride))
   def charNgrams(text: Column, n: Int): Column = c(CharNgramsExpr(e(text), n))
   def tokenSetCount(tokens: Column, words: Seq[String]): Column =
     c(TokenSetCountExpr(e(tokens), words))

@@ -71,6 +71,22 @@ object Clusters {
   ): DataFrame = {
     val spark = pairs.sparkSession
 
+    // every localCheckpoint round persists executor blocks that would
+    // otherwise live until the ContextCleaner happens to GC them — on a
+    // long-running session that is a leak of one edge-list copy per
+    // round per invocation. Track the checkpointed frames and release
+    // every one the returned result does not depend on (all of them on
+    // the driver-finisher path; all but the final edge list on the
+    // converged-distributed path). NEVER release a frame the result
+    // still reads: a localCheckpoint has no lineage to recompute from.
+    val checkpointed = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    def releaseCheckpointsExcept(keep: Option[DataFrame]): Unit =
+      checkpointed.filterNot(c => keep.exists(_ eq c)).foreach { c =>
+        c.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+        }.foreach(_.unpersist(blocking = false))
+      }
+
     def checkpoint(df: DataFrame, round: Int): DataFrame = checkpointDir match {
       case Some(dir) =>
         val path = s"$dir/round_$round"
@@ -83,7 +99,10 @@ object Clusters {
       // into ONE Spark job per round — the eager variant paid a second
       // full job per iteration just to cache blocks the signature scan
       // re-read a moment later (r9 verdict, defect-next #4).
-      case None => df.localCheckpoint(eager = false)
+      case None =>
+        val c = df.localCheckpoint(eager = false)
+        checkpointed += c
+        c
     }
 
     var edges = checkpoint(
@@ -109,6 +128,8 @@ object Clusters {
     if (!converged && sig._1 <= localThreshold) {
       // bounded by localThreshold edges — finish on the driver
       val local = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      // result lives on the driver now — every checkpoint can go
+      releaseCheckpointsExcept(None)
       val comps = unionFind(local)
       import spark.implicits._
       spark.createDataset(comps.toSeq).toDF("id", "component")
@@ -117,6 +138,9 @@ object Clusters {
         s"connectedComponents did not converge in $maxIter rounds — " +
           "the alternating algorithm needs O(log^2 n) rounds, so this " +
           "indicates a bug or a corrupted edge list, not a small maxIter")
+      // the returned frame lazily reads the FINAL edge list — keep its
+      // blocks, release every earlier round's
+      releaseCheckpointsExcept(Some(edges))
       // fixpoint = one star per component, every edge (member, root):
       // members take their root, roots take themselves. The final groupBy
       // collapses the root's multiple appearances on the v side.

@@ -218,6 +218,32 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     VectorFunctions.fingerprint64(tokens(text))
 
+  /** Fixed-size token windows with stride — the embedding-pipeline
+    * chunking step (RAG windows, long-document encoder input). Returns
+    * (id, chunk_idx, chunk_text, n_chunk_tokens): chunks of `size`
+    * tokens starting every `stride` tokens (overlap = size - stride
+    * when stride < size), the last chunk being the one that reaches the
+    * final token — chunk count is exactly 1 + ceil(max(0, m-size)/stride)
+    * for m tokens, so the whole frame is deterministic integer/string
+    * work a SQL oracle replays. Empty/whitespace-only docs yield no
+    * rows.
+    *
+    * Scale shape: one fused kernel projection
+    * ([[graft.functions.ChunkTokensExpr]]) + posexplode — no shuffle,
+    * no join; output volume is input tokens × (size/stride) overlap
+    * factor, the price of the overlap itself.
+    */
+  def chunkWindows(
+      df: DataFrame, idCol: String, textCol: String,
+      size: Int, stride: Int): DataFrame =
+    df.select(col(idCol),
+        posexplode(graft.functions.VectorFunctions
+          .chunkTokens(col(textCol), size, stride)))
+      .select(col(idCol),
+        col("pos").cast(IntegerType).as("chunk_idx"),
+        col("col").as("chunk_text"),
+        tokenCount(col("col")).cast(IntegerType).as("n_chunk_tokens"))
+
   /** Per-document feature frame: the standard text-quality projection. */
   def documentFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

@@ -881,6 +881,16 @@ object Queries {
       NgramLm.score(docs, "doc_id", "lang", "text", model, n = 3)
     }),
 
+    // Fixed-size token windows with stride (16-token chunks every 12 —
+    // 4-token overlap): the RAG/embedding chunking step. Pure kernel
+    // projection + posexplode; chunk boundaries and the rejoined text
+    // are deterministic integer/string work the oracle replays with
+    // list slicing.
+    "x_chunk_windows" -> ((s, d) => {
+      TextAnalysis.chunkWindows(t(s, d, "documents"), "doc_id", "text",
+        size = 16, stride = 12)
+    }),
+
     // Corpus text normalization: NFC + control-char scrub + whitespace
     // collapse via the NormalizeTextExpr kernel, over documents
     // deterministically augmented with the mess the kernel exists for
@@ -2299,6 +2309,25 @@ object Queries {
         |    t -> lower(t) IN ('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by','it','be','this','that')))
         |  AS n_stopwords
         |FROM documents""".stripMargin,
+
+    // chunk count = 1 + ceil(max(0, m-size)/stride) in INTEGER math
+    // (the kernel's emission rule: last chunk is the one reaching the
+    // final token); DuckDB list slices are 1-based inclusive
+    "x_chunk_windows" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents
+        |), nz AS (
+        |  SELECT doc_id, ts, len(ts) AS m FROM toks WHERE len(ts) > 0
+        |), starts AS (
+        |  SELECT doc_id, ts, m,
+        |    unnest(range(0, 1 + (greatest(0, m - 16) + 11) // 12)) AS j
+        |  FROM nz
+        |)
+        |SELECT doc_id, CAST(j AS INTEGER) AS chunk_idx,
+        |  array_to_string(ts[j*12 + 1 : least(j*12 + 16, m)], ' ') AS chunk_text,
+        |  CAST(least(j*12 + 16, m) - j*12 AS INTEGER) AS n_chunk_tokens
+        |FROM starts""".stripMargin,
 
     "x_vocab_topk" ->
       """SELECT t AS token, count(*) AS freq

@@ -91,6 +91,22 @@ class ClustersSpec extends SparkTestBase {
     assert(kept == Seq(1L, 2L, 4L))
   }
 
+  test("localCheckpoint blocks are released once the result no longer needs them") {
+    val base = spark.sparkContext.getPersistentRDDs.keySet
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    // driver-finisher path: the result is driver data — EVERY round's
+    // checkpoint must be unpersisted before the call returns
+    Clusters.connectedComponents(pairs).collect()
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- base).isEmpty,
+      "finisher path must release all checkpoint blocks")
+    // pure distributed path: the returned frame lazily reads the FINAL
+    // edge list — exactly that one checkpoint may remain registered
+    val comps = Clusters.connectedComponents(pairs, localThreshold = 0)
+    assert(comps.collect().nonEmpty)
+    val extra = spark.sparkContext.getPersistentRDDs.keySet -- base
+    assert(extra.size <= 1, s"only the final checkpoint may remain, got ${extra.size}")
+  }
+
   test("durable checkpointDir produces the same components") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
     val edges = Seq((1L, 2L), (2L, 3L), (7L, 8L))

@@ -20,6 +20,40 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(rows(3).getInt(0) == 0)
   }
 
+  test("chunkWindows: stride windows, tail rule, overlap, degenerate docs") {
+    val doc10 = (0 until 10).map(i => s"t$i").mkString(" ")
+    val got = Seq((1L, doc10), (2L, "a b"), (3L, ""), (4L, "   "))
+      .toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkWindows(got, "doc_id", "text", size = 4, stride = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getString(2), r.getInt(3)))).toMap
+    // m=10, size=4, stride=3: starts 0,3,6 — chunk 6 reaches token 9 and
+    // stops the emission (no redundant trailing sub-chunk at start 9)
+    assert(chunks.keys.count(_._1 == 1L) == 3)
+    assert(chunks((1L, 0)) == (("t0 t1 t2 t3", 4)))
+    assert(chunks((1L, 1)) == (("t3 t4 t5 t6", 4)))
+    assert(chunks((1L, 2)) == (("t6 t7 t8 t9", 4)))
+    // shorter than size: one whole-doc chunk
+    assert(chunks.keys.count(_._1 == 2L) == 1)
+    assert(chunks((2L, 0)) == (("a b", 2)))
+    // empty / whitespace-only: no rows
+    assert(!chunks.keys.exists(k => k._1 == 3L || k._1 == 4L))
+    // count formula the oracle uses: 1 + ceil(max(0, m-size)/stride),
+    // for every m in 1..40 under several (size, stride) shapes
+    val docs = (1 to 40).map(m => (m.toLong, (0 until m).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    for (sz <- Seq(4, 7, 16); stride <- Seq(2, 3, 12)) {
+      val counts = docs.select(col("doc_id"),
+          size(graft.functions.VectorFunctions
+            .chunkTokens(col("text"), sz, stride)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      for (m <- 1 to 40) {
+        val expect = 1 + math.ceil(math.max(0, m - sz).toDouble / stride).toInt
+        assert(counts(m.toLong) == expect, s"m=$m size=$sz stride=$stride")
+      }
+    }
+  }
+
   test("punct and stopword ratios") {
     val r = Seq("the cat!!").toDF("t").select(
       TextAnalysis.punctRatio(col("t")).as("p"),
