@@ -106,7 +106,11 @@ object GraftExtensions {
         CharNgramsExpr(args(0), intArg(args(1), "n")))),
     ("graft_normalize_text",
       info("graft_normalize_text", "NFC + control scrub + whitespace-collapse text normalization"),
-      arity("graft_normalize_text", 1)(args => NormalizeTextExpr(args(0))))
+      arity("graft_normalize_text", 1)(args => NormalizeTextExpr(args(0)))),
+    ("graft_chunk_tokens",
+      info("graft_chunk_tokens", "fixed-size token windows with stride over a text value"),
+      arity("graft_chunk_tokens", 3)(args =>
+        ChunkTokensExpr(args(0), intArg(args(1), "size"), intArg(args(2), "stride"))))
   )
 
   /** Register on an already-running session. */

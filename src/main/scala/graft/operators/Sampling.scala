@@ -88,6 +88,32 @@ object Sampling {
     df.withColumn("split", splitLabel(col(idCol), weights, salt))
   }
 
+  /** Near-dup-leakage-safe split: every member of a near-dup CLUSTER
+    * gets the SAME split label, by hashing the cluster id (component
+    * root for paired docs, the row's own id for singletons) instead of
+    * the document id. Without this a document lands in train while its
+    * near-duplicate lands in test, leaking evaluation signal through
+    * paraphrase-level copies — the standard dedup-aware-split
+    * requirement for corpus evaluation hygiene. `components` is
+    * [[Clusters.connectedComponents]] output over the near-dup pair
+    * graph (from any [[Dedup]] operator); it is small relative to the
+    * corpus (only pair members), so the join broadcasts and the corpus
+    * frame never shuffles — the split itself stays the same portable
+    * codegen'd hash projection [[withSplit]] uses.
+    */
+  def withClusterSafeSplit(
+      df: DataFrame, idCol: String, components: DataFrame,
+      weights: Seq[(String, Int)] = Seq("train" -> 800, "val" -> 100, "test" -> 100),
+      salt: Long = 0L
+  ): DataFrame = {
+    require(!df.columns.contains("split"),
+      "input already has a column named 'split' (reserved by withClusterSafeSplit)")
+    require(!df.columns.contains("cluster_id"),
+      "input already has a column named 'cluster_id' (reserved by withClusterIds)")
+    Clusters.withClusterIds(df, idCol, components)
+      .withColumn("split", splitLabel(col("cluster_id"), weights, salt))
+  }
+
   /** Deterministic token-budget sampling: keep documents, in hashed
     * order, until each partition key's running token total reaches the
     * budget — the way training mixes are actually specified ("20B

@@ -1055,6 +1055,21 @@ object Queries {
           sum(TextAnalysis.tokenCount(col("text")).cast(LongType)).as("n_tokens"))
     }),
 
+    // Near-dup-leakage-safe split: near-dup clusters (exact ngram pair
+    // graph -> connected components) share ONE split label by hashing
+    // the cluster root instead of the doc id — a doc in train and its
+    // paraphrase in test would otherwise leak eval signal. Oracle
+    // closes the pair graph with the x_dedup_clusters recursive CTE and
+    // replays the portable split hash on the cluster id.
+    "x_cluster_safe_split" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val comps = Clusters.connectedComponents(
+        Dedup.ngramJaccardNearDups(docs, "doc_id", "text",
+          shingleSize = 3, threshold = 0.5))
+      graft.operators.Sampling.withClusterSafeSplit(docs, "doc_id", comps)
+        .select(col("doc_id"), col("cluster_id"), col("split"))
+    }),
+
     // Deterministic 80/10/10 train/val/test split: ROW-LEVEL label per
     // doc, so the oracle verifies exact membership, not just counts.
     // Pure projection (no shuffle, no RNG); the bucket hash is
@@ -2274,6 +2289,46 @@ object Queries {
         |  FROM documents
         |)
         |SELECT doc_id, lang,
+        |  CASE WHEN bucket < 800 THEN 'train'
+        |       WHEN bucket < 900 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b""".stripMargin,
+
+    // x_dedup_clusters' recursive component closure + x_hash_split's
+    // portable bucket hash, applied to the cluster id
+    "x_cluster_safe_split" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(ts)-2),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+        |  FROM toks WHERE len(ts) >= 3
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+        |), edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION
+        |  SELECT id_b AS u, id_a AS v FROM pairs
+        |), lbl(id, comp) AS (
+        |  SELECT u, least(u, min(v)) FROM edges GROUP BY u
+        |  UNION
+        |  SELECT e.u, l.comp FROM edges e JOIN lbl l ON e.v = l.id
+        |), comps AS (
+        |  SELECT id, min(comp) AS comp FROM lbl GROUP BY id
+        |), cl AS (
+        |  SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN comps c ON d.doc_id = c.id
+        |), b AS (
+        |  SELECT *,
+        |    (((((cluster_id % 2147483647) + 0) * 1103515245) % 2147483647) * 784588716) % 2147483647 % 1000 AS bucket
+        |  FROM cl
+        |)
+        |SELECT doc_id, cluster_id,
         |  CASE WHEN bucket < 800 THEN 'train'
         |       WHEN bucket < 900 THEN 'val'
         |       ELSE 'test' END AS split

@@ -139,10 +139,12 @@ class FunctionsSpec extends SparkTestBase {
     assert(r.getLong(7) == 5L)
     val r2 = spark.sql(
       """SELECT graft_char_ngrams('ABCD', 3) AS tg,
-        |       graft_normalize_text('  a   b ') AS norm
+        |       graft_normalize_text('  a   b ') AS norm,
+        |       graft_chunk_tokens('a b c d e', 3, 2) AS ch
         |""".stripMargin).collect()(0)
     assert(r2.getSeq[String](0) == Seq("abc", "bcd"))
     assert(r2.getString(1) == "a b")
+    assert(r2.getSeq[String](2) == Seq("a b c", "c d e"))
   }
 
   test("signBucket: similar vectors share more buckets than dissimilar ones") {

@@ -69,6 +69,29 @@ class SamplingSpec extends SparkTestBase {
     }
   }
 
+  test("withClusterSafeSplit: cluster members share one label; singletons match withSplit") {
+    val rows = (1L to 8L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // two clusters {1,2,3} (root 1) and {5,6} (root 5); 4,7,8 singletons
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("id", "component")
+    val got = Sampling.withClusterSafeSplit(rows, "doc_id", comps)
+      .select("doc_id", "cluster_id", "split").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // every cluster member carries the root's id and ONE shared label
+    assert(Seq(1L, 2L, 3L).map(got(_)).distinct == Seq((1L, got(1L)._2)))
+    assert(Seq(5L, 6L).map(got(_)).distinct == Seq((5L, got(5L)._2)))
+    // singletons: cluster_id = own id, label identical to the plain split
+    val plain = Sampling.withSplit(rows, "doc_id")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    Seq(4L, 7L, 8L).foreach { id =>
+      assert(got(id) == ((id, plain(id))))
+    }
+    // and the shared cluster label is the ROOT's plain-split label — the
+    // whole cluster moves to where its root would have gone
+    assert(got(2L)._2 == plain(1L) && got(6L)._2 == plain(5L))
+  }
+
   test("sampling composes independently with splitting (distinct salts)") {
     // same-salt decisions are perfectly correlated: a 500-per-mill
     // sample keyed like the train split would contain ONLY train rows
