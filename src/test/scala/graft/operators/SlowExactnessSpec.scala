@@ -4,11 +4,11 @@ import graft.SparkTestBase
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** sf0.1 exactness regeneration for the six catalog entries whose
+/** sf0.1 exactness regeneration for the seven catalog entries whose
   * DuckDB oracles are all-pairs-quadratic and therefore run only at
   * sf0.01 in the driver gate (`x_dedup_minhash`, `x_dedup_ngram`,
   * `x_dedup_clusters`, `x_dedup_incremental`, `x_incremental_ingest`,
-  * `x_corpus_prep`). Their sf0.1 claims (BASELINE.md: LSH pair set ==
+  * `x_corpus_prep`, `x_cluster_safe_split`). Their sf0.1 claims (BASELINE.md: LSH pair set ==
   * exact set 256/256; index-probe set == cross-subset restriction
   * 89/89) were hand-verified in r4/r6; this suite regenerates them
   * mechanically every time it runs, so the claim can never go stale
@@ -91,13 +91,12 @@ class SlowExactnessSpec extends SparkTestBase {
     assert(pairSet(lsh08) == brutePairs.filter(_._2 >= 0.8).keySet)
   }
 
-  test("sf0.1: connected components over near-dup pairs match union-find on the exact set") {
-    gate()
-    val got = Clusters.connectedComponents(
-      Dedup.ngramJaccardNearDups(docs, "doc_id", "text",
-        shingleSize = 3, threshold = 0.5))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // independent driver-side union-find with min-id roots
+  /** Independent driver-side union-find with min-id roots over the
+    * brute-force pair set — ground truth for the components test AND
+    * the cluster-safe-split test (pair members only; singletons are
+    * absent and root themselves).
+    */
+  private lazy val bruteComponents: Map[Long, Long] = {
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(x: Long): Long = {
       var r = x
@@ -110,8 +109,41 @@ class SlowExactnessSpec extends SparkTestBase {
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
-    val expect = parent.keys.map(k => k -> find(k)).toMap
-    assert(got == expect)
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("sf0.1: connected components over near-dup pairs match union-find on the exact set") {
+    gate()
+    val got = Clusters.connectedComponents(
+      Dedup.ngramJaccardNearDups(docs, "doc_id", "text",
+        shingleSize = 3, threshold = 0.5))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == bruteComponents)
+  }
+
+  test("sf0.1: cluster-safe split labels every member with its root's replayed hash bucket") {
+    gate()
+    val comps = Clusters.connectedComponents(
+      Dedup.ngramJaccardNearDups(docs, "doc_id", "text",
+        shingleSize = 3, threshold = 0.5))
+    val got = Sampling.withClusterSafeSplit(docs, "doc_id", comps)
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // driver-side replay of the portable bucket hash (the same
+    // arithmetic the DuckDB oracle SQL spells out, reimplemented here
+    // rather than calling Sampling.hashBucket)
+    val (p, a, b) = (2147483647L, 1103515245L, 784588716L)
+    def label(id: Long): String = {
+      val r2 = (((id % p) * a % p) * b % p) % 1000L
+      if (r2 < 800) "train" else if (r2 < 900) "val" else "test"
+    }
+    val allIds = docs.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(got.keySet == allIds, "split output must cover the whole corpus")
+    allIds.foreach { id =>
+      val root = bruteComponents.getOrElse(id, id)
+      assert(got(id) == ((root, label(root))),
+        s"doc $id: expected root $root label ${label(root)}, got ${got(id)}")
+    }
   }
 
   test("sf0.1: index-probe pair set equals the brute-force cross-subset restriction (the 89/89 claim)") {
