@@ -821,4 +821,75 @@ object Dedup {
       df, idCol, vecCol, threshold, planes, tables, maxBucket, storage, metricName)
     Clusters.dedupClusters(df, idCol, Clusters.connectedComponents(pairs))
   }
+
+  /** Cross-document repeated-passage detection — the exact-substring
+    * dedup family (Lee et al. 2021, "Deduplicating Training Data Makes
+    * Language Models Better"): find every maximal token span that some
+    * OTHER document also contains verbatim. Whereas [[nearDups]] asks
+    * "are these documents similar overall?", this asks "which exact
+    * passages recur across the corpus?" — the operator that catches
+    * boilerplate paragraphs, license headers, and quoted copies inside
+    * otherwise-distinct documents.
+    *
+    * Algorithm (the distributed stand-in for a suffix array): slide an
+    * `n`-token window with stride 1 over each document
+    * ([[TextAnalysis.chunkWindows]] kernel — windows shorter than `n`
+    * are dropped, so a document with fewer than `n` tokens can never
+    * match); a window is DUPLICATED when its exact text occurs in ≥ 2
+    * distinct documents; per document, overlapping or adjacent
+    * duplicated windows (start gap ≤ `n`) merge into one maximal span.
+    * Returns `(id, span_start, span_end, n_dup_windows)` with
+    * token-index spans `[span_start, span_end)` — every token inside a
+    * span is covered by at least one duplicated window, so the spans
+    * are exactly the regions a passage-level dedup pass would cut.
+    *
+    * Scale shape: the only corpus-wide exchange is the `groupBy` on
+    * window text (same hash-partitioned shuffle class as the MinHash
+    * band bucketing — never all-pairs); the island merge is a window
+    * partitioned BY DOCUMENT (state bounded by one document's token
+    * count, the same per-doc bound every text kernel here has). The
+    * stride-1 windows multiply shuffled volume by ~`n` versus the raw
+    * corpus — at 100 TB the duplicated-window join carries id+offset
+    * pairs, and production deployments swap the window TEXT for a
+    * 128-bit content hash in the groupBy key (collision probability
+    * ~q²/2¹²⁸ for q distinct windows — negligible); the text key here
+    * keeps the operator exact and oracle-comparable.
+    */
+  def duplicatePassageSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8
+  ): DataFrame = {
+    require(n >= 2, s"window size n must be >= 2, got $n")
+    val wins = graft.operators.TextAnalysis
+      .chunkWindows(df, idCol, textCol, size = n, stride = 1)
+      .filter(col("n_chunk_tokens") === n)
+      .select(col(idCol), col("chunk_idx").as("j"), col("chunk_text"))
+    // windows whose exact text occurs in >= 2 distinct documents; the
+    // join back is id+offset only — window text never rides the second
+    // shuffle
+    val dup = wins.groupBy("chunk_text")
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("chunk_text")
+    val hits = wins.join(dup, "chunk_text").select(col(idCol), col("j"))
+    // gaps-and-islands per document: windows [p, p+n) and [j, j+n) with
+    // j > p overlap or touch iff j <= p + n, so a new island starts
+    // when the gap exceeds n (or at the first window)
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("j"))
+    val prev = lag(col("j"), 1).over(byDoc)
+    hits
+      .withColumn("__new_island",
+        when(prev.isNull || col("j") - prev > n, 1L).otherwise(0L))
+      .withColumn("__island",
+        sum(col("__new_island")).over(
+          byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__island"))
+      .agg(
+        min(col("j")).cast(IntegerType).as("span_start"),
+        (max(col("j")) + n).cast(IntegerType).as("span_end"),
+        count(lit(1)).as("n_dup_windows"))
+      .drop("__island")
+  }
 }

@@ -165,4 +165,64 @@ object Sampling {
     }
     df.filter(hashBucket(col(idCol), salt) < keep)
   }
+
+  /** Temperature-weighted source mixing — the corpus-composition step
+    * (the Pile / CCNet α-mixing shape): given a total token budget,
+    * allocate it across sources proportionally to `tokens_s^α` with
+    * α = 1/2, so small sources are UP-weighted relative to their raw
+    * share (α = 1 is proportional sampling, α = 0 is uniform across
+    * sources; the square root is the standard middle ground), then keep
+    * each source's deterministic per-mill hash slice of documents at
+    * the allocated rate. Returns the kept rows plus `rate_mill` (the
+    * per-mill keep rate applied to that row's source) so the rate
+    * derivation itself is part of the checked output.
+    *
+    * EVERY step is integer-exact, which is what makes the mix portable
+    * and oracle-comparable: `w_s = floor(sqrt(tokens_s))` (exact for
+    * `tokens_s < 2^45` — IEEE-correctly-rounded sqrt cannot cross an
+    * integer boundary below that), and
+    * `rate_mill_s = min(1000, (1000·budget·w_s) div (Σw · tokens_s))`
+    * in 64-bit floor division. Overflow audit (same contract as
+    * [[hashBucket]]): with `budget ≤ 10^10`, per-source
+    * `tokens_s ≤ 10^10`, and ≤ 1000 sources, `w_s ≤ 10^5`, the
+    * numerator is ≤ 10^3·10^10·10^5 = 10^18 and the denominator
+    * ≤ 10^3·10^5·10^10 = 10^18 — both under 2^63. The per-mill
+    * granularity means a source's realized token share tracks its
+    * allocation to ~0.1%; when per-source totals exceed 10^10 (a
+    * 100 TB corpus counts tokens in the 10^13 range), pre-scale
+    * `tokenCol` to a coarser unit (ktokens / Mtokens) — the rate only
+    * carries per-mill precision, so the audit bound is a units choice,
+    * not a size limit. Production mixes at larger budgets raise
+    * [[Buckets]] with the same audit.
+    *
+    * Scale shape: one small per-source aggregate (|sources| rows), a
+    * 1-row total broadcast-crossJoined onto it (the two-pass-agg
+    * pattern [[graft.pipeline.ValidationPipeline]] uses for z-scores),
+    * and a broadcast join of the per-source rates onto the corpus —
+    * the corpus frame itself never shuffles; the keep decision is the
+    * same codegen'd hash projection as [[stratifiedSample]].
+    */
+  def temperatureMix(
+      df: DataFrame, idCol: String, tokenCol: String, sourceCol: String,
+      budgetTokens: Long, salt: Long = 3L
+  ): DataFrame = {
+    require(budgetTokens > 0 && budgetTokens <= 10000000000L,
+      s"budgetTokens must be in (0, 10^10] (64-bit overflow audit), got $budgetTokens")
+    require(!df.columns.contains("rate_mill"),
+      "input already has a column named 'rate_mill' (reserved by temperatureMix)")
+    val tok = coalesce(col(tokenCol).cast(LongType), lit(0L))
+    val stats = df.groupBy(col(sourceCol)).agg(sum(tok).as("__tot"))
+      .withColumn("__w", floor(sqrt(col("__tot"))).cast(LongType))
+    val total = stats.agg(sum(col("__w")).as("__denom"))
+    // `div` (not `/`): Long / Long is a DOUBLE division in Spark SQL,
+    // and the numerator can exceed 2^53 where doubles drop integers
+    val rates = stats.crossJoin(broadcast(total))
+      .withColumn("rate_mill",
+        when(col("__tot") === 0L || col("__denom") === 0L, 0L)
+          .otherwise(least(lit(Buckets),
+            expr(s"(1000 * __w * ${budgetTokens}L) div (__denom * __tot)"))))
+      .select(col(sourceCol), col("rate_mill"))
+    df.join(broadcast(rates), sourceCol)
+      .filter(hashBucket(col(idCol), salt) < col("rate_mill"))
+  }
 }

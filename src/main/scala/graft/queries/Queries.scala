@@ -1088,6 +1088,27 @@ object Queries {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // Temperature-weighted source mixing (α = 1/2 over per-lang char
+    // totals, 60k-char budget): the corpus-composition step. Integer-
+    // exact end to end (floor(sqrt) weights + 64-bit floor-division
+    // rates + the portable per-mill hash), so the oracle replays the
+    // whole derivation including each kept row's rate_mill.
+    "x_temperature_mix" -> ((s, d) => {
+      graft.operators.Sampling.temperatureMix(
+        t(s, d, "documents"), "doc_id", "n_chars", "lang",
+        budgetTokens = 60000L)
+        .select(col("doc_id"), col("lang"), col("rate_mill"))
+    }),
+
+    // Cross-document repeated passages (exact-substring dedup family):
+    // maximal token spans whose every 8-token window recurs verbatim in
+    // >= 2 distinct docs. One corpus-wide shuffle (groupBy window text);
+    // the island merge is a per-document window. Oracle replays the
+    // window emission + distinct-doc count + gaps-and-islands merge.
+    "x_dup_passages" -> ((s, d) => {
+      Dedup.duplicatePassageSpans(t(s, d, "documents"), "doc_id", "text", n = 8)
+    }),
+
     // Benchmark decontamination: docs sharing 5-gram shingles with the
     // "eval set" (doc_id < 20). Exact-membership oracle; the ratio is a
     // single int/int IEEE division (bit-identical cross-engine).
@@ -2340,6 +2361,52 @@ object Queries {
       """SELECT doc_id, lang FROM documents
         |WHERE (((((doc_id % 2147483647) + 1) * 1103515245) % 2147483647) * 784588716) % 2147483647 % 1000
         |  < CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 200 ELSE 0 END""".stripMargin,
+
+    // w = floor(sqrt(tot)) is integer-exact below 2^45; the rate is
+    // pure BIGINT floor division (// in DuckDB, div in Spark); the keep
+    // hash is the salt-3 variant of the portable per-mill bucket
+    "x_temperature_mix" ->
+      """WITH stats AS (
+        |  SELECT lang, sum(n_chars) AS tot,
+        |    CAST(floor(sqrt(sum(n_chars))) AS BIGINT) AS w
+        |  FROM documents GROUP BY lang
+        |), rates AS (
+        |  SELECT lang,
+        |    CAST(CASE WHEN tot = 0 OR (SELECT sum(w) FROM stats) = 0 THEN 0
+        |         ELSE least(1000, (1000 * w * 60000) // ((SELECT sum(w) FROM stats) * tot))
+        |    END AS BIGINT) AS rate_mill
+        |  FROM stats
+        |)
+        |SELECT d.doc_id, d.lang, r.rate_mill
+        |FROM documents d JOIN rates r ON d.lang = r.lang
+        |WHERE (((((d.doc_id % 2147483647) + 3) * 1103515245) % 2147483647) * 784588716) % 2147483647 % 1000
+        |  < r.rate_mill""".stripMargin,
+
+    // stride-1 8-token windows (full windows only), duplicated when the
+    // exact text occurs in >= 2 distinct docs; overlapping/adjacent
+    // duplicated windows (start gap <= 8) merge into maximal spans via
+    // gaps-and-islands
+    "x_dup_passages" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents
+        |), wins AS (
+        |  SELECT doc_id, CAST(j AS INTEGER) AS j, array_to_string(ts[j+1 : j+8], ' ') AS w
+        |  FROM (SELECT doc_id, ts, unnest(range(0, len(ts) - 7)) AS j FROM toks WHERE len(ts) >= 8)
+        |), dup AS (
+        |  SELECT w FROM wins GROUP BY w HAVING count(DISTINCT doc_id) >= 2
+        |), hits AS (
+        |  SELECT doc_id, j FROM wins WHERE w IN (SELECT w FROM dup)
+        |), isl AS (
+        |  SELECT doc_id, j, CASE WHEN lag(j) OVER (PARTITION BY doc_id ORDER BY j) IS NULL
+        |      OR j - lag(j) OVER (PARTITION BY doc_id ORDER BY j) > 8 THEN 1 ELSE 0 END AS f
+        |  FROM hits
+        |), grp AS (
+        |  SELECT doc_id, j, sum(f) OVER (PARTITION BY doc_id ORDER BY j) AS g FROM isl
+        |)
+        |SELECT doc_id, CAST(min(j) AS INTEGER) AS span_start,
+        |  CAST(max(j) + 8 AS INTEGER) AS span_end, count(*) AS n_dup_windows
+        |FROM grp GROUP BY doc_id, g""".stripMargin,
 
     // n_bpe_tokens comes from a committed golden parquet generated by an
     // INDEPENDENT Python replay of the merge kernel

@@ -453,4 +453,81 @@ class DedupSpec extends SparkTestBase {
           s"missing=${expected -- got} extra=${got -- expected}")
     }
   }
+
+  test("duplicatePassageSpans finds the shared passage and merges overlapping windows") {
+    // docs 1 and 2 share a verbatim 6-token passage at different
+    // offsets; doc 3 is unrelated; doc 4 is too short to window
+    val passage = "p1 p2 p3 p4 p5 p6"
+    val df = Seq(
+      (1L, s"a1 a2 a3 $passage a4 a5"),
+      (2L, s"b1 $passage b2 b3 b4 b5 b6"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9"),
+      (4L, "short doc")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatePassageSpans(df, "doc_id", "text", n = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    // the shared 6-token run yields 3 overlapping 4-windows per doc,
+    // merged into ONE maximal span covering exactly the passage tokens:
+    // doc 1 tokens 3..8, doc 2 tokens 1..6
+    assert(spans.toSet == Set((1L, 3, 9, 3L), (2L, 1, 7, 3L)), spans.mkString(", "))
+  }
+
+  test("duplicatePassageSpans: within-doc repeats alone do not flag; distinct docs do") {
+    val rep = "r1 r2 r3 r4"
+    val df = Seq(
+      // doc 1 repeats the window INTERNALLY only — count(distinct doc)=1
+      (1L, s"$rep x1 x2 $rep"),
+      (2L, "y1 y2 y3 y4 y5 y6")
+    ).toDF("doc_id", "text")
+    assert(Dedup.duplicatePassageSpans(df, "doc_id", "text", n = 4).count() == 0)
+    // add a second doc carrying the window: now BOTH occurrences in
+    // doc 1 flag (two disjoint spans) plus doc 2's one
+    val df2 = df.union(Seq((3L, s"z1 $rep z2")).toDF("doc_id", "text"))
+    val spans = Dedup.duplicatePassageSpans(df2, "doc_id", "text", n = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(spans == Set((1L, 0, 4), (1L, 6, 10), (3L, 1, 5)), spans.mkString(", "))
+  }
+
+  test("duplicatePassageSpans matches a brute-force replay on a planted corpus") {
+    val rnd = new scala.util.Random(0xbeef)
+    val pool = (0 until 25).map(i => s"t$i")
+    val base = (0 until 30).map { id =>
+      (id.toLong, (0 until (10 + rnd.nextInt(25))).map(_ => pool(rnd.nextInt(pool.size))).mkString(" "))
+    }
+    // plant verbatim passage copies: splice a random 8..14-token run of
+    // an earlier doc into a new doc at a random offset
+    val planted = (0 until 15).map { k =>
+      val (_, src) = base(rnd.nextInt(base.size))
+      val toks = src.split(" ")
+      val runLen = math.min(toks.length, 8 + rnd.nextInt(7))
+      val start = rnd.nextInt(toks.length - runLen + 1)
+      val run = toks.slice(start, start + runLen)
+      val host = (0 until (5 + rnd.nextInt(10))).map(_ => pool(rnd.nextInt(pool.size)))
+      val cut = rnd.nextInt(host.length + 1)
+      (200L + k, (host.take(cut) ++ run ++ host.drop(cut)).mkString(" "))
+    }
+    val corpus = base ++ planted
+    val n = 6
+    // brute force: all full n-windows, duplicated = text in >= 2 docs,
+    // islands merged with the gap-<= n rule
+    val wins = corpus.flatMap { case (id, text) =>
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+      if (toks.length < n) Seq.empty
+      else toks.sliding(n).zipWithIndex.map { case (w, j) => (id, j, w.mkString(" ")) }.toSeq
+    }
+    val dupTexts = wins.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2).keySet
+    val expected = wins.filter(w => dupTexts(w._3)).groupBy(_._1).flatMap { case (id, ws) =>
+      val starts = ws.map(_._2).sorted
+      val islands = starts.tail.foldLeft(List(List(starts.head))) {
+        case (acc @ cur :: rest, j) =>
+          if (j - cur.head <= n) (j :: cur) :: rest else List(j) :: acc
+        case (Nil, j) => List(List(j))
+      }
+      islands.map(isl => (id, isl.min, isl.max + n, isl.size.toLong))
+    }.toSet
+    val got = Dedup.duplicatePassageSpans(corpus.toDF("doc_id", "text"), "doc_id", "text", n)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    assert(got == expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+  }
 }

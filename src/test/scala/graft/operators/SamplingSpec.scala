@@ -129,4 +129,77 @@ class SamplingSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  // independent replay of the operator's integer math: weights are
+  // floor(sqrt(tot)), rates 64-bit floor division, keep decision the
+  // salt-3 per-mill hash — all computed here in plain Scala
+  private def expectedMix(rows: Seq[(Long, String, Long)], budget: Long)
+      : (Map[String, Long], Set[Long]) = {
+    val tot = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val w = tot.view.mapValues(t => math.sqrt(t.toDouble).toLong).toMap
+    val denom = w.values.sum
+    val rate = tot.map { case (s, t) =>
+      s -> (if (t == 0 || denom == 0) 0L
+            else math.min(1000L, 1000L * w(s) * budget / (denom * t)))
+    }
+    def hash(id: Long): Long = {
+      val p = 2147483647L
+      (((id % p + 3) % p * 1103515245L % p) * 784588716L % p) % 1000L
+    }
+    (rate, rows.collect { case (id, s, _) if hash(id) < rate(s) => id }.toSet)
+  }
+
+  test("temperatureMix: rates and membership match an independent integer replay") {
+    val rows = Seq[(Long, String, Long)](
+      (1L, "big", 4000L), (2L, "big", 4000L), (3L, "big", 4000L), (4L, "big", 4000L),
+      (5L, "small", 100L), (6L, "small", 150L), (7L, "mid", 900L), (8L, "mid", 850L))
+    val df = rows.toDF("id", "src", "n_tok")
+    val out = Sampling.temperatureMix(df, "id", "n_tok", "src", budgetTokens = 2000L)
+    val got = out.select("id", "rate_mill").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (rate, keep) = expectedMix(rows, 2000L)
+    assert(got.keySet == keep)
+    got.foreach { case (id, rm) =>
+      val src = rows.find(_._1 == id).get._2
+      assert(rm == rate(src), s"id $id rate $rm != expected ${rate(src)}")
+    }
+    // temperature UP-weights small sources: per-token keep rate is
+    // ∝ 1/sqrt(tot_s), so the smaller source's rate must be strictly
+    // higher than the 40x-bigger one's
+    assert(rate("small") > rate("big"),
+      s"alpha=1/2 must up-weight the small source: $rate")
+  }
+
+  test("temperatureMix: large budget caps every rate at 1000 and keeps everything") {
+    val df = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "src", "n_tok")
+    val out = Sampling.temperatureMix(df, "id", "n_tok", "src", budgetTokens = 1000000L)
+    assert(out.count() == 2)
+    assert(out.select("rate_mill").distinct().collect().map(_.getLong(0)).toSet == Set(1000L))
+  }
+
+  test("temperatureMix: zero-token source gets rate 0, not a division error") {
+    val df = Seq((1L, "a", 100L), (2L, "empty", 0L)).toDF("id", "src", "n_tok")
+    val out = Sampling.temperatureMix(df, "id", "n_tok", "src", budgetTokens = 50L)
+    assert(!out.select("src").collect().map(_.getString(0)).contains("empty"))
+  }
+
+  test("temperatureMix rejects reserved columns and out-of-audit budgets") {
+    val df = Seq((1L, "a", 10L)).toDF("id", "src", "n_tok")
+    assertThrows[IllegalArgumentException](
+      Sampling.temperatureMix(df.withColumn("rate_mill", lit(1L)),
+        "id", "n_tok", "src", budgetTokens = 10L))
+    assertThrows[IllegalArgumentException](
+      Sampling.temperatureMix(df, "id", "n_tok", "src", budgetTokens = 0L))
+    assertThrows[IllegalArgumentException](
+      Sampling.temperatureMix(df, "id", "n_tok", "src",
+        budgetTokens = 10000000001L))
+  }
+
+  test("temperatureMix: corpus side never shuffles (broadcast rates join)") {
+    val out = Sampling.temperatureMix(docs, "doc_id", "n_chars", "lang",
+      budgetTokens = 60000L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"rates join must broadcast:\n$plan")
+  }
 }
