@@ -26,7 +26,7 @@ import org.apache.spark.sql.SparkSession
   * so growing the catalog cannot silently erode the headroom the way a
   * flat constant did (a 45 s flat budget calibrated for 47 queries
   * false-alarmed on a healthy 55-query session in round 6). At the
-  * r10 catalog (86 queries, 16 io/streaming-flagged) that is ~141 s:
+  * r10 catalog (89 queries, 16 io/streaming-flagged) that is ~144 s:
   * ~2.2x the healthy ~63 s sf0.1 total, while a degenerate JIT
   * session (3-10x slow) still trips it.
   *

@@ -892,4 +892,59 @@ object Dedup {
         count(lit(1)).as("n_dup_windows"))
       .drop("__island")
   }
+
+  /** The cut step that completes [[duplicatePassageSpans]]'s detection:
+    * rewrite every document with its duplicated spans deleted (what a
+    * passage-level dedup pass actually does to the corpus — Lee et al.
+    * 2021 remove one occurrence of each duplicated substring; deleting
+    * EVERY flagged span is the conservative variant that also kills
+    * boilerplate present in all copies). Output is one row per input
+    * document: `(id, clean_text, n_kept_tokens, n_removed_tokens)`
+    * where `clean_text` is the surviving tokens joined by single
+    * spaces — the rewrite normalizes whitespace as a side effect, the
+    * same canonical form every windowing kernel here already uses, so
+    * the transform is deterministic and oracle-replayable.
+    *
+    * Scale shape: detection is [[duplicatePassageSpans]]'s one
+    * corpus-wide shuffle; the spans collapse to a per-document list
+    * (bounded by tokens/(n+1) — spans are disjoint by construction,
+    * islands merge at gap ≤ n) that equi-joins back on the id, and the
+    * cut itself is a per-row projection (token index ∉ any span) whose
+    * cost is tokens × spans per document — never a corpus-wide
+    * operation. The corpus frame is touched by exactly one join.
+    */
+  def cutDuplicatePassages(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8
+  ): DataFrame = {
+    val reserved = Set("__spans", "__toks", "__kept")
+    require(!df.columns.exists(reserved),
+      s"input already has a column reserved by cutDuplicatePassages (${reserved.mkString(", ")})")
+    val spans = duplicatePassageSpans(df, idCol, textCol, n)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(
+        col("span_start").as("s"), col("span_end").as("e"))).as("__spans"))
+    val toks = filter(
+      graft.operators.TextAnalysis.tokens(col(textCol)), t => t =!= lit(""))
+    // docs with no duplicated span skip the exists-scan entirely; for
+    // the rest, keep tokens whose index lies outside every span — the
+    // span list is tiny (disjoint islands), so the nested exists is a
+    // short per-token loop, not a join. The kept array is bound to a
+    // named column FIRST so the filter evaluates once per row
+    // (CollapseProject will not inline a non-cheap expression into
+    // three consumers).
+    val kept = when(col("__spans").isNull, col("__toks")).otherwise(
+      filter(col("__toks"), (t, i) =>
+        !exists(col("__spans"), sp => i >= sp("s") && i < sp("e"))))
+    df.join(spans, Seq(idCol), "left")
+      .withColumn("__toks", toks)
+      .withColumn("__kept", kept)
+      .select(col(idCol),
+        array_join(col("__kept"), " ").as("clean_text"),
+        size(col("__kept")).cast(IntegerType).as("n_kept_tokens"),
+        (size(col("__toks")) - size(col("__kept")))
+          .cast(IntegerType).as("n_removed_tokens"))
+  }
 }

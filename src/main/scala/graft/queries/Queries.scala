@@ -1109,6 +1109,14 @@ object Queries {
       Dedup.duplicatePassageSpans(t(s, d, "documents"), "doc_id", "text", n = 8)
     }),
 
+    // The cut step over the same spans: every document rewritten with
+    // its duplicated passages deleted (tokens outside all spans, joined
+    // by single spaces — exact strings oracle-compared). One equi-join
+    // touches the corpus; the cut is a per-row projection.
+    "x_cut_passages" -> ((s, d) => {
+      Dedup.cutDuplicatePassages(t(s, d, "documents"), "doc_id", "text", n = 8)
+    }),
+
     // Benchmark decontamination: docs sharing 5-gram shingles with the
     // "eval set" (doc_id < 20). Exact-membership oracle; the ratio is a
     // single int/int IEEE division (bit-identical cross-engine).
@@ -2407,6 +2415,47 @@ object Queries {
         |SELECT doc_id, CAST(min(j) AS INTEGER) AS span_start,
         |  CAST(max(j) + 8 AS INTEGER) AS span_end, count(*) AS n_dup_windows
         |FROM grp GROUP BY doc_id, g""".stripMargin,
+
+    // same span derivation, then: explode tokens with their index,
+    // anti-join the span ranges (spans are disjoint islands, so the
+    // left-join-null formulation is an exact anti-join), reassemble in
+    // index order; docs with zero tokens or zero kept tokens surface
+    // with clean_text = ''
+    "x_cut_passages" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents
+        |), wins AS (
+        |  SELECT doc_id, CAST(j AS INTEGER) AS j, array_to_string(ts[j+1 : j+8], ' ') AS w
+        |  FROM (SELECT doc_id, ts, unnest(range(0, len(ts) - 7)) AS j FROM toks WHERE len(ts) >= 8)
+        |), dup AS (
+        |  SELECT w FROM wins GROUP BY w HAVING count(DISTINCT doc_id) >= 2
+        |), hits AS (
+        |  SELECT doc_id, j FROM wins WHERE w IN (SELECT w FROM dup)
+        |), isl AS (
+        |  SELECT doc_id, j, CASE WHEN lag(j) OVER (PARTITION BY doc_id ORDER BY j) IS NULL
+        |      OR j - lag(j) OVER (PARTITION BY doc_id ORDER BY j) > 8 THEN 1 ELSE 0 END AS f
+        |  FROM hits
+        |), grp AS (
+        |  SELECT doc_id, j, sum(f) OVER (PARTITION BY doc_id ORDER BY j) AS g FROM isl
+        |), spans AS (
+        |  SELECT doc_id, min(j) AS s, max(j) + 8 AS e FROM grp GROUP BY doc_id, g
+        |), tok AS (
+        |  SELECT doc_id, ts[i+1] AS tok, CAST(i AS BIGINT) AS idx
+        |  FROM (SELECT doc_id, ts, unnest(range(0, len(ts))) AS i FROM toks)
+        |), keep AS (
+        |  SELECT k.doc_id, k.tok, k.idx
+        |  FROM tok k LEFT JOIN spans s
+        |    ON k.doc_id = s.doc_id AND k.idx >= s.s AND k.idx < s.e
+        |  WHERE s.doc_id IS NULL
+        |), agg AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS ct, count(*) AS nk
+        |  FROM keep GROUP BY doc_id
+        |)
+        |SELECT t.doc_id, coalesce(a.ct, '') AS clean_text,
+        |  CAST(coalesce(a.nk, 0) AS INTEGER) AS n_kept_tokens,
+        |  CAST(len(t.ts) - coalesce(a.nk, 0) AS INTEGER) AS n_removed_tokens
+        |FROM toks t LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     // n_bpe_tokens comes from a committed golden parquet generated by an
     // INDEPENDENT Python replay of the merge kernel

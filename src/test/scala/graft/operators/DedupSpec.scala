@@ -530,4 +530,78 @@ class DedupSpec extends SparkTestBase {
     assert(got == expected,
       s"missing=${expected -- got} extra=${got -- expected}")
   }
+
+  test("cutDuplicatePassages deletes exactly the flagged spans and keeps everything else") {
+    val passage = "p1 p2 p3 p4 p5 p6"
+    val df = Seq(
+      (1L, s"a1 a2 a3 $passage a4 a5"),
+      (2L, s"b1 $passage b2 b3 b4 b5 b6"),
+      (3L, "c1 c2   c3\tc4 c5 c6 c7 c8 c9"), // odd whitespace: output normalizes
+      (4L, "short doc")
+    ).toDF("doc_id", "text")
+    val got = Dedup.cutDuplicatePassages(df, "doc_id", "text", n = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSet
+    // docs 1/2: the 6-token shared passage is cut (spans pinned by the
+    // detection test above); doc 3 survives whitespace-normalized; doc 4
+    // is below the window size and untouched
+    assert(got == Set(
+      (1L, "a1 a2 a3 a4 a5", 5, 6),
+      (2L, "b1 b2 b3 b4 b5 b6", 6, 6),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9", 9, 0),
+      (4L, "short doc", 2, 0)), got.mkString(", "))
+  }
+
+  test("cutDuplicatePassages matches a brute-force replay on a planted corpus") {
+    val rnd = new scala.util.Random(0xfeed)
+    val pool = (0 until 25).map(i => s"t$i")
+    val base = (0 until 30).map { id =>
+      (id.toLong, (0 until (10 + rnd.nextInt(25))).map(_ => pool(rnd.nextInt(pool.size))).mkString(" "))
+    }
+    val planted = (0 until 15).map { k =>
+      val (_, src) = base(rnd.nextInt(base.size))
+      val toks = src.split(" ")
+      val runLen = math.min(toks.length, 8 + rnd.nextInt(7))
+      val start = rnd.nextInt(toks.length - runLen + 1)
+      val run = toks.slice(start, start + runLen)
+      val host = (0 until (5 + rnd.nextInt(10))).map(_ => pool(rnd.nextInt(pool.size)))
+      val cut = rnd.nextInt(host.length + 1)
+      (200L + k, (host.take(cut) ++ run ++ host.drop(cut)).mkString(" "))
+    }
+    val corpus = base ++ planted
+    val n = 6
+    // brute-force spans (same replay as the detection test), then cut
+    val wins = corpus.flatMap { case (id, text) =>
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+      if (toks.length < n) Seq.empty
+      else toks.sliding(n).zipWithIndex.map { case (w, j) => (id, j, w.mkString(" ")) }.toSeq
+    }
+    val dupTexts = wins.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2).keySet
+    val spansByDoc = wins.filter(w => dupTexts(w._3)).groupBy(_._1).map { case (id, ws) =>
+      val starts = ws.map(_._2).sorted
+      val islands = starts.tail.foldLeft(List(List(starts.head))) {
+        case (acc @ cur :: rest, j) =>
+          if (j - cur.head <= n) (j :: cur) :: rest else List(j) :: acc
+        case (Nil, j) => List(List(j))
+      }
+      id -> islands.map(isl => (isl.min, isl.max + n))
+    }
+    val expected = corpus.map { case (id, text) =>
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+      val spans = spansByDoc.getOrElse(id, Nil)
+      val kept = toks.zipWithIndex.collect {
+        case (t, i) if !spans.exists { case (s, e) => i >= s && i < e } => t
+      }
+      (id, kept.mkString(" "), kept.length, toks.length - kept.length)
+    }.toSet
+    val got = Dedup.cutDuplicatePassages(corpus.toDF("doc_id", "text"), "doc_id", "text", n)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSet
+    assert(got == expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+  }
+
+  test("cutDuplicatePassages rejects reserved column names") {
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    assertThrows[IllegalArgumentException](
+      Dedup.cutDuplicatePassages(df.withColumn("__spans", lit(1)), "doc_id", "text"))
+  }
 }
