@@ -157,9 +157,22 @@ object Queries {
     * (`SparkSession.newSession()` shares the catalog but not runtime
     * conf — start the replay from a cloned session there).
     */
+  /** Last sink table started per prefix: the NEXT replay of the same
+    * entry drops it, so repeated execution (bench reps, long sessions)
+    * holds at most one sink's rows per entry instead of accumulating
+    * every rep's — measured: x_stream_dedup reps DEGRADED 3.6 → 12-23 s
+    * across 9 consecutive replays before this, GC-thrashing on retained
+    * sink rows + state maps. Safe under the same sequential-execution
+    * assumption as the conf mutation above: by the time an entry
+    * replays again, the previous run's returned frame has been fully
+    * consumed by the (strictly sequential) Verify/Bench driver.
+    */
+  private val lastSink = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def replayToMemory(
       s: SparkSession, prefix: String, frame: DataFrame, mode: String,
       statePartitions: Int = 4): String = {
+    Option(lastSink.get(prefix)).foreach(s.catalog.dropTempView(_))
     val name = s"${prefix}_${streamRun.incrementAndGet()}"
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
@@ -168,8 +181,60 @@ object Queries {
         .outputMode(mode).trigger(Trigger.AvailableNow()).start()
       try q.awaitTermination() finally q.stop()
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    // A stopped replay's state-store providers stay cached in the
+    // executor's loadedProviders map (each replay uses a fresh
+    // checkpoint, so nothing ever re-uses them) until the maintenance
+    // thread's next pass — 9 consecutive x_stream_dedup replays still
+    // spiked to ~28 s with sink rows dropped but providers retained.
+    // StateStore.unloadAll is private[sql] (bytecode-public), hence
+    // reflection; the query is stopped, so unloading is pure cleanup.
+    try {
+      val cls = Class.forName(
+        "org.apache.spark.sql.execution.streaming.state.StateStore$")
+      cls.getMethod("unloadAll").invoke(cls.getField("MODULE$").get(null))
+    } catch { case _: ReflectiveOperationException => () }
+    pruneDeadStreamingListenerBuses(s)
+    lastSink.put(prefix, name)
     name
   }
+
+  /** Every streaming query runs on a CLONED session (isolated runtime
+    * conf), and the clone's `StreamingQueryManager` registers its own
+    * `StreamingQueryListenerBus` on the shared `LiveListenerBus` —
+    * which nothing ever unregisters when the query stops: a 24-replay
+    * probe session had 19 dead buses attached, every Spark event
+    * fanning out to each of them. Unregister every
+    * StreamingQueryListenerBus except the root session's own after
+    * each replay. All touched members are private[spark]/private[sql]
+    * (bytecode-public), hence reflection; best-effort — a Spark
+    * upgrade that breaks a lookup degrades to the old leaky behavior,
+    * never to an error.
+    */
+  private def pruneDeadStreamingListenerBuses(s: SparkSession): Unit = try {
+    val sc = s.sparkContext
+    val own = {
+      val mgr = s.streams
+      mgr.getClass.getDeclaredFields
+        .find(_.getType.getName.endsWith("StreamingQueryListenerBus"))
+        .map { f => f.setAccessible(true); f.get(mgr) }.orNull
+    }
+    if (own != null) {
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      val all = bus.getClass.getMethod("listeners").invoke(bus)
+        .asInstanceOf[java.util.List[AnyRef]]
+      // SparkListenerInterface itself is private[spark], so the remove
+      // call goes through reflection too (removeListener on the bus)
+      val remove = bus.getClass.getMethods
+        .find(m => m.getName == "removeListener" && m.getParameterCount == 1)
+      // snapshot first: removeListener mutates the backing list
+      val dead = new java.util.ArrayList[AnyRef]()
+      all.forEach { l =>
+        if (l.getClass.getName.endsWith("StreamingQueryListenerBus") && (l ne own))
+          dead.add(l)
+      }
+      dead.forEach(l => remove.foreach(_.invoke(bus, l)))
+    }
+  } catch { case scala.util.control.NonFatal(_) => () }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
