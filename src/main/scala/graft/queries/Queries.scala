@@ -44,19 +44,23 @@ object Queries {
     (batch, Dedup.minHashProbeIndex(s, batch, "doc_id", "text", idxPath, threshold = 0.5))
   }
 
-  /** events.parquet carries a NANOSECOND timestamp, which Spark's parquet
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]); read `ts` as raw
-    * nanos-since-epoch (explicit schema — no inference scan either) and
-    * derive a proper timestamp column.
+  /** events.parquet carries a MICROSECOND timestamp (isAdjustedToUTC=false),
+    * which Spark reads natively as TimestampType; with the session
+    * timezone pinned to UTC, `unix_micros(ts)` equals the stored value —
+    * the same number DuckDB's `epoch_us(ts)` yields, so the oracle
+    * compare is representation-proof. Explicit schema skips the
+    * inference scan. (Earlier testdata generations shipped
+    * timestamp[ns], which needed a LongType read + `div 1000`; see
+    * FIXTURES.md history.)
     */
   private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("event_id", LongType), StructField("ts", TimestampType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
   private def events(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.schema(eventsSchema).parquet(s"$sfDir/events.parquet")
-      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts_utc", col("ts"))
 
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
   private def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
@@ -334,10 +338,9 @@ object Queries {
     // over a user-partitioned window — state bounded per user).
     "x_sessionize" -> ((s, d) => {
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
-      // gap compared at MICROSECOND precision to match the oracle
-      // (DuckDB reads the ns column as a µs TIMESTAMP; comparing raw ns
-      // here would diverge on sub-µs components)
-      val tsUs = expr("ts div 1000") // integer division — no double rounding
+      // gap compared at MICROSECOND precision — ts is a native µs
+      // timestamp, so unix_micros is exact (no rounding)
+      val tsUs = unix_micros(col("ts"))
       val gap = tsUs - lag(tsUs, 1).over(byUser)
       val isNew = when(gap.isNull || gap > lit(30L * 60 * 1000000L), 1L)
         .otherwise(0L)
@@ -833,7 +836,7 @@ object Queries {
     "x_stream_join" -> ((s, d) => {
       def ev() = s.readStream.schema(eventsSchema)
         .parquet(tableStreamDir(d, "events"))
-        .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ts_utc", col("ts"))
       val clicks = ev().filter(col("event_type") === "click")
         .select(col("user_id"), col("event_id").as("click_id"),
           col("ts_utc").as("click_ts"))
@@ -852,7 +855,7 @@ object Queries {
     "x_stream_sessionize" -> ((s, d) => {
       val stream = s.readStream.schema(eventsSchema)
         .parquet(tableStreamDir(d, "events"))
-        .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ts_utc", col("ts"))
       val sessions = graft.streaming.StreamingValidation.sessionizeStream(
         stream, keyCol = "user_id", timeCol = "ts_utc",
         gap = "30 minutes", watermark = "87600 hours")
@@ -1593,9 +1596,9 @@ object Queries {
         |  count(*) AS n_events
         |FROM sessions GROUP BY user_id, session_seq""".stripMargin,
 
-    // latest-prior row per purchase via LATERAL top-1; CAST(ts AS
-    // TIMESTAMP) floors ns→µs exactly like the Spark side's
-    // timestamp_micros(ts div 1000). The ORDER BY tie-break (ts, then
+    // latest-prior row per purchase via LATERAL top-1; ts is a native
+    // µs TIMESTAMP on both engines (CAST is a no-op kept for schema
+    // robustness). The ORDER BY tie-break (ts, then
     // payload fields DESC) mirrors the operator's max-payload-struct
     // rule; (user_id, ts) is unique in the data, so it is belt and
     // braces either way
