@@ -44,23 +44,56 @@ object Queries {
     (batch, Dedup.minHashProbeIndex(s, batch, "doc_id", "text", idxPath, threshold = 0.5))
   }
 
-  /** events.parquet carries a MICROSECOND timestamp (isAdjustedToUTC=false),
-    * which Spark reads natively as TimestampType; with the session
-    * timezone pinned to UTC, `unix_micros(ts)` equals the stored value —
-    * the same number DuckDB's `epoch_us(ts)` yields, so the oracle
-    * compare is representation-proof. Explicit schema skips the
-    * inference scan. (Earlier testdata generations shipped
-    * timestamp[ns], which needed a LongType read + `div 1000`; see
-    * FIXTURES.md history.)
+  /** events.parquet currently carries a MICROSECOND timestamp
+    * (isAdjustedToUTC=false), which Spark reads natively; with the
+    * session timezone pinned to UTC, `unix_micros(ts_utc)` equals the
+    * stored value — the same number DuckDB's `epoch_us(ts)` yields, so
+    * the oracle compare is representation-proof. Earlier testdata
+    * generations shipped timestamp[ns], which Spark's reader rejects
+    * and which needed a LongType read + `div 1000`; the precision has
+    * flipped once already (r10 postmortem), so [[eventsTsIsNative]]
+    * sniffs the footer's logical type driver-side (one file, cached
+    * per dataset dir) and [[events]] branches. Either way the frame
+    * exposes the same contract: a µs-precision `ts_utc` column.
+    * EventsContractSpec pins the current environment's shape.
     */
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", TimestampType),
+  private def eventsSchemaWith(tsType: DataType) = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", tsType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  private def events(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.schema(eventsSchema).parquet(s"$sfDir/events.parquet")
-      .withColumn("ts_utc", col("ts"))
+  private val tsNativeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** True when the footer's `ts` logical type is a Spark-readable
+    * timestamp (µs/ms); false → legacy int64-nanos read. Inference on a
+    * nanosecond footer throws [PARQUET_TYPE_ILLEGAL], which is itself
+    * the legacy signal — hence the catch. Footer-only read: cheap, and
+    * cached so bench reps don't repeat it.
+    */
+  private def eventsTsIsNative(spark: SparkSession, sfDir: String): Boolean =
+    tsNativeCache.computeIfAbsent(sfDir, _ =>
+      try spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType match {
+        case TimestampType | TimestampNTZType => true
+        case _ => false
+      } catch { case scala.util.control.NonFatal(_) => false })
+
+  private def eventsSchema(spark: SparkSession, sfDir: String): StructType =
+    eventsSchemaWith(
+      if (eventsTsIsNative(spark, sfDir)) TimestampType else LongType)
+
+  /** Normalizes either physical read to the µs `ts_utc` contract. */
+  private def withTsUtc(df: DataFrame, native: Boolean): DataFrame =
+    if (native) df.withColumn("ts_utc", col("ts"))
+    else df.withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+
+  private def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val native = eventsTsIsNative(spark, sfDir)
+    withTsUtc(
+      spark.read.schema(eventsSchemaWith(if (native) TimestampType else LongType))
+        .parquet(s"$sfDir/events.parquet"),
+      native)
+  }
 
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
   private def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
@@ -337,10 +370,11 @@ object Queries {
     // starts after >30 min of per-user inactivity (lag + cumulative sum
     // over a user-partitioned window — state bounded per user).
     "x_sessionize" -> ((s, d) => {
-      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
-      // gap compared at MICROSECOND precision — ts is a native µs
-      // timestamp, so unix_micros is exact (no rounding)
-      val tsUs = unix_micros(col("ts"))
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_utc"))
+      // gap compared at MICROSECOND precision — ts_utc is the reader's
+      // µs contract column regardless of the footer's physical type,
+      // so unix_micros is exact (no rounding)
+      val tsUs = unix_micros(col("ts_utc"))
       val gap = tsUs - lag(tsUs, 1).over(byUser)
       val isNew = when(gap.isNull || gap > lit(30L * 60 * 1000000L), 1L)
         .otherwise(0L)
@@ -834,9 +868,10 @@ object Queries {
     // scaladoc); the span-covering delay makes the bounded replay emit
     // the exact pair set, so the batch interval-join SQL is the oracle.
     "x_stream_join" -> ((s, d) => {
-      def ev() = s.readStream.schema(eventsSchema)
-        .parquet(tableStreamDir(d, "events"))
-        .withColumn("ts_utc", col("ts"))
+      def ev() = withTsUtc(
+        s.readStream.schema(eventsSchema(s, d))
+          .parquet(tableStreamDir(d, "events")),
+        eventsTsIsNative(s, d))
       val clicks = ev().filter(col("event_type") === "click")
         .select(col("user_id"), col("event_id").as("click_id"),
           col("ts_utc").as("click_ts"))
@@ -853,9 +888,10 @@ object Queries {
     }),
 
     "x_stream_sessionize" -> ((s, d) => {
-      val stream = s.readStream.schema(eventsSchema)
-        .parquet(tableStreamDir(d, "events"))
-        .withColumn("ts_utc", col("ts"))
+      val stream = withTsUtc(
+        s.readStream.schema(eventsSchema(s, d))
+          .parquet(tableStreamDir(d, "events")),
+        eventsTsIsNative(s, d))
       val sessions = graft.streaming.StreamingValidation.sessionizeStream(
         stream, keyCol = "user_id", timeCol = "ts_utc",
         gap = "30 minutes", watermark = "87600 hours")
