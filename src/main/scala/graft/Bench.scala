@@ -21,7 +21,12 @@ import org.apache.spark.sql.SparkSession
   * reports per-query min-of-medians across passes: both passes fully
   * measured the same deterministic plans, so the minimum is the honest
   * estimate of what the code costs in a healthy session. `passes` and
-  * `sick` in the output record when this fired. The default budget is
+  * `sick` in the output record when this fired. Sickness is ALSO
+  * flagged per entry: any query with a rep >3x its sibling reps (and
+  * >1 s, to exempt sub-second jitter) is listed under `rep_outliers`
+  * in both side files and counted as `n_rep_outliers` on the summary
+  * line, so a single-entry JIT excursion inside an otherwise-healthy
+  * session is machine-visible instead of narrative-only. The default budget is
   * DERIVED FROM THE CATALOG — 0.9 s per query plus 4 s per io-query —
   * so growing the catalog cannot silently erode the headroom the way a
   * flat constant did (a 45 s flat budget calibrated for 47 queries
@@ -215,23 +220,40 @@ object Bench {
     // headline number alone cannot reveal a broken query — n_failed > 0
     // means the bench total is NOT comparable across rounds
     val nFailed = medians.count(_._2 < 0)
+    // Per-entry session-sickness flag (RepProbe learnings, r10→r11): a
+    // rep >3x its sibling reps within one entry is the degenerate-JIT
+    // signature at single-entry granularity — the session-level budget
+    // check can miss it when the rest of the catalog is healthy (r10:
+    // x_cluster_safe_split reps 6.65/5.81/29.56 inside a sick:false
+    // session). Sub-second entries are exempt: 3x of 0.05 s is noise,
+    // not sickness. The median already absorbs the outlier; this makes
+    // it machine-visible in the artifact instead of narrative-only.
+    val repOutliers = allReps.collect {
+      case (n, ts) if {
+        val pos = ts.filter(_ >= 0)
+        pos.size >= 2 && pos.max > 1.0 && pos.max > 3.0 * pos.min
+      } => n
+    }
+    val repOutliersJson =
+      repOutliers.map("\"" + _ + "\"").mkString("[", ",", "]")
     val repsJson = allReps.map { case (k, ts) =>
       s"\"" + k + "\":[" + ts.map(jNum).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val warmupJson = warmupTimes.map { case (k, v) => s"\"" + k + "\":" + jNum(v) }
       .mkString("{", ",", "}")
     val repsRef = writeSide("SPARK_GRAFT_BENCH_REPS_FILE", "target/bench_reps.json",
-      s"""{"sf":"$sfDir","passes":$passes,"sick":$sick,"only":$onlyJson,"warmup":$warmupJson,"reps":$repsJson}""")
+      s"""{"sf":"$sfDir","passes":$passes,"sick":$sick,"only":$onlyJson,"rep_outliers":$repOutliersJson,"warmup":$warmupJson,"reps":$repsJson}""")
     val qs = medians.map { case (k, v) => s"\"" + k + "\":" + jNum(v) }
       .mkString("{", ",", "}")
     val ioJson = ioQueries.filter(selected.contains).map("\"" + _ + "\"").mkString("[", ",", "]")
     val ioSec = medians.collect { case (n, v) if v >= 0 && ioQueries.contains(n) => v }.sum
     val mediansRef = writeSide("SPARK_GRAFT_BENCH_MEDIANS_FILE", "target/bench_medians.json",
-      s"""{"metric":"total","value":${total(medians)},"unit":"sec","sf":"$sfDir","passes":$passes,"sick":$sick,"n_failed":$nFailed,"only":$onlyJson,"io_sec":$ioSec,"io_queries":$ioJson,"queries":$qs}""")
+      s"""{"metric":"total","value":${total(medians)},"unit":"sec","sf":"$sfDir","passes":$passes,"sick":$sick,"n_failed":$nFailed,"only":$onlyJson,"rep_outliers":$repOutliersJson,"io_sec":$ioSec,"io_queries":$ioJson,"queries":$qs}""")
     def summaryLine(mediansJ: String, repsJ: String): String =
       s"""{"metric":"total","value":${total(medians)},"unit":"sec","sf":"$sfDir",""" +
         s""""n_queries":${medians.size},"n_failed":$nFailed,"passes":$passes,"sick":$sick,""" +
         s""""io_sec":$ioSec,"io_n":${ioQueries.count(selected.contains)},""" +
+        s""""n_rep_outliers":${repOutliers.size},""" +
         s""""medians_file":$mediansJ,"reps_file":$repsJ}"""
     // the line must fit the driver's ~2 KB stdout tail window; it is
     // scalars + two paths by design, so overflow can only come from
