@@ -918,11 +918,29 @@ object Dedup {
       idCol: String,
       textCol: String,
       n: Int = 8
+  ): DataFrame =
+    cutDuplicatePassages(df, idCol, textCol,
+      duplicatePassageSpans(df, idCol, textCol, n), n)
+
+  /** [[cutDuplicatePassages]] over a PRECOMPUTED span frame (the
+    * [[duplicatePassageSpans]] output, possibly persisted): detection
+    * is the corpus-wide pass, so a pipeline that both reports and cuts
+    * spans computes them once and feeds this overload — the shared-
+    * artifact shape the pair-graph family uses. The span frame must
+    * cover the same `idCol` domain as `df` (absent ids keep their text
+    * uncut, the same semantics as a doc with no duplicated window).
+    */
+  def cutDuplicatePassages(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanFrame: DataFrame,
+      n: Int
   ): DataFrame = {
     val reserved = Set("__spans", "__toks", "__kept")
     require(!df.columns.exists(reserved),
       s"input already has a column reserved by cutDuplicatePassages (${reserved.mkString(", ")})")
-    val spans = duplicatePassageSpans(df, idCol, textCol, n)
+    val spans = spanFrame
       .groupBy(col(idCol))
       .agg(collect_list(struct(
         col("span_start").as("s"), col("span_end").as("e"))).as("__spans"))
