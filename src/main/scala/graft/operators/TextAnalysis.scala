@@ -123,6 +123,71 @@ object TextAnalysis {
     round(lengthScore * 0.4 + punctScore * 0.4 + stopScore * 0.2, 4)
   }
 
+  /** Gopher-style quality-rule audit (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", Appendix A — the public rule set
+    * most corpus pipelines start from): per-document signal columns,
+    * one 0/1 flag per rule, and the conjunction `keep`. Reported
+    * per-rule rather than pre-filtered because the audit table IS the
+    * deliverable at curation time — you tune thresholds by looking at
+    * what each rule rejects before committing to a cut.
+    *
+    * Rules (each threshold a parameter; Gopher's published defaults):
+    *  - `r_token_count`: token count in [minTokens, maxTokens]
+    *  - `r_word_len`: mean token length in [minMeanTokLen, maxMeanTokLen]
+    *  - `r_repetition`: top-bigram frequency share ≤ maxTop2Frac
+    *  - `r_boilerplate`: duplicate-line fraction ≤ maxDupLineFrac
+    *  - `r_stopwords`: ≥ minStopHits DISTINCT stopwords present
+    * (Gopher's symbol-ratio and alpha-word rules are omitted: the
+    * former needs corpus-specific symbol sets, and the latter would
+    * put a per-token regex in an interpreted HOF lambda — the codegen
+    * trap the kernel layer exists to avoid.)
+    *
+    * Scale shape: a pure projection over existing fused kernels
+    * (tokenCount / meanTokenLen / topNgramFraction /
+    * duplicateLineFraction) — no shuffle, no UDF; the stopword check
+    * scans the small literal word list per row. Signals are emitted as
+    * named columns in a lower projection so each kernel evaluates once
+    * per row (CollapseProject keeps non-cheap expressions out of
+    * multi-consumer inlining).
+    */
+  def gopherRules(
+      df: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 50, maxTokens: Int = 100000,
+      minMeanTokLen: Double = 3.0, maxMeanTokLen: Double = 10.0,
+      maxTop2Frac: Double = 0.2, maxDupLineFrac: Double = 0.3,
+      stopwords: Seq[String] = stopwordsEn, minStopHits: Int = 2
+  ): DataFrame = {
+    require(minTokens >= 0 && maxTokens >= minTokens, "bad token bounds")
+    require(stopwords.nonEmpty, "stopwords must be non-empty")
+    val txt = col(textCol)
+    // distinct stopwords present: iterate the SMALL literal word list,
+    // membership-test against the token array — symmetric in DuckDB
+    // (len(list_filter(stops, s -> list_contains(toks, s)))), and the
+    // interpreted lambda runs |stopwords| times per row, not |tokens|
+    val toksLower = tokens(lower(txt))
+    val stopArr = array(stopwords.map(lit): _*)
+    val stopHits = when(txt.isNull, 0).otherwise(
+      size(filter(stopArr, s => array_contains(toksLower, s))))
+    val signals = df.select(col(idCol),
+      tokenCount(txt).cast(IntegerType).as("n_tokens"),
+      meanTokenLen(txt).as("mean_tok_len"),
+      topNgramFraction(txt, 2).as("top2_frac"),
+      duplicateLineFraction(txt).as("dup_line_frac"),
+      stopHits.cast(IntegerType).as("stop_hits"))
+    val flag = (c: Column) => when(c, 1).otherwise(0)
+    signals.select(col(idCol),
+        col("n_tokens"), col("mean_tok_len"), col("top2_frac"),
+        col("dup_line_frac"), col("stop_hits"),
+        flag(col("n_tokens").between(minTokens, maxTokens)).as("r_token_count"),
+        flag(col("mean_tok_len").between(minMeanTokLen, maxMeanTokLen)).as("r_word_len"),
+        flag(col("top2_frac") <= maxTop2Frac).as("r_repetition"),
+        flag(col("dup_line_frac") <= maxDupLineFrac).as("r_boilerplate"),
+        flag(col("stop_hits") >= minStopHits).as("r_stopwords"))
+      .withColumn("keep",
+        col("r_token_count") * col("r_word_len") * col("r_repetition")
+          * col("r_boilerplate") * col("r_stopwords"))
+  }
+
   /** Tiny per-language marker-word sets for the n-gram/stopword
     * language-ID heuristic.
     */

@@ -1193,6 +1193,24 @@ object Queries {
         TextAnalysis.topNgramFraction(col("text2"), 3).as("top3_frac"))
     }),
 
+    // Gopher-rule quality audit (Rae et al. 2021): per-doc signals +
+    // one 0/1 flag per rule + the conjunction. Same boilerplate
+    // injection as x_repetition_stats so the duplicate-line rule is
+    // exercised (the synthetic corpus is single-line); thresholds
+    // chosen to split the corpus on EVERY rule (keep rate ~39% at
+    // sf0.01 — nothing vacuous). All five signals are int/int IEEE
+    // divisions or integer counts, bit-identical cross-engine.
+    "x_gopher_rules" -> ((s, d) => {
+      val boiler = "\nsubscribe now\nsubscribe now\nsubscribe now"
+      val docs = t(s, d, "documents").withColumn("text2",
+        when(pmod(col("doc_id"), lit(7)) === 0, concat(col("text"), lit(boiler)))
+          .otherwise(col("text")))
+      TextAnalysis.gopherRules(docs, "doc_id", "text2",
+        minTokens = 50, maxTokens = 100000,
+        minMeanTokLen = 4.0, maxMeanTokLen = 10.0,
+        maxTop2Frac = 0.08, maxDupLineFrac = 0.2, minStopHits = 2)
+    }),
+
     // Model-based quality classification: linear logit over engineered
     // features, the fastText-style filter stage of corpus curation.
     // Punctuation injected into every 13th doc (the synthetic corpus
@@ -2876,6 +2894,54 @@ object Queries {
         |  CASE WHEN len(g3) = 0 THEN 0.0 ELSE
         |    (SELECT max(c)::DOUBLE FROM (SELECT count(*) AS c FROM unnest(g3) AS u(x) GROUP BY x)) / len(g3)
         |  END AS top3_frac
-        |FROM grams""".stripMargin
+        |FROM grams""".stripMargin,
+
+    // Same augmentation + token/line/bigram machinery as
+    // x_repetition_stats; adds the distinct-stopword count and the
+    // Gopher rule flags (thresholds mirror the catalog entry).
+    "x_gopher_rules" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text
+        |      || chr(10) || 'subscribe now' || chr(10) || 'subscribe now'
+        |      || chr(10) || 'subscribe now' ELSE text END AS text2
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text2) = '' THEN []::VARCHAR[]
+        |         ELSE string_split_regex(trim(text2), '\s+') END AS t,
+        |    string_split(text2, chr(10)) AS lines
+        |  FROM aug),
+        |base AS (
+        |  SELECT doc_id, t, len(t) AS nt, len(lines) AS nl,
+        |         len(list_distinct(lines)) AS ndl,
+        |         list_transform(t, x -> lower(x)) AS tl,
+        |         CASE WHEN len(t) >= 2 THEN list_transform(generate_series(1, len(t)-1),
+        |           i -> t[i] || ' ' || t[i+1]) ELSE []::VARCHAR[] END AS g2
+        |  FROM toks),
+        |sig AS (
+        |  SELECT doc_id,
+        |    nt::INT AS n_tokens,
+        |    CASE WHEN nt = 0 THEN 0.0
+        |         ELSE list_sum(list_transform(t, x -> len(x)))::DOUBLE / nt END AS mean_tok_len,
+        |    CASE WHEN len(g2) = 0 THEN 0.0 ELSE
+        |      (SELECT max(c)::DOUBLE FROM (SELECT count(*) AS c FROM unnest(g2) AS u(x) GROUP BY x)) / len(g2)
+        |    END AS top2_frac,
+        |    (nl - ndl)::DOUBLE / nl AS dup_line_frac,
+        |    len(list_filter(['the','a','an','and','or','of','to','in','is','are','was',
+        |                     'for','on','with','as','at','by','it','be','this','that'],
+        |        s -> list_contains(tl, s)))::INT AS stop_hits
+        |  FROM base),
+        |rules AS (
+        |  SELECT doc_id, n_tokens, mean_tok_len, top2_frac, dup_line_frac, stop_hits,
+        |    CASE WHEN n_tokens BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS r_token_count,
+        |    CASE WHEN mean_tok_len BETWEEN 4.0 AND 10.0 THEN 1 ELSE 0 END AS r_word_len,
+        |    CASE WHEN top2_frac <= 0.08 THEN 1 ELSE 0 END AS r_repetition,
+        |    CASE WHEN dup_line_frac <= 0.2 THEN 1 ELSE 0 END AS r_boilerplate,
+        |    CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS r_stopwords
+        |  FROM sig)
+        |SELECT *, r_token_count * r_word_len * r_repetition
+        |          * r_boilerplate * r_stopwords AS keep
+        |FROM rules""".stripMargin
   )
 }

@@ -189,4 +189,44 @@ class TextAnalysisSpec extends SparkTestBase {
       .filter(col("f.n_chars") =!= col("d.n_chars"))
     assert(joined.count() == 0)
   }
+
+  test("gopherRules: each rule fires on its designed violation") {
+    val good = (("the quick brown fox jumped over the lazy dog and it was fine " * 5)
+      .trim) // 65 tokens, natural lengths, stopwords present, no repeats
+    val short = "the quick fox" // violates token count
+    val longWords = Array.fill(60)("extraordinarily").mkString(" ") // mean len > 10, repetition
+    val repeated = Array.fill(60)("ab cd").mkString(" ") // top bigram dominates
+    val boiler = ("the quick brown fox jumped over the lazy dog and it was fine " * 5)
+      .trim + "\nsubscribe now\nsubscribe now\nsubscribe now\nsubscribe now" // dup lines
+    val noStops = Array.fill(60)(Seq("alpha", "beta", "gamma", "delta")).flatten
+      .mkString(" ") // no stopwords
+    val df = Seq(
+      (1L, good), (2L, short), (3L, longWords), (4L, repeated),
+      (5L, boiler), (6L, noStops), (7L, ""), (8L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val out = TextAnalysis.gopherRules(df, "id", "text",
+      minTokens = 50, maxTokens = 100000, minMeanTokLen = 3.0,
+      maxMeanTokLen = 10.0, maxTop2Frac = 0.2, maxDupLineFrac = 0.3,
+      minStopHits = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def rules(id: Long): (Int, Int, Int, Int, Int, Int) = {
+      val r = out(id)
+      (r.getInt(r.fieldIndex("r_token_count")), r.getInt(r.fieldIndex("r_word_len")),
+        r.getInt(r.fieldIndex("r_repetition")), r.getInt(r.fieldIndex("r_boilerplate")),
+        r.getInt(r.fieldIndex("r_stopwords")), r.getInt(r.fieldIndex("keep")))
+    }
+    assert(rules(1L) == ((1, 1, 1, 1, 1, 1)), "clean doc must pass every rule")
+    assert(rules(2L)._1 == 0 && rules(2L)._6 == 0, "short doc fails token count")
+    assert(rules(3L)._2 == 0, "long-word doc fails mean token length")
+    assert(rules(4L)._3 == 0, "repeated bigram fails repetition")
+    assert(rules(5L)._4 == 0, "boilerplate lines fail duplicate-line rule")
+    assert(rules(6L)._5 == 0 && rules(6L)._3 == 0, "stopword-free doc fails stopwords")
+    // degenerate docs: zero signals, fail length + stopwords, never NaN/null
+    for (id <- Seq(7L, 8L)) {
+      val r = out(id)
+      assert(r.getInt(r.fieldIndex("n_tokens")) == 0)
+      assert(r.getInt(r.fieldIndex("stop_hits")) == 0)
+      assert(r.getInt(r.fieldIndex("keep")) == 0)
+    }
+  }
 }
