@@ -206,23 +206,72 @@ object Sampling {
       df: DataFrame, idCol: String, tokenCol: String, sourceCol: String,
       budgetTokens: Long, salt: Long = 3L
   ): DataFrame = {
-    require(budgetTokens > 0 && budgetTokens <= 10000000000L,
-      s"budgetTokens must be in (0, 10^10] (64-bit overflow audit), got $budgetTokens")
     require(!df.columns.contains("rate_mill"),
       "input already has a column named 'rate_mill' (reserved by temperatureMix)")
-    val tok = coalesce(col(tokenCol).cast(LongType), lit(0L))
-    val stats = df.groupBy(col(sourceCol)).agg(sum(tok).as("__tot"))
-      .withColumn("__w", floor(sqrt(col("__tot"))).cast(LongType))
-    val total = stats.agg(sum(col("__w")).as("__denom"))
-    // `div` (not `/`): Long / Long is a DOUBLE division in Spark SQL,
-    // and the numerator can exceed 2^53 where doubles drop integers
-    val rates = stats.crossJoin(broadcast(total))
-      .withColumn("rate_mill",
-        when(col("__tot") === 0L || col("__denom") === 0L, 0L)
-          .otherwise(least(lit(Buckets),
-            expr(s"(1000 * __w * ${budgetTokens}L) div (__denom * __tot)"))))
+    val rates = sourceRates(df, tokenCol, sourceCol, budgetTokens)
       .select(col(sourceCol), col("rate_mill"))
     df.join(broadcast(rates), sourceCol)
       .filter(hashBucket(col(idCol), salt) < col("rate_mill"))
+  }
+
+  /** The α=1/2 rate derivation shared by [[temperatureMix]] and
+    * [[mixManifest]]: one |sources|-row aggregate + a broadcast 1-row
+    * total. Columns: sourceCol, `n_docs`, `src_tokens`, `weight`,
+    * `rate_mill`.
+    */
+  private def sourceRates(
+      df: DataFrame, tokenCol: String, sourceCol: String, budgetTokens: Long
+  ): DataFrame = {
+    require(budgetTokens > 0 && budgetTokens <= 10000000000L,
+      s"budgetTokens must be in (0, 10^10] (64-bit overflow audit), got $budgetTokens")
+    val tok = coalesce(col(tokenCol).cast(LongType), lit(0L))
+    val stats = df.groupBy(col(sourceCol)).agg(
+      count(lit(1)).as("n_docs"), sum(tok).as("src_tokens"))
+      .withColumn("weight", floor(sqrt(col("src_tokens"))).cast(LongType))
+    val total = stats.agg(sum(col("weight")).as("__denom"))
+    // `div` (not `/`): Long / Long is a DOUBLE division in Spark SQL,
+    // and the numerator can exceed 2^53 where doubles drop integers
+    stats.crossJoin(broadcast(total))
+      .withColumn("rate_mill",
+        when(col("src_tokens") === 0L || col("__denom") === 0L, 0L)
+          .otherwise(least(lit(Buckets),
+            expr(s"(1000 * weight * ${budgetTokens}L) div (__denom * src_tokens)"))))
+      .drop("__denom")
+  }
+
+  /** Source-level mixing MANIFEST — the per-source allocation table
+    * every mixing recipe publishes (the Pile / LLaMA "sampling
+    * proportion" tables), completing [[temperatureMix]]'s row-level
+    * decision with the report you review before running it: per source,
+    * the corpus stats the rate was derived from (`n_docs`,
+    * `src_tokens`, `weight` = floor(sqrt(tokens))), the applied
+    * `rate_mill`, and the REALIZED outcome of the deterministic
+    * per-mill hash (`kept_docs`, `kept_tokens`) — realized ≠ target ×
+    * tokens in general because membership is decided per document, so
+    * the manifest shows the actual kept token mass next to its target.
+    * Sources whose rate rounds to zero keep explicit 0 rows (a silent
+    * drop is exactly what the report exists to catch).
+    *
+    * Scale shape: two corpus aggregates (the stats pass and the kept
+    * pass — both map-side-combined groupBys on the source key) + the
+    * broadcast rate join; output is |sources| rows. Integer-exact end
+    * to end, same audit as [[temperatureMix]].
+    */
+  def mixManifest(
+      df: DataFrame, idCol: String, tokenCol: String, sourceCol: String,
+      budgetTokens: Long, salt: Long = 3L
+  ): DataFrame = {
+    val tok = coalesce(col(tokenCol).cast(LongType), lit(0L))
+    val rates = sourceRates(df, tokenCol, sourceCol, budgetTokens)
+    val kept = df
+      .join(broadcast(rates.select(col(sourceCol), col("rate_mill"))), sourceCol)
+      .filter(hashBucket(col(idCol), salt) < col("rate_mill"))
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("kept_docs"), sum(tok).as("kept_tokens"))
+    rates
+      .join(kept, Seq(sourceCol), "left")
+      .na.fill(0L, Seq("kept_docs", "kept_tokens"))
+      .select(col(sourceCol), col("n_docs"), col("src_tokens"), col("weight"),
+        col("rate_mill"), col("kept_docs"), col("kept_tokens"))
   }
 }

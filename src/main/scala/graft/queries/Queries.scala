@@ -1302,6 +1302,17 @@ object Queries {
         .select(col("doc_id"), col("lang"), col("rate_mill"))
     }),
 
+    // The source-level manifest for the same mix: per-source stats the
+    // rate was derived from plus the REALIZED kept docs/tokens under
+    // the deterministic hash — the allocation table you review before
+    // committing a mix. |sources| rows; oracle replays the whole
+    // derivation including the kept aggregates.
+    "x_mix_manifest" -> ((s, d) => {
+      graft.operators.Sampling.mixManifest(
+        t(s, d, "documents"), "doc_id", "n_chars", "lang",
+        budgetTokens = 60000L)
+    }),
+
     // Cross-document repeated passages (exact-substring dedup family):
     // maximal token spans whose every 8-token window recurs verbatim in
     // >= 2 distinct docs. One corpus-wide shuffle (groupBy window text);
@@ -2592,6 +2603,31 @@ object Queries {
         |FROM documents d JOIN rates r ON d.lang = r.lang
         |WHERE (((((d.doc_id % 2147483647) + 3) * 1103515245) % 2147483647) * 784588716) % 2147483647 % 1000
         |  < r.rate_mill""".stripMargin,
+
+    // same derivation + the realized kept aggregates per source
+    "x_mix_manifest" ->
+      """WITH stats AS (
+        |  SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS src_tokens,
+        |    CAST(floor(sqrt(sum(n_chars))) AS BIGINT) AS weight
+        |  FROM documents GROUP BY lang
+        |), rates AS (
+        |  SELECT lang, n_docs, src_tokens, weight,
+        |    CAST(CASE WHEN src_tokens = 0 OR (SELECT sum(weight) FROM stats) = 0 THEN 0
+        |         ELSE least(1000, (1000 * weight * 60000) // ((SELECT sum(weight) FROM stats) * src_tokens))
+        |    END AS BIGINT) AS rate_mill
+        |  FROM stats
+        |), kept AS (
+        |  SELECT d.lang, count(*) AS kept_docs,
+        |    CAST(sum(d.n_chars) AS BIGINT) AS kept_tokens
+        |  FROM documents d JOIN rates r ON d.lang = r.lang
+        |  WHERE (((((d.doc_id % 2147483647) + 3) * 1103515245) % 2147483647) * 784588716) % 2147483647 % 1000
+        |    < r.rate_mill
+        |  GROUP BY d.lang
+        |)
+        |SELECT r.lang, r.n_docs, r.src_tokens, r.weight, r.rate_mill,
+        |  coalesce(k.kept_docs, 0) AS kept_docs,
+        |  CAST(coalesce(k.kept_tokens, 0) AS BIGINT) AS kept_tokens
+        |FROM rates r LEFT JOIN kept k ON r.lang = k.lang""".stripMargin,
 
     // stride-1 8-token windows (full windows only), duplicated when the
     // exact text occurs in >= 2 distinct docs; overlapping/adjacent

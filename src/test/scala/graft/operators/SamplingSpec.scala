@@ -202,4 +202,30 @@ class SamplingSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
       s"rates join must broadcast:\n$plan")
   }
+
+  test("mixManifest: realized aggregates equal re-aggregating the row-level mix") {
+    val manifest = Sampling.mixManifest(docs, "doc_id", "n_chars", "lang",
+      budgetTokens = 60000L).collect()
+      .map(r => r.getString(0) -> ((r.getLong(r.fieldIndex("kept_docs")),
+        r.getLong(r.fieldIndex("kept_tokens"))))).toMap
+    val rowLevel = Sampling.temperatureMix(docs, "doc_id", "n_chars", "lang",
+      budgetTokens = 60000L)
+      .groupBy("lang").agg(count(lit(1)).as("kd"), sum("n_chars").as("kt"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(manifest.filter(_._2._1 > 0) == rowLevel,
+      "manifest kept_docs/kept_tokens must equal the row-level mix re-aggregated")
+  }
+
+  test("mixManifest: zero-rate sources keep explicit 0 rows") {
+    val df = Seq((1L, "big", 4000000L), (2L, "tiny", 1L)).toDF("id", "src", "n_tok")
+    // budget small enough that 'tiny' still gets a nonzero rate (small
+    // sources are UP-weighted) — so force a zero by a zero-token source
+    val withEmpty = df.union(Seq((3L, "empty", 0L)).toDF("id", "src", "n_tok"))
+    val m = Sampling.mixManifest(withEmpty, "id", "n_tok", "src", budgetTokens = 100L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(r.fieldIndex("rate_mill")), r.getLong(r.fieldIndex("kept_docs"))))).toMap
+    assert(m.contains("empty"), "zero-token source must appear in the manifest")
+    assert(m("empty") == ((0L, 0L)))
+    assert(m.keySet == Set("big", "tiny", "empty"))
+  }
 }
