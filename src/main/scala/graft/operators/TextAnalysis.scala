@@ -40,6 +40,34 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("token").asc)
       .limit(k)
 
+  /** BPE merge-pair statistics — the corpus-wide counting step of
+    * byte-pair-encoding tokenizer training (Sennrich et al. 2016): the
+    * `k` most frequent adjacent character pairs, each word's pairs
+    * weighted by the word's corpus frequency (the first training
+    * iteration's argmax input; production training loops re-run this
+    * over the current symbol sequences after each merge). Ties break
+    * by pair ascending so the cut at rank `k` is deterministic.
+    *
+    * Scale shape: the corpus collapses to DISTINCT words first
+    * (map-side-combined groupBy — same contract as [[vocabulary]]), so
+    * the pair explode runs over the vocabulary, not the token stream:
+    * at 100 TB the second stage's input is bounded by |distinct words|
+    * regardless of corpus size. Pair extraction is the fused
+    * [[charNgrams]] kernel (lowercases internally, code-point
+    * indexed); top-k is a `TakeOrderedAndProject`, never a global
+    * sort.
+    */
+  def bpePairCounts(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    df.select(explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(explode(VectorFunctions.charNgrams(col("w"), 2)).as("pair"), col("freq"))
+      .groupBy("pair").agg(sum(col("freq")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair").asc)
+      .limit(k)
+  }
+
   /** BPE-ish subword count: word chunks + standalone punctuation, the
     * usual cheap proxy for LLM token counts (regex `\w+|[^\w\s]`).
     */

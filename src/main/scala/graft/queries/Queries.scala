@@ -1211,6 +1211,14 @@ object Queries {
         maxTop2Frac = 0.08, maxDupLineFrac = 0.2, minStopHits = 2)
     }),
 
+    // BPE merge-pair statistics: top adjacent character pairs weighted
+    // by word frequency — the counting step of tokenizer training. The
+    // corpus collapses to distinct words before the pair explode, so
+    // stage-2 work is vocabulary-bounded. Deterministic cut at k
+    // (count desc, pair asc); integer counts, exact oracle.
+    "x_bpe_pairs" -> ((s, d) =>
+      TextAnalysis.bpePairCounts(t(s, d, "documents"), "text", k = 40)),
+
     // Model-based quality classification: linear logit over engineered
     // features, the fastText-style filter stage of corpus curation.
     // Punctuation injected into every 13th doc (the synthetic corpus
@@ -2931,6 +2939,24 @@ object Queries {
         |    (SELECT max(c)::DOUBLE FROM (SELECT count(*) AS c FROM unnest(g3) AS u(x) GROUP BY x)) / len(g3)
         |  END AS top3_frac
         |FROM grams""".stripMargin,
+
+    // distinct words + frequencies, then char-pair explode over the
+    // vocabulary weighted by freq; deterministic (count, pair) cut
+    "x_bpe_pairs" ->
+      """WITH words AS (
+        |  SELECT w, count(*) AS freq FROM (
+        |    SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+        |                  t -> t <> '')) AS w
+        |    FROM documents) GROUP BY w),
+        |pairs AS (
+        |  SELECT p AS pair, CAST(sum(freq) AS BIGINT) AS pair_count FROM (
+        |    SELECT freq, unnest(CASE WHEN length(w) >= 2
+        |      THEN list_transform(generate_series(1, length(w)-1),
+        |           i -> substr(lower(w), i, 2))
+        |      ELSE []::VARCHAR[] END) AS p
+        |    FROM words) GROUP BY p)
+        |SELECT pair, pair_count FROM pairs
+        |ORDER BY pair_count DESC, pair ASC LIMIT 40""".stripMargin,
 
     // Same augmentation + token/line/bigram machinery as
     // x_repetition_stats; adds the distinct-stopword count and the

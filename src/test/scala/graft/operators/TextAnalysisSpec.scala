@@ -190,6 +190,26 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(joined.count() == 0)
   }
 
+  test("bpePairCounts: freq-weighted pair counts, case folding, determinism") {
+    // "ab" appears in: abc (2 docs' worth: 'abc abc' counts freq 2... word
+    // freq is per-occurrence), "AB" folds to ab
+    val df = Seq("abc abc AB", "xyz a", "").toDF("text")
+    val out = TextAnalysis.bpePairCounts(df, "text", k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // words: abc(freq 2), AB(1), xyz(1), a(1, no pair)
+    assert(out("ab") == 3L) // 2 from abc + 1 from folded AB
+    assert(out("bc") == 2L)
+    assert(out("xy") == 1L && out("yz") == 1L)
+    assert(!out.contains("a")) // single-char words emit no pair
+    // deterministic cut: k=1 must take the max count
+    val top = TextAnalysis.bpePairCounts(df, "text", k = 1).collect()
+    assert(top.length == 1 && top(0).getString(0) == "ab")
+    // plan: top-k is a TakeOrderedAndProject, not a global sort
+    val plan = TextAnalysis.bpePairCounts(df, "text", k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
+  }
+
   test("gopherRules: each rule fires on its designed violation") {
     val good = (("the quick brown fox jumped over the lazy dog and it was fine " * 5)
       .trim) // 65 tokens, natural lengths, stopwords present, no repeats
