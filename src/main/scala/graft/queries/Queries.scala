@@ -671,6 +671,15 @@ object Queries {
         .filter(col("cnt") > 1)
     }),
 
+    // Rolling per-user daily activity (trailing 7 calendar days): the
+    // event-feature step. RANGE frame over day ordinals so gap days
+    // count by value; the stream collapses to (user, day) before the
+    // per-user window — state bounded by one user's active days.
+    "x_rolling_activity" -> ((s, d) => {
+      graft.operators.EventFeatures.rollingDailyCounts(
+        events(s, d), "ts_utc", "user_id", windowDays = 7)
+    }),
+
     // A5: z-score outliers — two-pass agg + broadcast crossJoin, never an
     // unpartitioned window (SURVEY §7.3: 100 TB through one task is a
     // non-starter).
@@ -2102,6 +2111,18 @@ object Queries {
     "a4_unique_daily" ->
       """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS event_day, user_id, count(*) AS cnt
         |FROM events GROUP BY 1, 2 HAVING count(*) > 1""".stripMargin,
+
+    // (user, day) collapse + per-user RANGE window over day ordinals
+    "x_rolling_activity" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+        |         count(*) AS n_events
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, strftime(d, '%Y-%m-%d') AS day, n_events,
+        |  CAST(sum(n_events) OVER (PARTITION BY user_id ORDER BY d
+        |    RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_events_roll
+        |FROM daily""".stripMargin,
 
     "a5_zscore_outlier" ->
       """WITH s AS (SELECT avg(value) AS m, stddev_samp(value) AS sd FROM events)
