@@ -134,22 +134,69 @@ object NgramLm {
       langCol: String,
       textCol: String,
       model: DataFrame,
-      n: Int = 3
+      n: Int = 3,
+      keep: Seq[String] = Nil
   ): DataFrame = {
     if (modelCache.size() >= modelCacheMax) modelCache.clear()
     val byLang = modelCache.computeIfAbsent(
       model.queryExecution.analyzed.canonicalized, _ => collectModel(model))
     val tgs = col("__tgs")
+    val keepCols = keep.map(col)
     docs
-      .select(col(idCol), col(langCol).as("__lang"),
-        charNgrams(col(textCol), n).as("__tgs"))
-      .select(col(idCol),
+      .select(col(idCol) +: col(langCol).as("__lang")
+        +: charNgrams(col(textCol), n).as("__tgs") +: keepCols: _*)
+      .select(col(idCol) +:
         coalesce(
           when(size(tgs) > 0,
             graft.functions.VectorFunctions
               .ngramModelSum(tgs, col("__lang"), byLang)
               .cast(DoubleType) / size(tgs).cast(DoubleType))
             .otherwise(lit(0.0)),
-          lit(0.0)).as("lm_score"))
+          lit(0.0)).as("lm_score") +: keepCols: _*)
+  }
+
+  /** CCNet-style per-language quality banding (Wenzek et al. 2020):
+    * score every document against the reference model, cut each
+    * language at its own score TERCILES, and label head / middle /
+    * tail — the bucketing CCNet uses to keep the head (and optionally
+    * middle) of each language's quality distribution, so high-resource
+    * languages cannot crowd out low-resource ones through a global
+    * threshold.
+    *
+    * Two-pass production shape: a per-language aggregate computes the
+    * 1/3 and 2/3 score quantiles (|langs| rows), which broadcast back
+    * onto the scored stream as a CASE projection — the corpus never
+    * sorts and never funnels through per-language window tasks (a
+    * `ntile` over `partitionBy(lang)` would serialize each language
+    * through ONE task — the unpartitioned-window anti-pattern in
+    * per-group form, a non-starter when one language is a double-digit
+    * share of 100 TB). Exact `percentile` keeps the cut
+    * oracle-replayable (DuckDB `quantile_cont` — both engines compute
+    * the type-7 linear interpolation); its aggregation buffer holds a
+    * language's distinct score multiset, so at extreme scale swap in
+    * `approx_percentile` with the same downstream shape.
+    *
+    * Band semantics: `lm_score >= q(2/3)` → head; `>= q(1/3)` →
+    * middle; else tail. Ties land in the higher band on both engines
+    * (>= against an interpolated-between-equal-values cut).
+    */
+  def qualityBuckets(
+      docs: DataFrame,
+      idCol: String,
+      langCol: String,
+      textCol: String,
+      model: DataFrame,
+      n: Int = 3
+  ): DataFrame = {
+    val scored = score(docs, idCol, langCol, textCol, model, n, keep = Seq(langCol))
+    val cuts = scored.groupBy(col(langCol)).agg(
+      expr("percentile(lm_score, CAST(2 AS DOUBLE)/3)").as("__q_hi"),
+      expr("percentile(lm_score, CAST(1 AS DOUBLE)/3)").as("__q_lo"))
+    scored.join(broadcast(cuts), langCol)
+      .withColumn("quality_band",
+        when(col("lm_score") >= col("__q_hi"), "head")
+          .when(col("lm_score") >= col("__q_lo"), "middle")
+          .otherwise("tail"))
+      .select(col(idCol), col(langCol), col("lm_score"), col("quality_band"))
   }
 }

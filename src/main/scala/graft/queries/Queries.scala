@@ -1076,6 +1076,16 @@ object Queries {
       NgramLm.score(docs, "doc_id", "lang", "text", model, n = 3)
     }),
 
+    // CCNet head/middle/tail banding: per-lang score TERCILES cut the
+    // corpus, thresholds broadcast back — the corpus never sorts and
+    // never funnels through per-lang window tasks. Exact percentile on
+    // both engines (type-7 interpolation).
+    "x_quality_bands" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val model = NgramLm.trainModel(docs, "lang", "text", n = 3, vocab = 500)
+      NgramLm.qualityBuckets(docs, "doc_id", "lang", "text", model, n = 3)
+    }),
+
     // Fixed-size token windows with stride (16-token chunks every 12 —
     // 4-token overlap): the RAG/embedding chunking step. Pure kernel
     // projection + posexplode; chunk boundaries and the rejoined text
@@ -2811,6 +2821,39 @@ object Queries {
         |  GROUP BY t.doc_id)
         |SELECT d.doc_id, COALESCE(p.lm_score, 0.0) AS lm_score
         |FROM documents d LEFT JOIN per_doc p USING (doc_id)""".stripMargin,
+
+    // the x_lm_score derivation + per-lang tercile cuts (quantile_cont
+    // = Spark percentile, both type-7 linear interpolation)
+    "x_quality_bands" ->
+      """WITH tri AS (
+        |  SELECT doc_id, lang,
+        |    unnest([substr(lt, i, 3) for i in range(1, len(lt) - 1)]) AS tg
+        |  FROM (SELECT doc_id, lang, lower(text) AS lt FROM documents)
+        |  WHERE len(lt) >= 3),
+        |model AS (
+        |  SELECT lang, tg, tg_cnt FROM (
+        |    SELECT lang, tg, count(*) AS tg_cnt,
+        |      row_number() OVER (PARTITION BY lang
+        |        ORDER BY count(*) DESC, tg ASC) AS rn
+        |    FROM tri GROUP BY lang, tg) WHERE rn <= 500),
+        |per_doc AS (
+        |  SELECT t.doc_id,
+        |    CAST(COALESCE(sum(m.tg_cnt), 0) AS DOUBLE) / count(*) AS lm_score
+        |  FROM tri t LEFT JOIN model m USING (lang, tg)
+        |  GROUP BY t.doc_id),
+        |scored AS (
+        |  SELECT d.doc_id, d.lang, COALESCE(p.lm_score, 0.0) AS lm_score
+        |  FROM documents d LEFT JOIN per_doc p USING (doc_id)),
+        |cuts AS (
+        |  SELECT lang,
+        |    quantile_cont(lm_score, CAST(2 AS DOUBLE)/3) AS q_hi,
+        |    quantile_cont(lm_score, CAST(1 AS DOUBLE)/3) AS q_lo
+        |  FROM scored GROUP BY lang)
+        |SELECT s.doc_id, s.lang, s.lm_score,
+        |  CASE WHEN s.lm_score >= c.q_hi THEN 'head'
+        |       WHEN s.lm_score >= c.q_lo THEN 'middle'
+        |       ELSE 'tail' END AS quality_band
+        |FROM scored s JOIN cuts c USING (lang)""".stripMargin,
 
     "x_tfidf_topk" ->
       """WITH toks AS (

@@ -94,4 +94,31 @@ class NgramLmSpec extends SparkTestBase {
     assert(scores(3L) == 0.0)
     assert(scores(1L) > 0.0)
   }
+
+  test("qualityBuckets: per-lang tercile bands, ordered by score within each lang") {
+    val real = spark.read.parquet(s"$sfDir/documents.parquet")
+    val model = NgramLm.trainModel(real, "lang", "text", n = 3, vocab = 500)
+    val bands = NgramLm.qualityBuckets(real, "doc_id", "lang", "text", model, n = 3)
+    val rows = bands.collect().map(r =>
+      (r.getString(1), r.getDouble(2), r.getString(3)))
+    // every lang gets all three bands, each ~a third of the lang
+    val byLang = rows.groupBy(_._1)
+    byLang.foreach { case (lang, rs) =>
+      val counts = rs.groupBy(_._3).view.mapValues(_.size).toMap
+      assert(counts.keySet == Set("head", "middle", "tail"),
+        s"$lang missing a band: $counts")
+      val n = rs.size
+      counts.values.foreach(c => assert(math.abs(c - n / 3.0) <= n / 3.0 * 0.5 + 2,
+        s"$lang band sizes far from terciles: $counts"))
+      // band ordering: min head score >= max tail score is too strong
+      // under ties; but every head score must be >= every tail score
+      val minHead = rs.filter(_._3 == "head").map(_._2).min
+      val maxTail = rs.filter(_._3 == "tail").map(_._2).max
+      assert(minHead >= maxTail, s"$lang: head score below a tail score")
+    }
+    // plan: thresholds broadcast back; no per-lang single-task window
+    val plan = bands.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"cuts join must broadcast:\n$plan")
+    assert(!plan.contains("Window"), s"banding must not use a window:\n$plan")
+  }
 }
