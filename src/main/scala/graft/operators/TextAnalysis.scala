@@ -302,6 +302,75 @@ object TextAnalysis {
       .filter(col("rank") <= k)
   }
 
+  /** Okapi BM25 document retrieval for a bag-of-words query (Robertson
+    * & Walker; the BM25 used by Lucene/Elasticsearch): the `k`
+    * best-scoring documents, ties broken by document id ascending.
+    * Returns (id, hits, score) where `hits` is the total query-term
+    * occurrence count in the document.
+    *
+    * Two idf variants (same trade as [[tfidf]]):
+    *
+    *   - `logIdf = true` (default, classic): `ln(1 + (N-df+0.5)/(df+0.5))`
+    *     — production ranking.
+    *   - `logIdf = false` (rational): `(N-df+0.5)/(df+0.5)` — the same
+    *     monotone dependence on document frequency but only
+    *     correctly-rounded IEEE ops (int-derived adds, multiplies,
+    *     divides), so two engines agree bit-for-bit; the oracle-checked
+    *     catalog entry pins this variant and the classic one is
+    *     spec-pinned.
+    *
+    * The per-document score is a SUM of per-term floats — IEEE addition
+    * is not associative, so a plain float `sum()` aggregate would be
+    * partial-merge-order nondeterministic. The sum instead rides a
+    * token-sorted fold (`sort_array(collect_list(...))` + `aggregate`):
+    * deterministic left-association in token order, replayable by the
+    * oracle (`list(... ORDER BY token)` + `list_reduce`). The buffer is
+    * bounded by |query terms| per document — never the document's full
+    * token multiset.
+    *
+    * Scale shape: the token stream filters to the query terms BEFORE
+    * the tf shuffle (shuffled volume ∝ query-term hits, not corpus
+    * tokens); document frequency is a |terms|-row broadcast; corpus
+    * stats (N, total tokens for avgdl) are a 1-row broadcast; lengths
+    * ride a co-keyed join with the tf frame; the final top-k is a
+    * `TakeOrderedAndProject` (per-partition k-row heaps), never a
+    * global sort.
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75, logIdf: Boolean = true): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k > 0, s"k must be positive, got $k")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val lens = df.select(col(idCol),
+      tokenCount(lower(col(textCol))).cast(LongType).as("dl"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
+    val tf = df.select(col(idCol), explode(tokens(lower(col(textCol)))).as("token"))
+      .filter(col("token").isInCollection(terms))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val idfRatio = ((col("n_docs") - col("df")).cast(DoubleType) + lit(0.5)) /
+      (col("df").cast(DoubleType) + lit(0.5))
+    val idf = if (logIdf) log(lit(1.0) + idfRatio) else idfRatio
+    val avgdl = col("total_tokens").cast(DoubleType) / col("n_docs").cast(DoubleType)
+    val norm = lit(1.0 - b) + lit(b) * (col("dl").cast(DoubleType) / avgdl)
+    val termScore = idf * ((col("tf").cast(DoubleType) * lit(k1 + 1.0)) /
+      (col("tf").cast(DoubleType) + lit(k1) * norm))
+    tf.join(broadcast(dfreq), "token")
+      .join(lens, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("term_score", termScore)
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("hits"),
+        sort_array(collect_list(struct(col("token"), col("term_score")))).as("ts"))
+      .withColumn("score",
+        aggregate(col("ts"), lit(0.0), (acc, x) => acc + x.getField("term_score")))
+      .select(col(idCol), col("hits"), col("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Order-sensitive 64-bit document fingerprint: polynomial rolling hash
     * over token xxhash64s (native kernel — one fused loop per row,
     * values bit-identical to the previous HOF formulation). Equal

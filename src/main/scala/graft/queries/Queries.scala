@@ -1238,6 +1238,25 @@ object Queries {
     "x_bpe_pairs" -> ((s, d) =>
       TextAnalysis.bpePairCounts(t(s, d, "documents"), "text", k = 40)),
 
+    // Okapi BM25 retrieval: top-20 docs for a fixed 3-term query. The
+    // rational-idf variant keeps the score hash-exact cross-engine
+    // (the classic log-idf variant is spec-pinned); the per-doc score
+    // rides a token-sorted fold, never an order-nondeterministic
+    // float sum. Query-term filter lands BEFORE the tf shuffle.
+    "x_bm25_topk" -> ((s, d) =>
+      TextAnalysis.bm25TopK(t(s, d, "documents"), "doc_id", "text",
+        queryTerms = Seq("spark", "join", "window"), k = 20, logIdf = false)),
+
+    // DSIR-style importance weights (target = English docs vs the raw
+    // corpus): add-one-smoothed unigram likelihood ratios, summed per
+    // doc via the same token-sorted fold. The rational-ratio variant
+    // is the hash-exact oracle surface; the paper's log-likelihood-
+    // ratio variant is spec-pinned (ln ulps differ cross-engine).
+    "x_importance_weights" -> ((s, d) =>
+      graft.operators.DataSelection.importanceWeights(
+        t(s, d, "documents"), "doc_id", "text",
+        isTarget = col("lang") === "en", logRatio = false)),
+
     // Model-based quality classification: linear logit over engineered
     // features, the fastText-style filter stage of corpus curation.
     // Punctuation injected into every 13th doc (the synthetic corpus
@@ -3021,6 +3040,75 @@ object Queries {
         |    FROM words) GROUP BY p)
         |SELECT pair, pair_count FROM pairs
         |ORDER BY pair_count DESC, pair ASC LIMIT 40""".stripMargin,
+
+    // BM25 with rational idf; the per-doc sum replays the engine's
+    // token-sorted left fold (list ORDER BY token + list_reduce with a
+    // prepended 0.0 accumulator — this DuckDB's list_reduce takes no
+    // initial value). All DOUBLE arithmetic mirrors the Spark
+    // parenthesization so every intermediate is bit-identical.
+    "x_bm25_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |lens AS (
+        |  SELECT doc_id, CASE WHEN trim(text) = '' THEN 0
+        |    ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS dl
+        |  FROM documents),
+        |stats AS (
+        |  SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |         (SELECT sum(dl) FROM lens) AS total_tokens),
+        |tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM toks
+        |  WHERE token IN ('spark', 'join', 'window') GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf,
+        |    ((CAST(stats.n_docs - dfreq.df AS DOUBLE) + 0.5) /
+        |     (CAST(dfreq.df AS DOUBLE) + 0.5)) *
+        |    ((CAST(tf.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0)) /
+        |     (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+        |      (0.25 + 0.75 * (CAST(lens.dl AS DOUBLE) /
+        |       (CAST(stats.total_tokens AS DOUBLE) / CAST(stats.n_docs AS DOUBLE))))))
+        |    AS term_score
+        |  FROM tf JOIN lens USING (doc_id) JOIN dfreq USING (token) CROSS JOIN stats),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS hits,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(term_score ORDER BY token)), (a, x) -> a + x) AS score
+        |  FROM scored GROUP BY doc_id)
+        |SELECT doc_id, hits, score FROM agg
+        |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
+
+    // DSIR rational importance weights: one joint vocab pass (target
+    // count as a conditional sum), 1-row totals, smoothed ratio per
+    // token, per-doc token-sorted fold; docs with no tokens keep
+    // weight 0.0 through the left join.
+    "x_importance_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang = 'en' AS is_target, unnest(list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT token, count(*) AS c_raw,
+        |         sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS c_tgt
+        |  FROM toks GROUP BY token),
+        |totals AS (SELECT sum(c_raw) AS t_raw, sum(c_tgt) AS t_tgt, count(*) AS v FROM vocab),
+        |ratios AS (
+        |  SELECT token,
+        |    (CAST(c_tgt + 1 AS DOUBLE) / CAST(t_tgt + v AS DOUBLE)) /
+        |    (CAST(c_raw + 1 AS DOUBLE) / CAST(t_raw + v AS DOUBLE)) AS r
+        |  FROM vocab CROSS JOIN totals),
+        |tf AS (SELECT doc_id, token, count(*) AS n FROM toks GROUP BY doc_id, token),
+        |w AS (
+        |  SELECT tf.doc_id, CAST(sum(tf.n) AS BIGINT) AS n_tokens,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(CAST(tf.n AS DOUBLE) * ratios.r ORDER BY tf.token)),
+        |      (a, x) -> a + x) AS weight
+        |  FROM tf JOIN ratios USING (token) GROUP BY tf.doc_id)
+        |SELECT d.doc_id, coalesce(w.n_tokens, 0) AS n_tokens,
+        |       coalesce(w.weight, 0.0) AS weight
+        |FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id""".stripMargin,
 
     // Same augmentation + token/line/bigram machinery as
     // x_repetition_stats; adds the distinct-stopword count and the

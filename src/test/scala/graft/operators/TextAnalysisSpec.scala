@@ -249,4 +249,39 @@ class TextAnalysisSpec extends SparkTestBase {
       assert(r.getInt(r.fieldIndex("keep")) == 0)
     }
   }
+
+  test("bm25TopK: classic scores match the hand formula; ranking and cut deterministic") {
+    // 4 docs, query {spark, join}: df(spark)=2 (docs 1,2), df(join)=2
+    // (docs 1,3), N=4, lengths 4/4/2/4, avgdl = 14/4
+    val docs = Seq(
+      (1L, "spark join spark fast"), // spark tf=2, join tf=1
+      (2L, "spark slow slow slow"),  // spark tf=1
+      (3L, "join join"),             // join tf=2, short doc
+      (4L, "other words only here")  // no hits -> absent
+    ).toDF("doc_id", "text")
+    val k1 = 1.2; val b = 0.75
+    val n = 4.0; val avgdl = 14.0 / 4.0
+    def idf(dfreq: Int): Double = math.log(1.0 + (n - dfreq + 0.5) / (dfreq + 0.5))
+    def term(tf: Long, dl: Long, dfreq: Int): Double =
+      idf(dfreq) * ((tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * (dl / avgdl))))
+    val expect = Map(
+      1L -> (term(1, 4, 2) + term(2, 4, 2)), // token-ascending fold: join, spark
+      2L -> term(1, 4, 2),
+      3L -> term(2, 2, 2))
+    val got = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+        Seq("spark", "join"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.keySet == expect.keySet, "docs without query terms must be absent")
+    for ((id, e) <- expect) assert(math.abs(got(id) - e) < 1e-12, s"doc $id")
+    // short doc 3 outranks doc 2: rarer term, higher tf, shorter length
+    assert(got(3L) > got(2L) && got(1L) > got(3L))
+    // rational variant: same ranking here, deterministic doc_id cut at k
+    val rational = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      Seq("spark", "join"), k = 2, logIdf = false).collect().map(_.getLong(0))
+    assert(rational.sameElements(Array(1L, 3L)))
+    // plan: global top-k is a TakeOrderedAndProject, never a full sort
+    val plan = TextAnalysis.bm25TopK(docs, "doc_id", "text", Seq("spark"), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
+  }
 }
