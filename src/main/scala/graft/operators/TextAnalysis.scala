@@ -371,6 +371,43 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Corpus n-gram novelty: per document, the fraction of its DISTINCT
+    * token `n`-grams that appear in no other document — the inverse of
+    * the cross-doc boilerplate signal (a near-1 novelty means original
+    * text; near-0 means the document is stitched from corpus-common
+    * n-grams). Returns (id, n_grams, n_novel, novelty); documents with
+    * fewer than `n` tokens have no grams and get (0, 0, 0.0).
+    *
+    * The novelty ratio is one int/int IEEE division — hash-exact
+    * cross-engine (the same contract as the Gopher signals).
+    *
+    * Scale shape: the gram stream is per-doc-deduplicated at the source
+    * (the [[Dedup.shingles]] kernel), so volume is bounded by distinct
+    * grams per doc; document frequency is a map-side-combined
+    * groupBy(gram); the join back to the gram stream shares the same
+    * gram-key shuffle (no second corpus pass), and the final per-doc
+    * agg is the only id-keyed shuffle. No all-pairs comparison
+    * anywhere — this is the linear-cost complement to the quadratic
+    * pair-graph operators.
+    */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val grams = df.select(col(idCol),
+      explode(graft.functions.VectorFunctions.shingles(col(textCol), n)).as("gram"))
+    val dfreq = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val stats = grams.join(dfreq, "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, lit(1L)).otherwise(lit(0L))).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast(DoubleType) / col("n_grams").cast(DoubleType))
+    df.select(col(idCol)).join(stats, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        coalesce(col("novelty"), lit(0.0)).as("novelty"))
+  }
+
   /** Order-sensitive 64-bit document fingerprint: polynomial rolling hash
     * over token xxhash64s (native kernel — one fused loop per row,
     * values bit-identical to the previous HOF formulation). Equal

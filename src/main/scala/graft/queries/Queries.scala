@@ -1257,6 +1257,39 @@ object Queries {
         t(s, d, "documents"), "doc_id", "text",
         isTarget = col("lang") === "en", logRatio = false)),
 
+    // Corpus 3-gram novelty: fraction of each doc's distinct 3-grams
+    // seen in no other doc — the linear-cost boilerplate signal (the
+    // quadratic complement is the pair-graph family). One int/int
+    // division, hash-exact.
+    "x_ngram_novelty" -> ((s, d) =>
+      TextAnalysis.ngramNovelty(t(s, d, "documents"), "doc_id", "text", n = 3)),
+
+    // Hybrid retrieval (the RAG shape): BM25 lexical top-50 ->
+    // embedding cosine rerank -> top-10. The candidate set broadcasts
+    // onto the embedding store (embeddings never shuffle); ranks are
+    // emitted instead of float cosines (same reason as x_cosine_topk:
+    // the ORDER is engine-stable, the accumulated float is not).
+    "x_hybrid_search" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val lexical = TextAnalysis.bm25TopK(
+        t(s, d, "documents").filter(col("doc_id") =!= 0), "doc_id", "text",
+        queryTerms = Seq("spark", "join", "window"), k = 50, logIdf = false)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val reranked = emb
+        .join(broadcast(lexical.select(col("doc_id"))), col("vec_id") === col("doc_id"))
+        .crossJoin(broadcast(q))
+        .select(col("doc_id"), Similarity.cosine(col("embedding"), col("qv")).as("c"))
+        .filter(!isnan(col("c")))
+        .orderBy(col("c").desc, col("doc_id").asc)
+        .limit(10)
+      reranked
+        .agg(sort_array(collect_list(
+          struct((-col("c")).as("nc"), col("doc_id").as("doc_id")))).as("xs"))
+        .select(posexplode(col("xs")))
+        .select(col("col.doc_id").as("doc_id"),
+          (col("pos") + 1).cast(IntegerType).as("rank"))
+    }),
+
     // Model-based quality classification: linear logit over engineered
     // features, the fastText-style filter stage of corpus curation.
     // Punctuation injected into every 13th doc (the synthetic corpus
@@ -3109,6 +3142,70 @@ object Queries {
         |SELECT d.doc_id, coalesce(w.n_tokens, 0) AS n_tokens,
         |       coalesce(w.weight, 0.0) AS weight
         |FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id""".stripMargin,
+
+    // same distinct-shingle construction as the dedup family; novelty
+    // is df==1 gram share, one int/int DOUBLE division
+    "x_ngram_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(ts)-2),
+        |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS gram
+        |  FROM toks WHERE len(ts) >= 3),
+        |dfreq AS (SELECT gram, count(*) AS df FROM sh GROUP BY gram),
+        |st AS (
+        |  SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(sum(CASE WHEN dfreq.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        |  FROM sh JOIN dfreq USING (gram) GROUP BY sh.doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(st.n_grams, 0) AS n_grams,
+        |  coalesce(st.n_novel, 0) AS n_novel,
+        |  coalesce(CAST(st.n_novel AS DOUBLE) / CAST(st.n_grams AS DOUBLE), 0.0) AS novelty
+        |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id""".stripMargin,
+
+    // BM25 candidate CTE mirrors x_bm25_topk (doc 0 excluded — it is
+    // the query vector's own document); rerank replays the cosine rank
+    // emission of x_cosine_topk
+    "x_hybrid_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS token
+        |  FROM documents WHERE doc_id <> 0),
+        |lens AS (
+        |  SELECT doc_id, CASE WHEN trim(text) = '' THEN 0
+        |    ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS dl
+        |  FROM documents WHERE doc_id <> 0),
+        |stats AS (
+        |  SELECT (SELECT count(*) FROM documents WHERE doc_id <> 0) AS n_docs,
+        |         (SELECT sum(dl) FROM lens) AS total_tokens),
+        |tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM toks
+        |  WHERE token IN ('spark', 'join', 'window') GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token,
+        |    ((CAST(stats.n_docs - dfreq.df AS DOUBLE) + 0.5) /
+        |     (CAST(dfreq.df AS DOUBLE) + 0.5)) *
+        |    ((CAST(tf.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0)) /
+        |     (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+        |      (0.25 + 0.75 * (CAST(lens.dl AS DOUBLE) /
+        |       (CAST(stats.total_tokens AS DOUBLE) / CAST(stats.n_docs AS DOUBLE))))))
+        |    AS term_score
+        |  FROM tf JOIN lens USING (doc_id) JOIN dfreq USING (token) CROSS JOIN stats),
+        |lexical AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(term_score ORDER BY token)), (a, x) -> a + x) AS score
+        |  FROM scored GROUP BY doc_id
+        |  ORDER BY score DESC, doc_id ASC LIMIT 50),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |rer AS (
+        |  SELECT lexical.doc_id, list_cosine_similarity(e.embedding, q.qv) AS c
+        |  FROM lexical JOIN embeddings e ON e.vec_id = lexical.doc_id CROSS JOIN q)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY c DESC, doc_id ASC) AS INTEGER) AS rank
+        |FROM rer WHERE NOT isnan(c) ORDER BY c DESC, doc_id ASC LIMIT 10""".stripMargin,
 
     // Same augmentation + token/line/bigram machinery as
     // x_repetition_stats; adds the distinct-stopword count and the

@@ -284,4 +284,20 @@ class TextAnalysisSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
   }
+
+  test("ngramNovelty: shared grams lower novelty; short docs zeroed; repeats deduped") {
+    val docs = Seq(
+      (1L, "a b c d"),   // grams {a b c, b c d}: first shared with doc 2
+      (2L, "a b c x"),   // grams {a b c, b c x}
+      (3L, "z z z z"),   // grams dedupe to the single {z z z}
+      (4L, "q w")        // too short for 3-grams
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramNovelty(docs, "doc_id", "text", n = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((2L, 1L, 0.5)))
+    assert(got(2L) == ((2L, 1L, 0.5)))
+    assert(got(3L) == ((1L, 1L, 1.0)), "within-doc repeats dedupe before df")
+    assert(got(4L) == ((0L, 0L, 0.0)), "short doc: no grams, novelty 0")
+  }
 }
