@@ -965,4 +965,40 @@ object Dedup {
         (size(col("__toks")) - size(col("__kept")))
           .cast(IntegerType).as("n_removed_tokens"))
   }
+
+  /** Cross-attribute overlap matrix over a near-dup pair frame: how
+    * many near-duplicate pairs connect each unordered attribute pair
+    * (source×source for cross-crawl contamination audits, lang×lang
+    * for translation-dup screens, split×split for leakage checks).
+    * `pairs` is any (aCol, bCol) id-pair frame — [[ngramJaccardNearDups]]
+    * output or the shared pair graph; returns (attr_a, attr_b,
+    * n_pairs) with attr_a <= attr_b (the diagonal counts within-
+    * attribute pairs).
+    *
+    * Scale shape: the pair frame is ∝ the near-dup pair count
+    * (structurally ≪ corpus), so BOTH attribute-resolution joins
+    * broadcast the pair side — the corpus-sized `docs` frame streams
+    * through map-side joins and never shuffles; the final agg is
+    * |attr|²-bounded.
+    */
+  def pairAttributeOverlap(
+      pairs: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      attrCol: String,
+      aCol: String = "id_a",
+      bCol: String = "id_b"
+  ): DataFrame = {
+    val attrs = docs.select(col(idCol), col(attrCol))
+    val resolvedA = broadcast(pairs.select(col(aCol), col(bCol)))
+      .join(attrs.select(col(idCol).as(aCol), col(attrCol).as("__attr_a")), aCol)
+    val resolved = broadcast(resolvedA)
+      .join(attrs.select(col(idCol).as(bCol), col(attrCol).as("__attr_b")), bCol)
+    resolved
+      .select(
+        least(col("__attr_a"), col("__attr_b")).as("attr_a"),
+        greatest(col("__attr_a"), col("__attr_b")).as("attr_b"))
+      .groupBy(col("attr_a"), col("attr_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
 }

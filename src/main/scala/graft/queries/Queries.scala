@@ -680,6 +680,13 @@ object Queries {
         events(s, d), "ts_utc", "user_id", windowDays = 7)
     }),
 
+    // Per-user daily burst flags: each user's own mean + 2σ baseline
+    // over active days — integer moments, one IEEE division each,
+    // correctly-rounded sqrt, so the 0/1 flags are hash-exact.
+    "x_daily_anomalies" -> ((s, d) =>
+      graft.operators.EventFeatures.dailyAnomalies(
+        events(s, d), "ts_utc", "user_id", z = 2.0)),
+
     // A5: z-score outliers — two-pass agg + broadcast crossJoin, never an
     // unpartitioned window (SURVEY §7.3: 100 TB through one task is a
     // non-starter).
@@ -746,6 +753,17 @@ object Queries {
     // [[ngramPairGraph]]) — the corpus-wide shingle pass runs once per
     // session and the clusters/split entries derive from it.
     "x_dedup_ngram" -> ((s, d) => ngramPairGraph(s, d)._1),
+
+    // Cross-source contamination audit: near-dup pair counts per
+    // unordered source pair, from the shared pair graph — the
+    // governance view of the dedup family (which crawls feed each
+    // other duplicated text). Pair side broadcasts; documents never
+    // shuffle.
+    "x_source_overlap" -> ((s, d) =>
+      Dedup.pairAttributeOverlap(
+        ngramPairGraph(s, d)._1, t(s, d, "documents"), "doc_id", "source")
+        .select(col("attr_a").as("source_a"), col("attr_b").as("source_b"),
+          col("n_pairs"))),
 
     // Duplicate-CLUSTER resolution: near-dup pairs → connected
     // components (alternating large-star/small-star) → (doc, cluster
@@ -2100,6 +2118,31 @@ object Queries {
         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
         |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5""".stripMargin,
 
+    // same pair formulation as x_dedup_ngram, resolved to unordered
+    // source pairs and counted
+    "x_source_overlap" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(ts)-2),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+        |  FROM toks WHERE len(ts) >= 3
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+        |), lab AS (
+        |  SELECT least(da.source, db.source) AS source_a,
+        |         greatest(da.source, db.source) AS source_b
+        |  FROM pairs
+        |  JOIN documents da ON pairs.id_a = da.doc_id
+        |  JOIN documents db ON pairs.id_b = db.doc_id)
+        |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM lab GROUP BY source_a, source_b""".stripMargin,
+
     // same shingle/jaccard formulation as x_dedup_minhash, restricted to
     // (batch, corpus) cross pairs
     "x_dedup_incremental" ->
@@ -2185,6 +2228,28 @@ object Queries {
         |    RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS n_events_roll
         |FROM daily""".stripMargin,
+
+    // two-pass integer moments; mean/E[X2] one division each, variance
+    // clamped at zero, IEEE sqrt correctly rounded — the comparison
+    // inputs are bit-identical, so the 0/1 flags hash-match
+    "x_daily_anomalies" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+        |         count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT user_id, count(*) AS n_days,
+        |         sum(n_events) AS s1, sum(n_events * n_events) AS s2
+        |  FROM daily GROUP BY user_id)
+        |SELECT daily.user_id, strftime(d, '%Y-%m-%d') AS day, n_events,
+        |  CAST(CAST(n_events AS DOUBLE) >
+        |    (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE) +
+        |     2.0 * sqrt(greatest(CAST(0.0 AS DOUBLE),
+        |       CAST(s2 AS DOUBLE) / CAST(n_days AS DOUBLE) -
+        |       (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE)) *
+        |       (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE)))))
+        |    AS INTEGER) AS is_anomaly
+        |FROM daily JOIN stats USING (user_id)""".stripMargin,
 
     "a5_zscore_outlier" ->
       """WITH s AS (SELECT avg(value) AS m, stddev_samp(value) AS sd FROM events)

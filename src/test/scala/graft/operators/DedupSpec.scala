@@ -604,4 +604,26 @@ class DedupSpec extends SparkTestBase {
     assertThrows[IllegalArgumentException](
       Dedup.cutDuplicatePassages(df.withColumn("__spans", lit(1)), "doc_id", "text"))
   }
+
+  test("pairAttributeOverlap: unordered attr pairs, diagonal, broadcast plan") {
+    val docs = Seq(
+      (1L, "s1"), (2L, "s2"), (3L, "s1"), (4L, "s3"), (5L, "s2")
+    ).toDF("doc_id", "source")
+    val pairs = Seq(
+      (1L, 2L), // s1-s2
+      (2L, 3L), // s2-s1 -> same unordered pair
+      (1L, 3L), // s1-s1 diagonal
+      (4L, 5L)  // s3-s2 -> (s2, s3)
+    ).toDF("id_a", "id_b")
+    val out = Dedup.pairAttributeOverlap(pairs, docs, "doc_id", "source")
+    val got = out.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("s1", "s2") -> 2L, ("s1", "s1") -> 1L, ("s2", "s3") -> 1L))
+    // scale guard: the docs side must stream through broadcast joins,
+    // never shuffle (no sort-merge on the corpus frame)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus must not shuffle:\n$plan")
+  }
 }

@@ -44,4 +44,39 @@ class EventFeaturesSpec extends SparkTestBase {
     assertThrows[IllegalArgumentException](
       EventFeatures.rollingDailyCounts(ev, "t", "user_id", 0))
   }
+
+  test("dailyAnomalies: per-key baseline flags bursts; constant keys never flag") {
+    // user 1: counts 1,1,1,1,10 over 5 days -> mean 2.8, pop std 3.6;
+    //   threshold 10.0 -> strict > means even the burst day is NOT
+    //   flagged at z=2 exactly... use z=1.5: thr = 2.8+1.5*3.6 = 8.2,
+    //   so only the 10-count day flags.
+    val burst =
+      (0 until 4).map(d => (1L, ts(d, 1))) ++         // 1 event/day, days 0-3
+      (0 until 10).map(h => (1L, ts(4, h + 1))) ++    // 10 events on day 4
+      (0 until 3).map(d => (2L, ts(d, 2)))            // user 2: constant 1/day
+    val out = EventFeatures.dailyAnomalies(
+        burst.toDF("user_id", "t"), "t", "user_id", z = 1.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getInt(3))))
+      .toMap
+    assert(out((1L, "2024-01-05")) == ((10L, 1)), "burst day flags")
+    for (d <- 1 to 4)
+      assert(out((1L, f"2024-01-0$d")) == ((1L, 0)), s"baseline day $d quiet")
+    for (d <- 1 to 3)
+      assert(out((2L, f"2024-01-0$d")) == ((1L, 0)),
+        "zero-variance key never flags (strict >)")
+  }
+
+  test("dailyAnomalies: single-day key unflagged; boundary is strict") {
+    // exactly-at-threshold must NOT flag: user 3 has counts 1,3 ->
+    // mean 2, std 1; z=1 -> threshold 3.0; the 3-count day sits ON it
+    val ev = (Seq((3L, ts(0, 1))) ++ (0 until 3).map(h => (3L, ts(1, h + 1))) ++
+        Seq((4L, ts(0, 1))))
+      .toDF("user_id", "t")
+    val out = EventFeatures.dailyAnomalies(ev, "t", "user_id", z = 1.0)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getInt(3)).toMap
+    assert(out((3L, "2024-01-02")) == 0, "count == mean + z*std is not an anomaly")
+    assert(out((4L, "2024-01-01")) == 0, "single-day key has zero variance")
+  }
 }
