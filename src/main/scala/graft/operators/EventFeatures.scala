@@ -91,4 +91,57 @@ object EventFeatures {
         (col("n_events").cast(DoubleType) > threshold).cast(IntegerType)
           .as("is_anomaly"))
   }
+
+  /** Sequential funnel analysis: for each key, the earliest strict
+    * event chain through `steps` (step i+1 must occur strictly after
+    * the key's resolved step-i time), plus whether the chain completed
+    * within `windowMicros` of its first step — the conversion-funnel
+    * query of product analytics, greedy-earliest semantics (each step
+    * resolves to its minimum eligible timestamp; the greedy chain
+    * completes whenever ANY chain completes, and ends at the earliest
+    * possible finish, so the conversion flag is well-defined and
+    * order-deterministic).
+    *
+    * Output: keyCol, `t1_us..tN_us` (epoch-µs longs, -1 where the key
+    * never reached that step), `steps_reached`, `converted` (0/1).
+    * Keys that never performed `steps.head` are absent.
+    *
+    * Plan shape: one type-filtered min-agg per step (map-side
+    * combined, each ∝ that step's event volume) joined key-to-key
+    * with the previous stage's |keys|-row frame — the raw stream is
+    * scanned once per step but never shuffled whole; every
+    * intermediate is bounded by |keys|. All comparisons are integer
+    * microseconds — hash-exact.
+    */
+  def funnel(
+      df: DataFrame, tsCol: String, keyCol: String, typeCol: String,
+      steps: Seq[String], windowMicros: Long
+  ): DataFrame = {
+    require(steps.size >= 2, s"funnel needs >= 2 steps, got $steps")
+    require(steps.distinct.size == steps.size, s"steps must be distinct, got $steps")
+    require(windowMicros > 0, s"windowMicros must be positive, got $windowMicros")
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val s1 = df.filter(col(typeCol) === steps.head)
+      .groupBy(col(keyCol)).agg(min(unix_micros(col(tsCol))).as("t1_us"))
+    val chain = steps.zipWithIndex.drop(1).foldLeft(s1) { case (prev, (st, i)) =>
+      val tPrev = s"t${i}_us"
+      val tCur = s"t${i + 1}_us"
+      val next = df.filter(col(typeCol) === st)
+        .select(col(keyCol), unix_micros(col(tsCol)).as("__t"))
+        .join(prev.select(col(keyCol), col(tPrev)), keyCol)
+        .filter(col("__t") > col(tPrev))
+        .groupBy(col(keyCol)).agg(min(col("__t")).as(tCur))
+      prev.join(next.select(col(keyCol), col(tCur)), Seq(keyCol), "left")
+    }
+    val n = steps.size
+    val reached = (2 to n).map(i => when(col(s"t${i}_us").isNotNull, 1).otherwise(0))
+      .foldLeft(lit(1))(_ + _)
+    val tN = col(s"t${n}_us")
+    chain.select(
+      col(keyCol) +:
+        (1 to n).map(i => coalesce(col(s"t${i}_us"), lit(-1L)).as(s"t${i}_us")) :+
+        reached.cast(IntegerType).as("steps_reached") :+
+        (tN.isNotNull && tN - col("t1_us") <= windowMicros)
+          .cast(IntegerType).as("converted"): _*)
+  }
 }

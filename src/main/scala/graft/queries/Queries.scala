@@ -680,6 +680,16 @@ object Queries {
         events(s, d), "ts_utc", "user_id", windowDays = 7)
     }),
 
+    // Conversion funnel view→click→purchase with a 24h completion
+    // window: greedy-earliest strict chain per user, pure integer-µs
+    // comparisons. 14/150 users convert at sf0.01 — the flag is
+    // non-vacuous.
+    "x_funnel" -> ((s, d) =>
+      graft.operators.EventFeatures.funnel(
+        events(s, d), "ts_utc", "user_id", "event_type",
+        steps = Seq("view", "click", "purchase"),
+        windowMicros = 86400000000L)),
+
     // Per-user daily burst flags: each user's own mean + 2σ baseline
     // over active days — integer moments, one IEEE division each,
     // correctly-rounded sqrt, so the 0/1 flags are hash-exact.
@@ -2228,6 +2238,29 @@ object Queries {
         |    RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS n_events_roll
         |FROM daily""".stripMargin,
+
+    // greedy-earliest strict chain: each step is a min over events
+    // later than the previous step's resolved time; -1 sentinel keeps
+    // the epoch-µs columns non-null (dtype-stable across engines)
+    "x_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+        |SELECT s1.user_id,
+        |  epoch_us(t1) AS t1_us,
+        |  coalesce(epoch_us(t2), -1) AS t2_us,
+        |  coalesce(epoch_us(t3), -1) AS t3_us,
+        |  CAST(1 + CASE WHEN t2 IS NULL THEN 0 WHEN t3 IS NULL THEN 1 ELSE 2 END
+        |    AS INTEGER) AS steps_reached,
+        |  CAST(t3 IS NOT NULL AND epoch_us(t3) - epoch_us(t1) <= 86400000000
+        |    AS INTEGER) AS converted
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
 
     // two-pass integer moments; mean/E[X2] one division each, variance
     // clamped at zero, IEEE sqrt correctly rounded — the comparison

@@ -67,6 +67,35 @@ class EventFeaturesSpec extends SparkTestBase {
         "zero-variance key never flags (strict >)")
   }
 
+  test("funnel: strict ordering, greedy-earliest chain, stall sentinels, window flag") {
+    def us(t: java.sql.Timestamp) = t.getTime * 1000L
+    val ev = Seq(
+      // user 1 completes in order: view@d0h1, click@d0h3, purchase@d0h5
+      (1L, "view", ts(0, 1)), (1L, "click", ts(0, 3)), (1L, "purchase", ts(0, 5)),
+      // pre-view click must not count: the chain uses the later click
+      (1L, "click", ts(0, 0)),
+      // user 2 stalls after view (their purchase precedes any click)
+      (2L, "view", ts(0, 2)), (2L, "purchase", ts(0, 1)),
+      // user 3 completes but outside a 4-hour window
+      (3L, "view", ts(0, 1)), (3L, "click", ts(0, 2)), (3L, "purchase", ts(1, 1)),
+      // user 4 never views -> absent
+      (4L, "click", ts(0, 1)), (4L, "purchase", ts(0, 2))
+    ).toDF("user_id", "event_type", "t")
+    val out = EventFeatures.funnel(ev, "t", "user_id", "event_type",
+        Seq("view", "click", "purchase"), windowMicros = 4L * 3600 * 1000000)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4), r.getInt(5))))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L), "non-viewers absent")
+    assert(out(1L) == ((us(ts(0, 1)), us(ts(0, 3)), us(ts(0, 5)), 3, 1)),
+      "greedy chain skips the pre-view click and completes within window")
+    assert(out(2L) == ((us(ts(0, 2)), -1L, -1L, 1, 0)),
+      "stalled user keeps -1 sentinels and converted=0")
+    assert(out(3L)._4 == 3 && out(3L)._5 == 0,
+      "completion outside the window reaches step 3 but does not convert")
+  }
+
   test("dailyAnomalies: single-day key unflagged; boundary is strict") {
     // exactly-at-threshold must NOT flag: user 3 has counts 1,3 ->
     // mean 2, std 1; z=1 -> threshold 3.0; the 3-count day sits ON it
