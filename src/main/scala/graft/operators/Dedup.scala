@@ -402,6 +402,55 @@ object Dedup {
       if (storage == StorageLevel.NONE) None else Some(withShingles))
   }
 
+  /** EXACT n-gram CONTAINMENT near-dups: pairs where the smaller
+    * document's shingle set lies >= `threshold` inside the other's —
+    * `C(A,B) = |A∩B| / min(|A|,|B|)` (Broder 1997's containment, the
+    * companion measure to resemblance/Jaccard). This is the axis
+    * Jaccard-thresholded dedup structurally misses: a snippet pasted
+    * into a much larger document has high containment but a Jaccard
+    * diluted by the size gap below any useful threshold.
+    *
+    * Returns (id_a, id_b, containment), id_a < id_b; the containment
+    * value is one int/int IEEE division — hash-exact.
+    *
+    * Scale shape: the inverted shingle index must post ALL shingles
+    * (containment admits arbitrarily size-mismatched pairs, so the
+    * Jaccard prefix and length-ratio prunes are unsound here — both
+    * are passed as no-ops), making candidate volume Σ|posting|² with
+    * only the `maxPostings` hot-shingle cap as protection. That is the
+    * honest exact-containment cost: at 100 TB route through the
+    * asymmetric prefix filter (index only the contained side's prefix)
+    * or LSH on the smaller-side signature; this operator is the
+    * bounded-corpus / candidate-recheck family member, like
+    * [[ngramJaccardNearDups]] before its prunes.
+    */
+  def ngramContainmentNearDups(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      threshold: Double = 0.8,
+      maxPostings: Int = 1000
+  ): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val metric = s"graft_containment_postings_${idCol}_$textCol"
+    val projected = df
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val asBuckets = projected
+      .select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("bucket"))
+      .withColumn("band", lit(0))
+    val pairs = candidatePairsSized(asBuckets, maxPostings, metric, minRatio = 0.0)
+    val containment =
+      size(array_intersect(col("payload_a"), col("payload_b"))).cast(DoubleType) /
+        least(size(col("payload_a")), size(col("payload_b"))).cast(DoubleType)
+    verifyPairs(pairs,
+      projected.select(col("id"), col("sh").as("payload")),
+      containment.as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   // ---------------------------------------------------------------------
   // Incremental MinHash index (dedup new batches against a corpus)
   // ---------------------------------------------------------------------

@@ -144,4 +144,42 @@ object EventFeatures {
         (tN.isNotNull && tN - col("t1_us") <= windowMicros)
           .cast(IntegerType).as("converted"): _*)
   }
+
+  /** Weekly retention cohorts: keys grouped by the epoch-week of their
+    * first `cohortFilter` event (e.g. first signup), crossed with the
+    * epoch-weeks they were active at all — the classic retention
+    * matrix (cohort_week, week_offset, n_active, n_cohort), offsets
+    * counted from the cohort week forward (activity before the cohort
+    * event is excluded). Weeks are epoch-day div 7 — deterministic
+    * integer arithmetic, no calendar/locale dependence; all four
+    * output columns are integers, hash-exact.
+    *
+    * Plan shape: the cohort frame is a type-filtered min-agg
+    * (|keys|-rows); activity collapses to DISTINCT (key, week) via a
+    * map-side-combined aggregate BEFORE the key-to-key join (the join
+    * input is |keys × active weeks|, never the raw stream); the matrix
+    * agg is |cohorts × offsets|-bounded and the cohort-size join is a
+    * broadcast-sized second agg of the same cohort frame.
+    */
+  def retentionCohorts(
+      df: DataFrame, tsCol: String, keyCol: String, cohortFilter: Column
+  ): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val day = datediff(to_date(col(tsCol)), lit("1970-01-01"))
+    val cohorts = df.filter(cohortFilter)
+      .groupBy(col(keyCol)).agg(min(day).as("__d0"))
+      .select(col(keyCol), expr("__d0 div 7").cast(LongType).as("cohort_week"))
+    val cohortSizes = cohorts.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("n_cohort"))
+    val activity = df
+      .select(col(keyCol), day.as("__d"))
+      .select(col(keyCol), expr("__d div 7").cast(LongType).as("__w"))
+      .distinct()
+    cohorts.join(activity, keyCol)
+      .filter(col("__w") >= col("cohort_week"))
+      .groupBy(col("cohort_week"), (col("__w") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(cohortSizes), "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("n_active"), col("n_cohort"))
+  }
 }

@@ -408,6 +408,60 @@ object TextAnalysis {
         coalesce(col("novelty"), lit(0.0)).as("novelty"))
   }
 
+  /** Document-level token co-occurrence association: the `k` unordered
+    * token pairs most associated by LIFT — `P(a,b) / (P(a)·P(b))` over
+    * document membership (the church-hanks PMI statistic without the
+    * final log; `PMI = ln(lift)`, and since `ln` is monotone the
+    * ranking is identical while the rational lift is hash-exact:
+    * integer products under 2^53 and ONE IEEE division — the same
+    * trade as [[tfidf]]'s rational idf; the log form is spec-pinned).
+    * Pairs below `minCount` co-occurring documents are cut before
+    * ranking (rare-pair lift explodes, the classic PMI pathology);
+    * ties break (lift desc, pair asc) so the cut at `k` is
+    * deterministic. Returns (token_a, token_b, n_ab, n_a, n_b, lift),
+    * token_a < token_b.
+    *
+    * Scale shape: the corpus collapses to DISTINCT (doc, token) first
+    * (map-side combined); the per-doc self-join is bounded by each
+    * document's token-SET size squared, and its output collapses
+    * map-side to distinct pairs before the one pair-keyed shuffle;
+    * token document-counts are a |vocab|-row broadcast; N is a 1-row
+    * broadcast; top-k is a `TakeOrderedAndProject`. At natural-corpus
+    * scale, prune the token stream to a top-V vocabulary broadcast
+    * BEFORE the self-join (the standard practice) — the synthetic
+    * vocabulary is structurally tiny so no prune is wired here.
+    */
+  def cooccurrenceLift(df: DataFrame, idCol: String, textCol: String,
+      k: Int, minCount: Long, logPmi: Boolean = false): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val docTok = df.select(col(idCol).as("__id"),
+        explode(tokens(lower(col(textCol)))).as("token"))
+      .filter(col("token") =!= "")
+      .distinct()
+    val tokCounts = docTok.groupBy(col("token")).agg(count(lit(1)).as("n_tok"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val pairs = docTok.as("l")
+      .join(docTok.as("r"), col("l.__id") === col("r.__id") &&
+        col("l.token") < col("r.token"))
+      .groupBy(col("l.token").as("token_a"), col("r.token").as("token_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    val lift = (col("n_ab").cast(DoubleType) * col("n_docs").cast(DoubleType)) /
+      (col("n_a").cast(DoubleType) * col("n_b").cast(DoubleType))
+    pairs
+      .join(broadcast(tokCounts.select(col("token").as("token_a"), col("n_tok").as("n_a"))),
+        "token_a")
+      .join(broadcast(tokCounts.select(col("token").as("token_b"), col("n_tok").as("n_b"))),
+        "token_b")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("lift", if (logPmi) log(lift) else lift)
+      .select(col("token_a"), col("token_b"), col("n_ab"), col("n_a"), col("n_b"),
+        col("lift"))
+      .orderBy(col("lift").desc, col("token_a").asc, col("token_b").asc)
+      .limit(k)
+  }
+
   /** Order-sensitive 64-bit document fingerprint: polynomial rolling hash
     * over token xxhash64s (native kernel — one fused loop per row,
     * values bit-identical to the previous HOF formulation). Equal

@@ -680,6 +680,13 @@ object Queries {
         events(s, d), "ts_utc", "user_id", windowDays = 7)
     }),
 
+    // Weekly retention matrix: cohort = epoch-week of first signup,
+    // offsets from cohort week forward; all-integer outputs.
+    "x_retention" -> ((s, d) =>
+      graft.operators.EventFeatures.retentionCohorts(
+        events(s, d), "ts_utc", "user_id",
+        cohortFilter = col("event_type") === "signup")),
+
     // Conversion funnel view→click→purchase with a 24h completion
     // window: greedy-earliest strict chain per user, pure integer-µs
     // comparisons. 14/150 users convert at sf0.01 — the flag is
@@ -763,6 +770,16 @@ object Queries {
     // [[ngramPairGraph]]) — the corpus-wide shingle pass runs once per
     // session and the clusters/split entries derive from it.
     "x_dedup_ngram" -> ((s, d) => ngramPairGraph(s, d)._1),
+
+    // Exact n-gram CONTAINMENT pairs: |A∩B|/min(|A|,|B|) >= 0.7 — the
+    // snippet-in-document axis Jaccard dilutes away. On this corpus
+    // the pair SET matches the Jaccard family (no snippet structure in
+    // the synthetic text — the asymmetric case is spec-pinned); the
+    // containment VALUES are the distinct verified computation.
+    "x_dedup_containment" -> ((s, d) =>
+      Dedup.ngramContainmentNearDups(
+        t(s, d, "documents"), "doc_id", "text",
+        shingleSize = 3, threshold = 0.7)),
 
     // Cross-source contamination audit: near-dup pair counts per
     // unordered source pair, from the shared pair graph — the
@@ -1317,6 +1334,14 @@ object Queries {
         .select(col("col.doc_id").as("doc_id"),
           (col("pos") + 1).cast(IntegerType).as("rank"))
     }),
+
+    // Token-association mining: top-40 co-occurring token pairs by
+    // document-membership lift (rational PMI — ln is monotone, so the
+    // ranking equals log-PMI's while staying hash-exact); min 10
+    // co-docs cuts the rare-pair pathology.
+    "x_token_lift" -> ((s, d) =>
+      TextAnalysis.cooccurrenceLift(t(s, d, "documents"), "doc_id", "text",
+        k = 40, minCount = 10)),
 
     // Model-based quality classification: linear logit over engineered
     // features, the fastText-style filter stage of corpus curation.
@@ -2127,6 +2152,48 @@ object Queries {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
         |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5""".stripMargin,
+
+    // same shingle CTE as the Jaccard family; containment divides the
+    // intersection by the SMALLER set instead of the union
+    "x_dedup_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(ts)-2),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+        |  FROM toks WHERE len(ts) >= 3
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    CAST(least(len(a.s), len(b.s)) AS DOUBLE) AS containment
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    CAST(least(len(a.s), len(b.s)) AS DOUBLE) >= 0.7""".stripMargin,
+
+    // epoch-week integer cohorts; DuckDB // is floor division and
+    // Spark div truncates, identical on the positive day domain
+    "x_retention" ->
+      """WITH fs AS (
+        |  SELECT user_id, min(datediff('day', DATE '1970-01-01',
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE))) AS d0
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |coh AS (SELECT user_id, d0 // 7 AS cohort_week FROM fs),
+        |cs AS (SELECT cohort_week, count(*) AS n_cohort FROM coh GROUP BY cohort_week),
+        |act AS (
+        |  SELECT DISTINCT user_id, datediff('day', DATE '1970-01-01',
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE)) // 7 AS w
+        |  FROM events),
+        |ret AS (
+        |  SELECT coh.cohort_week, act.w - coh.cohort_week AS week_offset,
+        |         CAST(count(*) AS BIGINT) AS n_active
+        |  FROM coh JOIN act USING (user_id)
+        |  WHERE act.w >= coh.cohort_week
+        |  GROUP BY 1, 2)
+        |SELECT ret.cohort_week, ret.week_offset, ret.n_active,
+        |       CAST(cs.n_cohort AS BIGINT) AS n_cohort
+        |FROM ret JOIN cs USING (cohort_week)""".stripMargin,
 
     // same pair formulation as x_dedup_ngram, resolved to unordered
     // source pairs and counted
@@ -3171,6 +3238,28 @@ object Queries {
         |    FROM words) GROUP BY p)
         |SELECT pair, pair_count FROM pairs
         |ORDER BY pair_count DESC, pair ASC LIMIT 40""".stripMargin,
+
+    // document-membership lift: integer products under 2^53 and one
+    // IEEE division, parenthesized as in the engine
+    "x_token_lift" ->
+      """WITH raw AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |dt AS (SELECT DISTINCT doc_id, token FROM raw),
+        |tc AS (SELECT token, count(*) AS n_tok FROM dt GROUP BY token),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |p AS (
+        |  SELECT l.token AS token_a, r.token AS token_b, count(*) AS n_ab
+        |  FROM dt l JOIN dt r ON l.doc_id = r.doc_id AND l.token < r.token
+        |  GROUP BY 1, 2 HAVING count(*) >= 10)
+        |SELECT token_a, token_b, CAST(n_ab AS BIGINT) AS n_ab,
+        |  CAST(ta.n_tok AS BIGINT) AS n_a, CAST(tb.n_tok AS BIGINT) AS n_b,
+        |  (CAST(n_ab AS DOUBLE) * CAST(n.n_docs AS DOUBLE)) /
+        |  (CAST(ta.n_tok AS DOUBLE) * CAST(tb.n_tok AS DOUBLE)) AS lift
+        |FROM p JOIN tc ta ON p.token_a = ta.token
+        |       JOIN tc tb ON p.token_b = tb.token CROSS JOIN n
+        |ORDER BY lift DESC, token_a ASC, token_b ASC LIMIT 40""".stripMargin,
 
     // BM25 with rational idf; the per-doc sum replays the engine's
     // token-sorted left fold (list ORDER BY token + list_reduce with a

@@ -605,6 +605,26 @@ class DedupSpec extends SparkTestBase {
       Dedup.cutDuplicatePassages(df.withColumn("__spans", lit(1)), "doc_id", "text"))
   }
 
+  test("ngramContainmentNearDups: finds the snippet-in-document pair Jaccard dilutes") {
+    val snippet = "alpha beta gamma delta epsilon" // 3 distinct 3-shingles
+    val filler = (0 until 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, snippet),                   // contained doc
+      (2L, s"$snippet $filler"),       // snippet verbatim inside a 45-token doc
+      (3L, "zeta eta theta iota kappa")// unrelated
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramContainmentNearDups(docs, "doc_id", "text",
+        shingleSize = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == Set((1L, 2L)), s"expected only the snippet pair, got $got")
+    assert(got((1L, 2L)) == 1.0, "snippet is fully contained")
+    // the same pair is invisible to Jaccard at any useful threshold:
+    // 3 shared shingles over a ~43-shingle union
+    val jac = Dedup.ngramJaccardNearDups(docs, "doc_id", "text",
+      shingleSize = 3, threshold = 0.5)
+    assert(jac.count() == 0, "Jaccard at 0.5 misses the size-mismatched pair")
+  }
+
   test("pairAttributeOverlap: unordered attr pairs, diagonal, broadcast plan") {
     val docs = Seq(
       (1L, "s1"), (2L, "s2"), (3L, "s1"), (4L, "s3"), (5L, "s2")

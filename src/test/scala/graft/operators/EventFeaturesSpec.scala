@@ -96,6 +96,28 @@ class EventFeaturesSpec extends SparkTestBase {
       "completion outside the window reaches step 3 but does not convert")
   }
 
+  test("retentionCohorts: epoch-week cohorts, forward offsets, pre-cohort activity excluded") {
+    def week(day: Int) = java.time.LocalDate.of(2024, 1, day + 1).toEpochDay / 7
+    val ev = Seq(
+      // user 1: signup day 0; active days 0, 8, 22 -> offsets 0, 1, 3
+      (1L, "signup", ts(0, 1)), (1L, "click", ts(8, 1)), (1L, "view", ts(22, 1)),
+      // user 2: signup day 8 (week +1); pre-signup view day 2 excluded
+      (2L, "view", ts(2, 1)), (2L, "signup", ts(8, 2)),
+      // user 3: never signs up -> in no cohort
+      (3L, "view", ts(0, 3))
+    ).toDF("user_id", "event_type", "t")
+    val got = EventFeatures.retentionCohorts(ev, "t", "user_id",
+        col("event_type") === "signup")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val w0 = week(0); val w1 = week(8)
+    assert(w1 == w0 + 1, "fixture sanity: day 8 is the next epoch week")
+    assert(got == Map(
+      (w0, 0L) -> ((1L, 1L)), (w0, 1L) -> ((1L, 1L)), (w0, 3L) -> ((1L, 1L)),
+      (w1, 0L) -> ((1L, 1L))),
+      s"unexpected matrix: $got")
+  }
+
   test("dailyAnomalies: single-day key unflagged; boundary is strict") {
     // exactly-at-threshold must NOT flag: user 3 has counts 1,3 ->
     // mean 2, std 1; z=1 -> threshold 3.0; the 3-count day sits ON it

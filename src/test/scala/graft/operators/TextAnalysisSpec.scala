@@ -285,6 +285,36 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
   }
 
+  test("cooccurrenceLift: lift math, min-count cut, log-PMI monotone equivalence") {
+    // 6 docs: {a,b} always together (lift 6/4 = 1.5 over 4 docs each);
+    // {a,c} in 2 of a's 4 docs, c in 4 docs -> lift 6*2/(4*4) = 0.75;
+    // {d,e} co-occur once -> cut by minCount 2
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b c"), (3L, "a b"), (4L, "a b d"),
+      (5L, "c e d"), (6L, "c e")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.cooccurrenceLift(docs, "doc_id", "text",
+        k = 10, minCount = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got(("a", "b")) == ((4L, 4L, 4L, 6.0 * 4 / (4 * 4))))
+    assert(got(("a", "c")) == ((2L, 4L, 4L, 6.0 * 2 / (4 * 4))))
+    assert(!got.contains(("d", "e")), "single co-occurrence cut by minCount")
+    assert(!got.contains(("b", "a")), "pairs are ordered token_a < token_b")
+    // log variant ranks identically (ln is monotone on lift)
+    val rat = TextAnalysis.cooccurrenceLift(docs, "doc_id", "text", 10, 2)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val logv = TextAnalysis.cooccurrenceLift(docs, "doc_id", "text", 10, 2,
+      logPmi = true).collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rat.sameElements(logv))
+    // and its values are ln(lift)
+    val logMap = TextAnalysis.cooccurrenceLift(docs, "doc_id", "text", 10, 2,
+        logPmi = true).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5)).toMap
+    assert(math.abs(logMap(("a", "b")) - math.log(1.5)) < 1e-12)
+  }
+
   test("ngramNovelty: shared grams lower novelty; short docs zeroed; repeats deduped") {
     val docs = Seq(
       (1L, "a b c d"),   // grams {a b c, b c d}: first shared with doc 2
