@@ -680,6 +680,22 @@ object Queries {
         events(s, d), "ts_utc", "user_id", windowDays = 7)
     }),
 
+    // Funnel completion-latency distribution: exact type-7 percentiles
+    // (Spark percentile == DuckDB quantile_cont, the x_quality_bands
+    // precedent) over integer-µs view→purchase gaps of completers.
+    "x_conversion_latency" -> ((s, d) => {
+      val f = graft.operators.EventFeatures.funnel(
+        events(s, d), "ts_utc", "user_id", "event_type",
+        steps = Seq("view", "click", "purchase"),
+        windowMicros = 86400000000L)
+      f.filter(col("t3_us") >= 0)
+        .select((col("t3_us") - col("t1_us")).as("gap"))
+        .agg(count(lit(1)).as("n_completed"),
+          expr("percentile(gap, CAST(5 AS DOUBLE)/10)").as("p50_us"),
+          expr("percentile(gap, CAST(9 AS DOUBLE)/10)").as("p90_us"),
+          max(col("gap")).as("max_us"))
+    }),
+
     // Weekly retention matrix: cohort = epoch-week of first signup,
     // offsets from cohort week forward; all-integer outputs.
     "x_retention" -> ((s, d) =>
@@ -770,6 +786,18 @@ object Queries {
     // [[ngramPairGraph]]) — the corpus-wide shingle pass runs once per
     // session and the clusters/split entries derive from it.
     "x_dedup_ngram" -> ((s, d) => ngramPairGraph(s, d)._1),
+
+    // Near-dup degree histogram off the shared pair graph: how many
+    // docs have k near-duplicates — the dedup-audit summary a curator
+    // reads before choosing survivors (a fat tail means hub docs /
+    // template spam). Two tiny aggs over the pair-bounded frame.
+    "x_dup_degree" -> ((s, d) => {
+      val pairs = ngramPairGraph(s, d)._1
+      pairs.select(col("id_a").as("doc_id"))
+        .unionAll(pairs.select(col("id_b").as("doc_id")))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+        .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
+    }),
 
     // Exact n-gram CONTAINMENT pairs: |A∩B|/min(|A|,|B|) >= 0.7 — the
     // snippet-in-document axis Jaccard dilutes away. On this corpus
@@ -2171,6 +2199,52 @@ object Queries {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
         |    CAST(least(len(a.s), len(b.s)) AS DOUBLE) >= 0.7""".stripMargin,
+
+    // funnel CTEs as x_funnel; inner joins keep completers only;
+    // quantile_cont == Spark percentile (type-7, the quality-bands
+    // precedent)
+    "x_conversion_latency" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id),
+        |comp AS (
+        |  SELECT epoch_us(t3) - epoch_us(t1) AS gap
+        |  FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id))
+        |SELECT CAST(count(*) AS BIGINT) AS n_completed,
+        |  quantile_cont(gap, CAST(5 AS DOUBLE)/10) AS p50_us,
+        |  quantile_cont(gap, CAST(9 AS DOUBLE)/10) AS p90_us,
+        |  CAST(max(gap) AS BIGINT) AS max_us
+        |FROM comp""".stripMargin,
+
+    // degree = pair-endpoint multiplicity; histogram over the
+    // pair-bounded frame
+    "x_dup_degree" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(ts)-2),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+        |  FROM toks WHERE len(ts) >= 3
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+        |), deg AS (
+        |  SELECT doc_id, count(*) AS degree FROM (
+        |    SELECT id_a AS doc_id FROM pairs
+        |    UNION ALL SELECT id_b AS doc_id FROM pairs)
+        |  GROUP BY doc_id)
+        |SELECT CAST(degree AS BIGINT) AS degree, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM deg GROUP BY degree""".stripMargin,
 
     // epoch-week integer cohorts; DuckDB // is floor division and
     // Spark div truncates, identical on the positive day domain

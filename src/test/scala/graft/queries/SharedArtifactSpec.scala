@@ -57,4 +57,22 @@ class SharedArtifactSpec extends SparkTestBase {
     assert(rows(SparkEntry.queries("x_cut_passages")(spark, sfDir))
       == rows(direct))
   }
+
+  test("overlap and degree entries match direct computation off un-memoized pairs") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val directPairs = Dedup.ngramJaccardNearDups(
+      docs, "doc_id", "text", shingleSize = 3, threshold = 0.5)
+    val directOverlap = Dedup.pairAttributeOverlap(directPairs, docs, "doc_id", "source")
+      .select(col("attr_a").as("source_a"), col("attr_b").as("source_b"),
+        col("n_pairs"))
+    assert(rows(SparkEntry.queries("x_source_overlap")(spark, sfDir))
+      == rows(directOverlap))
+    val directDegree = directPairs.select(col("id_a").as("doc_id"))
+      .unionAll(directPairs.select(col("id_b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
+    assert(rows(SparkEntry.queries("x_dup_degree")(spark, sfDir))
+      == rows(directDegree))
+  }
 }
