@@ -104,6 +104,39 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Exact k-nearest-neighbor GRAPH over one embedding frame: for every
+    * vector, its `k` most cosine-similar OTHER vectors — the precursor
+    * artifact of semantic dedup, graph clustering, and diversity
+    * sampling (SemDeDup-style pipelines consume exactly this shape).
+    * Zero-norm vectors have no defined direction and are excluded on
+    * BOTH sides up front (the native kernel guards 0/0 to 0.0 while a
+    * SQL engine yields NaN — the explicit norm filter keeps the
+    * operator's contract engine-independent): a zero vector neither
+    * ranks nor is ranked. Returns (query_id, id, cosine, rank), ties
+    * broken by id.
+    *
+    * Scale shape: the corpus broadcasts once as the query side and the
+    * n² scored pairs shuffle ONCE on query_id into per-key k-row heaps
+    * (`WindowGroupLimit` pushes the rank filter into the sort) — the
+    * honest brute-force cost, correct for bounded corpora and
+    * ground-truth generation. At 100 TB route candidate generation
+    * through [[lshTopK]]'s banding or [[Ivf]] cells (same re-rank
+    * shape over a candidate set instead of n²); this exact graph is
+    * their recall oracle.
+    */
+  def knnGraph(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val nonZero = df.filter(dot(col(vecCol), col(vecCol)) > 0.0)
+    val q = nonZero.select(col(idCol).as("__qid"), col(vecCol).as("__qv"))
+    val scored = nonZero.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("__qid"))
+      .select(col("__qid").as("query_id"), col(idCol).as("id"),
+        cosine(col(vecCol), col("__qv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Sign-bucket of a vector under `planes` hash-derived hyperplanes:
     * bit p is set iff dot(v, hyperplane_p) >= 0. Deterministic across
     * executors and jobs (no RNG state), and scale-invariant, so the

@@ -951,6 +951,15 @@ object Queries {
         .select(col("query_id"), col("id"), col("rank"))
     }),
 
+    // Exact kNN graph (every vector's top-5 neighbors): the semantic-
+    // dedup/cluster precursor and the recall oracle for the ANN
+    // entries. Rank emission only (same engine-local-float contract as
+    // x_cosine_topk); n² pairs shuffle once into per-query k-row heaps.
+    "x_knn_graph" -> ((s, d) =>
+      Similarity.knnGraph(t(s, d, "embeddings"), "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("id"),
+          col("rank").cast(IntegerType).as("rank"))),
+
     // IVF-cell ANN — the cell-probing scale path (corpus partitioned by
     // centroid cell; queries probe nProbe cells). Rows-only; recall vs
     // brute force asserted in IvfSpec.
@@ -2454,6 +2463,24 @@ object Queries {
     // embeddings table under test: floor/power-of-two/integer-sum
     // arithmetic is exact in both engines, and an unseen corpus selects
     // zero golden rows — a loud row-count failure, never a silent pass.
+    // zero-norm vectors excluded on both sides up front (mirrors the
+    // engine's explicit norm filter)
+    "x_knn_graph" ->
+      """WITH nz AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  WHERE list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0.0),
+        |pairs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS id,
+        |         list_cosine_similarity(c.embedding, q.embedding) AS cos
+        |  FROM nz c JOIN nz q ON c.vec_id <> q.vec_id),
+        |ranked AS (
+        |  SELECT query_id, id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, id ASC) AS INTEGER) AS rank
+        |  FROM pairs)
+        |SELECT query_id, id, rank FROM ranked WHERE rank <= 5""".stripMargin,
+
     "x_ann_lsh" ->
       """WITH ck AS (SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 281474976710656) AS BIGINT)) AS BIGINT) AS k FROM embeddings)
         |SELECT query_id, id, rank

@@ -50,6 +50,34 @@ class SimilaritySpec extends SparkTestBase {
     assert(batch == brute)
   }
 
+  test("knnGraph: per-query rows agree with self-excluded batchTopK; zero vectors dropped") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(-1.0f, 0.0f)),
+      (5L, Seq(0.0f, 0.0f))).toDF("id", "v")
+    val g = Similarity.knnGraph(corpus, "id", "v", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    // query 1: nearest is 2 (cos ~0.994), then 3 (cos 0)
+    assert(g((1L, 1)) == 2L && g((1L, 2)) == 3L)
+    // query 4 (-1,0): nearest is 3 (cos 0), then 2 (negative)
+    assert(g((4L, 1)) == 3L)
+    // the zero vector neither queries nor ranks
+    assert(!g.keys.exists(_._1 == 5L), "zero vector must not appear as a query")
+    assert(!g.values.exists(_ == 5L), "zero vector must not appear as a neighbor")
+    // parity with batchTopK on a real-embedding query (id 7 vs the rest)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(100).cache()
+    val fromGraph = Similarity.knnGraph(emb, "vec_id", "embedding", k = 5)
+      .filter(col("query_id") === 7).orderBy("rank")
+      .collect().map(_.getAs[Long]("id")).toSeq
+    val viaBatch = Similarity.batchTopK(
+      emb.filter(col("vec_id") =!= 7), "vec_id", "embedding",
+      emb.filter(col("vec_id") === 7)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv")), "qid", "qv", 5)
+      .orderBy("rank").collect().map(_.getAs[Long]("id")).toSeq
+    assert(fromGraph == viaBatch)
+    emb.unpersist()
+  }
+
   test("signBucket is deterministic and seed-sensitive") {
     val df = Seq(Seq(0.5, -0.25, 1.0)).toDF("v")
     val a = df.select(Similarity.signBucket(col("v"), 10, 1).as("b")).collect()(0).getLong(0)
