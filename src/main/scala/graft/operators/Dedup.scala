@@ -413,16 +413,23 @@ object Dedup {
     * Returns (id_a, id_b, containment), id_a < id_b; the containment
     * value is one int/int IEEE division — hash-exact.
     *
-    * Scale shape: the inverted shingle index must post ALL shingles
-    * (containment admits arbitrarily size-mismatched pairs, so the
-    * Jaccard prefix and length-ratio prunes are unsound here — both
-    * are passed as no-ops), making candidate volume Σ|posting|² with
-    * only the `maxPostings` hot-shingle cap as protection. That is the
-    * honest exact-containment cost: at 100 TB route through the
-    * asymmetric prefix filter (index only the contained side's prefix)
-    * or LSH on the smaller-side signature; this operator is the
-    * bounded-corpus / candidate-recheck family member, like
-    * [[ngramJaccardNearDups]] before its prunes.
+    * Candidate generation is the ASYMMETRIC prefix filter (the
+    * containment form of Bayardo/Vernica's prefix principle): under
+    * the same global (xxhash64, shingle) order the Jaccard path uses,
+    * a pair with |A∩B| >= t·|A| (A the smaller side) MUST share one of
+    * A's first |A| - ceil(t·|A|) + 1 shingles with B's FULL set — if B
+    * missed that whole prefix, the overlap could reach at most
+    * ceil(t·|A|) - 1. So the contained side indexes only its prefix
+    * while the containing side posts all shingles, and candidate
+    * volume drops from Σ|posting|² to Σ|prefix-posting|·|full-posting|
+    * with ZERO recall change. The Jaccard length-ratio prune stays
+    * off — containment admits arbitrarily size-mismatched pairs (that
+    * is its point). Hot shingles beyond `maxPostings` on the full side
+    * are dropped with the same observe-metric contract as the Jaccard
+    * family (overflow_buckets == 0 ⇒ the result is complete; the spec
+    * and catalog parameters keep it 0). At 100 TB the same shape
+    * holds — or route candidate generation through LSH on the
+    * smaller-side signature and keep this as the verify stage.
     */
   def ngramContainmentNearDups(
       df: DataFrame,
@@ -438,10 +445,36 @@ object Dedup {
     val projected = df
       .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
-    val asBuckets = projected
+    // same deterministic global shingle order as the Jaccard prefix
+    // filter; slack makes the float ceil round toward a LONGER prefix
+    val ordered = transform(
+      array_sort(transform(col("sh"), sh => struct(xxhash64(sh).as("h"), sh.as("s")))),
+      e => e.getField("s"))
+    val pfxLen = (size(col("sh"))
+      - ceil(lit(threshold) * size(col("sh")) - lit(1e-9)) + 1).cast(IntegerType)
+    val prefixSide = projected
+      .select(col("id"), size(col("sh")).as("sz"),
+        explode(slice(ordered, lit(1), pfxLen)).as("bucket"))
+    val fullSide = projected
       .select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("bucket"))
-      .withColumn("band", lit(0))
-    val pairs = candidatePairsSized(asBuckets, maxPostings, metric, minRatio = 0.0)
+    // hot-shingle cap on the full side, observed so truncation is
+    // never silent (overflow_buckets == 0 ⇒ complete result)
+    val counts = fullSide.groupBy(col("bucket")).agg(count(lit(1)).as("__cnt"))
+      .observe(metric,
+        sum(when(col("__cnt") > maxPostings, 1L).otherwise(0L)).as("overflow_buckets"),
+        sum(when(col("__cnt") > maxPostings, col("__cnt")).otherwise(0L)).as("overflow_rows"),
+        coalesce(max(col("__cnt")), lit(0L)).cast(IntegerType).as("max_bucket_size"))
+    val fullKept = fullSide.as("b")
+      .join(counts.filter(col("__cnt") <= maxPostings).select(col("bucket")), "bucket")
+    val pairs = prefixSide.as("a")
+      .join(fullKept, "bucket")
+      // the prefix row is the CONTAINED (smaller) side; equal sizes
+      // keep one direction via id order so a pair never emits twice
+      .filter(col("a.sz") < col("b.sz") ||
+        (col("a.sz") === col("b.sz") && col("a.id") < col("b.id")))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
     val containment =
       size(array_intersect(col("payload_a"), col("payload_b"))).cast(DoubleType) /
         least(size(col("payload_a")), size(col("payload_b"))).cast(DoubleType)

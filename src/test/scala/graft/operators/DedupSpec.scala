@@ -625,6 +625,33 @@ class DedupSpec extends SparkTestBase {
     assert(jac.count() == 0, "Jaccard at 0.5 misses the size-mismatched pair")
   }
 
+  test("ngramContainmentNearDups: prefix filter loses no pair vs brute force") {
+    // varied-size docs built from a tiny token pool so shingle sets
+    // overlap heavily in all size combinations
+    val pool = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val docs = (0 until 30).map { i =>
+      val len = 3 + (i * 7) % 19
+      (i.toLong, (0 until len).map(j => pool((i + j * j) % pool.size)).mkString(" "))
+    }.toDF("doc_id", "text")
+    for (t <- Seq(0.5, 0.7, 0.9)) {
+      val got = Dedup.ngramContainmentNearDups(docs, "doc_id", "text",
+          shingleSize = 2, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // brute force over materialized shingle sets
+      val sh = docs.collect().map { r =>
+        val toks = r.getString(1).split("\\s+").filter(_.nonEmpty)
+        r.getLong(0) -> toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSet
+      }.filter(_._2.nonEmpty)
+      val brute = (for {
+        (ia, sa) <- sh; (ib, sb) <- sh if ia < ib
+        c = (sa & sb).size.toDouble / math.min(sa.size, sb.size)
+        if c >= t
+      } yield (ia, ib, c)).toSet
+      assert(got == brute,
+        s"t=$t missing=${brute -- got} extra=${got -- brute}")
+    }
+  }
+
   test("pairAttributeOverlap: unordered attr pairs, diagonal, broadcast plan") {
     val docs = Seq(
       (1L, "s1"), (2L, "s2"), (3L, "s1"), (4L, "s3"), (5L, "s2")

@@ -87,6 +87,9 @@ class PlanSpec extends SparkTestBase {
     assertPartialBeforeExchange("batchTopK", graft.operators.Similarity
       .batchTopK(emb, "vec_id", "embedding", qs, "qid", "qv", 10)
       .queryExecution.executedPlan.toString)
+    // the kNN graph's n² scored pairs must pre-reduce the same way —
+    // without the partial limit the shuffle carries all n² rows
+    assertPartialBeforeExchange("x_knn_graph", plan("x_knn_graph"))
   }
 
   test("heavy hitters: candidate set broadcasts; the stream never shuffles for it") {
