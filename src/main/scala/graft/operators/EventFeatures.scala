@@ -182,4 +182,126 @@ object EventFeatures {
       .join(broadcast(cohortSizes), "cohort_week")
       .select(col("cohort_week"), col("week_offset"), col("n_active"), col("n_cohort"))
   }
+
+  /** First-order event-type transition matrix: within each key, events
+    * are ordered by (ts, tieBreak) and every consecutive pair of types
+    * is counted — the Markov-chain view of user behavior (what follows
+    * a view? how often does an error interrupt a funnel?) that powers
+    * next-action models and anomalous-sequence screens. Output:
+    * `from_type`, `to_type`, `n_pairs`, `n_from` (total outgoing pairs
+    * from `from_type` — the row's transition probability denominator,
+    * emitted as an integer so consumers divide at whatever precision
+    * they need and the frame stays hash-exact).
+    *
+    * Plan shape: ONE shuffle of the stream on the key for the
+    * per-key ordered `lead` window (the same partitioned-sort shape
+    * sessionize uses — per-key state only, never an unpartitioned
+    * window); the pair count is a map-side-combined agg collapsing to
+    * ≤ |types|² rows, and the denominator is a second ≤ |types|-row
+    * agg of THAT, broadcast back. The tie-break column must make
+    * (ts, tieBreak) unique per key or `lead` is
+    * nondeterministic under re-execution.
+    */
+  def transitionCounts(
+      df: DataFrame, tsCol: String, keyCol: String, typeCol: String,
+      tieBreakCol: String
+  ): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieBreakCol))
+    val pairs = df
+      .select(col(keyCol), col(tsCol), col(tieBreakCol),
+        col(typeCol).as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val totals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n_pairs")).as("n_from"))
+    pairs.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n_pairs"), col("n_from"))
+  }
+
+  /** RFM scoring — the classic customer-value segmentation: per key,
+    * Recency (days between the key's last event and the corpus's last
+    * day), Frequency (event count), Monetary (sum of `valueCol` over
+    * `monetaryType` events, decimal-exact then emitted as DOUBLE), plus
+    * a 1..`buckets` quantile score per axis where `buckets` is best
+    * (most recent / most frequent / highest spend). Output: keyCol,
+    * `r_days`, `f`, `m`, `r_score`, `f_score`, `m_score`.
+    *
+    * Scores are exact rank buckets — `rank * buckets div n + 1` over
+    * the deterministic total order (metric, key) — NOT `ntile`:
+    * `ntile` is an unpartitioned window, a single-task sort over every
+    * key at scale. Instead each axis is a range-partitioned sort of
+    * the |keys|-row aggregate + `zipWithIndex` (the [[Packing]]
+    * numbering idiom: distributed sort, one count job, no row funnels
+    * through one task). An oracle reproduces the exact same buckets
+    * with `(row_number() - 1) * buckets // n + 1`.
+    *
+    * Plan shape: the raw stream shuffles ONCE into the per-key
+    * aggregate (map-side combined); the corpus max-day is a 1-row agg
+    * broadcast via crossJoin; the three score frames are sorts of the
+    * persisted |keys|-row frame (CacheManager dedupes the persist by
+    * canonicalized plan, so bench re-invocations reuse one cache
+    * entry) joined back key-to-key. Everything after the first shuffle
+    * is ∝ |keys|, never ∝ events.
+    */
+  def rfmScores(
+      df: DataFrame, tsCol: String, keyCol: String, typeCol: String,
+      valueCol: String, monetaryType: String, buckets: Int = 5
+  ): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    import org.apache.spark.storage.StorageLevel
+    val spark = df.sparkSession
+    val day = datediff(to_date(col(tsCol)), lit("1970-01-01"))
+    val dmax = df.agg(max(day).as("__dmax"))
+    val agg = df
+      .groupBy(col(keyCol).cast(LongType).as("__key"))
+      .agg(
+        max(day).as("__last_day"),
+        count(lit(1)).as("f"),
+        coalesce(
+          sum(when(col(typeCol) === monetaryType,
+            col(valueCol).cast(DecimalType(18, 2)))).cast(DecimalType(18, 2)),
+          lit(0).cast(DecimalType(18, 2))).cast(DoubleType).as("m"))
+      .crossJoin(broadcast(dmax))
+      .select(col("__key"),
+        (col("__dmax") - col("__last_day")).cast(LongType).as("r_days"),
+        col("f"), col("m"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = agg.count()
+    if (n == 0) {
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(keyCol, LongType),
+          org.apache.spark.sql.types.StructField("r_days", LongType),
+          org.apache.spark.sql.types.StructField("f", LongType),
+          org.apache.spark.sql.types.StructField("m", DoubleType),
+          org.apache.spark.sql.types.StructField("r_score", LongType),
+          org.apache.spark.sql.types.StructField("f_score", LongType),
+          org.apache.spark.sql.types.StructField("m_score", LongType))))
+    }
+    // Ascending "goodness" per axis; key tie-break makes the total
+    // order (and thus every bucket) deterministic.
+    def rankBucket(order: Seq[Column], outName: String): DataFrame = {
+      val sorted = agg
+        .repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+        .select(col("__key"))
+      spark.createDataFrame(
+        sorted.rdd.zipWithIndex().map { case (r, idx) =>
+          org.apache.spark.sql.Row(r.getLong(0), idx * buckets / n + 1L)
+        },
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__key", LongType, nullable = false),
+          org.apache.spark.sql.types.StructField(outName, LongType, nullable = false))))
+    }
+    val r = rankBucket(Seq(col("r_days").desc, col("__key").asc), "r_score")
+    val f = rankBucket(Seq(col("f").asc, col("__key").asc), "f_score")
+    val m = rankBucket(Seq(col("m").asc, col("__key").asc), "m_score")
+    agg.join(r, "__key").join(f, "__key").join(m, "__key")
+      .select(col("__key").as(keyCol), col("r_days"), col("f"), col("m"),
+        col("r_score"), col("f_score"), col("m_score"))
+  }
 }

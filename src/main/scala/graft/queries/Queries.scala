@@ -720,6 +720,21 @@ object Queries {
       graft.operators.EventFeatures.dailyAnomalies(
         events(s, d), "ts_utc", "user_id", z = 2.0)),
 
+    // First-order event-type transition matrix (Markov counts): one
+    // key-partitioned lead window over (ts, event_id), then a
+    // |types|²-bounded pair agg + broadcast denominator.
+    "x_event_transitions" -> ((s, d) =>
+      graft.operators.EventFeatures.transitionCounts(
+        events(s, d), "ts_utc", "user_id", "event_type", "event_id")),
+
+    // RFM segmentation: per-user recency/frequency/monetary + exact
+    // rank-bucket quintile scores (rank*5 div n + 1 over the
+    // deterministic (metric, key) order — never an ntile window).
+    "x_user_rfm" -> ((s, d) =>
+      graft.operators.EventFeatures.rfmScores(
+        events(s, d), "ts_utc", "user_id", "event_type", "value",
+        monetaryType = "purchase")),
+
     // A5: z-score outliers — two-pass agg + broadcast crossJoin, never an
     // unpartitioned window (SURVEY §7.3: 100 TB through one task is a
     // non-starter).
@@ -2277,6 +2292,47 @@ object Queries {
         |SELECT ret.cohort_week, ret.week_offset, ret.n_active,
         |       CAST(cs.n_cohort AS BIGINT) AS n_cohort
         |FROM ret JOIN cs USING (cohort_week)""".stripMargin,
+
+    // lead over the same (ts, event_id) per-user order; n_from summed
+    // off the pair counts (sum(BIGINT) is HUGEINT in DuckDB — cast back)
+    "x_event_transitions" ->
+      """WITH p AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |pairs AS (
+        |  SELECT from_type, to_type, count(*) AS n_pairs
+        |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, CAST(sum(n_pairs) AS BIGINT) AS n_from
+        |        FROM pairs GROUP BY 1)
+        |SELECT pairs.from_type, pairs.to_type, pairs.n_pairs, tot.n_from
+        |FROM pairs JOIN tot USING (from_type)""".stripMargin,
+
+    // exact rank buckets ((rn-1)*5 // n + 1) over (metric, key) — the
+    // engine's ntile-free formula; monetary decimal-exact then DOUBLE
+    "x_user_rfm" ->
+      """WITH mx AS (
+        |  SELECT max(datediff('day', DATE '1970-01-01',
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE))) AS dmax FROM events),
+        |ag AS (
+        |  SELECT user_id,
+        |    CAST((SELECT dmax FROM mx) - max(datediff('day', DATE '1970-01-01',
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE))) AS BIGINT) AS r_days,
+        |    count(*) AS f,
+        |    CAST(coalesce(CAST(sum(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(value AS DECIMAL(18,2)) END) AS DECIMAL(18,2)),
+        |      CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS m
+        |  FROM events GROUP BY user_id),
+        |n AS (SELECT count(*) AS n FROM ag)
+        |SELECT user_id, r_days, f, m,
+        |  CAST((row_number() OVER (ORDER BY r_days DESC, user_id) - 1) * 5
+        |    // (SELECT n FROM n) + 1 AS BIGINT) AS r_score,
+        |  CAST((row_number() OVER (ORDER BY f ASC, user_id) - 1) * 5
+        |    // (SELECT n FROM n) + 1 AS BIGINT) AS f_score,
+        |  CAST((row_number() OVER (ORDER BY m ASC, user_id) - 1) * 5
+        |    // (SELECT n FROM n) + 1 AS BIGINT) AS m_score
+        |FROM ag""".stripMargin,
 
     // same pair formulation as x_dedup_ngram, resolved to unordered
     // source pairs and counted

@@ -130,4 +130,82 @@ class EventFeaturesSpec extends SparkTestBase {
     assert(out((3L, "2024-01-02")) == 0, "count == mean + z*std is not an anomaly")
     assert(out((4L, "2024-01-01")) == 0, "single-day key has zero variance")
   }
+
+  test("transitionCounts: per-key consecutive pairs, tie broken by the order col") {
+    val ev = Seq(
+      // user 1: view -> click -> purchase (pairs: v->c, c->p)
+      (1L, 10L, "view", ts(0, 1)), (1L, 11L, "click", ts(0, 2)),
+      (1L, 12L, "purchase", ts(0, 3)),
+      // user 2: two views at the SAME ts — event_id must break the tie,
+      // then a click (pairs: v->v, v->c)
+      (2L, 20L, "view", ts(0, 4)), (2L, 21L, "view", ts(0, 4)),
+      (2L, 22L, "click", ts(0, 5)),
+      // user 3: single event -> contributes no pair
+      (3L, 30L, "view", ts(0, 6))
+    ).toDF("user_id", "event_id", "event_type", "t")
+    val got = EventFeatures.transitionCounts(ev, "t", "user_id", "event_type", "event_id")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(
+      ("view", "click") -> ((2L, 3L)),
+      ("view", "view") -> ((1L, 3L)),
+      ("click", "purchase") -> ((1L, 1L))),
+      s"unexpected transitions: $got")
+  }
+
+  test("transitionCounts: lead window is key-partitioned (scale guard)") {
+    val ev = Seq((1L, 10L, "view", ts(0, 1))).toDF("user_id", "event_id", "event_type", "t")
+    val plan = EventFeatures.transitionCounts(ev, "t", "user_id", "event_type", "event_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"transition window must not serialize through one task:\n$plan")
+  }
+
+  test("rfmScores: metrics and exact rank buckets on a 5-user fixture") {
+    // n=5, buckets=5 -> idx*5/5+1 = idx+1: every user gets a distinct
+    // score per axis, so the whole bucket assignment is pinned.
+    val ev = (
+      Seq((1L, "view", 999.0, ts(0, 1))) ++                  // r_days=4 f=1 m=0
+      Seq((2L, "view", 999.0, ts(1, 1)), (2L, "purchase", 10.0, ts(1, 2))) ++
+      Seq((3L, "view", 999.0, ts(2, 1)), (3L, "view", 999.0, ts(2, 2)),
+          (3L, "purchase", 5.5, ts(2, 3))) ++
+      (1 to 4).map(h => (4L, "view", 999.0, ts(3, h))) ++    // no purchase
+      ((1 to 4).map(h => (5L, "view", 999.0, ts(4, h))) :+
+        (5L, "purchase", 20.25, ts(4, 5)))
+    ).toDF("user_id", "event_type", "value", "t")
+    val got = EventFeatures.rfmScores(ev, "t", "user_id", "event_type", "value",
+        monetaryType = "purchase")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    // non-purchase values (999.0) must not leak into m; users without a
+    // purchase get m = 0.0 and tie on m, broken by user_id (1 before 4)
+    assert(got(1L) == ((4L, 1L, 0.0, 1L, 1L, 1L)), s"user 1: ${got(1L)}")
+    assert(got(2L) == ((3L, 2L, 10.0, 2L, 2L, 4L)), s"user 2: ${got(2L)}")
+    assert(got(3L) == ((2L, 3L, 5.5, 3L, 3L, 3L)), s"user 3: ${got(3L)}")
+    assert(got(4L) == ((1L, 4L, 0.0, 4L, 4L, 2L)), s"user 4: ${got(4L)}")
+    assert(got(5L) == ((0L, 5L, 20.25, 5L, 5L, 5L)), s"user 5: ${got(5L)}")
+  }
+
+  test("rfmScores: no single-task window in the plan (scale guard)") {
+    val ev = Seq((1L, "view", 1.0, ts(0, 1))).toDF("user_id", "event_type", "value", "t")
+    val plan = EventFeatures.rfmScores(ev, "t", "user_id", "event_type", "value", "purchase")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"rfm scores must come from rank buckets, not an ntile window:\n$plan")
+  }
+
+  test("rfmScores rejects degenerate bucket counts; empty input yields empty frame") {
+    val ev = Seq((1L, "view", 1.0, ts(0, 1))).toDF("user_id", "event_type", "value", "t")
+    assertThrows[IllegalArgumentException](
+      EventFeatures.rfmScores(ev, "t", "user_id", "event_type", "value", "purchase", buckets = 1))
+    val empty = EventFeatures.rfmScores(ev.filter(lit(false)),
+      "t", "user_id", "event_type", "value", "purchase")
+    assert(empty.columns.toSeq == Seq(
+      "user_id", "r_days", "f", "m", "r_score", "f_score", "m_score"))
+    assert(empty.count() == 0)
+  }
 }
