@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Deterministic corpus splitting and sampling for training-data
   * pipelines (train/val/test splits, per-stratum downsampling).
@@ -273,5 +273,85 @@ object Sampling {
       .na.fill(0L, Seq("kept_docs", "kept_tokens"))
       .select(col(sourceCol), col("n_docs"), col("src_tokens"), col("weight"),
         col("rate_mill"), col("kept_docs"), col("kept_tokens"))
+  }
+
+  /** Full-width deterministic hash rank in [0, 2^31-1) — the same
+    * two-round LCG as [[hashBucket]] WITHOUT the final per-mill
+    * collapse, for decisions that need a total ORDER rather than a
+    * keep/drop bucket (per-key sampling order, epoch shuffles). With
+    * only 1000 buckets, orderings by [[hashBucket]] would leave ~n/1000
+    * adjacent-id runs intact; the 31-bit rank makes collisions rare so
+    * the (rank, id) order is a genuine pseudo-shuffle. Same overflow
+    * audit and portability contract as [[hashBucket]].
+    */
+  def hashRank(id: Column, salt: Long = 0L): Column = {
+    val r0 = pmod(id, lit(P)) + lit(((salt % P) + P) % P)
+    val r1 = pmod(r0 * lit(A), lit(P))
+    pmod(r1 * lit(B), lit(P))
+  }
+
+  /** Per-key capped deterministic sample: keep at most `k` rows per
+    * `keyCol`, chosen by the (hashRank, id) order — the "N examples per
+    * source/domain" sampling every corpus audit and eval-set build
+    * uses, where an unbiased per-key fraction would over-sample huge
+    * keys and starve small ones. Output: input columns + `rn` (1-based
+    * position within the key's kept sample — stable, so `rn <= j`
+    * nests for j < k).
+    *
+    * Scale shape: the rank filter sits directly on a key-partitioned
+    * row_number window, which Spark rewrites with WindowGroupLimit:
+    * each MAP task pre-prunes to its local top-k per key BEFORE the
+    * shuffle, so a skewed key moves ≤ k·partitions rows, not its whole
+    * volume, and the post-shuffle sort state is ≤ k per key. (A spec
+    * pins the WindowGroupLimit node — losing that rewrite would turn
+    * hot keys into hot tasks at 100 TB.) Default salt differs from the
+    * split/sample/mix salts: distinct decisions, distinct salts.
+    */
+  def perKeySample(
+      df: DataFrame, idCol: String, keyCol: String, k: Int, salt: Long = 4L
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(!df.columns.contains("rn"),
+      "input already has a column named 'rn' (reserved by perKeySample)")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(hashRank(col(idCol), salt), col(idCol))
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** Deterministic epoch shuffle: the corpus in the pseudo-random
+    * (hashRank(id, saltBase + epoch), id) order with a GLOBAL 0-based
+    * `pos` — the reproducible training-order primitive (same epoch →
+    * bit-identical order on any cluster layout; next epoch → a fresh
+    * decorrelated permutation, no RNG state to checkpoint). Output:
+    * idCol, `pos`.
+    *
+    * Scale shape: a range-partitioned distributed sort on the hash
+    * rank + `zipWithIndex` for global positions (one count job + one
+    * pass — the [[Packing]] numbering idiom; `row_number() OVER
+    * (ORDER BY …)` would funnel 100 TB through one task's window).
+    * Null ids are rejected loudly — a null would silently sort into
+    * one position and break the permutation contract.
+    */
+  def epochOrder(
+      df: DataFrame, idCol: String, epoch: Int, saltBase: Long = 100L
+  ): DataFrame = {
+    require(epoch >= 0, s"epoch must be >= 0, got $epoch")
+    val spark = df.sparkSession
+    val rk = hashRank(col(idCol), saltBase + epoch)
+    val sorted = df
+      .select(col(idCol).cast(LongType).as("id"), rk.as("__rk"))
+      .repartitionByRange(col("__rk"), col("id"))
+      .sortWithinPartitions(col("__rk"), col("id"))
+      .select(col("id"))
+    val out = spark.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, idx) =>
+        if (r.isNullAt(0)) throw new IllegalArgumentException(
+          s"epochOrder: null $idCol — ids must be non-null")
+        org.apache.spark.sql.Row(r.getLong(0), idx)
+      },
+      StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("pos", LongType, nullable = false))))
+    out.withColumnRenamed("id", idCol)
   }
 }

@@ -1474,6 +1474,21 @@ object Queries {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // Per-source capped sample (≤ 25 docs per source in hash order):
+    // the rank filter rides a WindowGroupLimit — map-side top-k per
+    // key before the shuffle, spec-pinned.
+    "x_per_key_sample" -> ((s, d) =>
+      graft.operators.Sampling.perKeySample(
+        t(s, d, "documents"), "doc_id", "source", k = 25)
+        .select(col("doc_id"), col("source"), col("rn"))),
+
+    // Epoch-2 deterministic shuffle: global pseudo-random training
+    // order via range-partitioned sort on the 31-bit hash rank +
+    // zipWithIndex numbering (no single-task row_number window).
+    "x_epoch_shuffle" -> ((s, d) =>
+      graft.operators.Sampling.epochOrder(
+        t(s, d, "documents"), "doc_id", epoch = 2)),
+
     // Temperature-weighted source mixing (α = 1/2 over per-lang char
     // totals, 60k-char budget): the corpus-composition step. Integer-
     // exact end to end (floor(sqrt) weights + 64-bit floor-division
@@ -2949,6 +2964,30 @@ object Queries {
         |       WHEN bucket < 900 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM b""".stripMargin,
+
+    // same LCG without the per-mill collapse (salt 4), row_number over
+    // (rank, id) per source
+    "x_per_key_sample" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    (((((doc_id % 2147483647) + 4) * 1103515245) % 2147483647) * 784588716) % 2147483647 AS rk
+        |  FROM documents),
+        |rn AS (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY rk, doc_id) AS INT) AS rn
+        |  FROM r)
+        |SELECT doc_id, source, rn FROM rn WHERE rn <= 25""".stripMargin,
+
+    // salt = saltBase(100) + epoch(2); global 0-based position in
+    // (rank, id) order
+    "x_epoch_shuffle" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    (((((doc_id % 2147483647) + 102) * 1103515245) % 2147483647) * 784588716) % 2147483647 AS rk
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY rk, doc_id) - 1 AS BIGINT) AS pos
+        |FROM r""".stripMargin,
 
     // x_dedup_clusters' recursive component closure + x_hash_split's
     // portable bucket hash, applied to the cluster id

@@ -228,4 +228,76 @@ class SamplingSpec extends SparkTestBase {
     assert(m("empty") == ((0L, 0L)))
     assert(m.keySet == Set("big", "tiny", "empty"))
   }
+
+  // independent LCG replay for hashRank (no final per-mill collapse)
+  private def lcgRank(id: Long, salt: Long): Long = {
+    val P = 2147483647L
+    val r0 = (id % P) + (((salt % P) + P) % P)
+    val r1 = (r0 * 1103515245L) % P
+    (r1 * 784588716L) % P
+  }
+
+  test("perKeySample: <= k per key in replayed hash order; samples nest") {
+    val df = ((1L to 10L).map(i => (i, "a")) ++ Seq((11L, "b"))).toDF("id", "key")
+    val got = Sampling.perKeySample(df, "id", "key", k = 3, salt = 4L)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getInt(2)))
+    assert(got.count(_._1 == "a") == 3, s"key 'a' must cap at 3: ${got.toSeq}")
+    assert(got.count(_._1 == "b") == 1, "undersized keys keep everything")
+    // the kept ids and their rn order must equal the independent replay
+    val expectA = (1L to 10L).sortBy(i => (lcgRank(i, 4L), i)).take(3)
+    assert(got.filter(_._1 == "a").sortBy(_._3).map(_._2).toSeq == expectA,
+      s"hash order mismatch: got ${got.toSeq}, want $expectA")
+    // nesting: k=2 sample is a strict prefix of the k=3 sample
+    val k2 = Sampling.perKeySample(df, "id", "key", k = 2, salt = 4L)
+      .filter(col("key") === "a").collect().map(_.getLong(0)).toSet
+    assert(k2 == expectA.take(2).toSet, "k=2 must be a prefix of k=3")
+  }
+
+  test("perKeySample: rank filter rewrites to a Partial WindowGroupLimit (scale guard)") {
+    val df = (1L to 50L).map(i => (i, s"s${i % 3}")).toDF("id", "key")
+    val p = Sampling.perKeySample(df, "id", "key", k = 5)
+      .queryExecution.executedPlan.toString
+    val lines = p.linesIterator.toIndexedSeq
+    val pi = lines.indexWhere(l => l.contains("WindowGroupLimit") && l.contains("Partial"))
+    assert(pi >= 0, s"no Partial WindowGroupLimit — a hot key would ship whole:\n$p")
+    val ei = lines.lastIndexWhere(_.contains("Exchange hashpartitioning(key"), pi)
+    assert(ei >= 0 && ei < pi, s"Partial limit is not upstream of the key exchange:\n$p")
+  }
+
+  test("perKeySample rejects bad k and a reserved rn column") {
+    val df = Seq((1L, "a")).toDF("id", "key")
+    assertThrows[IllegalArgumentException](Sampling.perKeySample(df, "id", "key", 0))
+    assertThrows[IllegalArgumentException](
+      Sampling.perKeySample(df.withColumn("rn", lit(1)), "id", "key", 1))
+  }
+
+  test("epochOrder: exact permutation, replayed order, epochs decorrelate") {
+    val ids = (1L to 200L)
+    val df = ids.map(i => (i, s"t$i")).toDF("id", "txt")
+    val e2 = Sampling.epochOrder(df, "id", epoch = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // pos is a 0-based permutation of the whole corpus
+    assert(e2.map(_._2).sorted.toSeq == (0L until 200L))
+    // order equals the independent (rank, id) replay at salt 100+2
+    val expect = ids.sortBy(i => (lcgRank(i, 102L), i)).toSeq
+    assert(e2.sortBy(_._2).map(_._1).toSeq == expect)
+    // a different epoch yields a genuinely different permutation
+    val e3 = Sampling.epochOrder(df, "id", epoch = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2).map(_._1)
+    assert(e3.toSeq != e2.sortBy(_._2).map(_._1).toSeq)
+  }
+
+  test("epochOrder: no single-task window; null ids fail loudly") {
+    val df = (1L to 50L).map(i => (i, i)).toDF("id", "x")
+    val p = Sampling.epochOrder(df, "id", 0).queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"epoch order must not use a global window:\n$p")
+    val withNull = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(null.asInstanceOf[java.lang.Long])),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = true))))
+    val ex = intercept[org.apache.spark.SparkException](
+      Sampling.epochOrder(withNull, "id", 0).collect())
+    assert(ex.getMessage.contains("null") || ex.getCause != null)
+  }
 }
