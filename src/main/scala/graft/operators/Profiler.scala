@@ -80,4 +80,32 @@ object Profiler {
     }: _*)
     wide.select(explode(rows).as("p")).select("p.*")
   }
+
+  /** Per-source corpus data card — the summary table a dataset release
+    * publishes (and a mixing decision starts from): document and
+    * distinct-language counts, total whitespace tokens and characters,
+    * and the exact-duplicate footprint (`n_distinct_texts`, counted on
+    * a 128-bit content hash so the distinct state carries 16-byte
+    * digests, not document bodies). All columns are integers —
+    * hash-exact.
+    *
+    * Plan shape: ONE map-side-combined aggregate over the corpus; the
+    * two distinct counts are expand-based distinct aggs whose
+    * per-group state is bounded by |langs| and |distinct texts within
+    * the source| hash digests. At 100 TB swap `countDistinct` for
+    * `approx_count_distinct` if per-source distinct-text cardinality
+    * itself is the memory risk — the exact form is the oracle-checked
+    * contract here.
+    */
+  def corpusCard(
+      df: DataFrame, sourceCol: String, langCol: String,
+      textCol: String, charsCol: String
+  ): DataFrame =
+    df.groupBy(col(sourceCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col(langCol)).as("n_langs"),
+        countDistinct(md5(col(textCol))).as("n_distinct_texts"),
+        sum(TextAnalysis.tokenCount(col(textCol)).cast(LongType)).as("total_tokens"),
+        sum(col(charsCol).cast(LongType)).as("total_chars"))
 }

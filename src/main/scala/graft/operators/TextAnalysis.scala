@@ -497,6 +497,41 @@ object TextAnalysis {
         col("col").as("chunk_text"),
         tokenCount(col("col")).cast(IntegerType).as("n_chunk_tokens"))
 
+  /** Flesch–Kincaid-style readability signals — the grade-level
+    * screen corpus curation uses to band text by complexity (pairs
+    * with [[gopherRules]]' structural cuts and the perplexity bands:
+    * a grade far outside the 1..16 range usually means tables,
+    * boilerplate, or word salad rather than prose). Sentences are
+    * terminal-punctuation runs `[.!?]+`; syllables use the standard
+    * cheap proxy (vowel-group runs `[aeiouyAEIOUY]+` — whitespace and
+    * consonants both break a run, so counting over the whole text
+    * equals summing per word). Output: idCol, `n_words`,
+    * `n_sentences`, `n_syllables`, `fk_grade`.
+    *
+    * `fk_grade` = 0.39·(words/sentences) + 11.8·(syllables/words)
+    * − 15.59 with both denominators clamped to ≥ 1 (a fragment with
+    * no terminal punctuation is one sentence; an empty doc scores the
+    * constant floor instead of NaN). The arithmetic is bare IEEE
+    * doubles in a fixed evaluation order — bit-identical across
+    * engines, so the frame is hash-exact WITHOUT rounding (the
+    * round-vs-tie-break trap the verify notes document).
+    *
+    * Pure codegen'd projection — three regex counters and a division,
+    * no shuffle, no UDF; scans stay whole-stage at any corpus size.
+    */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = tokenCount(col(textCol)).cast(LongType)
+    val s = regexp_count(col(textCol), lit("[.!?]+")).cast(LongType)
+    val sy = regexp_count(col(textCol), lit("[aeiouyAEIOUY]+")).cast(LongType)
+    val wD = w.cast(DoubleType)
+    val sEff = greatest(lit(1L), s).cast(DoubleType)
+    val wEff = greatest(lit(1L), w).cast(DoubleType)
+    df.select(col(idCol),
+      w.as("n_words"), s.as("n_sentences"), sy.as("n_syllables"),
+      (lit(0.39) * (wD / sEff) + lit(11.8) * (sy.cast(DoubleType) / wEff)
+        - lit(15.59)).as("fk_grade"))
+  }
+
   /** Per-document feature frame: the standard text-quality projection. */
   def documentFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

@@ -1244,6 +1244,18 @@ object Queries {
           sum(col("n_chars")).as("total_chars"))
     }),
 
+    // Flesch–Kincaid-style readability: three codegen'd regex counters
+    // + fixed-order IEEE arithmetic (no rounding — bit-identical).
+    "x_readability" -> ((s, d) =>
+      TextAnalysis.readability(t(s, d, "documents"), "doc_id", "text")),
+
+    // Per-source data card: the dataset-release summary (docs, langs,
+    // distinct texts on a 128-bit content hash, token/char totals) in
+    // ONE map-side-combined aggregate.
+    "x_data_card" -> ((s, d) =>
+      graft.operators.Profiler.corpusCard(
+        t(s, d, "documents"), "source", "lang", "text", "n_chars")),
+
     // Language-ID marker hits (integer features; argmax tested in Scala).
     "x_lang_marker_hits" -> ((s, d) => {
       val langs = Seq("en", "de", "fr", "es")
@@ -3293,6 +3305,31 @@ object Queries {
         |CAST(sum(CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS total_tokens,
         |CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang""".stripMargin,
+
+    // same token-count formula as x_text_stats; sentence/syllable
+    // counters are regex-run counts; fk arithmetic mirrors the
+    // engine's evaluation order term for term (bare IEEE doubles)
+    "x_readability" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_words,
+        |    CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS n_sentences,
+        |    CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT) AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  0.39 * (CAST(n_words AS DOUBLE) / CAST(greatest(1, n_sentences) AS DOUBLE))
+        |    + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(greatest(1, n_words) AS DOUBLE))
+        |    - 15.59 AS fk_grade
+        |FROM c""".stripMargin,
+
+    "x_data_card" ->
+      """SELECT source,
+        |  count(*) AS n_docs,
+        |  count(DISTINCT lang) AS n_langs,
+        |  count(DISTINCT md5(text)) AS n_distinct_texts,
+        |  CAST(sum(CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS total_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY source""".stripMargin,
 
     "x_lang_marker_hits" ->
       """SELECT doc_id,

@@ -50,4 +50,32 @@ class ProfilerSpec extends SparkTestBase {
     // one aggregate over one scan — no union of per-column subplans
     assert(!plan.contains("Union"))
   }
+
+  test("corpusCard: per-source counts, distinct texts via content hash") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "web", "en", "a b c", 5L),
+      (2L, "web", "en", "a b c", 5L),   // exact dup of doc 1
+      (3L, "web", "de", "d e", 3L),
+      (4L, "books", "en", "f", 1L)
+    ).toDF("doc_id", "source", "lang", "text", "n_chars")
+    val got = Profiler.corpusCard(docs, "source", "lang", "text", "n_chars")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // web: 3 docs, 2 langs, 2 distinct texts, 3+3+2=8 tokens, 13 chars
+    assert(got("web") == ((3L, 2L, 2L, 8L, 13L)), s"web: ${got("web")}")
+    assert(got("books") == ((1L, 1L, 1L, 1L, 1L)), s"books: ${got("books")}")
+  }
+
+  test("corpusCard is one aggregate over one scan") {
+    import spark.implicits._
+    val docs = Seq((1L, "web", "en", "a", 1L))
+      .toDF("doc_id", "source", "lang", "text", "n_chars")
+    val plan = Profiler.corpusCard(docs, "source", "lang", "text", "n_chars")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Union") && !plan.contains("Join"),
+      s"data card must be a single aggregate:\n$plan")
+  }
 }

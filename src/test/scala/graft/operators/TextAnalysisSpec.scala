@@ -330,4 +330,35 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got(3L) == ((1L, 1L, 1.0)), "within-doc repeats dedupe before df")
     assert(got(4L) == ((0L, 0L, 0.0)), "short doc: no grams, novelty 0")
   }
+
+  test("readability: hand-computed counts and grade; clamps on degenerate docs") {
+    val docs = Seq(
+      // "See the dog. It runs!" -> 5 words, 2 sentence runs,
+      // vowel groups: S[ee] th[e] d[o]g [I]t r[u]ns = 5
+      (1L, "See the dog. It runs!"),
+      // no terminal punctuation: sentence count 0, clamped to 1
+      (2L, "no end here"),
+      // empty text: all counters 0, grade = constant floor
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.readability(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(1L)._1 == 5L && got(1L)._2 == 2L && got(1L)._3 == 5L,
+      s"counter mismatch: ${got(1L)}")
+    assert(got(1L)._4 == 0.39 * (5.0 / 2.0) + 11.8 * (5.0 / 5.0) - 15.59)
+    // clamp: 3 words / max(1,0) sentences; "no end here" has 4 vowel runs
+    assert(got(2L) == ((3L, 0L, 4L,
+      0.39 * (3.0 / 1.0) + 11.8 * (4.0 / 3.0) - 15.59)), s"got ${got(2L)}")
+    assert(got(3L) == ((0L, 0L, 0L, 0.39 * 0.0 + 11.8 * 0.0 - 15.59)))
+  }
+
+  test("readability is a pure projection (no shuffle, no UDF)") {
+    val docs = Seq((1L, "a b.")).toDF("doc_id", "text")
+    val plan = TextAnalysis.readability(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"readability must not shuffle:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
+  }
 }
