@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Exact distributed order statistics ("what is the TRUE p99?") via
+  * iterative histogram narrowing — the selection-algorithm companion
+  * to [[HeavyHitters]]' sketch+recount: a sketch answer you can act on
+  * is approximate, but audits, SLO thresholds, and billing cuts need
+  * the exact order statistic, and a global sort of 100 TB to read 3
+  * values is the wrong plan.
+  *
+  * Algorithm (classic distributed selection): keep a value range
+  * [lo, hi] bracketing the target rank plus the count of values below
+  * `lo` already excluded. Each pass histograms the in-range values
+  * into `B` equi-width buckets (ONE map-side-combined aggregate whose
+  * output is ≤ B rows — the only thing the driver ever sees), picks
+  * the bucket containing the residual rank, and tightens [lo, hi] to
+  * that bucket's observed [min, max] — so a point-mass bucket resolves
+  * immediately (min == max) and the range strictly shrinks otherwise.
+  * When ≤ `collectThreshold` values remain in range, they are
+  * collected and the answer read off directly. Convergence: each pass
+  * cuts the candidate set to one bucket; for n values the loop is
+  * O(log_B n) passes in practice and `maxPasses` guards pathological
+  * floating-point distributions loudly rather than spinning.
+  *
+  * Every driver-side materialization is bounded by construction:
+  * B-row histograms and one ≤ collectThreshold final bucket — never a
+  * data-proportional collect.
+  */
+object Quantiles {
+
+  /** Exact type-1 (discrete) quantiles of `valueCol`: for each q the
+    * value whose 1-based ascending rank is `max(1, ceil(q·n))` over
+    * the non-null values. Output: `q` (double), `rank` (long),
+    * `value` (double) — one row per requested quantile, exact, so the
+    * frame is hash-comparable against any engine's ORDER BY + OFFSET.
+    */
+  def exactQuantiles(
+      df: DataFrame, valueCol: String, qs: Seq[Double],
+      buckets: Int = 512, collectThreshold: Int = 8192, maxPasses: Int = 64
+  ): DataFrame = {
+    require(qs.nonEmpty, "need at least one quantile")
+    require(qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must be in (0, 1], got $qs")
+    require(buckets >= 2 && collectThreshold >= 1 && maxPasses >= 1,
+      "degenerate narrowing parameters")
+    val spark = df.sparkSession
+    val v = col(valueCol).cast(DoubleType)
+    val vals = df.select(v.as("v")).filter(col("v").isNotNull && !isnan(col("v")))
+    val outSchema = StructType(Seq(
+      StructField("q", DoubleType, nullable = false),
+      StructField("rank", LongType, nullable = false),
+      StructField("value", DoubleType, nullable = false)))
+    val head = vals.agg(count(lit(1)).as("n"), min(col("v")).as("mn"),
+      max(col("v")).as("mx")).head()
+    val n = head.getLong(0)
+    if (n == 0L) {
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], outSchema)
+    }
+
+    def selectRank(rank: Long): Double = {
+      var lo = head.getDouble(1)
+      var hi = head.getDouble(2)
+      var below = 0L // values strictly < lo, already excluded
+      var pass = 0
+      while (pass < maxPasses) {
+        pass += 1
+        if (lo == hi) return lo
+        val residual = rank - below
+        val inRange = col("v") >= lo && col("v") <= hi
+        // bucket index by equi-width split of [lo, hi); clamp the top
+        // edge into the last bucket (floating point can land on B)
+        val width = (hi - lo) / buckets
+        val idx = least(lit(buckets - 1),
+          floor((col("v") - lit(lo)) / lit(width)).cast(IntegerType))
+        val hist = vals.filter(inRange)
+          .groupBy(idx.as("b"))
+          .agg(count(lit(1)).as("c"), min(col("v")).as("bmin"),
+            max(col("v")).as("bmax"))
+          .orderBy(col("b"))
+          .collect() // ≤ `buckets` rows — bounded by construction
+        var acc = 0L
+        var i = 0
+        var chosen: Row = null
+        while (chosen == null && i < hist.length) {
+          val c = hist(i).getLong(1)
+          if (acc + c >= residual) chosen = hist(i) else { acc += c; i += 1 }
+        }
+        require(chosen != null,
+          s"rank $rank fell outside the bracket [$lo, $hi] — " +
+            "input changed between passes?")
+        val bmin = chosen.getDouble(2)
+        val bmax = chosen.getDouble(3)
+        val bcount = chosen.getLong(1)
+        if (bmin == bmax) return bmin
+        if (bcount <= collectThreshold) {
+          val tail = vals.filter(col("v") >= bmin && col("v") <= bmax)
+            .collect().map(_.getDouble(0)).sorted // ≤ collectThreshold
+          return tail((residual - acc - 1).toInt)
+        }
+        below += acc
+        lo = bmin
+        hi = bmax
+      }
+      throw new IllegalStateException(
+        s"quantile narrowing did not converge in $maxPasses passes — " +
+          s"bracket [$lo, $hi]")
+    }
+
+    val rows = qs.map { q =>
+      val rank = math.max(1L, math.ceil(q * n).toLong)
+      Row(q, rank, selectRank(rank))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), outSchema)
+  }
+}

@@ -1162,6 +1162,13 @@ object Queries {
         .select(col("item").as("token"), col("cnt"))
     }),
 
+    // Exact p50/p90/p99 by iterative histogram narrowing: ≤ 512-row
+    // driver histograms per pass + one ≤ 8192-value final bucket —
+    // the true order statistic without a global sort.
+    "x_exact_quantiles" -> ((s, d) =>
+      graft.operators.Quantiles.exactQuantiles(
+        events(s, d), "value", Seq(0.5, 0.9, 0.99))),
+
     // CCNet-style char-trigram LM quality score: per-lang top-500
     // trigram model trained on the corpus itself, each doc scored by
     // average model frequency of its trigrams (rational arithmetic —
@@ -3222,6 +3229,25 @@ object Queries {
         |FROM toks CROSS JOIN n
         |GROUP BY token, total
         |HAVING count(*) >= ceil(0.002 * total)""".stripMargin,
+
+    // type-1 (discrete) quantile: value at 1-based rank ceil(q*n),
+    // clamped to >= 1 — the narrowing loop's exact contract
+    "x_exact_quantiles" ->
+      """WITH v AS (
+        |  SELECT value FROM events
+        |  WHERE value IS NOT NULL AND NOT isnan(value)),
+        |n AS (SELECT count(*) AS n FROM v),
+        |s AS (SELECT value, row_number() OVER (ORDER BY value) AS rn FROM v),
+        |t AS (
+        |  SELECT CAST(0.5 AS DOUBLE) AS q,
+        |         greatest(1, CAST(ceil(0.5 * (SELECT n FROM n)) AS BIGINT)) AS rank
+        |  UNION ALL
+        |  SELECT CAST(0.9 AS DOUBLE),
+        |         greatest(1, CAST(ceil(0.9 * (SELECT n FROM n)) AS BIGINT))
+        |  UNION ALL
+        |  SELECT CAST(0.99 AS DOUBLE),
+        |         greatest(1, CAST(ceil(0.99 * (SELECT n FROM n)) AS BIGINT)))
+        |SELECT t.q, t.rank, s.value FROM t JOIN s ON s.rn = t.rank""".stripMargin,
 
     // trigram index range iterates len(lower(text)) — the engine kernel
     // walks the LOWERED string, and Unicode lowercasing can change

@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class QuantilesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def brute(xs: Seq[Double], q: Double): Double = {
+    val sorted = xs.sorted
+    val rank = math.max(1L, math.ceil(q * xs.size).toLong)
+    sorted((rank - 1).toInt)
+  }
+
+  test("exactQuantiles equals the brute-force order statistic on mixed data") {
+    // deterministic pseudo-random mix: duplicates, negatives, a point
+    // mass at 7.0, non-round doubles
+    val xs = (1 to 500).map(i => ((i * 2654435761L) % 1000).toDouble / 7.0 - 30.0) ++
+      Seq.fill(40)(7.0) ++ Seq(-1e9, 1e9)
+    val df = xs.toDF("v")
+    val qs = Seq(0.01, 0.25, 0.5, 0.9, 0.99, 1.0)
+    val got = Quantiles.exactQuantiles(df, "v", qs)
+      .collect().map(r => r.getDouble(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    for (q <- qs) {
+      val expectRank = math.max(1L, math.ceil(q * xs.size).toLong)
+      assert(got(q)._1 == expectRank, s"q=$q rank")
+      assert(got(q)._2 == brute(xs, q), s"q=$q value: ${got(q)._2}")
+    }
+  }
+
+  test("narrowing stays exact when forced through many passes") {
+    // tiny buckets + tiny collect threshold: the loop must recurse
+    // several times and still land on the exact order statistic
+    val xs = (1 to 2000).map(i => math.sin(i.toDouble) * 1000.0)
+    val df = xs.toDF("v")
+    val got = Quantiles.exactQuantiles(df, "v", Seq(0.5, 0.95),
+        buckets = 4, collectThreshold = 8)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(2)).toMap
+    assert(got(0.5) == brute(xs, 0.5))
+    assert(got(0.95) == brute(xs, 0.95))
+  }
+
+  test("point-mass input resolves immediately; nulls and NaNs are excluded") {
+    val allSame = Seq.fill(100)(42.5).toDF("v")
+    val s = Quantiles.exactQuantiles(allSame, "v", Seq(0.5)).collect()(0)
+    assert(s.getDouble(2) == 42.5 && s.getLong(1) == 50L)
+
+    val withJunk = (Seq[java.lang.Double](1.0, 2.0, 3.0, null, Double.NaN))
+      .toDF("v")
+    val g = Quantiles.exactQuantiles(withJunk, "v", Seq(1.0)).collect()(0)
+    // n=3 after exclusions: rank 3 -> 3.0 (NaN would sort last and poison max)
+    assert(g.getLong(1) == 3L && g.getDouble(2) == 3.0)
+  }
+
+  test("empty input yields an empty frame; bad parameters fail loudly") {
+    val empty = Seq.empty[Double].toDF("v")
+    assert(Quantiles.exactQuantiles(empty, "v", Seq(0.5)).count() == 0)
+    val df = Seq(1.0).toDF("v")
+    assertThrows[IllegalArgumentException](
+      Quantiles.exactQuantiles(df, "v", Seq.empty))
+    assertThrows[IllegalArgumentException](
+      Quantiles.exactQuantiles(df, "v", Seq(0.0)))
+    assertThrows[IllegalArgumentException](
+      Quantiles.exactQuantiles(df, "v", Seq(1.5)))
+  }
+}
