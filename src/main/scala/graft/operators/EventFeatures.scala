@@ -221,6 +221,48 @@ object EventFeatures {
       .select(col("from_type"), col("to_type"), col("n_pairs"), col("n_from"))
   }
 
+  /** Half-life-decayed activity score per key — the recency-weighted
+    * popularity/engagement signal (trending detection, staleness
+    * ranking) where yesterday counts half of today: score =
+    * Σ_days count_d · 2^−((dmax − d) div halfLifeDays), with `dmax`
+    * the corpus's last active day. Output: keyCol, `n_events`,
+    * `decayed_score`.
+    *
+    * The base is 2 BY DESIGN, not tunable convenience: every term is
+    * a daily count times an exact power of two — a dyadic rational the
+    * IEEE double represents exactly — so the sum is EXACT and
+    * order-independent (hash-stable across partitionings and engines)
+    * as long as total precision fits the 53-bit mantissa: with daily
+    * counts < 2^20 and offsets spanning ≤ 30 half-lives the sum needs
+    * ≤ 20+30+log₂(days) < 53 bits. An e-folding/0.9-style base would
+    * make every term inexact and the sum order-dependent — the
+    * round-vs-tie-break trap all over again. Coarser half-lives use
+    * the integer floor-division of the day offset (staircase decay)
+    * to keep exponents integral.
+    *
+    * Plan shape: map-side-combined (key, day) collapse — the stream's
+    * one shuffle — then a |keys × active days| → |keys| agg with the
+    * 1-row max-day broadcast-crossJoined. No window, no driver state.
+    */
+  def decayedCounts(
+      df: DataFrame, tsCol: String, keyCol: String, halfLifeDays: Int = 1
+  ): DataFrame = {
+    require(halfLifeDays >= 1, s"halfLifeDays must be >= 1, got $halfLifeDays")
+    import org.apache.spark.sql.types.LongType
+    val day = datediff(to_date(col(tsCol)), lit("1970-01-01"))
+    val daily = df
+      .groupBy(col(keyCol), day.as("__d"))
+      .agg(count(lit(1)).as("__n"))
+    val dmax = df.agg(max(day).as("__dmax"))
+    daily.crossJoin(broadcast(dmax))
+      .groupBy(col(keyCol))
+      .agg(
+        sum(col("__n")).as("n_events"),
+        sum(col("__n") *
+          pow(lit(0.5), expr(s"(__dmax - __d) div $halfLifeDays")))
+          .as("decayed_score"))
+  }
+
   /** RFM scoring — the classic customer-value segmentation: per key,
     * Recency (days between the key's last event and the corpus's last
     * day), Frequency (event count), Monetary (sum of `valueCol` over

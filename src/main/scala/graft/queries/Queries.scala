@@ -1169,6 +1169,19 @@ object Queries {
       graft.operators.Quantiles.exactQuantiles(
         events(s, d), "value", Seq(0.5, 0.9, 0.99))),
 
+    // Exact per-type median, all groups narrowed simultaneously (one
+    // corpus aggregate per pass against a broadcast bracket table).
+    "x_group_median" -> ((s, d) =>
+      graft.operators.Quantiles.groupedExactQuantile(
+        events(s, d), "event_type", "value", q = 0.5)),
+
+    // Half-life-decayed per-user activity: every term count·2^-offset
+    // is a dyadic rational, so the double sum is exact and
+    // order-independent — hash-stable with no rounding.
+    "x_decayed_activity" -> ((s, d) =>
+      graft.operators.EventFeatures.decayedCounts(
+        events(s, d), "ts_utc", "user_id", halfLifeDays = 1)),
+
     // CCNet-style char-trigram LM quality score: per-lang top-500
     // trigram model trained on the corpus itself, each doc scored by
     // average model frequency of its trigrams (rational arithmetic —
@@ -3248,6 +3261,35 @@ object Queries {
         |  SELECT CAST(0.99 AS DOUBLE),
         |         greatest(1, CAST(ceil(0.99 * (SELECT n FROM n)) AS BIGINT)))
         |SELECT t.q, t.rank, s.value FROM t JOIN s ON s.rn = t.rank""".stripMargin,
+
+    // per-group type-1 median via windowed rank — the single-node
+    // formulation of what the engine narrows iteratively
+    "x_group_median" ->
+      """WITH v AS (
+        |  SELECT event_type, value FROM events
+        |  WHERE value IS NOT NULL AND NOT isnan(value)),
+        |n AS (SELECT event_type, count(*) AS n FROM v GROUP BY 1),
+        |s AS (SELECT event_type, value,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn
+        |      FROM v)
+        |SELECT s.event_type, CAST(0.5 AS DOUBLE) AS q,
+        |       greatest(1, CAST(ceil(0.5 * n.n) AS BIGINT)) AS rank, s.value
+        |FROM s JOIN n USING (event_type)
+        |WHERE s.rn = greatest(1, CAST(ceil(0.5 * n.n) AS BIGINT))""".stripMargin,
+
+    // exact dyadic sum: count_d * pow(0.5, dmax - d) — every term and
+    // partial sum exactly representable, so plain sum() hash-matches
+    "x_decayed_activity" ->
+      """WITH d AS (
+        |  SELECT user_id,
+        |    datediff('day', DATE '1970-01-01',
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS dday,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |mx AS (SELECT max(dday) AS dmax FROM d)
+        |SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
+        |  sum(n * pow(0.5, (SELECT dmax FROM mx) - dday)) AS decayed_score
+        |FROM d GROUP BY user_id""".stripMargin,
 
     // trigram index range iterates len(lower(text)) — the engine kernel
     // walks the LOWERED string, and Unicode lowercasing can change

@@ -131,6 +131,28 @@ class EventFeaturesSpec extends SparkTestBase {
     assert(out((4L, "2024-01-01")) == 0, "single-day key has zero variance")
   }
 
+  test("decayedCounts: hand-computed dyadic sum; staircase half-life; partition-invariant") {
+    // user 1: 3 events on dmax (2^0 each), 2 on dmax-1 (2^-1), 1 on
+    // dmax-3 (2^-3) -> 3 + 1 + 0.125 = 4.125 exactly
+    val ev = ((1 to 3).map(h => (1L, ts(3, h))) ++ (1 to 2).map(h => (1L, ts(2, h))) ++
+      Seq((1L, ts(0, 1)), (2L, ts(3, 5)))).toDF("user_id", "t")
+    val got = EventFeatures.decayedCounts(ev, "t", "user_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L) == ((6L, 4.125)), s"user 1: ${got(1L)}")
+    assert(got(2L) == ((1L, 1.0)))
+    // staircase: halfLife 2 floors the offset — day offsets 0,1,3 ->
+    // exponents 0,0,1: 3 + 2 + 0.5 = 5.5
+    val h2 = EventFeatures.decayedCounts(ev, "t", "user_id", halfLifeDays = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(h2(1L) == 5.5, s"staircase: ${h2(1L)}")
+    // the dyadic-exactness claim: any partitioning sums identically
+    val repart = EventFeatures.decayedCounts(ev.repartition(7), "t", "user_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(repart(1L) == 4.125 && repart(2L) == 1.0)
+    assertThrows[IllegalArgumentException](
+      EventFeatures.decayedCounts(ev, "t", "user_id", halfLifeDays = 0))
+  }
+
   test("transitionCounts: per-key consecutive pairs, tie broken by the order col") {
     val ev = Seq(
       // user 1: view -> click -> purchase (pairs: v->c, c->p)

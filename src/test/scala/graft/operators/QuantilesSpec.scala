@@ -52,6 +52,31 @@ class QuantilesSpec extends SparkTestBase {
     assert(g.getLong(1) == 3L && g.getDouble(2) == 3.0)
   }
 
+  test("groupedExactQuantile: per-group brute-force equality, simultaneous narrowing") {
+    // three very different groups: spread, point mass, tiny
+    val rows =
+      (1 to 900).map(i => ("spread", math.cos(i.toDouble) * 500.0)) ++
+      Seq.fill(50)(("mass", 3.25)) ++
+      Seq(("tiny", 9.0), ("tiny", -4.0), ("tiny", 2.0))
+    val df = rows.toDF("k", "v")
+    // small buckets/threshold force real narrowing on the spread group
+    val got = Quantiles.groupedExactQuantile(df, "k", "v", q = 0.5,
+        buckets = 4, collectThreshold = 16)
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    val byKey = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    for ((k, xs) <- byKey) {
+      val rank = math.max(1L, math.ceil(0.5 * xs.size).toLong)
+      assert(got(k)._1 == rank, s"group $k rank")
+      assert(got(k)._2 == xs.sorted.apply((rank - 1).toInt), s"group $k value")
+    }
+  }
+
+  test("groupedExactQuantile: group-cardinality guard fails loudly") {
+    val df = (1 to 50).map(i => (s"g$i", i.toDouble)).toDF("k", "v")
+    assertThrows[IllegalArgumentException](
+      Quantiles.groupedExactQuantile(df, "k", "v", 0.5, maxGroups = 10))
+  }
+
   test("empty input yields an empty frame; bad parameters fail loudly") {
     val empty = Seq.empty[Double].toDF("v")
     assert(Quantiles.exactQuantiles(empty, "v", Seq(0.5)).count() == 0)
