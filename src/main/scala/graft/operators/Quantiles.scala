@@ -238,4 +238,38 @@ object Quantiles {
     resolved.toSeq.map { case (k, (rank, v)) => (k, q, rank, v) }
       .toDF(keyCol, "q", "rank", "value")
   }
+
+  /** Equal-frequency (quantile) binning — the feature-engineering
+    * discretizer ("which spend decile is this user in?"): rows are
+    * labeled `1..nBuckets` by comparison against the `nBuckets − 1`
+    * EXACT quantile boundaries from [[exactQuantiles]], with ties
+    * going DOWN (a value equal to a boundary stays in the lower
+    * bucket, so bucket k is exactly the half-open value interval
+    * (b_{k−1}, b_k]). Null and NaN values label null.
+    *
+    * The boundaries are a driver-side array of `nBuckets − 1` doubles
+    * broadcast into a codegen'd `filter`+`size` projection — after the
+    * selection passes, labeling is shuffle-free and whole-stage. With
+    * heavy ties the REALIZED bucket populations are deliberately
+    * unequal (all copies of a boundary value share a bucket) — that is
+    * the correct equal-frequency-with-ties semantics, not a defect.
+    */
+  def withQuantileBuckets(
+      df: DataFrame, valueCol: String, nBuckets: Int, outCol: String = "bucket"
+  ): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    require(!df.columns.contains(outCol),
+      s"input already has a column named '$outCol'")
+    val qs = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val bs = exactQuantiles(df, valueCol, qs)
+      .collect().map(_.getDouble(2)).sorted // nBuckets - 1 doubles
+    val v = col(valueCol).cast(DoubleType)
+    if (bs.isEmpty) { // empty input: no boundaries — every value is null
+      return df.withColumn(outCol, lit(null).cast(LongType))
+    }
+    val arr = array(bs.map(lit(_)): _*)
+    df.withColumn(outCol,
+      when(v.isNull || isnan(v), lit(null).cast(LongType))
+        .otherwise(lit(1L) + size(filter(arr, b => v > b)).cast(LongType)))
+  }
 }

@@ -1182,6 +1182,24 @@ object Queries {
       graft.operators.EventFeatures.decayedCounts(
         events(s, d), "ts_utc", "user_id", halfLifeDays = 1)),
 
+    // Equal-frequency decile features: exact boundaries from the
+    // narrowing selector, then a shuffle-free codegen'd labeling pass
+    // (ties go down — bucket k is the interval (b_{k-1}, b_k]).
+    "x_value_deciles" -> ((s, d) =>
+      graft.operators.Quantiles.withQuantileBuckets(
+        events(s, d), "value", nBuckets = 10, outCol = "decile")
+        .select(col("event_id"), col("value"), col("decile"))),
+
+    // Near-dup similarity histogram off the shared pair graph: pairs
+    // per jaccard decile — the threshold-tuning curve a curator reads
+    // before picking the dedup cutoff. One tiny agg over the
+    // pair-bounded cached frame.
+    "x_dedup_thresholds" -> ((s, d) =>
+      ngramPairGraph(s, d)._1
+        .groupBy(least(lit(10L), floor(col("jaccard") * 10).cast(LongType))
+          .as("sim_decile"))
+        .agg(count(lit(1)).as("n_pairs"))),
+
     // CCNet-style char-trigram LM quality score: per-lang top-500
     // trigram model trained on the corpus itself, each doc scored by
     // average model frequency of its trigrams (rational arithmetic —
@@ -3276,6 +3294,47 @@ object Queries {
         |       greatest(1, CAST(ceil(0.5 * n.n) AS BIGINT)) AS rank, s.value
         |FROM s JOIN n USING (event_type)
         |WHERE s.rn = greatest(1, CAST(ceil(0.5 * n.n) AS BIGINT))""".stripMargin,
+
+    // boundaries are the engine's exact type-1 quantiles at q = k/10
+    // (rank arithmetic replicated as CAST(k AS DOUBLE)/10 * n — the
+    // identical IEEE product the Scala side computes); ties go down
+    "x_value_deciles" ->
+      """WITH v AS (
+        |  SELECT value FROM events
+        |  WHERE value IS NOT NULL AND NOT isnan(value)),
+        |n AS (SELECT count(*) AS n FROM v),
+        |s AS (SELECT value, row_number() OVER (ORDER BY value) AS rn FROM v),
+        |b AS (
+        |  SELECT s.value AS bv
+        |  FROM generate_series(1, 9) g(k)
+        |  CROSS JOIN n
+        |  JOIN s ON s.rn = greatest(1,
+        |    CAST(ceil((CAST(g.k AS DOUBLE) / 10) * n.n) AS BIGINT)))
+        |SELECT e.event_id, e.value,
+        |  CASE WHEN e.value IS NULL OR isnan(e.value) THEN NULL
+        |       ELSE 1 + (SELECT count(*) FROM b WHERE e.value > b.bv) END AS decile
+        |FROM events e""".stripMargin,
+
+    // jaccard double is bit-identical to the engine's (same
+    // intersection/union division), so its decile floor matches
+    "x_dedup_thresholds" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(ts)-2),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+        |  FROM toks WHERE len(ts) >= 3
+        |), pairs AS (
+        |  SELECT CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5)
+        |SELECT least(10, CAST(floor(j * 10) AS BIGINT)) AS sim_decile,
+        |       count(*) AS n_pairs
+        |FROM pairs GROUP BY 1""".stripMargin,
 
     // exact dyadic sum: count_d * pow(0.5, dmax - d) — every term and
     // partial sum exactly representable, so plain sum() hash-matches

@@ -77,6 +77,39 @@ class QuantilesSpec extends SparkTestBase {
       Quantiles.groupedExactQuantile(df, "k", "v", 0.5, maxGroups = 10))
   }
 
+  test("withQuantileBuckets: equal-frequency labels, ties go down, null/NaN label null") {
+    // 20 distinct values 1..20 into quartiles: boundaries at ranks
+    // ceil(q*20) = 5, 10, 15 -> values 5.0, 10.0, 15.0
+    val xs = (1 to 20).map(_.toDouble)
+    val df = xs.map(v => (v.toLong, v)).toDF("id", "v")
+    val got = Quantiles.withQuantileBuckets(df, "v", nBuckets = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    for (i <- 1 to 20) {
+      val expect = if (i <= 5) 1L else if (i <= 10) 2L else if (i <= 15) 3L else 4L
+      assert(got(i.toLong) == expect, s"value $i -> ${got(i.toLong)}")
+    }
+    // a value EQUAL to a boundary stays in the lower bucket (5 -> 1)
+    assert(got(5L) == 1L && got(10L) == 2L && got(15L) == 3L)
+
+    val junk = Seq[(java.lang.Long, java.lang.Double)]((1L, 2.0), (2L, null),
+        (3L, Double.NaN)).toDF("id", "v")
+    val j = Quantiles.withQuantileBuckets(junk, "v", 2)
+      .collect().map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    assert(j(2L).isEmpty && j(3L).isEmpty, "null and NaN must label null")
+  }
+
+  test("withQuantileBuckets: labeling pass is shuffle-free after selection") {
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val out = Quantiles.withQuantileBuckets(df, "v", 10)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"decile labeling must be a broadcast-array projection:\n$plan")
+    assertThrows[IllegalArgumentException](
+      Quantiles.withQuantileBuckets(df, "v", 1))
+    assertThrows[IllegalArgumentException](
+      Quantiles.withQuantileBuckets(out, "v", 4)) // 'bucket' reserved
+  }
+
   test("empty input yields an empty frame; bad parameters fail loudly") {
     val empty = Seq.empty[Double].toDF("v")
     assert(Quantiles.exactQuantiles(empty, "v", Seq(0.5)).count() == 0)
