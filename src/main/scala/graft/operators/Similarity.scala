@@ -104,6 +104,33 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Recall@k audit — the eval loop every ANN deployment runs before
+    * trusting an index: per query, how many of the EXACT top-k the
+    * approximate result recovered. Both inputs are (queryCol, idCol,
+    * …) top-k frames (e.g. [[Ivf.ivfTopK]] vs [[batchTopK]]); output
+    * is queryCol, `n_hits`, `k` — integers only (consumers divide at
+    * whatever precision they want; the frame stays hash-exact), with
+    * `k` taken per query from the exact frame so truncated result
+    * lists are visible rather than silently renormalized. Queries with
+    * zero overlap keep explicit 0 rows.
+    *
+    * Plan shape: one equi-join on (query, id) + two |queries|-bounded
+    * aggs — both inputs are already ≤ |queries|·k rows, so every step
+    * is candidate-bounded; nothing rescans the corpus.
+    */
+  def recallAtK(
+      ann: DataFrame, exact: DataFrame,
+      queryCol: String = "query_id", idCol: String = "id"
+  ): DataFrame = {
+    val hits = ann.select(col(queryCol), col(idCol))
+      .join(exact.select(col(queryCol), col(idCol)), Seq(queryCol, idCol))
+      .groupBy(col(queryCol)).agg(count(lit(1)).as("n_hits"))
+    exact.groupBy(col(queryCol)).agg(count(lit(1)).as("k"))
+      .join(hits, Seq(queryCol), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .select(col(queryCol), col("n_hits"), col("k"))
+  }
+
   /** Exact k-nearest-neighbor GRAPH over one embedding frame: for every
     * vector, its `k` most cosine-similar OTHER vectors — the precursor
     * artifact of semantic dedup, graph clustering, and diversity

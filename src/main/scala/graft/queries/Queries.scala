@@ -987,6 +987,22 @@ object Queries {
         .select(col("query_id"), col("id"), col("rank"))
     }),
 
+    // Recall@10 of the IVF probe vs exact brute force — the index
+    // eval every ANN deployment gates on. Integer (hits, k) per
+    // query; the IVF side replays the committed corpus-keyed golden,
+    // the exact side is the same brute-force rank SQL as x_knn_graph.
+    "x_ann_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val ann = graft.operators.Ivf.ivfTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qv", k = 10, nlist = 64, nProbe = 8)
+      val exact = Similarity.batchTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qv", k = 10)
+      Similarity.recallAtK(ann, exact)
+        .select(col("query_id"), col("n_hits"), col("k"))
+    }),
+
     // Structured Streaming surface, driver-visible: the windowed
     // error-rate summary over a file-source micro-batch stream of
     // lineitem, annotated by the SAME compiled rule set the batch
@@ -2624,6 +2640,32 @@ object Queries {
         |SELECT query_id, id, rank
         |FROM read_parquet('/root/repo/tools/golden/ivf_topk.parquet') g, ck
         |WHERE g.corpus_key = ck.k""".stripMargin,
+
+    // IVF side = the corpus-keyed golden replay (same as x_ann_ivf);
+    // exact side = the x_knn_graph brute-force rank SQL with self
+    // INCLUDED (both engine frames keep the query vector, so recall
+    // counts it consistently on both sides)
+    "x_ann_recall" ->
+      """WITH ck AS (SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 281474976710656) AS BIGINT)) AS BIGINT) AS k FROM embeddings),
+        |g AS (
+        |  SELECT query_id, id
+        |  FROM read_parquet('/root/repo/tools/golden/ivf_topk.parquet') gg, ck
+        |  WHERE gg.corpus_key = ck.k),
+        |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id AS id,
+        |         list_cosine_similarity(e.embedding, q.qv) AS c
+        |  FROM embeddings e CROSS JOIN q),
+        |ranked AS (
+        |  SELECT qid, id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY c DESC, id ASC) AS rn
+        |  FROM scored),
+        |ex AS (SELECT qid, id FROM ranked WHERE rn <= 10)
+        |SELECT ex.qid AS query_id,
+        |  CAST(count(g.id) AS BIGINT) AS n_hits,
+        |  count(*) AS k
+        |FROM ex LEFT JOIN g ON g.query_id = ex.qid AND g.id = ex.id
+        |GROUP BY ex.qid""".stripMargin,
 
     "x_dedup_embedding" ->
       """WITH ck AS (SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 281474976710656) AS BIGINT)) AS BIGINT) AS k FROM embeddings)

@@ -138,4 +138,41 @@ class SimilaritySpec extends SparkTestBase {
       }
     }
   }
+
+  test("recallAtK: overlap counts, explicit zero rows, k from the exact side") {
+    import spark.implicits._
+    val exact = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L),   // query 1: k=3
+      (2L, 20L), (2L, 21L),              // query 2: k=2
+      (3L, 30L), (3L, 31L)               // query 3: k=2
+    ).toDF("query_id", "id")
+    val ann = Seq(
+      (1L, 10L), (1L, 12L), (1L, 99L),   // 2 of 3 recovered
+      (2L, 20L), (2L, 21L),              // perfect
+      (3L, 98L), (3L, 97L)               // total miss
+    ).toDF("query_id", "id")
+    val got = Similarity.recallAtK(ann, exact)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((2L, 3L)), 2L -> ((2L, 2L)), 3L -> ((0L, 2L))),
+      s"unexpected recall rows: $got")
+  }
+
+  test("recallAtK on real data: IVF recovers a meaningful share of the exact top-10") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val ann = Ivf.ivfTopK(emb, "vec_id", "embedding", queries, "qid", "qv",
+      k = 10, nlist = 16, nProbe = 4)
+    val exact = Similarity.batchTopK(emb, "vec_id", "embedding",
+      queries, "qid", "qv", k = 10)
+    val rows = Similarity.recallAtK(ann, exact).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val (hits, k) = (r.getLong(1), r.getLong(2))
+      assert(k == 10L)
+      // self is in both frames, so recall is never 0; probe subsets
+      // make it legitimately < k sometimes
+      assert(hits >= 1L && hits <= k, s"query ${r.getLong(0)}: $hits/$k")
+    }
+  }
 }
