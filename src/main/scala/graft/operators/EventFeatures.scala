@@ -221,6 +221,40 @@ object EventFeatures {
       .select(col("from_type"), col("to_type"), col("n_pairs"), col("n_from"))
   }
 
+  /** Top-k path mining: the most common `depth`-step consecutive
+    * event-type sequences across keys — the "what journeys actually
+    * happen" view (funnel DISCOVERY, where [[funnel]] measures a
+    * journey you already hypothesized). Paths are windows of `depth`
+    * consecutive events within a key's (ts, tieBreak) order, rendered
+    * `a>b>c`; output (`path`, `n_paths`) is the global top-`k` by
+    * count, ties broken path-ascending so the cut is deterministic.
+    *
+    * Plan shape: ONE shuffle of the stream on the key feeds all
+    * `depth − 1` stacked `lead` offsets (one Window node, shared
+    * sort), the path agg is map-side combined and bounded by
+    * |types|^depth, and the top-k is a TakeOrderedAndProject
+    * (per-partition k-row heaps + one k-row driver reduce) — never a
+    * global sort.
+    */
+  def pathCounts(
+      df: DataFrame, tsCol: String, keyCol: String, typeCol: String,
+      tieBreakCol: String, depth: Int = 3, k: Int = 20
+  ): DataFrame = {
+    require(depth >= 2, s"depth must be >= 2, got $depth")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieBreakCol))
+    val steps = col(typeCol) +:
+      (1 until depth).map(i => lead(col(typeCol), i).over(w))
+    df.select(concat_ws(">", steps: _*).as("path"),
+        steps.last.isNotNull.as("__complete"))
+      .filter(col("__complete"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("path").asc)
+      .limit(k)
+  }
+
   /** Half-life-decayed activity score per key — the recency-weighted
     * popularity/engagement signal (trending detection, staleness
     * ranking) where yesterday counts half of today: score =

@@ -318,6 +318,49 @@ object Sampling {
     df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** Curriculum ordering — easy-first training order with in-band
+    * shuffling: rows are banded by the EXACT quantiles of a difficulty
+    * column ([[Quantiles.withQuantileBuckets]]: band 1 = easiest
+    * quantile, ties down), then globally positioned by (band ASC,
+    * epoch hash rank, id) — so training consumes whole difficulty
+    * bands in order while each band is internally pseudo-shuffled, and
+    * the next epoch re-shuffles within bands without touching the
+    * band progression. Output: idCol, `band`, `pos` (0-based global).
+    *
+    * Null-difficulty rows (null band) order LAST — unknown difficulty
+    * trains after everything measured. Same scale shape as
+    * [[epochOrder]]: bounded selection passes for the boundaries, then
+    * one range-partitioned sort + `zipWithIndex` numbering — no
+    * single-task window anywhere.
+    */
+  def curriculumOrder(
+      df: DataFrame, idCol: String, difficultyCol: String,
+      nBands: Int = 4, epoch: Int = 0, saltBase: Long = 200L
+  ): DataFrame = {
+    require(epoch >= 0, s"epoch must be >= 0, got $epoch")
+    val spark = df.sparkSession
+    val banded = Quantiles.withQuantileBuckets(df, difficultyCol, nBands,
+      outCol = "band")
+    val rk = hashRank(col(idCol), saltBase + epoch)
+    val sorted = banded
+      .select(col(idCol).cast(LongType).as("id"), col("band"), rk.as("__rk"))
+      .repartitionByRange(col("band").asc_nulls_last, col("__rk"), col("id"))
+      .sortWithinPartitions(col("band").asc_nulls_last, col("__rk"), col("id"))
+      .select(col("id"), col("band"))
+    val out = spark.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, idx) =>
+        if (r.isNullAt(0)) throw new IllegalArgumentException(
+          s"curriculumOrder: null $idCol — ids must be non-null")
+        org.apache.spark.sql.Row(r.getLong(0),
+          if (r.isNullAt(1)) null else r.getLong(1), idx)
+      },
+      StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("band", LongType, nullable = true),
+        StructField("pos", LongType, nullable = false))))
+    out.withColumnRenamed("id", idCol)
+  }
+
   /** Deterministic epoch shuffle: the corpus in the pseudo-random
     * (hashRank(id, saltBase + epoch), id) order with a GLOBAL 0-based
     * `pos` — the reproducible training-order primitive (same epoch →

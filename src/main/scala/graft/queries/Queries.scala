@@ -735,6 +735,14 @@ object Queries {
         events(s, d), "ts_utc", "user_id", "event_type", "value",
         monetaryType = "purchase")),
 
+    // Top-20 three-step journeys (path DISCOVERY, vs x_funnel's
+    // hypothesis measurement): one shared lead window, |types|³
+    // agg, TakeOrderedAndProject cut with path-ascending ties.
+    "x_event_paths" -> ((s, d) =>
+      graft.operators.EventFeatures.pathCounts(
+        events(s, d), "ts_utc", "user_id", "event_type", "event_id",
+        depth = 3, k = 20)),
+
     // A5: z-score outliers — two-pass agg + broadcast crossJoin, never an
     // unpartitioned window (SURVEY §7.3: 100 TB through one task is a
     // non-starter).
@@ -1554,6 +1562,14 @@ object Queries {
     "x_epoch_shuffle" -> ((s, d) =>
       graft.operators.Sampling.epochOrder(
         t(s, d, "documents"), "doc_id", epoch = 2)),
+
+    // Length curriculum: quartile bands on n_chars (exact boundaries,
+    // ties down), shortest band first, in-band epoch shuffle, global
+    // positions via the same zipWithIndex numbering.
+    "x_curriculum" -> ((s, d) =>
+      graft.operators.Sampling.curriculumOrder(
+        t(s, d, "documents"), "doc_id", "n_chars",
+        nBands = 4, epoch = 2)),
 
     // Temperature-weighted source mixing (α = 1/2 over per-lang char
     // totals, 60k-char budget): the corpus-composition step. Integer-
@@ -2390,6 +2406,19 @@ object Queries {
         |SELECT pairs.from_type, pairs.to_type, pairs.n_pairs, tot.n_from
         |FROM pairs JOIN tot USING (from_type)""".stripMargin,
 
+    // two stacked leads over the same per-user order; the top-20 cut
+    // breaks count ties path-ascending on both engines
+    "x_event_paths" ->
+      """WITH p AS (
+        |  SELECT event_type AS e0,
+        |         lead(event_type, 1) OVER w AS e1,
+        |         lead(event_type, 2) OVER w AS e2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT e0 || '>' || e1 || '>' || e2 AS path, count(*) AS n_paths
+        |FROM p WHERE e2 IS NOT NULL
+        |GROUP BY 1 ORDER BY n_paths DESC, path ASC LIMIT 20""".stripMargin,
+
     // exact rank buckets ((rn-1)*5 // n + 1) over (metric, key) — the
     // engine's ntile-free formula; monetary decimal-exact then DOUBLE
     "x_user_rfm" ->
@@ -3080,6 +3109,28 @@ object Queries {
         |SELECT doc_id,
         |  CAST(row_number() OVER (ORDER BY rk, doc_id) - 1 AS BIGINT) AS pos
         |FROM r""".stripMargin,
+
+    // quartile boundaries use the engine's exact rank arithmetic
+    // (CAST(k AS DOUBLE)/4 * n); order = (band, LCG rank at salt
+    // 200+2, id), ties down on boundaries
+    "x_curriculum" ->
+      """WITH v AS (SELECT n_chars FROM documents WHERE n_chars IS NOT NULL),
+        |n AS (SELECT count(*) AS n FROM v),
+        |s AS (SELECT n_chars, row_number() OVER (ORDER BY n_chars) AS rn FROM v),
+        |b AS (
+        |  SELECT CAST(s.n_chars AS DOUBLE) AS bv
+        |  FROM generate_series(1, 3) g(k)
+        |  CROSS JOIN n
+        |  JOIN s ON s.rn = greatest(1,
+        |    CAST(ceil((CAST(g.k AS DOUBLE) / 4) * n.n) AS BIGINT))),
+        |lab AS (
+        |  SELECT doc_id,
+        |    1 + (SELECT count(*) FROM b WHERE CAST(d.n_chars AS DOUBLE) > b.bv) AS band,
+        |    (((((doc_id % 2147483647) + 202) * 1103515245) % 2147483647) * 784588716) % 2147483647 AS rk
+        |  FROM documents d)
+        |SELECT doc_id, CAST(band AS BIGINT) AS band,
+        |  CAST(row_number() OVER (ORDER BY band, rk, doc_id) - 1 AS BIGINT) AS pos
+        |FROM lab""".stripMargin,
 
     // x_dedup_clusters' recursive component closure + x_hash_split's
     // portable bucket hash, applied to the cluster id

@@ -131,6 +131,32 @@ class EventFeaturesSpec extends SparkTestBase {
     assert(out((4L, "2024-01-01")) == 0, "single-day key has zero variance")
   }
 
+  test("pathCounts: per-key windows, deterministic top-k cut, plan shape") {
+    val ev = Seq(
+      // user 1: v c p v c  -> paths v>c>p, c>p>v, p>v>c
+      (1L, 1L, "v"), (1L, 2L, "c"), (1L, 3L, "p"), (1L, 4L, "v"), (1L, 5L, "c"),
+      // user 2: v c p -> v>c>p again (so v>c>p leads with 2)
+      (2L, 6L, "v"), (2L, 7L, "c"), (2L, 8L, "p"),
+      // user 3: too short for depth 3
+      (3L, 9L, "v"), (3L, 10L, "c")
+    ).map { case (u, e, t0) => (u, e, t0, ts(0, e.toInt)) }
+      .toDF("user_id", "event_id", "event_type", "t")
+    val out = EventFeatures.pathCounts(ev, "t", "user_id", "event_type", "event_id",
+      depth = 3, k = 2)
+    val got = out.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // top: v>c>p (2); then the 1-count paths tie — 'c>p>v' wins asc
+    assert(got == Seq(("v>c>p", 2L), ("c>p>v", 1L)), s"got $got")
+    // AQE prints initial+final plans — scope to the final segment
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be a bounded heap, not a global sort:\n$plan")
+    assert("\\bWindow\\b".r.findAllIn(plan).size == 1,
+      s"both leads must share ONE window node:\n$plan")
+    assertThrows[IllegalArgumentException](
+      EventFeatures.pathCounts(ev, "t", "user_id", "event_type", "event_id", depth = 1))
+  }
+
   test("decayedCounts: hand-computed dyadic sum; staircase half-life; partition-invariant") {
     // user 1: 3 events on dmax (2^0 each), 2 on dmax-1 (2^-1), 1 on
     // dmax-3 (2^-3) -> 3 + 1 + 0.125 = 4.125 exactly

@@ -287,6 +287,35 @@ class SamplingSpec extends SparkTestBase {
     assert(e3.toSeq != e2.sortBy(_._2).map(_._1).toSeq)
   }
 
+  test("curriculumOrder: bands progress, in-band epoch shuffle, nulls last") {
+    // difficulties 1..40 -> quartile bands of 10; one null-difficulty row
+    val df = ((1L to 40L).map(i =>
+        (i, java.lang.Double.valueOf(i.toDouble))) :+
+        ((41L, null.asInstanceOf[java.lang.Double])))
+      .toDF("id", "diff")
+    val got = Sampling.curriculumOrder(df, "id", "diff", nBands = 4, epoch = 2)
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getLong(2)))
+    // every band-1 position precedes every band-2 position, etc.
+    val posByBand = got.filter(_._2.isDefined)
+      .groupBy(_._2.get).view.mapValues(_.map(_._3)).toMap
+    for (b <- 1L to 3L)
+      assert(posByBand(b).max < posByBand(b + 1).min, s"band $b overlaps ${b + 1}")
+    // the null-difficulty row is LAST
+    assert(got.find(_._1 == 41L).get._3 == 40L)
+    // in-band order equals the LCG replay at salt 200+2
+    val band1 = got.filter(_._2.contains(1L)).sortBy(_._3).map(_._1).toSeq
+    assert(band1 == (1L to 10L).sortBy(i => (lcgRank(i, 202L), i)).toSeq)
+    // a different epoch re-shuffles within bands, not across them
+    val e3 = Sampling.curriculumOrder(df, "id", "diff", nBands = 4, epoch = 3)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2)))
+    val band1e3 = e3.filter(_._2.contains(1L)).sortBy(_._3).map(_._1).toSeq
+    assert(band1e3.toSet == band1.toSet && band1e3 != band1,
+      "epoch must permute WITHIN the band")
+  }
+
   test("epochOrder: no single-task window; null ids fail loudly") {
     val df = (1L to 50L).map(i => (i, i)).toDF("id", "x")
     val p = Sampling.epochOrder(df, "id", 0).queryExecution.executedPlan.toString
