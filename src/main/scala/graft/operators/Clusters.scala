@@ -250,4 +250,37 @@ object Clusters {
     df.join(
       components.filter(col("id") =!= col("component")).select(col("id").as(idCol)),
       Seq(idCol), "left_anti")
+
+  /** Keep the BEST row per cluster by a score column (max score, ties
+    * to the lower id) instead of [[dedupClusters]]' min-id root — the
+    * survivorship policy real curation uses ("keep the longest /
+    * highest-quality copy", Lee et al. 2021 §4 keep-one semantics).
+    * Singletons survive untouched.
+    *
+    * Scale shape mirrors [[dedupClusters]]: the score agg runs ONLY
+    * over cluster MEMBERS (join with the pair-bounded components
+    * frame — structurally ≪ corpus), winners come from a min-struct
+    * algebraic agg on that, and the corpus itself is filtered by ONE
+    * anti-join against the loser ids — the full frame is never
+    * aggregated or shuffled. Requires a non-null numeric score;
+    * null scores lose every tie (sort last via the struct max).
+    */
+  def bestPerCluster(
+      df: DataFrame, idCol: String, components: DataFrame, scoreCol: String
+  ): DataFrame = {
+    val members = df
+      .select(col(idCol), col(scoreCol).cast(LongType).as("__score"))
+      .join(components.select(col("id").as(idCol), col("component")), idCol)
+    // max score then min id == max of (score, -id) lexicographically;
+    // ids are non-negative (enforced by the pair graph's id contract)
+    val winners = members
+      .groupBy(col("component"))
+      .agg(max(struct(col("__score"), (-col(idCol)).as("__negid"))).as("w"))
+      .select(col("component"), (-col("w.__negid")).as("__keep"))
+    val losers = members
+      .join(winners, "component")
+      .filter(col(idCol) =!= col("__keep"))
+      .select(col(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
 }

@@ -221,6 +221,41 @@ object EventFeatures {
       .select(col("from_type"), col("to_type"), col("n_pairs"), col("n_from"))
   }
 
+  /** Gap-filled time-series resample: per (key, bucket) event counts
+    * over a DENSE bucket grid spanning the corpus's [min, max] bucket
+    * — the resampling step every monitoring/forecast consumer needs,
+    * where a groupBy alone silently omits empty buckets and a
+    * downstream moving average reads gaps as missing instead of zero.
+    * Buckets are `unix_micros div (bucketSeconds·10⁶)` — integer
+    * epoch arithmetic, no calendar dependence. Output: keyCol,
+    * `bucket` (epoch-bucket ordinal, long), `n_events` (0 for gaps).
+    *
+    * Plan shape: the counts agg is the stream's one map-side-combined
+    * shuffle; the grid is |keys| (a distinct agg) × `sequence()` over
+    * the broadcast 1-row span — output and every intermediate bounded
+    * by |keys × buckets|, which is the gap-filled contract's inherent
+    * size (pick `bucketSeconds` accordingly at 100 TB; a year of
+    * hourly buckets is 8760 per key).
+    */
+  def resampleCounts(
+      df: DataFrame, tsCol: String, keyCol: String, bucketSeconds: Long
+  ): DataFrame = {
+    require(bucketSeconds >= 1, s"bucketSeconds must be >= 1, got $bucketSeconds")
+    import org.apache.spark.sql.types.LongType
+    val bucketUs = bucketSeconds * 1000000L
+    val b = expr(s"unix_micros(`$tsCol`) div ${bucketUs}L")
+    val counts = df.groupBy(col(keyCol), b.as("bucket"))
+      .agg(count(lit(1)).as("__n"))
+    val span = df.agg(min(b).as("__b0"), max(b).as("__b1"))
+    val grid = df.select(col(keyCol)).distinct()
+      .crossJoin(broadcast(span))
+      .select(col(keyCol),
+        explode(sequence(col("__b0"), col("__b1"))).as("bucket"))
+    grid.join(counts, Seq(keyCol, "bucket"), "left")
+      .select(col(keyCol), col("bucket").cast(LongType).as("bucket"),
+        coalesce(col("__n"), lit(0L)).as("n_events"))
+  }
+
   /** Top-k path mining: the most common `depth`-step consecutive
     * event-type sequences across keys — the "what journeys actually
     * happen" view (funnel DISCOVERY, where [[funnel]] measures a

@@ -239,6 +239,35 @@ object Quantiles {
       .toDF(keyCol, "q", "rank", "value")
   }
 
+  /** Winsorized value column — robust-statistics clipping: values
+    * below the exact `pLo` quantile are raised to it, values above the
+    * exact `pHi` quantile lowered to it, so downstream means/sums stop
+    * being hostage to a handful of outliers (sensor glitches, test
+    * spam) without DROPPING rows the way a filter-trim would. The
+    * boundaries are true order statistics from [[exactQuantiles]]
+    * (bounded selection passes), the clip itself a shuffle-free
+    * codegen'd `least(greatest(v, lo), hi)` projection. Null/NaN
+    * values pass through unclipped (they carry their own meaning).
+    */
+  def winsorize(
+      df: DataFrame, valueCol: String, pLo: Double = 0.01, pHi: Double = 0.99,
+      outCol: String = "winsorized"
+  ): DataFrame = {
+    require(pLo > 0.0 && pHi <= 1.0 && pLo < pHi,
+      s"need 0 < pLo < pHi <= 1, got ($pLo, $pHi)")
+    require(!df.columns.contains(outCol),
+      s"input already has a column named '$outCol'")
+    val bounds = exactQuantiles(df, valueCol, Seq(pLo, pHi))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(2)).toMap
+    if (bounds.isEmpty) { // empty input
+      return df.withColumn(outCol, lit(null).cast(DoubleType))
+    }
+    val v = col(valueCol).cast(DoubleType)
+    df.withColumn(outCol,
+      when(v.isNull || isnan(v), v)
+        .otherwise(least(greatest(v, lit(bounds(pLo))), lit(bounds(pHi)))))
+  }
+
   /** Equal-frequency (quantile) binning — the feature-engineering
     * discretizer ("which spend decile is this user in?"): rows are
     * labeled `1..nBuckets` by comparison against the `nBuckets − 1`

@@ -318,6 +318,75 @@ object Sampling {
     df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** Round-robin source interleaving — the anti-clumping training
+    * order: every source's i-th document comes before ANY source's
+    * (i+1)-th, so a batch never sees a long run of one source even
+    * when sources are wildly unequal in size (the alternative —
+    * concatenate-then-shuffle — still clumps at epoch boundaries and
+    * whenever one source dominates). Within each source, position is
+    * the per-epoch pseudo-random hash order. Output: idCol, sourceCol,
+    * `rn` (0-based position within the source), `pos` (0-based global).
+    *
+    * Skew-safe by construction: the per-source position is NOT a
+    * per-source window (5 sources at 100 TB = 5 hot tasks); it is ONE
+    * range-partitioned sort on (source, rank, id) + `zipWithIndex`,
+    * with per-source offsets (a |sources|-row count agg, collected and
+    * broadcast in the numbering pass) subtracted to turn global
+    * indexes into per-source ones. The interleave itself is a second
+    * sort on (rn, source) + numbering. Both passes are distributed
+    * sorts — no partition ever holds more than its range share.
+    */
+  def interleaveOrder(
+      df: DataFrame, idCol: String, sourceCol: String,
+      epoch: Int = 0, saltBase: Long = 300L
+  ): DataFrame = {
+    require(epoch >= 0, s"epoch must be >= 0, got $epoch")
+    val spark = df.sparkSession
+    val rk = hashRank(col(idCol), saltBase + epoch)
+    // pass 1: per-source 0-based position via one global sort
+    val bySource = df
+      .select(col(sourceCol).cast(org.apache.spark.sql.types.StringType)
+        .as("src"), col(idCol).cast(LongType).as("id"), rk.as("__rk"))
+      .repartitionByRange(col("src"), col("__rk"), col("id"))
+      .sortWithinPartitions(col("src"), col("__rk"), col("id"))
+      .select(col("src"), col("id"))
+    val counts = df.groupBy(col(sourceCol).cast(
+        org.apache.spark.sql.types.StringType).as("src"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // source -> rows in lexicographically earlier sources (matches the
+    // (src, …) sort order of pass 1)
+    val offsets = {
+      var acc = 0L
+      counts.toSeq.sortBy(_._1).map { case (s, c) =>
+        val o = acc; acc += c; s -> o
+      }.toMap
+    }
+    val ranked = spark.createDataFrame(
+      bySource.rdd.zipWithIndex().map { case (r, idx) =>
+        val src = r.getString(0)
+        org.apache.spark.sql.Row(src, r.getLong(1), idx - offsets(src))
+      },
+      StructType(Seq(
+        StructField("src", org.apache.spark.sql.types.StringType, nullable = false),
+        StructField("id", LongType, nullable = false),
+        StructField("rn", LongType, nullable = false))))
+    // pass 2: interleave — (rn, source) is unique, so the order is total
+    val interleaved = ranked
+      .repartitionByRange(col("rn"), col("src"))
+      .sortWithinPartitions(col("rn"), col("src"))
+    val out = spark.createDataFrame(
+      interleaved.rdd.zipWithIndex().map { case (r, idx) =>
+        org.apache.spark.sql.Row(r.getLong(1), r.getString(0), r.getLong(2), idx)
+      },
+      StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("src", org.apache.spark.sql.types.StringType, nullable = false),
+        StructField("rn", LongType, nullable = false),
+        StructField("pos", LongType, nullable = false))))
+    out.withColumnRenamed("id", idCol).withColumnRenamed("src", sourceCol)
+  }
+
   /** Curriculum ordering — easy-first training order with in-band
     * shuffling: rows are banded by the EXACT quantiles of a difficulty
     * column ([[Quantiles.withQuantileBuckets]]: band 1 = easiest

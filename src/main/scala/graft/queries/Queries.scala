@@ -727,6 +727,13 @@ object Queries {
       graft.operators.EventFeatures.transitionCounts(
         events(s, d), "ts_utc", "user_id", "event_type", "event_id")),
 
+    // Gap-filled 6-hourly resample per event type: dense bucket grid
+    // (|types| × sequence over the broadcast span) left-joined onto
+    // the one-shuffle counts agg; empty buckets are explicit zeros.
+    "x_resample" -> ((s, d) =>
+      graft.operators.EventFeatures.resampleCounts(
+        events(s, d), "ts_utc", "event_type", bucketSeconds = 21600L)),
+
     // RFM segmentation: per-user recency/frequency/monetary + exact
     // rank-bucket quintile scores (rank*5 div n + 1 over the
     // deterministic (metric, key) order — never an ntile window).
@@ -809,6 +816,16 @@ object Queries {
     // [[ngramPairGraph]]) — the corpus-wide shingle pass runs once per
     // session and the clusters/split entries derive from it.
     "x_dedup_ngram" -> ((s, d) => ngramPairGraph(s, d)._1),
+
+    // Survivorship by QUALITY: keep the longest doc per near-dup
+    // cluster (ties to the lower id) — member-bounded winner agg +
+    // one corpus anti-join, off the shared pair graph.
+    "x_dedup_best" -> ((s, d) => {
+      val (_, components) = ngramPairGraph(s, d)
+      graft.operators.Clusters.bestPerCluster(
+        t(s, d, "documents"), "doc_id", components, "n_chars")
+        .select(col("doc_id"), col("n_chars"))
+    }),
 
     // Near-dup degree histogram off the shared pair graph: how many
     // docs have k near-duplicates — the dedup-audit summary a curator
@@ -1571,6 +1588,24 @@ object Queries {
         t(s, d, "documents"), "doc_id", "n_chars",
         nBands = 4, epoch = 2)),
 
+    // Round-robin source interleave: every source's i-th doc before
+    // any source's (i+1)-th — two distributed sorts + zipWithIndex,
+    // never a per-source window (5 sources would mean 5 hot tasks).
+    "x_interleave" -> ((s, d) =>
+      graft.operators.Sampling.interleaveOrder(
+        t(s, d, "documents"), "doc_id", "source", epoch = 1)),
+
+    // Winsorized per-type value sums: exact p01/p99 clip boundaries
+    // from the narrowing selector, decimal-exact aggregation after a
+    // shuffle-free clip projection.
+    "x_winsorize" -> ((s, d) => {
+      val w = graft.operators.Quantiles.winsorize(
+        events(s, d), "value", pLo = 0.01, pHi = 0.99, outCol = "wv")
+      w.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          dec(sum(dec(col("wv")))).cast(DoubleType).as("sum_winsorized"))
+    }),
+
     // Temperature-weighted source mixing (α = 1/2 over per-lang char
     // totals, 60k-char budget): the corpus-composition step. Integer-
     // exact end to end (floor(sqrt) weights + 64-bit floor-division
@@ -2283,6 +2318,44 @@ object Queries {
         |)
         |SELECT id AS doc_id, min(comp) AS cluster_id FROM lbl GROUP BY id""".stripMargin,
 
+    // same recursive component closure; the survivor is the longest
+    // member (ties to the lower id), singletons all survive
+    "x_dedup_best" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(ts)-2),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+        |  FROM toks WHERE len(ts) >= 3
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+        |), edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION
+        |  SELECT id_b AS u, id_a AS v FROM pairs
+        |), lbl(id, comp) AS (
+        |  SELECT u, least(u, min(v)) FROM edges GROUP BY u
+        |  UNION
+        |  SELECT e.u, l.comp FROM edges e JOIN lbl l ON e.v = l.id
+        |), comp AS (
+        |  SELECT id AS doc_id, min(comp) AS cluster_id FROM lbl GROUP BY id
+        |), mem AS (
+        |  SELECT d.doc_id, c.cluster_id, d.n_chars
+        |  FROM documents d JOIN comp c USING (doc_id)
+        |), win AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, row_number() OVER (
+        |      PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |    FROM mem) WHERE rn = 1)
+        |SELECT d.doc_id, d.n_chars
+        |FROM documents d LEFT JOIN comp c USING (doc_id)
+        |WHERE c.doc_id IS NULL OR d.doc_id IN (SELECT doc_id FROM win)""".stripMargin,
+
     // identical formulation to x_dedup_minhash's oracle: both operators
     // compute the same exact pair set at this threshold
     "x_dedup_ngram" ->
@@ -2389,6 +2462,23 @@ object Queries {
         |SELECT ret.cohort_week, ret.week_offset, ret.n_active,
         |       CAST(cs.n_cohort AS BIGINT) AS n_cohort
         |FROM ret JOIN cs USING (cohort_week)""".stripMargin,
+
+    // dense 6-hour bucket grid via generate_series over the corpus
+    // span, left-joined onto the counts; gaps are explicit zeros
+    "x_resample" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000 AS bucket
+        |  FROM events),
+        |span AS (SELECT min(bucket) AS b0, max(bucket) AS b1 FROM h),
+        |keys AS (SELECT DISTINCT event_type FROM events),
+        |grid AS (
+        |  SELECT k.event_type, unnest(generate_series(s.b0, s.b1)) AS bucket
+        |  FROM keys k, span s),
+        |c AS (SELECT event_type, bucket, count(*) AS n FROM h GROUP BY 1, 2)
+        |SELECT grid.event_type, CAST(grid.bucket AS BIGINT) AS bucket,
+        |       CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+        |FROM grid LEFT JOIN c USING (event_type, bucket)""".stripMargin,
 
     // lead over the same (ts, event_id) per-user order; n_from summed
     // off the pair counts (sum(BIGINT) is HUGEINT in DuckDB — cast back)
@@ -3109,6 +3199,40 @@ object Queries {
         |SELECT doc_id,
         |  CAST(row_number() OVER (ORDER BY rk, doc_id) - 1 AS BIGINT) AS pos
         |FROM r""".stripMargin,
+
+    // pass 1 = per-source row_number over (LCG rank at salt 300+1,
+    // id); pass 2 = global row_number over (rn, source) — (rn, source)
+    // is unique so both orders are total
+    "x_interleave" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    (((((doc_id % 2147483647) + 301) * 1103515245) % 2147483647) * 784588716) % 2147483647 AS rk
+        |  FROM documents),
+        |rn AS (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY rk, doc_id) - 1 AS BIGINT) AS rn
+        |  FROM r)
+        |SELECT doc_id, source, rn,
+        |  CAST(row_number() OVER (ORDER BY rn, source) - 1 AS BIGINT) AS pos
+        |FROM rn""".stripMargin,
+
+    // p01/p99 boundaries via the exact rank formula, clip with
+    // least/greatest, then the DECIMAL-routed sum (order-independent)
+    "x_winsorize" ->
+      """WITH v AS (
+        |  SELECT value FROM events
+        |  WHERE value IS NOT NULL AND NOT isnan(value)),
+        |n AS (SELECT count(*) AS n FROM v),
+        |s AS (SELECT value, row_number() OVER (ORDER BY value) AS rn FROM v),
+        |lo AS (SELECT s.value AS b FROM s, n
+        |       WHERE s.rn = greatest(1, CAST(ceil(0.01 * n.n) AS BIGINT))),
+        |hi AS (SELECT s.value AS b FROM s, n
+        |       WHERE s.rn = greatest(1, CAST(ceil(0.99 * n.n) AS BIGINT)))
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(CAST(sum(CAST(least(greatest(e.value, (SELECT b FROM lo)),
+        |    (SELECT b FROM hi)) AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)
+        |    AS sum_winsorized
+        |FROM events e GROUP BY event_type""".stripMargin,
 
     // quartile boundaries use the engine's exact rank arithmetic
     // (CAST(k AS DOUBLE)/4 * n); order = (band, LCG rank at salt

@@ -134,4 +134,32 @@ class ClustersSpec extends SparkTestBase {
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(survivors == Seq(1L, 4L))
   }
+
+  test("bestPerCluster: max score survives, ties to lower id, singletons kept") {
+    import spark.implicits._
+    // cluster {1,2,3}: scores 5,9,9 -> 2 and 3 tie on score, 2 wins;
+    // cluster {10,11}: 10 wins on score; 20 is a singleton
+    val docs = Seq(
+      (1L, 5L), (2L, 9L), (3L, 9L), (10L, 7L), (11L, 3L), (20L, 1L)
+    ).toDF("doc_id", "score")
+    val comps = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)
+    ).toDF("id", "component")
+    val got = Clusters.bestPerCluster(docs, "doc_id", comps, "score")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(2L, 10L, 20L), s"survivors: $got")
+  }
+
+  test("bestPerCluster: corpus is anti-joined, never aggregated (scale guard)") {
+    import spark.implicits._
+    val docs = Seq((1L, 5L), (2L, 9L)).toDF("doc_id", "score")
+    val comps = Seq((1L, 1L), (2L, 1L)).toDF("id", "component")
+    val plan = Clusters.bestPerCluster(docs, "doc_id", comps, "score")
+      .queryExecution.optimizedPlan.toString
+    // the only aggregate must key on the component (winner agg over
+    // members) — a corpus-wide groupBy(doc_id) would shuffle 100 TB
+    assert(plan.contains("Join LeftAnti"), s"no anti-join in:\n$plan")
+    assert(!plan.contains("Aggregate [doc_id"),
+      s"corpus must not be aggregated:\n$plan")
+  }
 }

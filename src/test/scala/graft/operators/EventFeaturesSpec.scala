@@ -131,6 +131,26 @@ class EventFeaturesSpec extends SparkTestBase {
     assert(out((4L, "2024-01-01")) == 0, "single-day key has zero variance")
   }
 
+  test("resampleCounts: dense grid with explicit zero gaps, shared span") {
+    // hours 1 and 4 active for user-type 'a' (gap at 2,3); 'b' only
+    // hour 2 — but the grid spans the CORPUS [1,4] for both keys
+    val ev = Seq(
+      ("a", ts(0, 1)), ("a", ts(0, 1)), ("a", ts(0, 4)),
+      ("b", ts(0, 2))
+    ).toDF("k", "t")
+    val got = EventFeatures.resampleCounts(ev, "t", "k", bucketSeconds = 3600L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val h0 = got.keys.map(_._2).min
+    // 4 buckets x 2 keys = 8 rows, gaps explicit
+    assert(got.size == 8, s"grid size: ${got.size}")
+    assert(got(("a", h0)) == 2L && got(("a", h0 + 3)) == 1L)
+    assert(got(("a", h0 + 1)) == 0L && got(("a", h0 + 2)) == 0L,
+      "gaps must be explicit zeros")
+    assert(got(("b", h0 + 1)) == 1L && got(("b", h0)) == 0L)
+    assertThrows[IllegalArgumentException](
+      EventFeatures.resampleCounts(ev, "t", "k", 0L))
+  }
+
   test("pathCounts: per-key windows, deterministic top-k cut, plan shape") {
     val ev = Seq(
       // user 1: v c p v c  -> paths v>c>p, c>p>v, p>v>c

@@ -71,6 +71,27 @@ class QuantilesSpec extends SparkTestBase {
     }
   }
 
+  test("winsorize: exact boundary clip, null/NaN pass-through") {
+    // values 1..100: p05 boundary = rank ceil(0.05*100)=5 -> 5.0,
+    // p95 -> 95.0
+    val xs = (1 to 100).map(_.toDouble)
+    val df = xs.map(v => (v.toLong, v)).toDF("id", "v")
+    val got = Quantiles.winsorize(df, "v", pLo = 0.05, pHi = 0.95, outCol = "w")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(1L) == 5.0 && got(4L) == 5.0, "low tail raised to p05")
+    assert(got(5L) == 5.0 && got(50L) == 50.0 && got(95L) == 95.0)
+    assert(got(96L) == 95.0 && got(100L) == 95.0, "high tail lowered to p95")
+
+    val junk = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 1.0), (2L, null), (3L, Double.NaN)).toDF("id", "v")
+    val j = Quantiles.winsorize(junk, "v", 0.5, 1.0).collect()
+      .map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    assert(j(2L).isEmpty, "null passes through")
+    assert(j(3L).exists(_.isNaN), "NaN passes through unclipped")
+    assertThrows[IllegalArgumentException](
+      Quantiles.winsorize(junk, "v", 0.9, 0.5))
+  }
+
   test("groupedExactQuantile: group-cardinality guard fails loudly") {
     val df = (1 to 50).map(i => (s"g$i", i.toDouble)).toDF("k", "v")
     assertThrows[IllegalArgumentException](

@@ -316,6 +316,27 @@ class SamplingSpec extends SparkTestBase {
       "epoch must permute WITHIN the band")
   }
 
+  test("interleaveOrder: round-robin across unequal sources, replayed in-source order") {
+    // sources: a has 5 docs, b has 2, c has 1 — after b and c exhaust,
+    // the tail is pure a
+    val df = ((1L to 5L).map(i => (i, "a")) ++ Seq((6L, "b"), (7L, "b"), (8L, "c")))
+      .toDF("id", "src")
+    val got = Sampling.interleaveOrder(df, "id", "src", epoch = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // pos is a 0-based permutation
+    assert(got.map(_._4).sorted.toSeq == (0L until 8L))
+    // every rn=0 row precedes every rn=1 row, etc. (the interleave law)
+    val byRn = got.groupBy(_._3).view.mapValues(_.map(_._4)).toMap
+    for (r <- 0L to 3L; if byRn.contains(r + 1))
+      assert(byRn(r).max < byRn(r + 1).min, s"rn $r rows overlap rn ${r + 1}")
+    // within a source, rn follows the LCG replay at salt 300+1
+    val aOrder = got.filter(_._2 == "a").sortBy(_._3).map(_._1).toSeq
+    assert(aOrder == (1L to 5L).sortBy(i => (lcgRank(i, 301L), i)).toSeq)
+    // round 0 holds one doc of each source, ordered a, b, c
+    val round0 = got.filter(_._3 == 0L).sortBy(_._4).map(_._2).toSeq
+    assert(round0 == Seq("a", "b", "c"))
+  }
+
   test("epochOrder: no single-task window; null ids fail loudly") {
     val df = (1L to 50L).map(i => (i, i)).toDF("id", "x")
     val p = Sampling.epochOrder(df, "id", 0).queryExecution.executedPlan.toString
