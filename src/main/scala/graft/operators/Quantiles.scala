@@ -36,6 +36,9 @@ object Quantiles {
     * the non-null values. Output: `q` (double), `rank` (long),
     * `value` (double) — one row per requested quantile, exact, so the
     * frame is hash-comparable against any engine's ORDER BY + OFFSET.
+    * All requested ranks narrow SIMULTANEOUSLY (broadcast bracket
+    * table, one aggregate per pass) — asking for 9 decile boundaries
+    * costs the same 2-3 column scans as asking for one.
     */
   def exactQuantiles(
       df: DataFrame, valueCol: String, qs: Seq[Double],
@@ -61,58 +64,89 @@ object Quantiles {
         spark.sparkContext.emptyRDD[Row], outSchema)
     }
 
-    def selectRank(rank: Long): Double = {
-      var lo = head.getDouble(1)
-      var hi = head.getDouble(2)
-      var below = 0L // values strictly < lo, already excluded
-      var pass = 0
-      while (pass < maxPasses) {
-        pass += 1
-        if (lo == hi) return lo
-        val residual = rank - below
-        val inRange = col("v") >= lo && col("v") <= hi
-        // bucket index by equi-width split of [lo, hi); clamp the top
-        // edge into the last bucket (floating point can land on B)
-        val width = (hi - lo) / buckets
-        val idx = least(lit(buckets - 1),
-          floor((col("v") - lit(lo)) / lit(width)).cast(IntegerType))
-        val hist = vals.filter(inRange)
-          .groupBy(idx.as("b"))
-          .agg(count(lit(1)).as("c"), min(col("v")).as("bmin"),
-            max(col("v")).as("bmax"))
-          .orderBy(col("b"))
-          .collect() // ≤ `buckets` rows — bounded by construction
-        var acc = 0L
-        var i = 0
-        var chosen: Row = null
-        while (chosen == null && i < hist.length) {
-          val c = hist(i).getLong(1)
-          if (acc + c >= residual) chosen = hist(i) else { acc += c; i += 1 }
+    // ALL ranks narrow simultaneously: each pass is ONE aggregate over
+    // the column, with every rank's current bracket shipped as a
+    // broadcast |ranks|-row table (BroadcastNestedLoopJoin — a row is
+    // tested against ≤ |qs| brackets and duplicated only where
+    // brackets overlap). p50/p90/p99 or 9 decile boundaries therefore
+    // cost the SAME 2-3 corpus scans as one rank — the difference
+    // between 3 and 18 full-column passes at 100 TB.
+    final case class Bracket(rank: Long, var lo: Double, var hi: Double,
+      var below: Long)
+    val ranks = qs.zipWithIndex.map { case (q, i) =>
+      i -> math.max(1L, math.ceil(q * n).toLong)
+    }.toMap
+    val brackets = scala.collection.mutable.Map[Int, Bracket]()
+    val resolved = scala.collection.mutable.Map[Int, Double]()
+    val mn = head.getDouble(1); val mx = head.getDouble(2)
+    ranks.foreach { case (i, r) =>
+      if (mn == mx) resolved(i) = mn else brackets(i) = Bracket(r, mn, mx, 0L)
+    }
+    val finals = scala.collection.mutable.Map[Int, (Double, Double, Long)]()
+    import spark.implicits._
+    var pass = 0
+    while (brackets.nonEmpty && pass < maxPasses) {
+      pass += 1
+      val btab = broadcast(brackets.toSeq
+        .map { case (i, b) => (i, b.lo, b.hi) }.toDF("rid", "__lo", "__hi"))
+      val width = (col("__hi") - col("__lo")) / buckets
+      // clamp the top edge into the last bucket (floating point can
+      // land exactly on B)
+      val idx = least(lit(buckets - 1),
+        floor((col("v") - col("__lo")) / width).cast(IntegerType))
+      val hist = vals
+        .join(btab, col("v") >= col("__lo") && col("v") <= col("__hi"))
+        .groupBy(col("rid"), idx.as("b"))
+        .agg(count(lit(1)).as("c"), min(col("v")).as("bmin"),
+          max(col("v")).as("bmax"))
+        .collect() // ≤ active·buckets rows — bounded by construction
+        .groupBy(_.getInt(0))
+      hist.foreach { case (rid, rows) =>
+        val b = brackets(rid)
+        val sorted = rows.sortBy(_.getInt(1))
+        val residual = b.rank - b.below
+        var acc = 0L; var i = 0; var chosen: Row = null
+        while (chosen == null && i < sorted.length) {
+          val c = sorted(i).getLong(2)
+          if (acc + c >= residual) chosen = sorted(i) else { acc += c; i += 1 }
         }
         require(chosen != null,
-          s"rank $rank fell outside the bracket [$lo, $hi] — " +
+          s"rank ${b.rank} fell outside its bracket [${b.lo}, ${b.hi}] — " +
             "input changed between passes?")
-        val bmin = chosen.getDouble(2)
-        val bmax = chosen.getDouble(3)
-        val bcount = chosen.getLong(1)
-        if (bmin == bmax) return bmin
-        if (bcount <= collectThreshold) {
-          val tail = vals.filter(col("v") >= bmin && col("v") <= bmax)
-            .collect().map(_.getDouble(0)).sorted // ≤ collectThreshold
-          return tail((residual - acc - 1).toInt)
-        }
-        below += acc
-        lo = bmin
-        hi = bmax
+        val bmin = chosen.getDouble(3); val bmax = chosen.getDouble(4)
+        val bcount = chosen.getLong(2)
+        if (bmin == bmax) { resolved(rid) = bmin; brackets.remove(rid) }
+        else if (bcount <= collectThreshold) {
+          finals(rid) = (bmin, bmax, residual - acc); brackets.remove(rid)
+        } else { b.below += acc; b.lo = bmin; b.hi = bmax }
       }
-      throw new IllegalStateException(
-        s"quantile narrowing did not converge in $maxPasses passes — " +
-          s"bracket [$lo, $hi]")
+      require(brackets.keys.forall(hist.contains),
+        "bracket lost its rows mid-narrowing")
+    }
+    require(brackets.isEmpty,
+      s"quantile narrowing did not converge in $maxPasses passes")
+
+    if (finals.nonEmpty) {
+      // batched endgame: ONE gather pass for every unresolved rank's
+      // final bucket (≤ collectThreshold values each)
+      val ftab = broadcast(finals.toSeq
+        .map { case (i, (lo, hi, _)) => (i, lo, hi) }.toDF("rid", "__lo", "__hi"))
+      val gathered = vals
+        .join(ftab, col("v") >= col("__lo") && col("v") <= col("__hi"))
+        .groupBy(col("rid"))
+        .agg(sort_array(collect_list(col("v"))).as("vs"))
+        .collect()
+      gathered.foreach { r =>
+        val rid = r.getInt(0)
+        val vs = r.getSeq[Double](1)
+        resolved(rid) = vs((finals(rid)._3 - 1).toInt)
+      }
+      require(resolved.size == ranks.size,
+        "a finalized rank gathered no rows — float-edge filter bug")
     }
 
-    val rows = qs.map { q =>
-      val rank = math.max(1L, math.ceil(q * n).toLong)
-      Row(q, rank, selectRank(rank))
+    val rows = qs.zipWithIndex.map { case (q, i) =>
+      Row(q, ranks(i), resolved(i))
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), outSchema)
