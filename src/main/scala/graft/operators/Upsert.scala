@@ -55,4 +55,45 @@ object Upsert {
       case None    => merged
     }
   }
+
+  /** Type-2 slowly-changing-dimension HISTORIZATION: turn a keyed
+    * change stream into validity intervals — for each key, one row per
+    * state RUN (consecutive events with the same state collapse) with
+    * `valid_from_us` / `valid_to_us` half-open interval bounds, the
+    * last run open (`valid_to_us` = −1 sentinel, so the frame stays
+    * integer-typed and hash-exact). This is the warehouse SCD2 shape:
+    * "what was this customer's tier ON this date" answers with one
+    * interval probe instead of a scan-back through the event log.
+    *
+    * Change detection is `state ≠ lag(state)` over the per-key
+    * (ts, tieBreak) order; interval close is `lead(ts)` over the
+    * surviving change rows. `tieBreakCol` must make the order unique
+    * per key (same contract as the transition/path operators) — two
+    * different states at one identical timestamp historize in
+    * tie-break order, each getting a zero-length interval rather than
+    * a nondeterministic winner.
+    *
+    * Plan shape: both windows are key-partitioned over the SAME
+    * shuffle (the change filter between them is a projection, so
+    * Spark reuses the partitioning — one exchange total); per-key
+    * state is one lag/lead row. Output is bounded by the number of
+    * state CHANGES, ≪ events for any real entity stream.
+    */
+  def stateIntervals(
+      df: DataFrame, keyCol: String, tsCol: String, stateCol: String,
+      tieBreakCol: String
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__t"), col("__tb"))
+    val changes = df
+      .select(col(keyCol), col(stateCol).as("state"),
+        unix_micros(col(tsCol)).as("__t"), col(tieBreakCol).as("__tb"))
+      .withColumn("__prev", lag(col("state"), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col("state"))
+    val w2 = w
+    changes
+      .select(col(keyCol), col("state"),
+        col("__t").as("valid_from_us"),
+        coalesce(lead(col("__t"), 1).over(w2), lit(-1L)).as("valid_to_us"))
+  }
 }

@@ -734,6 +734,13 @@ object Queries {
       graft.operators.EventFeatures.resampleCounts(
         events(s, d), "ts_utc", "event_type", bucketSeconds = 21600L)),
 
+    // SCD2 historization: per-user state runs as half-open validity
+    // intervals (open run = -1 sentinel); both windows ride ONE
+    // key-partitioned exchange, output ∝ state changes.
+    "x_scd2_intervals" -> ((s, d) =>
+      graft.operators.Upsert.stateIntervals(
+        events(s, d), "user_id", "ts_utc", "event_type", "event_id")),
+
     // RFM segmentation: per-user recency/frequency/monetary + exact
     // rank-bucket quintile scores (rank*5 div n + 1 over the
     // deterministic (metric, key) order — never an ntile window).
@@ -2462,6 +2469,25 @@ object Queries {
         |SELECT ret.cohort_week, ret.week_offset, ret.n_active,
         |       CAST(cs.n_cohort AS BIGINT) AS n_cohort
         |FROM ret JOIN cs USING (cohort_week)""".stripMargin,
+
+    // lag to find state changes, lead over the SURVIVING change rows
+    // to close intervals; open runs carry the -1 sentinel
+    "x_scd2_intervals" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_id
+        |  FROM events),
+        |c AS (
+        |  SELECT *, lag(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY t, event_id) AS prev
+        |  FROM e),
+        |chg AS (
+        |  SELECT user_id, event_type, t, event_id FROM c
+        |  WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type AS state, t AS valid_from_us,
+        |  coalesce(lead(t) OVER (
+        |    PARTITION BY user_id ORDER BY t, event_id), -1) AS valid_to_us
+        |FROM chg""".stripMargin,
 
     // dense 6-hour bucket grid via generate_series over the corpus
     // span, left-joined onto the counts; gaps are explicit zeros

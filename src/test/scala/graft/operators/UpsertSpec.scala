@@ -66,4 +66,36 @@ class UpsertSpec extends SparkTestBase {
     assert(plan.sliding("Exchange".length).count(_ == "Exchange") == 1, plan)
     assert(!plan.contains("Window"), plan)
   }
+
+  private def us(h: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+
+  test("stateIntervals: runs collapse, last run open, same-ts ties historize in order") {
+    val ev = Seq(
+      // user 1: A A B A -> runs A[1,3) B[3,4) A[4,open)
+      (1L, 10L, "A", us(1)), (1L, 11L, "A", us(2)),
+      (1L, 12L, "B", us(3)), (1L, 13L, "A", us(4)),
+      // user 2: two DIFFERENT states at the same ts — tie-break order,
+      // first gets a zero-length interval
+      (2L, 20L, "X", us(5)), (2L, 21L, "Y", us(5))
+    ).toDF("user_id", "event_id", "event_type", "t")
+    val got = Upsert.stateIntervals(ev, "user_id", "t", "event_type", "event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._3))
+    def T(h: Int) = us(h).getTime * 1000L
+    assert(got.toSeq == Seq(
+      (1L, "A", T(1), T(3)), (1L, "B", T(3), T(4)), (1L, "A", T(4), -1L),
+      (2L, "X", T(5), T(5)), (2L, "Y", T(5), -1L)),
+      s"intervals: ${got.toSeq}")
+  }
+
+  test("stateIntervals: both windows share one key exchange (scale guard)") {
+    val ev = Seq((1L, 10L, "A", us(1))).toDF("user_id", "event_id", "event_type", "t")
+    val plan = Upsert.stateIntervals(ev, "user_id", "t", "event_type", "event_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
+    assert(plan.sliding("Exchange".length).count(_ == "Exchange") == 1,
+      s"lag and lead must reuse ONE key partitioning:\n$plan")
+  }
 }
