@@ -302,6 +302,35 @@ object Quantiles {
         .otherwise(least(greatest(v, lit(bounds(pLo))), lit(bounds(pHi)))))
   }
 
+  /** Robust outlier screen — the median/MAD counterpart of the
+    * pipeline's mean/σ z-score rule (A5): a value is an outlier when
+    * `|v − median| > k · 1.4826 · MAD`, with MAD the exact median of
+    * absolute deviations. Because median and MAD have a 50% breakdown
+    * point, a heavy-tailed column cannot inflate its own threshold the
+    * way outliers inflate σ — the standard robust-statistics fix, and
+    * 1.4826 the usual consistency constant making k comparable to
+    * z-score sigmas under normality. Returns the FLAGGED rows.
+    *
+    * Both medians come from [[exactQuantiles]]' bounded narrowing
+    * (2-3 column scans each); the flag itself is a shuffle-free
+    * codegen'd comparison against driver-computed constants, so the
+    * operator is 4-6 scans total and never sorts. Null/NaN values are
+    * never flagged.
+    */
+  def madOutliers(
+      df: DataFrame, valueCol: String, k: Double = 3.0
+  ): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val v = col(valueCol).cast(DoubleType)
+    val medRows = exactQuantiles(df, valueCol, Seq(0.5)).collect()
+    if (medRows.isEmpty) return df.filter(lit(false))
+    val med = medRows(0).getDouble(2)
+    val dev = df.select(abs(v - lit(med)).as("__dev"))
+    val mad = exactQuantiles(dev, "__dev", Seq(0.5)).collect()(0).getDouble(2)
+    val thr = k * 1.4826 * mad
+    df.filter(!v.isNull && !isnan(v) && abs(v - lit(med)) > lit(thr))
+  }
+
   /** Equal-frequency (quantile) binning — the feature-engineering
     * discretizer ("which spend decile is this user in?"): rows are
     * labeled `1..nBuckets` by comparison against the `nBuckets − 1`

@@ -757,6 +757,22 @@ object Queries {
         events(s, d), "ts_utc", "user_id", "event_type", "event_id",
         depth = 3, k = 20)),
 
+    // Robust (median/MAD) outliers — A5's z-score with a 50% breakdown
+    // point: exact medians from the narrowing selector, then a
+    // shuffle-free flag against driver constants.
+    "x_mad_outliers" -> ((s, d) =>
+      graft.operators.Quantiles.madOutliers(events(s, d), "value", k = 3.0)
+        .select(col("event_id"), col("value"))),
+
+    // Wide cross-tab: source × lang doc counts via the pivot operator
+    // (explicit value list keeps the plan static; absent combos 0).
+    "x_pivot_counts" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy(col("source"))
+        .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+        .count()
+        .na.fill(0L)),
+
     // A5: z-score outliers — two-pass agg + broadcast crossJoin, never an
     // unpartitioned window (SURVEY §7.3: 100 TB through one task is a
     // non-starter).
@@ -3503,6 +3519,36 @@ object Queries {
         |FROM toks CROSS JOIN n
         |GROUP BY token, total
         |HAVING count(*) >= ceil(0.002 * total)""".stripMargin,
+
+    // med and MAD via the exact rank formula; threshold arithmetic
+    // mirrors the engine's left-assoc k * 1.4826 * mad
+    "x_mad_outliers" ->
+      """WITH v AS (
+        |  SELECT value FROM events
+        |  WHERE value IS NOT NULL AND NOT isnan(value)),
+        |n AS (SELECT count(*) AS n FROM v),
+        |s AS (SELECT value, row_number() OVER (ORDER BY value) AS rn FROM v),
+        |med AS (SELECT s.value AS m FROM s, n
+        |        WHERE s.rn = greatest(1, CAST(ceil(0.5 * n.n) AS BIGINT))),
+        |dv AS (SELECT abs(value - (SELECT m FROM med)) AS d FROM v),
+        |ds AS (SELECT d, row_number() OVER (ORDER BY d) AS rn FROM dv),
+        |mad AS (SELECT ds.d AS m FROM ds, n
+        |        WHERE ds.rn = greatest(1, CAST(ceil(0.5 * n.n) AS BIGINT)))
+        |SELECT event_id, value FROM events
+        |WHERE value IS NOT NULL AND NOT isnan(value)
+        |  AND abs(value - (SELECT m FROM med)) >
+        |      3.0 * 1.4826 * (SELECT m FROM mad)""".stripMargin,
+
+    // static CASE columns per lang — the same explicit value list the
+    // engine's pivot uses
+    "x_pivot_counts" ->
+      """SELECT source,
+        |  CAST(count(CASE WHEN lang = 'de' THEN 1 END) AS BIGINT) AS de,
+        |  CAST(count(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS en,
+        |  CAST(count(CASE WHEN lang = 'es' THEN 1 END) AS BIGINT) AS es,
+        |  CAST(count(CASE WHEN lang = 'fr' THEN 1 END) AS BIGINT) AS fr,
+        |  CAST(count(CASE WHEN lang = 'zh' THEN 1 END) AS BIGINT) AS zh
+        |FROM documents GROUP BY source""".stripMargin,
 
     // type-1 (discrete) quantile: value at 1-based rank ceil(q*n),
     // clamped to >= 1 — the narrowing loop's exact contract

@@ -71,6 +71,22 @@ class QuantilesSpec extends SparkTestBase {
     }
   }
 
+  test("madOutliers: robust threshold flags the outlier the outlier can't inflate") {
+    // 1..100 plus one 1e6: med = 51, MAD = 25, thr = 3*1.4826*25 =
+    // 111.195 -> only the 1e6 row flags. (A mean/sigma rule has its
+    // sigma inflated by the same point it is trying to flag.)
+    val xs = (1 to 100).map(_.toDouble) :+ 1e6
+    val df = xs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val got = Quantiles.madOutliers(df, "v", k = 3.0)
+      .collect().map(_.getDouble(1)).toSeq
+    assert(got == Seq(1e6), s"flagged: $got")
+    // null/NaN rows are never flagged; empty input stays empty
+    val junk = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 5.0), (2L, null), (3L, Double.NaN)).toDF("id", "v")
+    assert(Quantiles.madOutliers(junk, "v").count() == 0)
+    assert(Quantiles.madOutliers(df.filter(lit(false)), "v").count() == 0)
+  }
+
   test("winsorize: exact boundary clip, null/NaN pass-through") {
     // values 1..100: p05 boundary = rank ceil(0.05*100)=5 -> 5.0,
     // p95 -> 95.0
