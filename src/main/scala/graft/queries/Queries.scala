@@ -97,6 +97,24 @@ object Queries {
     }
   }
 
+  /** 30-minute-gap sessionization shared by `x_sessionize` and
+    * `x_session_stats` — gap compared at MICROSECOND precision (ts_utc
+    * is the reader's µs contract column regardless of the footer's
+    * physical type, so `unix_micros` is exact, no rounding).
+    */
+  private def sessionFrame(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_utc"))
+    val tsUs = unix_micros(col("ts_utc"))
+    val gap = tsUs - lag(tsUs, 1).over(byUser)
+    val isNew = when(gap.isNull || gap > lit(30L * 60 * 1000000L), 1L)
+      .otherwise(0L)
+    events(s, d)
+      .withColumn("session_seq",
+        sum(isNew).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"))
+  }
+
   private val pairGraphCache = new java.util.concurrent.ConcurrentHashMap[
     String, (SparkSession, (DataFrame, DataFrame))]()
 
@@ -453,20 +471,21 @@ object Queries {
     // Gap-based sessionization over the events stream: a new session
     // starts after >30 min of per-user inactivity (lag + cumulative sum
     // over a user-partitioned window — state bounded per user).
-    "x_sessionize" -> ((s, d) => {
-      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_utc"))
-      // gap compared at MICROSECOND precision — ts_utc is the reader's
-      // µs contract column regardless of the footer's physical type,
-      // so unix_micros is exact (no rounding)
-      val tsUs = unix_micros(col("ts_utc"))
-      val gap = tsUs - lag(tsUs, 1).over(byUser)
-      val isNew = when(gap.isNull || gap > lit(30L * 60 * 1000000L), 1L)
-        .otherwise(0L)
-      events(s, d)
-        .withColumn("session_seq",
-          sum(isNew).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy(col("user_id"), col("session_seq"))
-        .agg(count(lit(1)).as("n_events"))
+    "x_sessionize" -> ((s, d) => sessionFrame(s, d)),
+
+    // One-row session summary off the same sessionized frame; the p50
+    // session length is the exact order statistic via the narrowing
+    // selector (|sessions| input, bounded driver state).
+    "x_session_stats" -> ((s, d) => {
+      val sess = sessionFrame(s, d)
+      val p50 = graft.operators.Quantiles
+        .exactQuantiles(sess, "n_events", Seq(0.5)).collect()(0).getDouble(2)
+      sess.agg(
+        count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("n_events")).as("total_events"),
+        max(col("n_events")).as("max_len"))
+        .withColumn("p50_len", lit(p50))
     }),
 
     // As-of join: every purchase event gets the user's most recent
@@ -772,6 +791,14 @@ object Queries {
         .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
         .count()
         .na.fill(0L)),
+
+    // CUBE over (returnflag, linestatus): all four grouping levels in
+    // one pass (the expand-based multi-level aggregate).
+    "x_cube_counts" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          dec(sum(dec(col("l_quantity")))).cast(DoubleType).as("sum_qty"))),
 
     // A5: z-score outliers — two-pass agg + broadcast crossJoin, never an
     // unpartitioned window (SURVEY §7.3: 100 TB through one task is a
@@ -3538,6 +3565,42 @@ object Queries {
         |WHERE value IS NOT NULL AND NOT isnan(value)
         |  AND abs(value - (SELECT m FROM med)) >
         |      3.0 * 1.4826 * (SELECT m FROM mad)""".stripMargin,
+
+    // the sessionize CTE + a one-row summary; p50 session length via
+    // the exact rank formula over per-session counts
+    "x_session_stats" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |            > INTERVAL 30 MINUTE
+        |    THEN 1 ELSE 0 END AS is_new
+        |  FROM events),
+        |sessions AS (
+        |  SELECT user_id,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM flagged),
+        |sess AS (
+        |  SELECT user_id, session_seq, count(*) AS n
+        |  FROM sessions GROUP BY user_id, session_seq),
+        |cnt AS (SELECT count(*) AS ns FROM sess),
+        |r AS (SELECT n, row_number() OVER (ORDER BY n) AS rn FROM sess)
+        |SELECT
+        |  (SELECT count(*) FROM sess) AS n_sessions,
+        |  (SELECT count(DISTINCT user_id) FROM sess) AS n_users,
+        |  (SELECT CAST(sum(n) AS BIGINT) FROM sess) AS total_events,
+        |  (SELECT CAST(max(n) AS BIGINT) FROM sess) AS max_len,
+        |  (SELECT CAST(n AS DOUBLE) FROM r, cnt
+        |   WHERE rn = greatest(1, CAST(ceil(0.5 * ns) AS BIGINT))) AS p50_len""".stripMargin,
+
+    // GROUP BY CUBE mirrors the expand-based engine aggregate; the
+    // quantity sum routes through DECIMAL on both sides
+    "x_cube_counts" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
 
     // static CASE columns per lang — the same explicit value list the
     // engine's pivot uses
