@@ -776,6 +776,39 @@ object Queries {
         events(s, d), "ts_utc", "user_id", "event_type", "event_id",
         depth = 3, k = 20)),
 
+    // Week-over-week deltas per type: one map-side-combined
+    // (type, week) collapse, then a type-partitioned lag over the
+    // |types × weeks|-bounded frame; first weeks carry null prev.
+    "x_weekly_deltas" -> ((s, d) => {
+      val week = expr("datediff(to_date(ts_utc), date '1970-01-01') div 7")
+      val weekly = events(s, d)
+        .groupBy(col("event_type"), week.cast(LongType).as("week"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("week"))
+      weekly
+        .withColumn("prev_n", lag(col("n"), 1).over(w))
+        .withColumn("delta", col("n") - col("prev_n"))
+    }),
+
+    // First-touch attribution: each user's FIRST event type (algebraic
+    // min-struct, map-side combined) crossed with the funnel's
+    // conversion flag — users absent from the funnel count as 0.
+    "x_first_touch" -> ((s, d) => {
+      val ev = events(s, d)
+      val first = ev.groupBy(col("user_id"))
+        .agg(min(struct(col("ts_utc"), col("event_id"), col("event_type")))
+          .as("f"))
+        .select(col("user_id"), col("f.event_type").as("first_type"))
+      val conv = graft.operators.EventFeatures.funnel(ev, "ts_utc", "user_id",
+          "event_type", Seq("view", "click", "purchase"), 86400000000L)
+        .select(col("user_id"), col("converted"))
+      first.join(conv, Seq("user_id"), "left")
+        .na.fill(0, Seq("converted"))
+        .groupBy(col("first_type"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("converted")).cast(LongType).as("n_converted"))
+    }),
+
     // Robust (median/MAD) outliers — A5's z-score with a 50% breakdown
     // point: exact medians from the narrowing selector, then a
     // shuffle-free flag against driver constants.
@@ -3546,6 +3579,46 @@ object Queries {
         |FROM toks CROSS JOIN n
         |GROUP BY token, total
         |HAVING count(*) >= ceil(0.002 * total)""".stripMargin,
+
+    // (type, epoch-week) counts + lag per type; nullable prev/delta
+    "x_weekly_deltas" ->
+      """WITH w AS (
+        |  SELECT event_type,
+        |    datediff('day', DATE '1970-01-01',
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) // 7 AS week,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(week AS BIGINT) AS week, n,
+        |  lag(n) OVER (PARTITION BY event_type ORDER BY week) AS prev_n,
+        |  n - lag(n) OVER (PARTITION BY event_type ORDER BY week) AS delta
+        |FROM w""".stripMargin,
+
+    // the funnel CTEs for the conversion flag + a rank-1 first event
+    // per user; non-funnel users contribute converted = 0
+    "x_first_touch" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id),
+        |conv AS (
+        |  SELECT s1.user_id,
+        |    CAST(t3 IS NOT NULL AND epoch_us(t3) - epoch_us(t1) <= 86400000000
+        |      AS INTEGER) AS converted
+        |  FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)),
+        |f AS (
+        |  SELECT user_id, event_type AS first_type FROM (
+        |    SELECT user_id, event_type,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |    FROM events)
+        |  WHERE rn = 1)
+        |SELECT first_type, count(*) AS n_users,
+        |  CAST(sum(coalesce(conv.converted, 0)) AS BIGINT) AS n_converted
+        |FROM f LEFT JOIN conv USING (user_id) GROUP BY first_type""".stripMargin,
 
     // med and MAD via the exact rank formula; threshold arithmetic
     // mirrors the engine's left-assoc k * 1.4826 * mad
