@@ -115,7 +115,8 @@ object Bench {
       // streaming replays: micro-batch + state-store machinery dominates
       // (see scaladoc) — weighted like io so the budget stays honest
       "x_stream_dedup", "x_stream_error_rate", "x_stream_join",
-      "x_stream_sessionize", "x_stream_alerts", "x_stream_counts")
+      "x_stream_sessionize", "x_stream_alerts", "x_stream_counts",
+      "x_stream_funnel")
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names =>

@@ -1214,6 +1214,27 @@ object Queries {
         col("n_events"))
     }),
 
+    // Streaming funnel (flatMapGroupsWithState): greedy-earliest chain
+    // state per user, every field monotone, so max-per-user over the
+    // Update sink is the verdict frame — oracle-identical to the
+    // batch x_funnel on the bounded replay.
+    "x_stream_funnel" -> ((s, d) => {
+      val stream = withTsUtc(
+        s.readStream.schema(eventsSchema(s, d))
+          .parquet(tableStreamDir(d, "events")),
+        eventsTsIsNative(s, d))
+      val prog = graft.streaming.StreamingValidation.funnelStream(
+        s, stream, "user_id", "ts_utc", "event_type",
+        Seq("view", "click", "purchase"), 86400000000L)
+      val name = replayToMemory(s, "x_stream_funnel", prog.toDF(), "update")
+      s.table(name).groupBy(col("user_id"))
+        .agg(max(col("t1_us")).as("t1_us"),
+          max(col("t2_us")).as("t2_us"),
+          max(col("t3_us")).as("t3_us"),
+          max(col("steps_reached")).cast(IntegerType).as("steps_reached"),
+          max(col("converted")).cast(IntegerType).as("converted"))
+    }),
+
     // Stateful threshold alerting (flatMapGroupsWithState) over the
     // rule-annotated lineitem stream: one alert per (return_flag,
     // threshold) the moment the key's running invalid count crosses it.
@@ -2751,6 +2772,28 @@ object Queries {
     // later than the previous step's resolved time; -1 sentinel keeps
     // the epoch-µs columns non-null (dtype-stable across engines)
     "x_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+        |SELECT s1.user_id,
+        |  epoch_us(t1) AS t1_us,
+        |  coalesce(epoch_us(t2), -1) AS t2_us,
+        |  coalesce(epoch_us(t3), -1) AS t3_us,
+        |  CAST(1 + CASE WHEN t2 IS NULL THEN 0 WHEN t3 IS NULL THEN 1 ELSE 2 END
+        |    AS INTEGER) AS steps_reached,
+        |  CAST(t3 IS NOT NULL AND epoch_us(t3) - epoch_us(t1) <= 86400000000
+        |    AS INTEGER) AS converted
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
+
+    // identical SQL to x_funnel: the bounded replay makes the
+    // streaming funnel oracle-equal to the batch one
+    "x_stream_funnel" ->
       """WITH s1 AS (
         |  SELECT user_id, min(ts) AS t1 FROM events
         |  WHERE event_type = 'view' GROUP BY user_id),

@@ -332,4 +332,64 @@ object StreamingValidation {
             .map(t => ThresholdAlert(key, t, invalid))
       }
   }
+
+  /** Per-key funnel progress row: chain times in epoch-µs (−1 = step
+    * not reached), matching the batch funnel's sentinel contract. */
+  case class FunnelProgress(user_id: Long, t1_us: Long, t2_us: Long,
+    t3_us: Long, steps_reached: Int, converted: Int)
+
+  /** STREAMING funnel — the live counterpart of
+    * [[graft.operators.EventFeatures.funnel]] for a 3-step chain:
+    * per-key greedy-earliest strict progression tracked in
+    * flatMapGroupsWithState, one progress row emitted per key per
+    * batch that touches it. State per key is three epoch-µs longs, so
+    * the store is bounded by the key space regardless of stream
+    * length; every state field is monotone (−1 → set-once, counts only
+    * grow), so a final `max` per key over an Update-mode sink yields
+    * the verdict frame.
+    *
+    * Exactness contract: each batch's events are folded IN TIME ORDER
+    * (sorted inside the group handler), which reproduces the batch
+    * min-time chain exactly when a key's events arrive time-ordered
+    * ACROSS batches (bounded replays, log-shipped sources) — the same
+    * replay-exactness contract the sessionize/join streams document.
+    * A step-0 event arriving in a LATER batch than an already-anchored
+    * later time cannot retro-anchor the chain — greedy state is the
+    * inherent streaming trade, documented rather than hidden.
+    */
+  def funnelStream(
+      spark: SparkSession,
+      stream: DataFrame,
+      keyCol: String, timeCol: String, typeCol: String,
+      steps: Seq[String], windowMicros: Long
+  ): org.apache.spark.sql.Dataset[FunnelProgress] = {
+    import spark.implicits._
+    require(steps.size == 3, s"funnelStream tracks 3-step chains, got $steps")
+    require(steps.distinct.size == 3, s"steps must be distinct, got $steps")
+    require(windowMicros > 0, s"windowMicros must be positive, got $windowMicros")
+    val typed = stream
+      .select(col(keyCol).cast(org.apache.spark.sql.types.LongType).as("k"),
+        unix_micros(col(timeCol).cast("timestamp")).as("t"),
+        col(typeCol).cast(org.apache.spark.sql.types.StringType).as("ty"))
+      .filter(col("t").isNotNull && col("ty").isin(steps: _*))
+      .as[(Long, Long, String)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[(Long, Long, String)],
+         state: GroupState[(Long, Long, Long)]) =>
+          var (t1, t2, t3) = state.getOption.getOrElse((-1L, -1L, -1L))
+          // ascending-time fold == the batch min-time chain
+          rows.toArray.sortBy(_._2).foreach { case (_, t, ty) =>
+            val i = steps.indexOf(ty)
+            if (i == 0 && t1 == -1L) t1 = t
+            else if (i == 1 && t2 == -1L && t1 != -1L && t > t1) t2 = t
+            else if (i == 2 && t3 == -1L && t2 != -1L && t > t2) t3 = t
+          }
+          state.update((t1, t2, t3))
+          val reached = 1 + (if (t2 != -1L) 1 else 0) + (if (t3 != -1L) 1 else 0)
+          val converted = if (t3 != -1L && t3 - t1 <= windowMicros) 1 else 0
+          if (t1 == -1L) Iterator.empty // key never started the funnel
+          else Iterator.single(FunnelProgress(key, t1, t2, t3, reached, converted))
+      }
+  }
 }

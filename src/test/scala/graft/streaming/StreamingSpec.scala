@@ -386,4 +386,44 @@ class StreamingSpec extends SparkTestBase {
     assert(last("L1") == ((3L, 1L))) // state carried across batches
     assert(last("L2") == ((1L, 0L)))
   }
+
+  test("funnelStream: chain state across batches, monotone fields, greedy caveat") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val prog = StreamingValidation.funnelStream(
+      spark, mem.toDF().toDF("user_id", "t", "event_type"),
+      "user_id", "t", "event_type",
+      Seq("view", "click", "purchase"), windowMicros = 86400000000L)
+    val q = prog.writeStream.format("memory").queryName("stream_funnel_t")
+      .outputMode("update").start()
+    try {
+      // batch 1: user 1 views then clicks (in one batch, out of
+      // iterator order — the in-handler time sort must fix it)
+      mem.addData((1L, ts(2), "click"), (1L, ts(1), "view"))
+      q.processAllAvailable()
+      // batch 2: the purchase arrives later — chain completes ACROSS
+      // batches; user 2 starts but never converts
+      mem.addData((1L, ts(3), "purchase"), (2L, ts(4), "view"))
+      q.processAllAvailable()
+      // batch 3: user 1's EARLIER view arrives late — greedy state
+      // must NOT retro-anchor (t1 stays at hour 1)
+      mem.addData((1L, ts(0), "view"))
+      q.processAllAvailable()
+    } finally q.stop()
+    def T(h: Int) = ts(h).getTime * 1000L
+    val last = spark.table("stream_funnel_t")
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.max("t1_us").as("t1"),
+        org.apache.spark.sql.functions.max("t2_us").as("t2"),
+        org.apache.spark.sql.functions.max("t3_us").as("t3"),
+        org.apache.spark.sql.functions.max("steps_reached").as("sr"),
+        org.apache.spark.sql.functions.max("converted").as("cv"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getInt(5)))).toMap
+    assert(last(1L) == ((T(1), T(2), T(3), 3, 1)), s"user 1: ${last(1L)}")
+    assert(last(2L) == ((T(4), -1L, -1L, 1, 0)), s"user 2: ${last(2L)}")
+  }
 }
