@@ -1083,4 +1083,42 @@ object Dedup {
       .groupBy(col("attr_a"), col("attr_b"))
       .agg(count(lit(1)).as("n_pairs"))
   }
+
+  /** Blocked edit-distance matching — the entity-resolution primitive
+    * (typo'd names, OCR'd part numbers, re-keyed records): candidate
+    * pairs come from equality on a cheap blocking key, survivors from
+    * `levenshtein ≤ maxDist` — the classic MDM blocking+verify shape,
+    * here for SHORT strings (names, codes, titles) where shingle
+    * Jaccard has nothing to work with. Output: `id_a` < `id_b`,
+    * `dist`.
+    *
+    * Scale shape: ONE shuffle on the block key feeds a within-block
+    * self-join, so verify cost is Σ|block|² — bounded because blocks
+    * over `maxBlock` rows are EXCLUDED up front (counted via one
+    * |blocks|-row aggregate; the cap is the same hot-bucket contract
+    * as the MinHash `maxPostings`). Recall caveat, stated not hidden:
+    * an edit INSIDE the blocking key escapes its block — production
+    * runs multiple blocking passes with different keys (prefix,
+    * suffix, phonetic) and unions the pairs; this operator is one
+    * such pass.
+    */
+  def editDistancePairs(
+      df: DataFrame, idCol: String, strCol: String, blockKey: Column,
+      maxDist: Int, maxBlock: Int = 1000
+  ): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    require(maxBlock >= 2, s"maxBlock must be >= 2, got $maxBlock")
+    val b = df
+      .select(col(idCol).as("__id"), col(strCol).as("__s"), blockKey.as("__blk"))
+      .filter(col("__s").isNotNull && col("__blk").isNotNull)
+    val sizes = b.groupBy(col("__blk")).agg(count(lit(1)).as("__cnt"))
+    val bounded = b.join(sizes.filter(col("__cnt") <= maxBlock), "__blk")
+    val l = bounded.select(col("__blk"), col("__id").as("id_a"), col("__s").as("__sa"))
+    val r = bounded.select(col("__blk"), col("__id").as("id_b"), col("__s").as("__sb"))
+    l.join(r, Seq("__blk"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(levenshtein(col("__sa"), col("__sb")) <= maxDist)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("__sa"), col("__sb")).as("dist"))
+  }
 }

@@ -900,6 +900,22 @@ object Queries {
     // session and the clusters/split entries derive from it.
     "x_dedup_ngram" -> ((s, d) => ngramPairGraph(s, d)._1),
 
+    // Entity-resolution fuzzy match: inject a one-char-deleted typo
+    // copy of every 20th title, then blocked (6-char prefix) +
+    // levenshtein<=2 verify — the MDM blocking+verify shape for short
+    // strings; hot blocks capped, the in-key-edit recall caveat is
+    // the operator's documented contract.
+    "x_fuzzy_match" -> ((s, d) => {
+      val titles = t(s, d, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 30).as("title"))
+      val typos = titles.filter(pmod(col("doc_id"), lit(20)) === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(substring(col("title"), 1, 10),
+            substring(col("title"), 12, 30)).as("title"))
+      Dedup.editDistancePairs(titles.union(typos), "doc_id", "title",
+        blockKey = substring(col("title"), 1, 6), maxDist = 2)
+    }),
+
     // Survivorship by QUALITY: keep the longest doc per near-dup
     // cluster (ties to the lower id) — member-bounded winner agg +
     // one corpus anti-join, off the shared pair graph.
@@ -2421,6 +2437,27 @@ object Queries {
         |  SELECT e.u, l.comp FROM edges e JOIN lbl l ON e.v = l.id
         |)
         |SELECT id AS doc_id, min(comp) AS cluster_id FROM lbl GROUP BY id""".stripMargin,
+
+    // same injection + blocking + levenshtein (identical definition,
+    // no transpositions, both engines); blocks over 1000 rows excluded
+    "x_fuzzy_match" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, substring(text, 1, 30) AS title FROM documents),
+        |titles AS (
+        |  SELECT doc_id, title FROM t0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000,
+        |    substring(title, 1, 10) || substring(title, 12)
+        |  FROM t0 WHERE doc_id % 20 = 0),
+        |b AS (
+        |  SELECT doc_id, title, substring(title, 1, 6) AS blk FROM titles
+        |  WHERE title IS NOT NULL),
+        |sz AS (SELECT blk, count(*) AS c FROM b GROUP BY blk),
+        |ok AS (SELECT b.* FROM b JOIN sz USING (blk) WHERE sz.c <= 1000)
+        |SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+        |  CAST(levenshtein(a.title, c.title) AS INTEGER) AS dist
+        |FROM ok a JOIN ok c ON a.blk = c.blk AND a.doc_id < c.doc_id
+        |WHERE levenshtein(a.title, c.title) <= 2""".stripMargin,
 
     // same recursive component closure; the survivor is the longest
     // member (ties to the lower id), singletons all survive

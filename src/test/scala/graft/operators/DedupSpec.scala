@@ -673,4 +673,32 @@ class DedupSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"corpus must not shuffle:\n$plan")
   }
+
+  test("editDistancePairs: blocked typo pairs, hot-block cap, in-key-edit caveat") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, substring}
+    val rows = Seq(
+      (1L, "acme industries ltd"),
+      (2L, "acme industriess ltd"),   // one insertion vs 1 -> dist 1
+      (3L, "acme holdings gmbh"),     // same block, far -> no pair
+      (4L, "zenith parts"),
+      (5L, "zenith part"),            // one deletion vs 4 -> dist 1
+      (6L, "XXacme industries ltd")   // edit INSIDE the key: other block
+    ).toDF("id", "s")
+    val got = Dedup.editDistancePairs(rows, "id", "s",
+        blockKey = substring(col("s"), 1, 4), maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 2L, 1), (4L, 5L, 1)), s"pairs: $got")
+    // the blocking caveat IS the contract: row 6 matches row 1 at
+    // dist 2 but its prefix changed, so this pass cannot see it
+    assert(!got.exists(p => p._1 == 1L && p._2 == 6L))
+
+    // a block over maxBlock rows is excluded wholesale
+    val hot = (1L to 10L).map(i => (i, s"aaaa $i")).toDF("id", "s")
+    val capped = Dedup.editDistancePairs(hot, "id", "s",
+      substring(col("s"), 1, 4), maxDist = 3, maxBlock = 5)
+    assert(capped.count() == 0, "hot block must be excluded, not exploded")
+    assertThrows[IllegalArgumentException](
+      Dedup.editDistancePairs(hot, "id", "s", col("s"), maxDist = 0))
+  }
 }
