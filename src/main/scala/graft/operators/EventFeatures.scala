@@ -221,6 +221,46 @@ object EventFeatures {
       .select(col("from_type"), col("to_type"), col("n_pairs"), col("n_from"))
   }
 
+  /** Dyadic EWMA smoothing of the per-key weekly series — the
+    * trend-extraction step (l_i = ½·x_i + ½·l_{i−1}, l_0 = x_0 over
+    * each key's OBSERVED weeks in order): the smoothed level a
+    * monitoring consumer compares the raw count against. α = ½ BY
+    * DESIGN, same argument as [[decayedCounts]]: the closed form
+    * l_i = 2^−i·x_0 + Σ_{j=1..i} 2^−(i−j+1)·x_j makes every term a
+    * dyadic rational, so the sum is exact, order-independent, and
+    * bit-identical to the sequential recurrence — an oracle can
+    * evaluate the closed form and hash-match the engine. Output:
+    * keyCol, `week`, `n`, `ewma`.
+    *
+    * Plan shape: the stream collapses once into |keys × weeks| rows;
+    * ranks come from a key-partitioned window over that tiny frame,
+    * and the closed form is a within-key rank join (j ≤ i) — cost
+    * Σ|key weeks|², fine for bounded series (a year is 52²). Exactness
+    * bound: weekly counts < 2^20 over ≤ 30 observed weeks stays under
+    * the 53-bit mantissa.
+    */
+  def ewmaWeekly(
+      df: DataFrame, tsCol: String, keyCol: String
+  ): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val week = datediff(to_date(col(tsCol)), lit("1970-01-01"))
+    val base = df.select(col(keyCol), week.as("__d"))
+      .groupBy(col(keyCol), expr("__d div 7").cast(LongType).as("week"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("week"))
+    val ranked = base.withColumn("__i", row_number().over(w) - 1)
+    val r = ranked.select(col(keyCol), col("week"), col("n"), col("__i"))
+    val j = ranked.select(col(keyCol).as("__k2"), col("n").as("__nj"),
+      col("__i").as("__j"))
+    r.join(j, r(keyCol) === col("__k2") && col("__j") <= col("__i"))
+      .groupBy(col(keyCol), col("week"), col("n"), col("__i"))
+      .agg(sum(col("__nj") *
+        when(col("__j") === 0, pow(lit(0.5), col("__i")))
+          .otherwise(pow(lit(0.5), col("__i") - col("__j") + 1)))
+        .as("ewma"))
+      .select(col(keyCol), col("week"), col("n"), col("ewma"))
+  }
+
   /** Gap-filled time-series resample: per (key, bucket) event counts
     * over a DENSE bucket grid spanning the corpus's [min, max] bucket
     * — the resampling step every monitoring/forecast consumer needs,

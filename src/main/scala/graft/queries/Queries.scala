@@ -776,6 +776,12 @@ object Queries {
         events(s, d), "ts_utc", "user_id", "event_type", "event_id",
         depth = 3, k = 20)),
 
+    // Dyadic EWMA trend per type: closed-form 2^-k terms over observed
+    // weekly ranks — exact, order-independent, oracle-replayable.
+    "x_ewma_trend" -> ((s, d) =>
+      graft.operators.EventFeatures.ewmaWeekly(
+        events(s, d), "ts_utc", "event_type")),
+
     // Week-over-week deltas per type: one map-side-combined
     // (type, week) collapse, then a type-partitioned lag over the
     // |types × weeks|-bounded frame; first weeks carry null prev.
@@ -3659,6 +3665,25 @@ object Queries {
         |FROM toks CROSS JOIN n
         |GROUP BY token, total
         |HAVING count(*) >= ceil(0.002 * total)""".stripMargin,
+
+    // closed-form dyadic EWMA over observed weekly ranks: l_i =
+    // 2^-i x_0 + sum 2^-(i-j+1) x_j — every term exact, sum exact
+    "x_ewma_trend" ->
+      """WITH w AS (
+        |  SELECT event_type,
+        |    datediff('day', DATE '1970-01-01',
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) // 7 AS week,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, week, n,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY week) - 1 AS i
+        |  FROM w)
+        |SELECT a.event_type, CAST(a.week AS BIGINT) AS week, a.n,
+        |  sum(b.n * CASE WHEN b.i = 0 THEN pow(0.5, a.i)
+        |            ELSE pow(0.5, a.i - b.i + 1) END) AS ewma
+        |FROM r a JOIN r b ON a.event_type = b.event_type AND b.i <= a.i
+        |GROUP BY a.event_type, a.week, a.n""".stripMargin,
 
     // (type, epoch-week) counts + lag per type; nullable prev/delta
     "x_weekly_deltas" ->

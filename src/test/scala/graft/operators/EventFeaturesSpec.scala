@@ -131,6 +131,31 @@ class EventFeaturesSpec extends SparkTestBase {
     assert(out((4L, "2024-01-01")) == 0, "single-day key has zero variance")
   }
 
+  test("ewmaWeekly: closed form equals the sequential recurrence, partition-invariant") {
+    // key 'a': weekly counts 4, 2, 8 over three OBSERVED weeks (with a
+    // calendar gap before the last — the recurrence runs on observed
+    // ranks): l0=4, l1=0.5*2+0.5*4=3, l2=0.5*8+0.5*3=5.5
+    def tsDay(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 12:00:00")
+    val ev = (
+      (1 to 4).map(_ => ("a", tsDay(0))) ++    // week w0: 4 events
+      (1 to 2).map(_ => ("a", tsDay(7))) ++    // week w0+1: 2 events
+      (1 to 8).map(_ => ("a", tsDay(21))) ++   // week w0+3 (gap): 8 events
+      Seq(("b", tsDay(0)))                     // single-week key: l0 = n
+    ).toDF("k", "t")
+    def levels(df: org.apache.spark.sql.DataFrame) =
+      EventFeatures.ewmaWeekly(df, "t", "k")
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+    val got = levels(ev)
+    val weeks = got.keys.filter(_._1 == "a").map(_._2).toSeq.sorted
+    assert(got(("a", weeks(0))) == ((4L, 4.0)))
+    assert(got(("a", weeks(1))) == ((2L, 3.0)))
+    assert(got(("a", weeks(2))) == ((8L, 5.5)), s"gap week: ${got(("a", weeks(2)))}")
+    assert(got.find(_._1._1 == "b").get._2 == ((1L, 1.0)))
+    // dyadic exactness: any partitioning produces identical bits
+    assert(levels(ev.repartition(7)) == got)
+  }
+
   test("resampleCounts: dense grid with explicit zero gaps, shared span") {
     // hours 1 and 4 active for user-type 'a' (gap at 2,3); 'b' only
     // hour 2 — but the grid spans the CORPUS [1,4] for both keys
