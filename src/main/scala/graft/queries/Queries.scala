@@ -922,6 +922,30 @@ object Queries {
         blockKey = substring(col("title"), 1, 6), maxDist = 2)
     }),
 
+    // Multi-pass blocking — the production answer to the in-key-edit
+    // caveat: union DISTINCT pairs from a prefix pass and a suffix
+    // pass. The injected typo is a SUBSTITUTION at position 3 — inside
+    // the prefix key (so the prefix pass alone cannot see these
+    // pairs) but length-preserving (so the suffix key survives and
+    // the second pass recovers them).
+    "x_fuzzy_multipass" -> ((s, d) => {
+      val titles = t(s, d, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 30).as("title"))
+      val typos = titles.filter(pmod(col("doc_id"), lit(20)) === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(substring(col("title"), 1, 2), lit("Z"),
+            expr("substring(title, 4)")).as("title"))
+      val all = titles.union(typos)
+      val prefixPass = Dedup.editDistancePairs(all, "doc_id", "title",
+        blockKey = substring(col("title"), 1, 6), maxDist = 2)
+      // positive-index suffix (greatest(1, len-5)) — negative substring
+      // starts disagree across engines for strings shorter than the key
+      val suffixPass = Dedup.editDistancePairs(all, "doc_id", "title",
+        blockKey = expr("substring(title, greatest(1, length(title) - 5), 6)"),
+        maxDist = 2)
+      prefixPass.union(suffixPass).distinct()
+    }),
+
     // Survivorship by QUALITY: keep the longest doc per near-dup
     // cluster (ties to the lower id) — member-bounded winner agg +
     // one corpus anti-join, off the shared pair graph.
@@ -2464,6 +2488,44 @@ object Queries {
         |  CAST(levenshtein(a.title, c.title) AS INTEGER) AS dist
         |FROM ok a JOIN ok c ON a.blk = c.blk AND a.doc_id < c.doc_id
         |WHERE levenshtein(a.title, c.title) <= 2""".stripMargin,
+
+    // two blocking passes (prefix; positive-index suffix) unioned
+    // DISTINCT — the multi-pass recall answer, same levenshtein
+    // verify; the injected substitution sits INSIDE the prefix key
+    "x_fuzzy_multipass" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, substring(text, 1, 30) AS title FROM documents),
+        |titles AS (
+        |  SELECT doc_id, title FROM t0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000,
+        |    substring(title, 1, 2) || 'Z' || substring(title, 4)
+        |  FROM t0 WHERE doc_id % 20 = 0),
+        |b AS (
+        |  SELECT doc_id, title,
+        |    substring(title, 1, 6) AS blk1,
+        |    substring(title, greatest(1, length(title) - 5), 6) AS blk2
+        |  FROM titles WHERE title IS NOT NULL),
+        |p1 AS (
+        |  SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+        |    CAST(levenshtein(a.title, c.title) AS INTEGER) AS dist
+        |  FROM (SELECT b.* FROM b JOIN (SELECT blk1, count(*) c FROM b GROUP BY 1) s
+        |        ON b.blk1 = s.blk1 WHERE s.c <= 1000) a
+        |  JOIN (SELECT b.* FROM b JOIN (SELECT blk1, count(*) c FROM b GROUP BY 1) s
+        |        ON b.blk1 = s.blk1 WHERE s.c <= 1000) c
+        |    ON a.blk1 = c.blk1 AND a.doc_id < c.doc_id
+        |  WHERE levenshtein(a.title, c.title) <= 2),
+        |p2 AS (
+        |  SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+        |    CAST(levenshtein(a.title, c.title) AS INTEGER) AS dist
+        |  FROM (SELECT b.* FROM b JOIN (SELECT blk2, count(*) c FROM b GROUP BY 1) s
+        |        ON b.blk2 = s.blk2 WHERE s.c <= 1000) a
+        |  JOIN (SELECT b.* FROM b JOIN (SELECT blk2, count(*) c FROM b GROUP BY 1) s
+        |        ON b.blk2 = s.blk2 WHERE s.c <= 1000) c
+        |    ON a.blk2 = c.blk2 AND a.doc_id < c.doc_id
+        |  WHERE levenshtein(a.title, c.title) <= 2)
+        |SELECT DISTINCT id_a, id_b, dist FROM (
+        |  SELECT * FROM p1 UNION ALL SELECT * FROM p2)""".stripMargin,
 
     // same recursive component closure; the survivor is the longest
     // member (ties to the lower id), singletons all survive
