@@ -946,6 +946,31 @@ object Queries {
       prefixPass.union(suffixPass).distinct()
     }),
 
+    // Golden records — the full MDM resolution pipeline composed from
+    // session primitives: multi-pass fuzzy pairs → connected
+    // components → min-id survivor per entity cluster. Every typo'd
+    // record resolves back to its original; the corpus is only
+    // anti-joined.
+    "x_golden_records" -> ((s, d) => {
+      val titles = t(s, d, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 30).as("title"))
+      val typos = titles.filter(pmod(col("doc_id"), lit(20)) === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(substring(col("title"), 1, 2), lit("Z"),
+            expr("substring(title, 4)")).as("title"))
+      val all = titles.union(typos)
+      val pairs = Dedup.editDistancePairs(all, "doc_id", "title",
+          blockKey = substring(col("title"), 1, 6), maxDist = 2)
+        .union(Dedup.editDistancePairs(all, "doc_id", "title",
+          blockKey = expr("substring(title, greatest(1, length(title) - 5), 6)"),
+          maxDist = 2))
+        .distinct()
+        .select(col("id_a"), col("id_b"))
+      graft.operators.Clusters.dedupClusters(all, "doc_id",
+          graft.operators.Clusters.connectedComponents(pairs))
+        .select(col("doc_id"))
+    }),
+
     // Survivorship by QUALITY: keep the longest doc per near-dup
     // cluster (ties to the lower id) — member-bounded winner agg +
     // one corpus anti-join, off the shared pair graph.
@@ -2526,6 +2551,54 @@ object Queries {
         |  WHERE levenshtein(a.title, c.title) <= 2)
         |SELECT DISTINCT id_a, id_b, dist FROM (
         |  SELECT * FROM p1 UNION ALL SELECT * FROM p2)""".stripMargin,
+
+    // the multipass pair SQL + the recursive min-label closure +
+    // min-id survivorship (the x_dedup_clusters pattern)
+    "x_golden_records" ->
+      """WITH RECURSIVE t0 AS (
+        |  SELECT doc_id, substring(text, 1, 30) AS title FROM documents),
+        |titles AS (
+        |  SELECT doc_id, title FROM t0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000,
+        |    substring(title, 1, 2) || 'Z' || substring(title, 4)
+        |  FROM t0 WHERE doc_id % 20 = 0),
+        |b AS (
+        |  SELECT doc_id, title,
+        |    substring(title, 1, 6) AS blk1,
+        |    substring(title, greatest(1, length(title) - 5), 6) AS blk2
+        |  FROM titles WHERE title IS NOT NULL),
+        |p1 AS (
+        |  SELECT a.doc_id AS id_a, c.doc_id AS id_b
+        |  FROM (SELECT b.* FROM b JOIN (SELECT blk1, count(*) c FROM b GROUP BY 1) s
+        |        ON b.blk1 = s.blk1 WHERE s.c <= 1000) a
+        |  JOIN (SELECT b.* FROM b JOIN (SELECT blk1, count(*) c FROM b GROUP BY 1) s
+        |        ON b.blk1 = s.blk1 WHERE s.c <= 1000) c
+        |    ON a.blk1 = c.blk1 AND a.doc_id < c.doc_id
+        |  WHERE levenshtein(a.title, c.title) <= 2),
+        |p2 AS (
+        |  SELECT a.doc_id AS id_a, c.doc_id AS id_b
+        |  FROM (SELECT b.* FROM b JOIN (SELECT blk2, count(*) c FROM b GROUP BY 1) s
+        |        ON b.blk2 = s.blk2 WHERE s.c <= 1000) a
+        |  JOIN (SELECT b.* FROM b JOIN (SELECT blk2, count(*) c FROM b GROUP BY 1) s
+        |        ON b.blk2 = s.blk2 WHERE s.c <= 1000) c
+        |    ON a.blk2 = c.blk2 AND a.doc_id < c.doc_id
+        |  WHERE levenshtein(a.title, c.title) <= 2),
+        |pairs AS (SELECT DISTINCT id_a, id_b FROM
+        |  (SELECT * FROM p1 UNION ALL SELECT * FROM p2)),
+        |edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION
+        |  SELECT id_b AS u, id_a AS v FROM pairs
+        |), lbl(id, comp) AS (
+        |  SELECT u, least(u, min(v)) FROM edges GROUP BY u
+        |  UNION
+        |  SELECT e.u, l.comp FROM edges e JOIN lbl l ON e.v = l.id
+        |), comp AS (
+        |  SELECT id, min(comp) AS comp FROM lbl GROUP BY id)
+        |SELECT t.doc_id FROM titles t
+        |LEFT JOIN comp ON t.doc_id = comp.id
+        |WHERE comp.id IS NULL OR comp.comp = t.doc_id""".stripMargin,
 
     // same recursive component closure; the survivor is the longest
     // member (ties to the lower id), singletons all survive
