@@ -1117,8 +1117,11 @@ object Dedup {
     val r = bounded.select(col("__blk"), col("__id").as("id_b"), col("__s").as("__sb"))
     l.join(r, Seq("__blk"))
       .filter(col("id_a") < col("id_b"))
-      .filter(levenshtein(col("__sa"), col("__sb")) <= maxDist)
+      // project the distance BEFORE filtering on it so the dynamic-
+      // programming kernel runs once per pair, not once in the filter
+      // and again in the output projection
       .select(col("id_a"), col("id_b"),
         levenshtein(col("__sa"), col("__sb")).as("dist"))
+      .filter(col("dist") <= maxDist)
   }
 }

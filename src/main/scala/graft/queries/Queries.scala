@@ -115,6 +115,37 @@ object Queries {
       .agg(count(lit(1)).as("n_events"))
   }
 
+  /** Shared multi-pass fuzzy PAIR frame (substitution fixture) reused
+    * by `x_fuzzy_multipass` and `x_golden_records` — the same
+    * one-expensive-pass-many-consumers shape as the ngram pair graph.
+    */
+  private val fuzzyPairCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (SparkSession, DataFrame)]()
+
+  private def fuzzyTitles(s: SparkSession, d: String): DataFrame = {
+    val titles = t(s, d, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, 30).as("title"))
+    val typos = titles.filter(pmod(col("doc_id"), lit(20)) === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        concat(substring(col("title"), 1, 2), lit("Z"),
+          expr("substring(title, 4)")).as("title"))
+    titles.union(typos)
+  }
+
+  private def fuzzyMultipassPairs(s: SparkSession, d: String): DataFrame =
+    memoPerDir(fuzzyPairCache, s, d) {
+      val all = fuzzyTitles(s, d)
+      val prefixPass = Dedup.editDistancePairs(all, "doc_id", "title",
+        blockKey = substring(col("title"), 1, 6), maxDist = 2)
+      // positive-index suffix (greatest(1, len-5)) — negative substring
+      // starts disagree across engines for strings shorter than the key
+      val suffixPass = Dedup.editDistancePairs(all, "doc_id", "title",
+        blockKey = expr("substring(title, greatest(1, length(title) - 5), 6)"),
+        maxDist = 2)
+      prefixPass.union(suffixPass).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    } { _.unpersist(blocking = false) }
+
   private val pairGraphCache = new java.util.concurrent.ConcurrentHashMap[
     String, (SparkSession, (DataFrame, DataFrame))]()
 
@@ -927,24 +958,9 @@ object Queries {
     // pass. The injected typo is a SUBSTITUTION at position 3 — inside
     // the prefix key (so the prefix pass alone cannot see these
     // pairs) but length-preserving (so the suffix key survives and
-    // the second pass recovers them).
-    "x_fuzzy_multipass" -> ((s, d) => {
-      val titles = t(s, d, "documents")
-        .select(col("doc_id"), substring(col("text"), 1, 30).as("title"))
-      val typos = titles.filter(pmod(col("doc_id"), lit(20)) === 0)
-        .select((col("doc_id") + 10000000L).as("doc_id"),
-          concat(substring(col("title"), 1, 2), lit("Z"),
-            expr("substring(title, 4)")).as("title"))
-      val all = titles.union(typos)
-      val prefixPass = Dedup.editDistancePairs(all, "doc_id", "title",
-        blockKey = substring(col("title"), 1, 6), maxDist = 2)
-      // positive-index suffix (greatest(1, len-5)) — negative substring
-      // starts disagree across engines for strings shorter than the key
-      val suffixPass = Dedup.editDistancePairs(all, "doc_id", "title",
-        blockKey = expr("substring(title, greatest(1, length(title) - 5), 6)"),
-        maxDist = 2)
-      prefixPass.union(suffixPass).distinct()
-    }),
+    // the second pass recovers them). Pair frame session-shared with
+    // x_golden_records (same artifact shape as the ngram pair graph).
+    "x_fuzzy_multipass" -> ((s, d) => fuzzyMultipassPairs(s, d)),
 
     // Golden records — the full MDM resolution pipeline composed from
     // session primitives: multi-pass fuzzy pairs → connected
@@ -952,21 +968,8 @@ object Queries {
     // record resolves back to its original; the corpus is only
     // anti-joined.
     "x_golden_records" -> ((s, d) => {
-      val titles = t(s, d, "documents")
-        .select(col("doc_id"), substring(col("text"), 1, 30).as("title"))
-      val typos = titles.filter(pmod(col("doc_id"), lit(20)) === 0)
-        .select((col("doc_id") + 10000000L).as("doc_id"),
-          concat(substring(col("title"), 1, 2), lit("Z"),
-            expr("substring(title, 4)")).as("title"))
-      val all = titles.union(typos)
-      val pairs = Dedup.editDistancePairs(all, "doc_id", "title",
-          blockKey = substring(col("title"), 1, 6), maxDist = 2)
-        .union(Dedup.editDistancePairs(all, "doc_id", "title",
-          blockKey = expr("substring(title, greatest(1, length(title) - 5), 6)"),
-          maxDist = 2))
-        .distinct()
-        .select(col("id_a"), col("id_b"))
-      graft.operators.Clusters.dedupClusters(all, "doc_id",
+      val pairs = fuzzyMultipassPairs(s, d).select(col("id_a"), col("id_b"))
+      graft.operators.Clusters.dedupClusters(fuzzyTitles(s, d), "doc_id",
           graft.operators.Clusters.connectedComponents(pairs))
         .select(col("doc_id"))
     }),
