@@ -75,4 +75,34 @@ class SharedArtifactSpec extends SparkTestBase {
     assert(rows(SparkEntry.queries("x_dup_degree")(spark, sfDir))
       == rows(directDegree))
   }
+
+  test("fuzzy pair frame: shared, persisted, and invisible to both consumers") {
+    import org.apache.spark.sql.functions._
+    val a = SparkEntry.queries("x_fuzzy_multipass")(spark, sfDir)
+    val b = SparkEntry.queries("x_fuzzy_multipass")(spark, sfDir)
+    assert(a eq b, "second call rebuilt the fuzzy pairs instead of reusing them")
+    assert(a.storageLevel != StorageLevel.NONE,
+      "shared fuzzy pairs frame is not persisted")
+    // invisible: the memoized pairs equal the direct two-pass union
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val titles = docs.select(col("doc_id"),
+      substring(col("text"), 1, 30).as("title"))
+    val typos = titles.filter(pmod(col("doc_id"), lit(20)) === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        concat(substring(col("title"), 1, 2),
+          lit("Z"), expr("substring(title, 4)")).as("title"))
+    val all = titles.union(typos)
+    val direct = Dedup.editDistancePairs(all, "doc_id", "title",
+        substring(col("title"), 1, 6), maxDist = 2)
+      .union(Dedup.editDistancePairs(all, "doc_id", "title",
+        expr("substring(title, greatest(1, length(title) - 5), 6)"), maxDist = 2))
+      .distinct()
+    assert(rows(a) == rows(direct))
+    // golden records derive from the same shared frame
+    val directGolden = Clusters.dedupClusters(all, "doc_id",
+      Clusters.connectedComponents(direct.select(col("id_a"), col("id_b"))))
+      .select(col("doc_id"))
+    assert(rows(SparkEntry.queries("x_golden_records")(spark, sfDir))
+      == rows(directGolden))
+  }
 }
