@@ -882,6 +882,38 @@ object Queries {
         .select(col("event_id"), col("value"))
     }),
 
+    // Fact-to-fact reconciliation report: per order status, how many
+    // orders have NO lineitems (referential completeness — 257 gaps
+    // at sf0.01) and how far the stored totals drift from totals
+    // recomputed off the line items. Decimal-exact sums; one
+    // orderkey-shuffle join of the pre-aggregated line totals, then a
+    // |statuses|-row agg.
+    "x_reconcile" -> ((s, d) => {
+      // the 3-factor product has EXACTLY 6 decimal digits (2+2+2), so
+      // a scale-6 cast is a pure representation change — no rounding,
+      // no engine tie-mode skew (scale-4 casts diverge: DuckDB rounds
+      // the shortest repr, Spark the binary value)
+      val lines = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax"))).cast(DecimalType(18, 6)))
+          .cast(DecimalType(18, 6)).as("computed"))
+      t(s, d, "orders")
+        .join(lines, col("o_orderkey") === col("l_orderkey"), "left")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(when(col("computed").isNull, 1L).otherwise(0L)).as("n_no_lines"),
+          // big money sums emit as exact scaled INTEGERS (cents /
+          // micro-units): a 17-digit decimal -> DOUBLE cast differs in
+          // the last ulp across engines, an integer cannot
+          (dec(sum(dec(col("o_totalprice")))) * lit(100))
+            .cast(LongType).as("stored_total_cents"),
+          (coalesce(sum(col("computed")).cast(DecimalType(18, 6)),
+            lit(0).cast(DecimalType(18, 6))) * lit(1000000))
+            .cast(LongType).as("computed_total_micros"))
+    }),
+
     // A6: referential integrity — broadcast anti-join vs a dim subset.
     "a6_referential_integrity" -> ((s, d) => {
       val o = t(s, d, "orders")
@@ -2176,6 +2208,26 @@ object Queries {
         |CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
         |count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    // pre-aggregated line totals left-joined onto orders; DECIMAL
+    // routing on every money sum so the doubles hash
+    "x_reconcile" ->
+      """WITH l AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+        |      AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS computed
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT o.o_orderstatus,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CASE WHEN l.computed IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_no_lines,
+        |  CAST(CAST(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |    AS DECIMAL(38,2)) * 100 AS BIGINT) AS stored_total_cents,
+        |  CAST(CAST(coalesce(CAST(sum(l.computed) AS DECIMAL(18,6)),
+        |    CAST(0 AS DECIMAL(18,6))) AS DECIMAL(38,6)) * 1000000 AS BIGINT)
+        |    AS computed_total_micros
+        |FROM orders o LEFT JOIN l ON o.o_orderkey = l.l_orderkey
+        |GROUP BY o.o_orderstatus""".stripMargin,
 
     "a3_summary_query" ->
       """SELECT strftime(o_orderdate, '%Y-%m-%d') AS process_date, o_orderstatus AS status,
