@@ -1006,6 +1006,38 @@ object Queries {
         .select(col("doc_id"))
     }),
 
+    // Split-leakage audit: how many near-dup pairs CROSS train/val/
+    // test boundaries under the plain id-hash split vs the
+    // cluster-safe split — the one-row report that justifies
+    // withClusterSafeSplit (plain hashing strands near-duplicates on
+    // opposite sides of the eval boundary; the cluster-id hash cannot,
+    // by construction). Pair-bounded joins off the shared artifacts.
+    "x_split_leakage" -> ((s, d) => {
+      val (pairs, components) = ngramPairGraph(s, d)
+      val docs = t(s, d, "documents")
+      val plain = graft.operators.Sampling.withSplit(docs, "doc_id")
+        .select(col("doc_id"), col("split"))
+      val safe = graft.operators.Sampling.withClusterSafeSplit(
+          docs, "doc_id", components)
+        .select(col("doc_id"), col("split").as("safe_split"))
+      val p = pairs.select(col("id_a"), col("id_b"))
+      val joined = p
+        .join(plain.withColumnRenamed("doc_id", "id_a")
+          .withColumnRenamed("split", "sa"), "id_a")
+        .join(plain.withColumnRenamed("doc_id", "id_b")
+          .withColumnRenamed("split", "sb"), "id_b")
+        .join(safe.withColumnRenamed("doc_id", "id_a")
+          .withColumnRenamed("safe_split", "ca"), "id_a")
+        .join(safe.withColumnRenamed("doc_id", "id_b")
+          .withColumnRenamed("safe_split", "cb"), "id_b")
+      joined.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L))
+          .as("n_leaked_plain"),
+        sum(when(col("ca") =!= col("cb"), 1L).otherwise(0L))
+          .as("n_leaked_safe"))
+    }),
+
     // Survivorship by QUALITY: keep the longest doc per near-dup
     // cluster (ties to the lower id) — member-bounded winner agg +
     // one corpus anti-join, off the shared pair graph.
@@ -2654,6 +2686,50 @@ object Queries {
         |SELECT t.doc_id FROM titles t
         |LEFT JOIN comp ON t.doc_id = comp.id
         |WHERE comp.id IS NULL OR comp.comp = t.doc_id""".stripMargin,
+
+    // the pair/closure CTEs + both split labelings (id hash vs
+    // cluster-id hash, same LCG), crossings counted per pair
+    "x_split_leakage" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(ts)-2),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+        |  FROM toks WHERE len(ts) >= 3
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+        |), edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION
+        |  SELECT id_b AS u, id_a AS v FROM pairs
+        |), lbl(id, comp) AS (
+        |  SELECT u, least(u, min(v)) FROM edges GROUP BY u
+        |  UNION
+        |  SELECT e.u, l.comp FROM edges e JOIN lbl l ON e.v = l.id
+        |), comps AS (
+        |  SELECT id, min(comp) AS comp FROM lbl GROUP BY id
+        |), lab AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN (((((d.doc_id % 2147483647) + 0) * 1103515245) % 2147483647) * 784588716) % 2147483647 % 1000 < 800 THEN 'train'
+        |         WHEN (((((d.doc_id % 2147483647) + 0) * 1103515245) % 2147483647) * 784588716) % 2147483647 % 1000 < 900 THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    CASE WHEN (((((COALESCE(c.comp, d.doc_id) % 2147483647) + 0) * 1103515245) % 2147483647) * 784588716) % 2147483647 % 1000 < 800 THEN 'train'
+        |         WHEN (((((COALESCE(c.comp, d.doc_id) % 2147483647) + 0) * 1103515245) % 2147483647) * 784588716) % 2147483647 % 1000 < 900 THEN 'val'
+        |         ELSE 'test' END AS safe_split
+        |  FROM documents d LEFT JOIN comps c ON d.doc_id = c.id
+        |)
+        |SELECT count(*) AS n_pairs,
+        |  CAST(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_leaked_plain,
+        |  CAST(sum(CASE WHEN a.safe_split <> b.safe_split THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_leaked_safe
+        |FROM pairs p JOIN lab a ON p.id_a = a.doc_id
+        |JOIN lab b ON p.id_b = b.doc_id""".stripMargin,
 
     // same recursive component closure; the survivor is the longest
     // member (ties to the lower id), singletons all survive
