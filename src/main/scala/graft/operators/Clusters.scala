@@ -264,12 +264,15 @@ object Clusters {
     * anti-join against the loser ids — the full frame is never
     * aggregated or shuffled. Requires a non-null numeric score;
     * null scores lose every tie (sort last via the struct max).
+    * The score is compared at its NATIVE type (fractional scores —
+    * jaccard, quality doubles — order correctly; no silent
+    * truncation to integer).
     */
   def bestPerCluster(
       df: DataFrame, idCol: String, components: DataFrame, scoreCol: String
   ): DataFrame = {
     val members = df
-      .select(col(idCol), col(scoreCol).cast(LongType).as("__score"))
+      .select(col(idCol), col(scoreCol).as("__score"))
       .join(components.select(col("id").as(idCol), col("component")), idCol)
     // max score then min id == max of (score, -id) lexicographically;
     // ids are non-negative (enforced by the pair graph's id contract)

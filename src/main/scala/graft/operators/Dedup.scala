@@ -234,7 +234,7 @@ object Dedup {
     * `overflow_rows` / `max_bucket_size` under the caller-keyed
     * [[NearDupResult.bucketMetric]] name) with nothing lost.
     */
-  private def candidatePairs(banded: DataFrame, maxBucket: Int, metric: String): DataFrame = {
+  private[operators] def candidatePairs(banded: DataFrame, maxBucket: Int, metric: String): DataFrame = {
     val sz = col("cc.cnt")
     val sortedIds = array_sort(col("cc.vals"))
     banded
@@ -295,7 +295,7 @@ object Dedup {
     * Two hash joins keyed on id; AQE picks broadcast vs shuffle by the
     * actual pair/payload sizes.
     */
-  private def verifyPairs(
+  private[operators] def verifyPairs(
       pairs: DataFrame,
       payloads: DataFrame, // (id, payload)
       measure: Column

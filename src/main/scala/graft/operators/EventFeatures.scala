@@ -321,7 +321,12 @@ object EventFeatures {
       .orderBy(col(tsCol), col(tieBreakCol))
     val steps = col(typeCol) +:
       (1 until depth).map(i => lead(col(typeCol), i).over(w))
-    df.select(concat_ws(">", steps: _*).as("path"),
+    // Null event types are excluded up front (same contract as
+    // transitionCounts): concat_ws silently SKIPS null elements, so a
+    // null inside a window would otherwise render a shortened path
+    // that collides with genuine shorter paths.
+    df.filter(col(typeCol).isNotNull)
+      .select(concat_ws(">", steps: _*).as("path"),
         steps.last.isNotNull.as("__complete"))
       .filter(col("__complete"))
       .groupBy(col("path"))
@@ -391,19 +396,23 @@ object EventFeatures {
     *
     * Plan shape: the raw stream shuffles ONCE into the per-key
     * aggregate (map-side combined); the corpus max-day is a 1-row agg
-    * broadcast via crossJoin; the three score frames are sorts of the
-    * persisted |keys|-row frame (CacheManager dedupes the persist by
-    * canonicalized plan, so bench re-invocations reuse one cache
-    * entry) joined back key-to-key. Everything after the first shuffle
-    * is ∝ |keys|, never ∝ events.
+    * broadcast via crossJoin; the three score frames are sorts of a
+    * locally-checkpointed |keys|-row frame (released by the
+    * ContextCleaner when the result is dropped — no permanent
+    * CacheManager entry) joined back key-to-key. Everything after the
+    * first shuffle is ∝ |keys|, never ∝ events. Requires an integral
+    * key column — validated up front rather than silently nulled.
     */
   def rfmScores(
       df: DataFrame, tsCol: String, keyCol: String, typeCol: String,
       valueCol: String, monetaryType: String, buckets: Int = 5
   ): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
-    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
-    import org.apache.spark.storage.StorageLevel
+    import org.apache.spark.sql.types.{ByteType, DecimalType, DoubleType, IntegerType, LongType, ShortType}
+    val keyType = df.schema(keyCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(keyType),
+      s"rfmScores requires an integral key column; '$keyCol' is $keyType " +
+        "(a non-numeric key would silently cast to null and collapse all rows)")
     val spark = df.sparkSession
     val day = datediff(to_date(col(tsCol)), lit("1970-01-01"))
     val dmax = df.agg(max(day).as("__dmax"))
@@ -420,7 +429,12 @@ object EventFeatures {
       .select(col("__key"),
         (col("__dmax") - col("__last_day")).cast(LongType).as("r_days"),
         col("f"), col("m"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      // localCheckpoint instead of Dataset.persist: the |keys|-row
+      // frame is reused by three sorts + the final join, and the
+      // checkpointed partitions are released by the ContextCleaner
+      // once the result frame is unreferenced — Dataset.persist
+      // would leak one CacheManager entry per dataset forever.
+      .localCheckpoint(eager = true)
     val n = agg.count()
     if (n == 0) {
       return spark.createDataFrame(

@@ -164,6 +164,64 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** PRODUCTION kNN graph — the scale path [[knnGraph]] is the recall
+    * oracle for: approximate per-vector top-k via hyperplane-LSH
+    * candidate generation instead of all n² pairs. The corpus is
+    * banded ONCE under `tables` independent `planes`-bit hyperplane
+    * sets (the same deterministic [[signBucket]] family the ANN and
+    * embedding-dedup entries use); vectors sharing any (band, bucket)
+    * become candidates through the capped-collect bucket expansion
+    * ([[Dedup.candidatePairs]] — a viral near-duplicate bucket never
+    * materializes more than `maxBucket` ids in any reducer, with the
+    * overflow observed under `metric`); each surviving UNDIRECTED pair
+    * is exact-cosine-scored once (cosine is exactly symmetric — the
+    * kernel's sqrt-then-multiply denominator and commutative dot make
+    * (a,b) and (b,a) bit-identical), mirrored into both directions,
+    * and cut to per-query k-row heaps (`row_number <= k` rewrites to a
+    * partial WindowGroupLimit ahead of the exchange). Zero-norm
+    * vectors are excluded on both sides, same contract as [[knnGraph]].
+    *
+    * Cost is candidate-proportional: |pairs| ≈ Σ_buckets |B|²/2
+    * bounded by `maxBucket`, NEVER n². At 100 TB scale `planes` grows
+    * with the corpus (target mean bucket size stays O(candidate
+    * budget): planes ≈ log₂(n / targetBucket)) and `tables` buys
+    * recall linearly in cost. Missing a true neighbor requires ALL
+    * `tables` buckets to disagree — recall per neighbor at angular
+    * similarity p = 1 − (1 − p^planes)^tables. The exact [[knnGraph]]
+    * on a sampled slice is the standing recall audit
+    * ([[recallAtK]]).
+    *
+    * Returns (query_id, id, cosine, rank) for every query with ≥ 1
+    * candidate; isolated vectors (no collisions in any table) emit no
+    * rows — visible as missing query_ids against the corpus, and as
+    * `n_hits = 0` rows in a [[recallAtK]] audit.
+    */
+  def knnGraphApprox(
+      df: DataFrame, idCol: String, vecCol: String, k: Int,
+      planes: Int = 6, tables: Int = 8, maxBucket: Int = 1000,
+      metricName: Option[String] = None
+  ): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val metric = metricName.getOrElse(s"graft_knn_graph_buckets_${idCol}_$vecCol")
+    val base = df.filter(dot(col(vecCol), col(vecCol)) > 0.0)
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+    val banded = base.select(col("id"), posexplode(
+        graft.functions.VectorFunctions.signBuckets(
+          col("v"), planes, tables, baseSeed = 17L)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val undirected = Dedup.candidatePairs(banded, maxBucket, metric)
+    val scored = Dedup.verifyPairs(undirected,
+      base.select(col("id"), col("v").as("payload")),
+      cosine(col("payload_a"), col("payload_b")).as("cosine"))
+    val directed = scored
+      .select(col("id_a").as("query_id"), col("id_b").as("id"), col("cosine"))
+      .union(scored
+        .select(col("id_b").as("query_id"), col("id_a").as("id"), col("cosine")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id").asc)
+    directed.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Sign-bucket of a vector under `planes` hash-derived hyperplanes:
     * bit p is set iff dot(v, hyperplane_p) >= 0. Deterministic across
     * executors and jobs (no RNG state), and scale-invariant, so the

@@ -65,8 +65,11 @@ object Upsert {
     * "what was this customer's tier ON this date" answers with one
     * interval probe instead of a scan-back through the event log.
     *
-    * Change detection is `state ≠ lag(state)` over the per-key
-    * (ts, tieBreak) order; interval close is `lead(ts)` over the
+    * Change detection is a NULL-SAFE `state ≠ lag(state)` over the
+    * per-key (ts, tieBreak) order (a null state starts its own run
+    * and is historized like any other value, rather than being
+    * silently absorbed into the preceding interval); interval close
+    * is `lead(ts)` over the
     * surviving change rows. `tieBreakCol` must make the order unique
     * per key (same contract as the transition/path operators) — two
     * different states at one identical timestamp historize in
@@ -85,11 +88,17 @@ object Upsert {
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(keyCol)).orderBy(col("__t"), col("__tb"))
+    // lag over a 1-field struct so "no previous row" (null struct) is
+    // distinguishable from "previous state was null" (struct with null
+    // field); the null-safe <=> then lets null states start their own
+    // runs instead of being silently absorbed into the preceding one.
     val changes = df
       .select(col(keyCol), col(stateCol).as("state"),
         unix_micros(col(tsCol)).as("__t"), col(tieBreakCol).as("__tb"))
-      .withColumn("__prev", lag(col("state"), 1).over(w))
-      .filter(col("__prev").isNull || col("__prev") =!= col("state"))
+      .withColumn("__prev", lag(struct(col("state")), 1).over(w))
+      .filter(col("__prev").isNull ||
+        !(col("__prev")("state") <=> col("state")))
+      .drop("__prev")
     val w2 = w
     changes
       .select(col(keyCol), col("state"),

@@ -1212,14 +1212,39 @@ object Queries {
         .select(col("query_id"), col("id"), col("rank"))
     }),
 
-    // Exact kNN graph (every vector's top-5 neighbors): the semantic-
-    // dedup/cluster precursor and the recall oracle for the ANN
-    // entries. Rank emission only (same engine-local-float contract as
-    // x_cosine_topk); n² pairs shuffle once into per-query k-row heaps.
+    // Exact kNN graph — ORACLE-ONLY status: the deliberate n² ground
+    // truth that x_knn_graph_ann (the production column) and
+    // x_knn_graph_recall audit against; at scale it runs on sampled
+    // slices, never the corpus. Rank emission only (same engine-local-
+    // float contract as x_cosine_topk); n² pairs shuffle once into
+    // per-query k-row heaps.
     "x_knn_graph" -> ((s, d) =>
       Similarity.knnGraph(t(s, d, "embeddings"), "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("id"),
           col("rank").cast(IntegerType).as("rank"))),
+
+    // PRODUCTION kNN graph — the scale path x_knn_graph is the recall
+    // oracle FOR: LSH-banded capped-bucket candidates (candidate-
+    // proportional, never n²), ONE exact-cosine eval per undirected
+    // pair, per-query top-5 heaps. Oracle = committed corpus-keyed
+    // golden replay (tools/gen_lsh_golden.py knn_graph_ann).
+    "x_knn_graph_ann" -> ((s, d) =>
+      Similarity.knnGraphApprox(
+        t(s, d, "embeddings"), "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("id"),
+          col("rank").cast(IntegerType).as("rank"))),
+
+    // Recall@5 audit of the production graph vs the exact oracle graph
+    // (integer hits/k per query; a query the ANN graph missed entirely
+    // shows n_hits = 0, never silently drops). The n² side is the
+    // AUDIT's cost by design — at 100 TB it runs on a sampled slice.
+    "x_knn_graph_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val ann = Similarity.knnGraphApprox(emb, "vec_id", "embedding", k = 5)
+      val exact = Similarity.knnGraph(emb, "vec_id", "embedding", k = 5)
+      Similarity.recallAtK(ann, exact)
+        .select(col("query_id"), col("n_hits"), col("k"))
+    }),
 
     // IVF-cell ANN — the cell-probing scale path (corpus partitioned by
     // centroid cell; queries probe nProbe cells). Rows-only; recall vs
@@ -2935,7 +2960,7 @@ object Queries {
         |  SELECT event_type AS e0,
         |         lead(event_type, 1) OVER w AS e1,
         |         lead(event_type, 2) OVER w AS e2
-        |  FROM events
+        |  FROM events WHERE event_type IS NOT NULL
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         |SELECT e0 || '>' || e1 || '>' || e2 AS path, count(*) AS n_paths
         |FROM p WHERE e2 IS NOT NULL
@@ -3190,6 +3215,46 @@ object Queries {
         |      ORDER BY cos DESC, id ASC) AS INTEGER) AS rank
         |  FROM pairs)
         |SELECT query_id, id, rank FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // Production ANN graph = corpus-keyed golden replay (the banding
+    // is engine-hash-specific; tools/gen_lsh_golden.py replays the
+    // kernel bit-exactly, same scheme as x_ann_lsh).
+    "x_knn_graph_ann" ->
+      """WITH ck AS (SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 281474976710656) AS BIGINT)) AS BIGINT) AS k FROM embeddings)
+        |SELECT query_id, id, rank
+        |FROM read_parquet('/root/repo/tools/golden/knn_graph_ann.parquet') g, ck
+        |WHERE g.corpus_key = ck.k""".stripMargin,
+
+    // ANN-graph side = the golden replay; exact side = the x_knn_graph
+    // brute-force rank SQL (self excluded on both sides); recall =
+    // per-query hit count against exact top-5, missing queries 0.
+    "x_knn_graph_recall" ->
+      """WITH ck AS (SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 281474976710656) AS BIGINT)) AS BIGINT) AS k FROM embeddings),
+        |g AS (
+        |  SELECT query_id, id
+        |  FROM read_parquet('/root/repo/tools/golden/knn_graph_ann.parquet') gg, ck
+        |  WHERE gg.corpus_key = ck.k),
+        |nz AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  WHERE list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0.0),
+        |pairs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS id,
+        |         list_cosine_similarity(c.embedding, q.embedding) AS cos
+        |  FROM nz c JOIN nz q ON c.vec_id <> q.vec_id),
+        |exact AS (
+        |  SELECT query_id, id FROM (
+        |    SELECT query_id, id, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, id ASC) AS rank
+        |    FROM pairs) WHERE rank <= 5),
+        |hits AS (
+        |  SELECT e.query_id, count(*) AS n_hits
+        |  FROM exact e JOIN g ON e.query_id = g.query_id AND e.id = g.id
+        |  GROUP BY e.query_id)
+        |SELECT ex.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |       ex.k
+        |FROM (SELECT query_id, count(*) AS k FROM exact GROUP BY query_id) ex
+        |LEFT JOIN hits h ON ex.query_id = h.query_id""".stripMargin,
 
     "x_ann_lsh" ->
       """WITH ck AS (SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 281474976710656) AS BIGINT)) AS BIGINT) AS k FROM embeddings)
@@ -3683,9 +3748,10 @@ object Queries {
         |hi AS (SELECT s.value AS b FROM s, n
         |       WHERE s.rn = greatest(1, CAST(ceil(0.99 * n.n) AS BIGINT)))
         |SELECT event_type, count(*) AS n_events,
-        |  CAST(CAST(sum(CAST(least(greatest(e.value, (SELECT b FROM lo)),
-        |    (SELECT b FROM hi)) AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)
-        |    AS sum_winsorized
+        |  CAST(CAST(sum(CASE WHEN e.value IS NULL OR isnan(e.value) THEN NULL
+        |    ELSE CAST(least(greatest(e.value, (SELECT b FROM lo)),
+        |      (SELECT b FROM hi)) AS DECIMAL(18,2)) END)
+        |    AS DECIMAL(18,2)) AS DOUBLE) AS sum_winsorized
         |FROM events e GROUP BY event_type""".stripMargin,
 
     // quartile boundaries use the engine's exact rank arithmetic

@@ -78,6 +78,52 @@ class SimilaritySpec extends SparkTestBase {
     emb.unpersist()
   }
 
+  test("knnGraphApprox: candidate-only subset of the exact graph, non-vacuous recall") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+    val exact = Similarity.knnGraph(emb, "vec_id", "embedding", k = 5)
+      .select("query_id", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.knnGraphApprox(emb, "vec_id", "embedding", k = 5)
+    val annPairs = ann.select("query_id", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every ANN edge is a real (non-self) edge with an exact score:
+    // spot the contract, not the float — ranks are per-query 1..5
+    val ranks = ann.groupBy("query_id")
+      .agg(collect_list("rank").as("rs")).collect()
+    ranks.foreach { r =>
+      val rs = r.getSeq[Int](1).sorted
+      assert(rs == (1 to rs.length), s"ranks not dense: $rs")
+      assert(rs.length <= 5)
+    }
+    assert(annPairs.forall { case (q, i) => q != i }, "self-edge in ANN graph")
+    // recall: the LSH banding must recover a meaningful share of the
+    // exact top-5 graph — vacuous-guard floor, stable for the fixed
+    // testdata corpus + deterministic hyperplanes
+    val recall = (exact intersect annPairs).size.toDouble / exact.size
+    assert(recall >= 0.25, s"ANN graph recall $recall too low")
+    // and it must actually be approximate work, not the n² graph in
+    // disguise: candidate pairs are bounded well below n²
+    assert(annPairs.size <= exact.size, "ANN emits more than k per query")
+    emb.unpersist()
+  }
+
+  test("knnGraphApprox: zero vectors excluded, cosine symmetric across directions") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.95f, 0.05f)), (4L, Seq(0.0f, 0.0f))).toDF("id", "v")
+    val g = Similarity.knnGraphApprox(corpus, "id", "v", k = 2,
+      planes = 2, tables = 4)
+    val rows = g.collect()
+    assert(!rows.exists(r => r.getLong(0) == 4L || r.getLong(1) == 4L),
+      "zero vector must not appear on either side")
+    // each undirected pair is scored once and mirrored: the (a,b) and
+    // (b,a) rows must carry the bit-identical cosine
+    val byPair = rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    byPair.foreach { case ((q, i), c) =>
+      byPair.get((i, q)).foreach(c2 => assert(c == c2, s"asymmetric cosine $q<->$i"))
+    }
+  }
+
   test("signBucket is deterministic and seed-sensitive") {
     val df = Seq(Seq(0.5, -0.25, 1.0)).toDF("v")
     val a = df.select(Similarity.signBucket(col("v"), 10, 1).as("b")).collect()(0).getLong(0)

@@ -12,6 +12,7 @@ and writes:
 
   tools/golden/lsh_topk.parquet        (corpus_key, query_id, id, rank)
   tools/golden/embedding_pairs.parquet (corpus_key, id_a, id_b, cosine)
+  tools/golden/knn_graph_ann.parquet   (corpus_key, query_id, id, rank)
 
 corpus_key discriminates which embeddings table a golden row belongs
 to, computed portably in both DuckDB and here as
@@ -137,15 +138,39 @@ def lsh_topk(vecs, k=10, planes=10, tables=6):
     return out
 
 
-pair_rows, topk_rows = [], []
+def knn_graph_ann(vecs, k=5, planes=6, tables=8, max_bucket=1000):
+    """Replay of Similarity.knnGraphApprox: zero-norm filter -> band ->
+    capped bucket pair expansion -> exact-cosine score (symmetric, one
+    eval per undirected pair) -> per-query top-k by (-cosine, id)."""
+    nz = {vid: v for vid, v in vecs.items() if sum(x * x for x in v) > 0.0}
+    cands = {}
+    for ids in bucket_groups(nz, planes, tables).values():
+        if 2 <= len(ids) <= max_bucket:
+            for a in ids:
+                for b in ids:
+                    if a != b:
+                        cands.setdefault(a, set()).add(b)
+    out = []
+    for qid in sorted(cands):
+        scored = sorted(((cosine(nz[c], nz[qid]), c) for c in cands[qid]),
+                        key=lambda t: (-t[0], t[1]))
+        for rank, (_, vid) in enumerate(scored[:k], start=1):
+            out.append((qid, vid, rank))
+    return out
+
+
+pair_rows, topk_rows, knn_rows = [], [], []
 for sf in SFS:
     vecs = load(sf)
     key = corpus_key(vecs)
     pairs = embedding_pairs(vecs)
     topk = lsh_topk(vecs)
+    knn = knn_graph_ann(vecs)
     pair_rows += [(key, a, b, c) for a, b, c in pairs]
     topk_rows += [(key, q, i, r) for q, i, r in topk]
-    print(f"sf{sf}: corpus_key={key}, {len(pairs)} pairs, {len(topk)} topk rows")
+    knn_rows += [(key, q, i, r) for q, i, r in knn]
+    print(f"sf{sf}: corpus_key={key}, {len(pairs)} pairs, {len(topk)} topk, "
+          f"{len(knn)} knn rows")
 
 pq.write_table(
     pa.table(
@@ -169,4 +194,15 @@ pq.write_table(
     ),
     "tools/golden/lsh_topk.parquet",
 )
-print("wrote tools/golden/{embedding_pairs,lsh_topk}.parquet")
+pq.write_table(
+    pa.table(
+        {
+            "corpus_key": pa.array([r[0] for r in knn_rows], pa.int64()),
+            "query_id": pa.array([r[1] for r in knn_rows], pa.int64()),
+            "id": pa.array([r[2] for r in knn_rows], pa.int64()),
+            "rank": pa.array([r[3] for r in knn_rows], pa.int32()),
+        }
+    ),
+    "tools/golden/knn_graph_ann.parquet",
+)
+print("wrote tools/golden/{embedding_pairs,lsh_topk,knn_graph_ann}.parquet")
