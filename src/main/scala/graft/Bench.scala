@@ -248,12 +248,33 @@ object Bench {
       .mkString("{", ",", "}")
     val ioJson = ioQueries.filter(selected.contains).map("\"" + _ + "\"").mkString("[", ",", "]")
     val ioSec = medians.collect { case (n, v) if v >= 0 && ioQueries.contains(n) => v }.sum
+    // one-time shared-artifact build cost (pair graph, shingle
+    // projection, passage spans, fuzzy pairs — the per-corpus-refresh
+    // cost the steady-state medians ride on): first-class summary
+    // field, not a footnote buried in the discarded warmup sum
+    val artifactSec = graft.queries.Queries.artifactBuildSeconds
+    val mediansBody =
+      s"""{"metric":"total","value":${total(medians)},"unit":"sec","sf":"$sfDir","passes":$passes,"sick":$sick,"n_failed":$nFailed,"only":$onlyJson,"rep_outliers":$repOutliersJson,"io_sec":$ioSec,"artifact_sec":${jNum(artifactSec)},"io_queries":$ioJson,"queries":$qs}"""
     val mediansRef = writeSide("SPARK_GRAFT_BENCH_MEDIANS_FILE", "target/bench_medians.json",
-      s"""{"metric":"total","value":${total(medians)},"unit":"sec","sf":"$sfDir","passes":$passes,"sick":$sick,"n_failed":$nFailed,"only":$onlyJson,"rep_outliers":$repOutliersJson,"io_sec":$ioSec,"io_queries":$ioJson,"queries":$qs}""")
+      mediansBody)
+    // committed per-round provenance (r11 verdict #2): full-catalog runs
+    // also write the medians body to a repo-root file the round-close
+    // commit picks up, so the next round can diff per-query medians from
+    // committed artifacts alone. Subset (ONLY) runs must never overwrite
+    // the full-catalog record.
+    if (only.isEmpty) {
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_latest_medians.json"),
+        mediansBody.getBytes("UTF-8"))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write BENCH_latest_medians.json: ${e.getMessage}")
+      }
+    }
     def summaryLine(mediansJ: String, repsJ: String): String =
       s"""{"metric":"total","value":${total(medians)},"unit":"sec","sf":"$sfDir",""" +
         s""""n_queries":${medians.size},"n_failed":$nFailed,"passes":$passes,"sick":$sick,""" +
         s""""io_sec":$ioSec,"io_n":${ioQueries.count(selected.contains)},""" +
+        s""""artifact_sec":${jNum(artifactSec)},""" +
         s""""n_rep_outliers":${repOutliers.size},""" +
         s""""medians_file":$mediansJ,"reps_file":$repsJ}"""
     // the line must fit the driver's ~2 KB stdout tail window; it is

@@ -367,11 +367,37 @@ object Dedup {
       metricName: Option[String] = None
   ): NearDupResult = {
     val metric = metricName.getOrElse(s"graft_ngram_postings_${idCol}_$textCol")
-    val projected = df
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
-      .filter(size(col("sh")) > 0)
+    val projected = shingleProjection(df, idCol, textCol, shingleSize)
     val withShingles =
       if (storage == StorageLevel.NONE) projected else projected.persist(storage)
+    NearDupResult(
+      ngramJaccardFromShingles(withShingles, threshold, maxPostings, metric),
+      metric,
+      if (storage == StorageLevel.NONE) None else Some(withShingles))
+  }
+
+  /** The `(id, sh)` shingle-SET projection the whole exact n-gram
+    * family (Jaccard + containment) derives from — empty-set rows
+    * dropped. Exposed so a session can compute the corpus-wide
+    * shingle pass ONCE (persist it) and feed every consumer, instead
+    * of re-shingling per operator: the projection is independent of
+    * threshold and measure, only of `shingleSize`.
+    */
+  def shingleProjection(
+      df: DataFrame, idCol: String, textCol: String, shingleSize: Int
+  ): DataFrame =
+    df.select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** [[ngramJaccardNearDupsResult]]'s pair-generation + verify stages
+    * over a PREBUILT `(id, sh)` projection (see [[shingleProjection]]).
+    */
+  def ngramJaccardFromShingles(
+      withShingles: DataFrame,
+      threshold: Double,
+      maxPostings: Int,
+      metric: String
+  ): DataFrame = {
     // Prefix filter (Bayardo et al., WWW 2007; Vernica et al., SIGMOD
     // 2010 — the standard exact set-similarity join): under ANY global
     // total order on shingles, two sets with J >= t MUST share one of
@@ -394,12 +420,10 @@ object Dedup {
     // under the threshold ratio are dropped before the pair-dedup
     // shuffle and the payload verify joins — exact, zero recall change
     val pairs = candidatePairsSized(asBuckets, maxPostings, metric, threshold)
-    val verified = verifyPairs(pairs,
+    verifyPairs(pairs,
       withShingles.select(col("id"), col("sh").as("payload")),
       jaccard(col("payload_a"), col("payload_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    NearDupResult(verified, metric,
-      if (storage == StorageLevel.NONE) None else Some(withShingles))
   }
 
   /** EXACT n-gram CONTAINMENT near-dups: pairs where the smaller
@@ -438,13 +462,25 @@ object Dedup {
       shingleSize: Int = 3,
       threshold: Double = 0.8,
       maxPostings: Int = 1000
+  ): DataFrame =
+    ngramContainmentFromShingles(
+      shingleProjection(df, idCol, textCol, shingleSize),
+      threshold, maxPostings,
+      s"graft_containment_postings_${idCol}_$textCol")
+
+  /** [[ngramContainmentNearDups]]'s candidate + verify stages over a
+    * PREBUILT `(id, sh)` projection — shares [[shingleProjection]]
+    * with the Jaccard family so one corpus-wide shingle pass feeds
+    * both measures.
+    */
+  def ngramContainmentFromShingles(
+      projected: DataFrame,
+      threshold: Double,
+      maxPostings: Int,
+      metric: String
   ): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
-    val metric = s"graft_containment_postings_${idCol}_$textCol"
-    val projected = df
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
-      .filter(size(col("sh")) > 0)
     // same deterministic global shingle order as the Jaccard prefix
     // filter; slack makes the float ceil round toward a LONGER prefix
     val ordered = transform(

@@ -72,6 +72,27 @@ object Queries {
     * is bounded at [[dirMemoMax]] dirs (a session sees at most the
     * three testdata SFs).
     */
+  /** Cumulative wall-clock spent BUILDING shared per-dir artifacts
+    * this session (pair graph + components, shingle projection,
+    * passage spans, fuzzy pairs) — every [[memoPerDir]] build is
+    * timed into this accumulator, and each build forces its frame's
+    * materialization so the cost lands here rather than inside the
+    * first consuming query's discarded warmup rep. Bench reads
+    * [[artifactBuildSeconds]] and reports it as a first-class
+    * `artifact_sec` summary field: the one-time cost per corpus
+    * refresh that the steady-state per-query medians ride on.
+    */
+  private val artifactNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  def artifactBuildSeconds: Double = artifactNanos.get / 1e9
+
+  // builds nest (the pair graph's build consumes the docShingles
+  // artifact): only the OUTERMOST build on a thread adds its elapsed
+  // time, so nested artifact builds aren't double-counted
+  private val buildDepth = new ThreadLocal[Integer] {
+    override def initialValue(): Integer = 0
+  }
+
   private def memoPerDir[T <: AnyRef](
       cache: java.util.concurrent.ConcurrentHashMap[String, (SparkSession, T)],
       s: SparkSession, d: String)(build: => T)(release: T => Unit): T = {
@@ -90,7 +111,15 @@ object Queries {
             cache.remove(k)
           }
         }
-        val built = build
+        val depth: Int = buildDepth.get
+        buildDepth.set(depth + 1)
+        val t0 = System.nanoTime()
+        val built =
+          try build
+          finally {
+            buildDepth.set(depth)
+            if (depth == 0) artifactNanos.addAndGet(System.nanoTime() - t0)
+          }
         cache.put(d, (s, built))
         built
       }
@@ -135,29 +164,61 @@ object Queries {
   private def fuzzyMultipassPairs(s: SparkSession, d: String): DataFrame =
     memoPerDir(fuzzyPairCache, s, d) {
       val all = fuzzyTitles(s, d)
+      // PASS PROVENANCE (r11 verdict #7): each pass tags its pairs, the
+      // shared frame carries per-pass membership flags — so the single-
+      // pass entry (x_fuzzy_match) FILTERS this artifact instead of
+      // recomputing the blocked join, and single-vs-multipass recall is
+      // directly comparable on the same fixture.
       val prefixPass = Dedup.editDistancePairs(all, "doc_id", "title",
         blockKey = substring(col("title"), 1, 6), maxDist = 2)
+        .withColumn("__pass", lit(1))
       // positive-index suffix (greatest(1, len-5)) — negative substring
       // starts disagree across engines for strings shorter than the key
       val suffixPass = Dedup.editDistancePairs(all, "doc_id", "title",
         blockKey = expr("substring(title, greatest(1, length(title) - 5), 6)"),
         maxDist = 2)
-      prefixPass.union(suffixPass).distinct()
+        .withColumn("__pass", lit(2))
+      val pairs = prefixPass.union(suffixPass)
+        .groupBy(col("id_a"), col("id_b"), col("dist"))
+        .agg(
+          max(when(col("__pass") === 1, 1L).otherwise(0L)).as("in_prefix"),
+          max(when(col("__pass") === 2, 1L).otherwise(0L)).as("in_suffix"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      pairs.count() // materialize inside the timed artifact build
+      pairs
     } { _.unpersist(blocking = false) }
 
   private val pairGraphCache = new java.util.concurrent.ConcurrentHashMap[
     String, (SparkSession, (DataFrame, DataFrame))]()
 
+  /** Shared corpus-wide `(doc_id → shingle set)` projection — the ONE
+    * expensive text pass both exact n-gram measures derive from: the
+    * Jaccard pair graph ([[ngramPairGraph]]) and `x_dedup_containment`
+    * each consume this persisted frame instead of re-shingling the
+    * corpus (the r11 verdict's #4: the containment entry's corpus
+    * projection duplicated the pair graph's work).
+    */
+  private val shingleCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (SparkSession, DataFrame)]()
+
+  private def docShingles(s: SparkSession, d: String): DataFrame =
+    memoPerDir(shingleCache, s, d) {
+      val sh = Dedup.shingleProjection(t(s, d, "documents"), "doc_id", "text", 3)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      sh.count() // materialize inside the timed artifact build
+      sh
+    } { _.unpersist(blocking = false) }
+
   private def ngramPairGraph(s: SparkSession, d: String): (DataFrame, DataFrame) =
     memoPerDir(pairGraphCache, s, d) {
-      val pairs = Dedup.ngramJaccardNearDups(
-        t(s, d, "documents"), "doc_id", "text",
-        shingleSize = 3, threshold = 0.5)
+      val pairs = Dedup.ngramJaccardFromShingles(
+        docShingles(s, d), threshold = 0.5, maxPostings = 1000,
+        metric = "graft_ngram_postings_doc_id_text")
         .persist(StorageLevel.MEMORY_AND_DISK)
       // connectedComponents is eager (per-round convergence checks) —
       // its first action also materializes the persisted pairs, so the
-      // corpus-wide shingle job runs exactly once per dir per session
+      // pair expansion runs exactly once per dir per session (and the
+      // shingle pass exactly once via the docShingles artifact)
       (pairs, Clusters.connectedComponents(pairs))
     } { case (pairs, _) => pairs.unpersist(blocking = false) }
 
@@ -173,8 +234,11 @@ object Queries {
 
   private def passageSpans(s: SparkSession, d: String): DataFrame =
     memoPerDir(passageSpanCache, s, d) {
-      Dedup.duplicatePassageSpans(t(s, d, "documents"), "doc_id", "text", n = 8)
+      val spans = Dedup.duplicatePassageSpans(
+        t(s, d, "documents"), "doc_id", "text", n = 8)
         .persist(StorageLevel.MEMORY_AND_DISK)
+      spans.count() // materialize inside the timed artifact build
+      spans
     } { _.unpersist(blocking = false) }
 
   /** events.parquet currently carries a MICROSECOND timestamp
@@ -974,16 +1038,16 @@ object Queries {
     // levenshtein<=2 verify — the MDM blocking+verify shape for short
     // strings; hot blocks capped, the in-key-edit recall caveat is
     // the operator's documented contract.
-    "x_fuzzy_match" -> ((s, d) => {
-      val titles = t(s, d, "documents")
-        .select(col("doc_id"), substring(col("text"), 1, 30).as("title"))
-      val typos = titles.filter(pmod(col("doc_id"), lit(20)) === 0)
-        .select((col("doc_id") + 10000000L).as("doc_id"),
-          concat(substring(col("title"), 1, 10),
-            substring(col("title"), 12, 30)).as("title"))
-      Dedup.editDistancePairs(titles.union(typos), "doc_id", "title",
-        blockKey = substring(col("title"), 1, 6), maxDist = 2)
-    }),
+    // Single-pass blocked levenshtein = the PREFIX PASS of the shared
+    // multi-pass artifact (r12: filters the provenance-tagged frame
+    // instead of recomputing the blocked join — and because it now
+    // shares x_fuzzy_multipass's substitution fixture, the single-pass
+    // recall gap vs multipass is directly measurable: an in-prefix
+    // typo breaks the prefix block, so this pass misses exactly the
+    // pairs the suffix pass recovers).
+    "x_fuzzy_match" -> ((s, d) =>
+      fuzzyMultipassPairs(s, d).filter(col("in_prefix") === 1L)
+        .select(col("id_a"), col("id_b"), col("dist"))),
 
     // Multi-pass blocking — the production answer to the in-key-edit
     // caveat: union DISTINCT pairs from a prefix pass and a suffix
@@ -992,7 +1056,8 @@ object Queries {
     // pairs) but length-preserving (so the suffix key survives and
     // the second pass recovers them). Pair frame session-shared with
     // x_golden_records (same artifact shape as the ngram pair graph).
-    "x_fuzzy_multipass" -> ((s, d) => fuzzyMultipassPairs(s, d)),
+    "x_fuzzy_multipass" -> ((s, d) =>
+      fuzzyMultipassPairs(s, d).select(col("id_a"), col("id_b"), col("dist"))),
 
     // Golden records — the full MDM resolution pipeline composed from
     // session primitives: multi-pass fuzzy pairs → connected
@@ -1064,11 +1129,13 @@ object Queries {
     // snippet-in-document axis Jaccard dilutes away. On this corpus
     // the pair SET matches the Jaccard family (no snippet structure in
     // the synthetic text — the asymmetric case is spec-pinned); the
-    // containment VALUES are the distinct verified computation.
+    // containment VALUES are the distinct verified computation. Rides
+    // the shared docShingles artifact — one corpus shingle pass per
+    // session feeds both this and the Jaccard pair graph.
     "x_dedup_containment" -> ((s, d) =>
-      Dedup.ngramContainmentNearDups(
-        t(s, d, "documents"), "doc_id", "text",
-        shingleSize = 3, threshold = 0.7)),
+      Dedup.ngramContainmentFromShingles(
+        docShingles(s, d), threshold = 0.7, maxPostings = 1000,
+        metric = "graft_containment_postings_doc_id_text")),
 
     // Cross-source contamination audit: near-dup pair counts per
     // unordered source pair, from the shared pair graph — the
@@ -2607,6 +2674,9 @@ object Queries {
 
     // same injection + blocking + levenshtein (identical definition,
     // no transpositions, both engines); blocks over 1000 rows excluded
+    // the prefix pass (p1) of the multipass SQL — same substitution
+    // fixture, same blocking, so the engine's provenance filter and
+    // this single-pass SQL agree row-for-row
     "x_fuzzy_match" ->
       """WITH t0 AS (
         |  SELECT doc_id, substring(text, 1, 30) AS title FROM documents),
@@ -2614,7 +2684,7 @@ object Queries {
         |  SELECT doc_id, title FROM t0
         |  UNION ALL
         |  SELECT doc_id + 10000000,
-        |    substring(title, 1, 10) || substring(title, 12)
+        |    substring(title, 1, 2) || 'Z' || substring(title, 4)
         |  FROM t0 WHERE doc_id % 20 = 0),
         |b AS (
         |  SELECT doc_id, title, substring(title, 1, 6) AS blk FROM titles

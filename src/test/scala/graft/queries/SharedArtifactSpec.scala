@@ -76,13 +76,31 @@ class SharedArtifactSpec extends SparkTestBase {
       == rows(directDegree))
   }
 
-  test("fuzzy pair frame: shared, persisted, and invisible to both consumers") {
+  /** The cache-builder instances a frame's optimized plan reads from —
+    * two frames sharing one persisted artifact surface the SAME
+    * builder (identity), a rebuilt artifact a different one.
+    */
+  private def cacheBuilders(df: DataFrame) =
+    df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        r.cacheBuilder
+    }
+
+  test("fuzzy pair frame: shared, persisted, and invisible to all three consumers") {
     import org.apache.spark.sql.functions._
+    // the entries are projections of the shared provenance-tagged
+    // frame, so sharing is pinned at the CACHE level: both calls (and
+    // the single-pass entry) must read the same InMemoryRelation
     val a = SparkEntry.queries("x_fuzzy_multipass")(spark, sfDir)
     val b = SparkEntry.queries("x_fuzzy_multipass")(spark, sfDir)
-    assert(a eq b, "second call rebuilt the fuzzy pairs instead of reusing them")
-    assert(a.storageLevel != StorageLevel.NONE,
-      "shared fuzzy pairs frame is not persisted")
+    val ca = cacheBuilders(a)
+    assert(ca.nonEmpty, "multipass entry does not read a persisted shared frame")
+    assert(ca.zip(cacheBuilders(b)).forall { case (x, y) => x eq y },
+      "second call rebuilt the fuzzy pairs instead of reusing them")
+    val single = SparkEntry.queries("x_fuzzy_match")(spark, sfDir)
+    val cs = cacheBuilders(single)
+    assert(cs.nonEmpty && cs.forall(c => ca.exists(_ eq c)),
+      "x_fuzzy_match does not ride the shared fuzzy pair frame")
     // invisible: the memoized pairs equal the direct two-pass union
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val titles = docs.select(col("doc_id"),
@@ -92,17 +110,47 @@ class SharedArtifactSpec extends SparkTestBase {
         concat(substring(col("title"), 1, 2),
           lit("Z"), expr("substring(title, 4)")).as("title"))
     val all = titles.union(typos)
-    val direct = Dedup.editDistancePairs(all, "doc_id", "title",
-        substring(col("title"), 1, 6), maxDist = 2)
+    val directPrefix = Dedup.editDistancePairs(all, "doc_id", "title",
+      substring(col("title"), 1, 6), maxDist = 2)
+    val direct = directPrefix
       .union(Dedup.editDistancePairs(all, "doc_id", "title",
         expr("substring(title, greatest(1, length(title) - 5), 6)"), maxDist = 2))
       .distinct()
     assert(rows(a) == rows(direct))
+    // the single-pass entry IS the direct prefix pass (the provenance
+    // filter loses and invents nothing)
+    assert(rows(single) == rows(directPrefix))
     // golden records derive from the same shared frame
     val directGolden = Clusters.dedupClusters(all, "doc_id",
       Clusters.connectedComponents(direct.select(col("id_a"), col("id_b"))))
       .select(col("doc_id"))
     assert(rows(SparkEntry.queries("x_golden_records")(spark, sfDir))
       == rows(directGolden))
+  }
+
+  test("shingle projection: containment and the pair graph share one cached pass, invisibly") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // invisible: the shared-projection entry equals the direct
+    // un-memoized operator at the catalog threshold
+    val direct = Dedup.ngramContainmentNearDups(
+      docs, "doc_id", "text", shingleSize = 3, threshold = 0.7)
+    val entry = SparkEntry.queries("x_dedup_containment")(spark, sfDir)
+    assert(rows(entry) == rows(direct))
+    // shared: the session-memoized (id, shingles) frame IS the cached
+    // representation of Dedup.shingleProjection over the documents
+    // table (CacheManager lookup by canonical plan), and the
+    // containment entry's plan reads exactly that cache entry. The
+    // pair graph consumes the same memo by construction (its build
+    // goes through the identical docShingles call — the nested cache
+    // is invisible from outside its own persisted pairs frame).
+    val cc = cacheBuilders(entry)
+    assert(cc.nonEmpty, "containment entry does not read the cached shingle frame")
+    val shingles = Dedup.shingleProjection(docs, "doc_id", "text", 3)
+    val hit = spark.sharedState.cacheManager.lookupCachedData(
+      shingles.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
+    assert(hit.isDefined, "shingle projection is not session-cached")
+    val builder = hit.get.cachedRepresentation.cacheBuilder
+    assert(cc.exists(_ eq builder),
+      "containment does not read the memoized shingle projection")
   }
 }
