@@ -241,6 +241,24 @@ object Queries {
       spans
     } { _.unpersist(blocking = false) }
 
+  /** Shared EXACT kNN graph (the ANN family's recall oracle) — the
+    * deliberate n² ground-truth pass runs once per dir per session,
+    * consumed by both `x_knn_graph` (the oracle entry itself) and
+    * `x_knn_graph_recall` (the production-graph audit). ≤ |corpus|·k
+    * rows, persisted MEMORY_AND_DISK.
+    */
+  private val exactKnnCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (SparkSession, DataFrame)]()
+
+  private def exactKnnGraph(s: SparkSession, d: String): DataFrame =
+    memoPerDir(exactKnnCache, s, d) {
+      val g = graft.operators.Similarity.knnGraph(
+        t(s, d, "embeddings"), "vec_id", "embedding", k = 5)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      g.count() // materialize inside the timed artifact build
+      g
+    } { _.unpersist(blocking = false) }
+
   /** events.parquet currently carries a MICROSECOND timestamp
     * (isAdjustedToUTC=false), which Spark reads natively; with the
     * session timezone pinned to UTC, `unix_micros(ts_utc)` equals the
@@ -547,6 +565,18 @@ object Queries {
     "q_rollup" -> ((s, d) => {
       t(s, d, "orders")
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          dec(sum(dec(col("o_totalprice")))).cast(DoubleType).as("total_price"))
+    }),
+
+    // GROUPING SETS: the two one-dimension marginals + grand total in
+    // ONE Expand + single shuffle — the slice the full cube/rollup
+    // doesn't give directly (no (status, priority) cross cells).
+    "x_grouping_sets" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      o.groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"),
           dec(sum(dec(col("o_totalprice")))).cast(DoubleType).as("total_price"))
     }),
@@ -1059,6 +1089,24 @@ object Queries {
     "x_fuzzy_multipass" -> ((s, d) =>
       fuzzyMultipassPairs(s, d).select(col("id_a"), col("id_b"), col("dist"))),
 
+    // Per-pass recall AUDIT off the provenance-tagged shared frame:
+    // one row quantifying what each blocking pass contributes (the
+    // injected in-prefix substitution makes typo pairs invisible to
+    // the prefix pass — n_prefix counts how many it still found via
+    // accidental blocks, n_suffix the recovery). Integer counts only;
+    // a blocking-strategy change shows up here as a diff, not an
+    // anecdote.
+    "x_fuzzy_pass_recall" -> ((s, d) =>
+      fuzzyMultipassPairs(s, d).agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("in_prefix")).as("n_prefix"),
+        sum(col("in_suffix")).as("n_suffix"),
+        sum(when(col("in_prefix") === 1L && col("in_suffix") === 1L, 1L)
+          .otherwise(0L)).as("n_both"),
+        sum(when(col("id_b") >= 10000000L, 1L).otherwise(0L)).as("n_typo_pairs"),
+        sum(when(col("id_b") >= 10000000L, col("in_prefix")).otherwise(0L))
+          .as("n_typo_prefix"))),
+
     // Golden records — the full MDM resolution pipeline composed from
     // session primitives: multi-pass fuzzy pairs → connected
     // components → min-id survivor per entity cluster. Every typo'd
@@ -1286,7 +1334,7 @@ object Queries {
     // float contract as x_cosine_topk); n² pairs shuffle once into
     // per-query k-row heaps.
     "x_knn_graph" -> ((s, d) =>
-      Similarity.knnGraph(t(s, d, "embeddings"), "vec_id", "embedding", k = 5)
+      exactKnnGraph(s, d)
         .select(col("query_id"), col("id"),
           col("rank").cast(IntegerType).as("rank"))),
 
@@ -1306,10 +1354,9 @@ object Queries {
     // shows n_hits = 0, never silently drops). The n² side is the
     // AUDIT's cost by design — at 100 TB it runs on a sampled slice.
     "x_knn_graph_recall" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      val ann = Similarity.knnGraphApprox(emb, "vec_id", "embedding", k = 5)
-      val exact = Similarity.knnGraph(emb, "vec_id", "embedding", k = 5)
-      Similarity.recallAtK(ann, exact)
+      val ann = Similarity.knnGraphApprox(
+        t(s, d, "embeddings"), "vec_id", "embedding", k = 5)
+      Similarity.recallAtK(ann, exactKnnGraph(s, d))
         .select(col("query_id"), col("n_hits"), col("k"))
     }),
 
@@ -2165,6 +2212,29 @@ object Queries {
           sum(col("n_chars")).as("total_chars"))
     }),
 
+    // Schema evolution: two parquet batches with DIFFERENT column
+    // sets (the lake reality — a pipeline added `lang` mid-stream)
+    // read back as ONE frame via mergeSchema; absent columns surface
+    // as nulls, counted per column. The merge happens at footer level
+    // (schema union across files), not a rewrite — at 100 TB this is
+    // the only affordable way to widen a table in place.
+    "x_schema_evolution" -> ((s, d) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_schema_evo_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      val docs = t(s, d, "documents")
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("doc_id"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$base/batch1")
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+        .write.mode("overwrite").parquet(s"$base/batch2")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$base/batch1", s"$base/batch2")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("lang")).as("n_with_lang"),
+          sum(col("n_chars")).as("sum_chars"))
+    }),
+
     // Range-clustered layout round-trip: rewrite documents sorted by
     // n_chars (8 range files, tight row-group min/max), then answer a
     // selective range predicate from the clustered copy. Layout is
@@ -2386,6 +2456,12 @@ object Queries {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
         |CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_price
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "x_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
 
     "q_running_sum" ->
       """SELECT o_custkey, o_orderkey,
@@ -2733,6 +2809,58 @@ object Queries {
         |  WHERE levenshtein(a.title, c.title) <= 2)
         |SELECT DISTINCT id_a, id_b, dist FROM (
         |  SELECT * FROM p1 UNION ALL SELECT * FROM p2)""".stripMargin,
+
+    // the multipass pair SQL with per-pass provenance flags, audited
+    // into one integer row
+    "x_fuzzy_pass_recall" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, substring(text, 1, 30) AS title FROM documents),
+        |titles AS (
+        |  SELECT doc_id, title FROM t0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000,
+        |    substring(title, 1, 2) || 'Z' || substring(title, 4)
+        |  FROM t0 WHERE doc_id % 20 = 0),
+        |b AS (
+        |  SELECT doc_id, title,
+        |    substring(title, 1, 6) AS blk1,
+        |    substring(title, greatest(1, length(title) - 5), 6) AS blk2
+        |  FROM titles WHERE title IS NOT NULL),
+        |p1 AS (
+        |  SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+        |    CAST(levenshtein(a.title, c.title) AS INTEGER) AS dist
+        |  FROM (SELECT b.* FROM b JOIN (SELECT blk1, count(*) c FROM b GROUP BY 1) s
+        |        ON b.blk1 = s.blk1 WHERE s.c <= 1000) a
+        |  JOIN (SELECT b.* FROM b JOIN (SELECT blk1, count(*) c FROM b GROUP BY 1) s
+        |        ON b.blk1 = s.blk1 WHERE s.c <= 1000) c
+        |    ON a.blk1 = c.blk1 AND a.doc_id < c.doc_id
+        |  WHERE levenshtein(a.title, c.title) <= 2),
+        |p2 AS (
+        |  SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+        |    CAST(levenshtein(a.title, c.title) AS INTEGER) AS dist
+        |  FROM (SELECT b.* FROM b JOIN (SELECT blk2, count(*) c FROM b GROUP BY 1) s
+        |        ON b.blk2 = s.blk2 WHERE s.c <= 1000) a
+        |  JOIN (SELECT b.* FROM b JOIN (SELECT blk2, count(*) c FROM b GROUP BY 1) s
+        |        ON b.blk2 = s.blk2 WHERE s.c <= 1000) c
+        |    ON a.blk2 = c.blk2 AND a.doc_id < c.doc_id
+        |  WHERE levenshtein(a.title, c.title) <= 2),
+        |pr AS (
+        |  SELECT id_a, id_b, dist,
+        |    max(CASE WHEN src = 1 THEN 1 ELSE 0 END) AS in_prefix,
+        |    max(CASE WHEN src = 2 THEN 1 ELSE 0 END) AS in_suffix
+        |  FROM (SELECT p1.*, 1 AS src FROM p1
+        |        UNION ALL SELECT p2.*, 2 AS src FROM p2)
+        |  GROUP BY id_a, id_b, dist)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(in_prefix) AS BIGINT) AS n_prefix,
+        |  CAST(sum(in_suffix) AS BIGINT) AS n_suffix,
+        |  CAST(sum(CASE WHEN in_prefix = 1 AND in_suffix = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_both,
+        |  CAST(sum(CASE WHEN id_b >= 10000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_typo_pairs,
+        |  CAST(sum(CASE WHEN id_b >= 10000000 THEN in_prefix ELSE 0 END)
+        |    AS BIGINT) AS n_typo_prefix
+        |FROM pr""".stripMargin,
 
     // the multipass pair SQL + the recursive min-label closure +
     // min-id survivorship (the x_dedup_clusters pattern)
@@ -3615,6 +3743,18 @@ object Queries {
       """SELECT lang, count(*) AS n_docs,
         |CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang""".stripMargin,
+
+    // the merged-read semantics replayed relationally: absent columns
+    // are nulls per batch, counted per column
+    "x_schema_evolution" ->
+      """WITH m AS (
+        |  SELECT doc_id, n_chars, NULL AS lang FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, n_chars, lang FROM documents WHERE doc_id % 2 = 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(lang) AS BIGINT) AS n_with_lang,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM m""".stripMargin,
 
     "x_range_layout" ->
       """SELECT doc_id, lang, n_chars FROM documents
