@@ -112,6 +112,40 @@ object Ivf {
     rankProbes(assigned, queries, qidCol, qvecCol, index, k, nProbe)
   }
 
+  /** Embedding-space DIVERSITY SAMPLE: at most `perCell` vectors from
+    * every IVF cell — the stratified curation step that keeps semantic
+    * COVERAGE while cutting volume (a uniform sample over-represents
+    * dense regions; sampling per coarse cell keeps the tails). The
+    * within-cell pick is the repo's deterministic hash-order idiom
+    * (ascending `xxhash64(id)`, ties by id): reproducible across runs
+    * and engines, no RNG state, and "random" with respect to any
+    * corpus ordering. Returns (cell, pos, id) with pos 1..perCell.
+    *
+    * Plan shape: centroid build collects ≤ nlist rows; assignment is a
+    * narrow projection (the centroid table is a plan constant); the
+    * per-cell cut is a `row_number <= perCell` filter that rewrites to
+    * a PARTIAL WindowGroupLimit ahead of the exchange — each map task
+    * reduces to ≤ perCell rows per cell before shuffling, so the
+    * shuffle carries O(cells × perCell × partitions), never the
+    * corpus.
+    */
+  def diversitySample(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 64, perCell: Int = 3
+  ): DataFrame = {
+    require(perCell >= 1, s"perCell must be >= 1, got $perCell")
+    val index = buildIndex(corpus, idCol, vecCol, nlist)
+    val assigned = assign(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("v")), "v", index)
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(xxhash64(col("id")), col("id"))
+    assigned
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= perCell)
+      .select(col("cell").cast("long").as("cell"),
+        col("pos").cast("int").as("pos"), col("id"))
+  }
+
   /** Persist the assigned corpus partitioned by cell id — the on-disk
     * index layout of the 100 TB path. One directory per cell means a
     * probe's `cell IN (...)` predicate prunes the scan to nProbe/nlist

@@ -1372,6 +1372,16 @@ object Queries {
         .select(col("query_id"), col("id"), col("rank"))
     }),
 
+    // Embedding-space DIVERSITY sample: ≤ 3 representatives per IVF
+    // cell in deterministic hash order — stratified semantic coverage
+    // (a uniform sample over-represents dense regions; per-cell picks
+    // keep the tails). The per-cell cut is a WindowGroupLimit; oracle
+    // = committed corpus-keyed golden replay (gen_hash_goldens.py).
+    "x_diversity_sample" -> ((s, d) =>
+      graft.operators.Ivf.diversitySample(
+        t(s, d, "embeddings"), "vec_id", "embedding",
+        nlist = 64, perCell = 3)),
+
     // Recall@10 of the IVF probe vs exact brute force — the index
     // eval every ANN deployment gates on. Integer (hits, k) per
     // query; the IVF side replays the committed corpus-keyed golden,
@@ -3475,6 +3485,12 @@ object Queries {
       """WITH ck AS (SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 281474976710656) AS BIGINT)) AS BIGINT) AS k FROM embeddings)
         |SELECT query_id, id, rank
         |FROM read_parquet('/root/repo/tools/golden/ivf_topk.parquet') g, ck
+        |WHERE g.corpus_key = ck.k""".stripMargin,
+
+    "x_diversity_sample" ->
+      """WITH ck AS (SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 281474976710656) AS BIGINT)) AS BIGINT) AS k FROM embeddings)
+        |SELECT cell, pos, id
+        |FROM read_parquet('/root/repo/tools/golden/diversity_sample.parquet') g, ck
         |WHERE g.corpus_key = ck.k""".stripMargin,
 
     // IVF side = the corpus-keyed golden replay (same as x_ann_ivf);

@@ -27,6 +27,37 @@ class IvfSpec extends SparkTestBase {
     assert(cells.length > 8) // sampled centroids spread the corpus
   }
 
+  test("diversitySample: per-cell cap, consistent cells, deterministic, WindowGroupLimit-bounded") {
+    val s = Ivf.diversitySample(emb, "vec_id", "embedding", nlist = 64, perCell = 3)
+    val rows = s.collect()
+    // per-cell positions are dense 1..n with n <= perCell
+    rows.groupBy(_.getLong(0)).foreach { case (cell, rs) =>
+      val ps = rs.map(_.getInt(1)).sorted
+      assert(ps.toSeq == (1 to ps.length), s"cell $cell positions not dense: ${ps.toSeq}")
+      assert(ps.length <= 3, s"cell $cell over cap")
+    }
+    // every picked row's cell matches its own assignment
+    val index = Ivf.buildIndex(emb, "vec_id", "embedding", 64)
+    val assigned = Ivf.assign(
+      emb.select(col("vec_id").as("id"), col("embedding").as("v")), "v", index)
+      .select(col("id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    rows.foreach(r => assert(assigned(r.getLong(2)) == r.getLong(0),
+      s"id ${r.getLong(2)} sampled from cell ${r.getLong(0)} but assigned ${assigned(r.getLong(2))}"))
+    // every non-empty cell is represented (coverage, the point of the op)
+    assert(rows.map(_.getLong(0)).toSet == assigned.values.toSet)
+    // deterministic across invocations
+    val again = Ivf.diversitySample(emb, "vec_id", "embedding", nlist = 64, perCell = 3)
+      .collect().map(_.toString).toSet
+    assert(again == rows.map(_.toString).toSet)
+    // scale guard: the per-cell cut is a Partial WindowGroupLimit ahead
+    // of the cell exchange — a viral cell never ships whole
+    val p = s.queryExecution.executedPlan.toString
+    val lines = p.linesIterator.toIndexedSeq
+    val pi = lines.indexWhere(l => l.contains("WindowGroupLimit") && l.contains("Partial"))
+    assert(pi >= 0, s"no Partial WindowGroupLimit:\n$p")
+  }
+
   test("written index prunes probe scans to nProbe cells' files; results unchanged") {
     val nlist = 32
     val nProbe = 4

@@ -107,6 +107,19 @@ class SimilaritySpec extends SparkTestBase {
     emb.unpersist()
   }
 
+  test("knnGraphApprox: plan has no n² join and cuts per-query via Partial WindowGroupLimit") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val p = Similarity.knnGraphApprox(emb, "vec_id", "embedding", k = 5)
+      .queryExecution.executedPlan.toString
+    // the whole point vs knnGraph: candidate generation is a bucket
+    // equi-join, never an all-pairs product
+    assert(!p.contains("CartesianProduct"), s"cartesian product in ANN graph:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join in ANN graph:\n$p")
+    val lines = p.linesIterator.toIndexedSeq
+    val pi = lines.indexWhere(l => l.contains("WindowGroupLimit") && l.contains("Partial"))
+    assert(pi >= 0, s"no Partial WindowGroupLimit — a hot query would ship whole:\n$p")
+  }
+
   test("knnGraphApprox: zero vectors excluded, cosine symmetric across directions") {
     val corpus = Seq(
       (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),

@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Golden-oracle generator for x_dedup_simhash and x_ann_ivf.
+"""Golden-oracle generator for x_dedup_simhash, x_ann_ivf, and x_diversity_sample.
 
 Like tools/gen_lsh_golden.py, these two catalog entries hash data
 through engine-side kernels (XXH64 token hashes for SimHash; an
@@ -230,7 +230,29 @@ def ivf_topk(vecs, k=10, nlist=64, n_probe=8):
 
 # ---------------------------------------------------------------------
 
-sim_rows, ivf_rows = [], []
+def diversity_sample(vecs, nlist=64, per_cell=3):
+    """Replay of Ivf.diversitySample: hash-sampled centroids (same as
+    ivf_topk), nearest-cell assignment, per-cell keep of the per_cell
+    ids with the smallest signed xxh64(id, 42), ties by id."""
+    by_hash = sorted(
+        (vid for vid, v in vecs.items() if v),
+        key=lambda vid: signed64(xxh64_long(vid, 42)),
+    )
+    centroids = [vecs[vid] for vid in by_hash[:nlist]]
+    cell = {vid: nearest_centroids(v, centroids, 1)[0] for vid, v in vecs.items()}
+    by_cell = {}
+    for vid, c in cell.items():
+        by_cell.setdefault(c, []).append(vid)
+    out = []
+    for c in sorted(by_cell):
+        picked = sorted(by_cell[c],
+                        key=lambda vid: (signed64(xxh64_long(vid, 42)), vid))
+        for pos, vid in enumerate(picked[:per_cell], start=1):
+            out.append((c, pos, vid))
+    return out
+
+
+sim_rows, ivf_rows, div_rows = [], [], []
 for sf in SFS:
     docs = dict(
         duckdb.sql(
@@ -252,8 +274,10 @@ for sf in SFS:
     emb_key = sum(math.floor(v[0] * float(1 << 48)) for v in vecs.values())
     topk = ivf_topk(vecs)
     ivf_rows += [(emb_key, q, i, r) for q, i, r in topk]
+    div = diversity_sample(vecs)
+    div_rows += [(emb_key, c, p, i) for c, p, i in div]
     print(f"sf{sf}: doc_key={doc_key} ({len(pairs)} simhash pairs), "
-          f"emb_key={emb_key} ({len(topk)} ivf rows)")
+          f"emb_key={emb_key} ({len(topk)} ivf rows, {len(div)} diversity rows)")
 
 pq.write_table(
     pa.table(
@@ -277,4 +301,15 @@ pq.write_table(
     ),
     "tools/golden/ivf_topk.parquet",
 )
-print("wrote tools/golden/{simhash_pairs,ivf_topk}.parquet")
+pq.write_table(
+    pa.table(
+        {
+            "corpus_key": pa.array([r[0] for r in div_rows], pa.int64()),
+            "cell": pa.array([r[1] for r in div_rows], pa.int64()),
+            "pos": pa.array([r[2] for r in div_rows], pa.int32()),
+            "id": pa.array([r[3] for r in div_rows], pa.int64()),
+        }
+    ),
+    "tools/golden/diversity_sample.parquet",
+)
+print("wrote tools/golden/{simhash_pairs,ivf_topk,diversity_sample}.parquet")
