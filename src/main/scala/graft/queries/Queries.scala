@@ -1207,6 +1207,24 @@ object Queries {
         .select(col("id").as("doc_id"), col("component").as("cluster_id"))
     }),
 
+    // Dedup GOVERNANCE by source, off the shared pair graph: per
+    // source, how many docs sit in a near-dup cluster and how many a
+    // min-id dedup would remove — the "which crawls ship duplicated
+    // text" rollup a curation owner reads before re-weighting sources.
+    // The pair-bounded components frame broadcast-joins onto the
+    // corpus; one agg, integers only.
+    "x_dup_rate_by_source" -> ((s, d) => {
+      val comp = ngramPairGraph(s, d)._2
+      t(s, d, "documents")
+        .join(comp.select(col("id").as("doc_id"),
+          (col("id") =!= col("component")).cast("long").as("__loser")),
+          Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("__loser")).as("n_dup_members"),
+          coalesce(sum(col("__loser")), lit(0L)).as("n_removed"))
+    }),
+
     // Incremental dedup: index 4/5 of the corpus once, probe the other
     // 1/5 as an incoming batch — the 100 TB ingest pattern (the corpus
     // is never re-shingled per crawl). Oracle-exact for the same reason
@@ -2757,6 +2775,39 @@ object Queries {
         |  SELECT e.u, l.comp FROM edges e JOIN lbl l ON e.v = l.id
         |)
         |SELECT id AS doc_id, min(comp) AS cluster_id FROM lbl GROUP BY id""".stripMargin,
+
+    // same pair SQL + closure, rolled up per source
+    "x_dup_rate_by_source" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(ts)-2),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+        |  FROM toks WHERE len(ts) >= 3
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+        |), edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION
+        |  SELECT id_b AS u, id_a AS v FROM pairs
+        |), lbl(id, comp) AS (
+        |  SELECT u, least(u, min(v)) FROM edges GROUP BY u
+        |  UNION
+        |  SELECT e.u, l.comp FROM edges e JOIN lbl l ON e.v = l.id
+        |), comp AS (
+        |  SELECT id, min(comp) AS comp FROM lbl GROUP BY id
+        |)
+        |SELECT d.source, count(*) AS n_docs,
+        |  CAST(count(c.id) AS BIGINT) AS n_dup_members,
+        |  CAST(coalesce(sum(CASE WHEN c.id IS NOT NULL AND c.id <> c.comp
+        |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_removed
+        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        |GROUP BY d.source""".stripMargin,
 
     // same injection + blocking + levenshtein (identical definition,
     // no transpositions, both engines); blocks over 1000 rows excluded
