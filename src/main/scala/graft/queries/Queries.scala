@@ -1255,6 +1255,29 @@ object Queries {
         maxDistance = 3, storage = StorageLevel.NONE)
     }),
 
+    // Estimator-quality audit: how well the CHEAP near-dup signal
+    // (SimHash hamming ≤ 3 — one 64-bit hash per doc) agrees with the
+    // exact n-gram Jaccard ≥ 0.5 pair set, as one integer row
+    // (union / both / each-only). This is the measurement a curator
+    // uses to decide whether the cheap pass can gate the expensive
+    // one at 100 TB. Exact side rides the shared pair graph; both
+    // pair frames are structurally ≪ corpus, so the full-outer join
+    // is pair-bounded.
+    "x_simhash_vs_exact" -> ((s, d) => {
+      val sim = Dedup.simHashNearDups(t(s, d, "documents"), "doc_id", "text",
+          maxDistance = 3, storage = StorageLevel.NONE)
+        .select(col("id_a"), col("id_b"), lit(1L).as("__s"))
+      val exact = ngramPairGraph(s, d)._1
+        .select(col("id_a"), col("id_b"), lit(1L).as("__e"))
+      sim.join(exact, Seq("id_a", "id_b"), "full_outer")
+        .agg(
+          count(lit(1)).as("n_union"),
+          sum(when(col("__s").isNotNull && col("__e").isNotNull, 1L)
+            .otherwise(0L)).as("n_both"),
+          sum(when(col("__e").isNull, 1L).otherwise(0L)).as("n_simhash_only"),
+          sum(when(col("__s").isNull, 1L).otherwise(0L)).as("n_exact_only"))
+    }),
+
     // Embedding-cosine near-dups via hyperplane LSH — rows-only.
     // threshold tuned to the synthetic corpus (max pairwise cosine ~0.51;
     // 271 pairs >= 0.35 at sf0.01) so the check is non-vacuous.
@@ -3531,6 +3554,37 @@ object Queries {
         |SELECT id_a, id_b, hamming
         |FROM read_parquet('/root/repo/tools/golden/simhash_pairs.parquet') g, ck
         |WHERE g.corpus_key = ck.k""".stripMargin,
+
+    // simhash side = golden replay; exact side = the shared pair SQL;
+    // full-outer agreement counts
+    "x_simhash_vs_exact" ->
+      """WITH ck AS (SELECT CAST(sum((doc_id+1)*length(text)) AS BIGINT) AS k FROM documents WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT id_a, id_b
+        |  FROM read_parquet('/root/repo/tools/golden/simhash_pairs.parquet') gg, ck
+        |  WHERE gg.corpus_key = ck.k),
+        |toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(ts)-2),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+        |  FROM toks WHERE len(ts) >= 3
+        |), ex AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+        |), f AS (
+        |  SELECT g.id_a AS sa, ex.id_a AS ea
+        |  FROM g FULL OUTER JOIN ex
+        |    ON g.id_a = ex.id_a AND g.id_b = ex.id_b)
+        |SELECT CAST(count(*) AS BIGINT) AS n_union,
+        |  CAST(sum(CASE WHEN sa IS NOT NULL AND ea IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+        |  CAST(sum(CASE WHEN ea IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_simhash_only,
+        |  CAST(sum(CASE WHEN sa IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_only
+        |FROM f""".stripMargin,
 
     "x_ann_ivf" ->
       """WITH ck AS (SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 281474976710656) AS BIGINT)) AS BIGINT) AS k FROM embeddings)
