@@ -635,6 +635,27 @@ object Queries {
           col("prior_value"))
     }),
 
+    // As-of with a STALENESS bound: the prior event must be within 1
+    // hour or the match nulls out — the market-data/attribution
+    // variant ("don't attribute to a week-old touch"). Same one-
+    // shuffle union-window plan as x_asof_join; the tolerance is a
+    // post-window comparison, not a second join.
+    "x_asof_tolerance" -> ((s, d) => {
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_utc"))
+      val others = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("ts_utc"), col("event_type"), col("value"))
+      TemporalJoins.asofBackward(purchases, others, Seq("user_id"),
+          "ts_utc", "ts_utc", Seq("event_type", "value"), prefix = "prior_",
+          tolerance = Some(expr("INTERVAL 1 HOUR")))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts_utc")).as("purchase_us"),
+          unix_micros(col("prior_ts_utc")).as("prior_us"),
+          col("prior_event_type").as("prior_type"),
+          col("prior_value"))
+    }),
+
     // Interval (range) join: clicks in the hour strictly before each
     // purchase, per user — bucketed equi-join (≤2× left explode), exact
     // range post-filter, then a per-purchase aggregate. Decimal-cast
@@ -2263,6 +2284,33 @@ object Queries {
           sum(col("n_chars")).as("total_chars"))
     }),
 
+    // CSV round-trip (write + schema'd read-back): completes the
+    // format matrix — CSV is the reference's INPUT format; this pins
+    // the sink side too. Doubles survive because Spark writes the
+    // shortest round-trippable repr; the timestamp goes through an
+    // explicit yyyy-MM-dd HH:mm:ss string (CSV has no timestamp type).
+    "x_csv_roundtrip" -> ((s, d) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_csv_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("o_date"),
+          col("o_orderpriority"))
+        .write.mode("overwrite").option("header", "true").csv(base)
+      s.read.option("header", "true")
+        .schema(StructType(Seq(
+          StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+          StructField("o_orderstatus", StringType),
+          StructField("o_totalprice", DoubleType),
+          StructField("o_date", StringType),
+          StructField("o_orderpriority", StringType))))
+        .csv(base)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          dec(sum(dec(col("o_totalprice")))).cast(DoubleType).as("total_price"),
+          max(col("o_date")).as("max_date"))
+    }),
+
     // Schema evolution: two parquet batches with DIFFERENT column
     // sets (the lake reality — a pipeline added `lang` mid-stream)
     // read back as ONE frame via mergeSchema; absent columns surface
@@ -2553,6 +2601,29 @@ object Queries {
         |o AS (SELECT * FROM ev WHERE event_type <> 'purchase')
         |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_us,
         |  pr.prior_us, pr.prior_type, pr.prior_value
+        |FROM p LEFT JOIN LATERAL (
+        |  SELECT epoch_us(o.ts) AS prior_us, o.event_type AS prior_type,
+        |    o.value AS prior_value
+        |  FROM o
+        |  WHERE o.user_id = p.user_id AND o.ts <= p.ts
+        |  ORDER BY o.ts DESC, o.event_type DESC, o.value DESC
+        |  LIMIT 1
+        |) pr ON TRUE""".stripMargin,
+
+    // same lateral; the staleness bound is applied OUTSIDE the lateral
+    // pick — the engine takes THE most recent prior row and nulls it
+    // when stale (it does not fall further back), so the oracle must
+    // do the same, not restrict the lateral's candidate set.
+    "x_asof_tolerance" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |  FROM events
+        |), p AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+        |o AS (SELECT * FROM ev WHERE event_type <> 'purchase')
+        |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_us,
+        |  CASE WHEN pr.prior_us >= epoch_us(p.ts) - 3600000000 THEN pr.prior_us END AS prior_us,
+        |  CASE WHEN pr.prior_us >= epoch_us(p.ts) - 3600000000 THEN pr.prior_type END AS prior_type,
+        |  CASE WHEN pr.prior_us >= epoch_us(p.ts) - 3600000000 THEN pr.prior_value END AS prior_value
         |FROM p LEFT JOIN LATERAL (
         |  SELECT epoch_us(o.ts) AS prior_us, o.event_type AS prior_type,
         |    o.value AS prior_value
@@ -3864,6 +3935,14 @@ object Queries {
       """SELECT lang, count(*) AS n_docs,
         |CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang""".stripMargin,
+
+    // the round-trip is lossless, so the oracle aggregates the source
+    // directly (same decimal routing as q_rollup)
+    "x_csv_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
+        |max(strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')) AS max_date
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     // the merged-read semantics replayed relationally: absent columns
     // are nulls per batch, counted per column
