@@ -254,8 +254,12 @@ object Bench {
     // cost the steady-state medians ride on): first-class summary
     // field, not a footnote buried in the discarded warmup sum
     val artifactSec = graft.queries.Queries.artifactBuildSeconds
+    val artifactBreakdown = graft.queries.Queries.artifactBuildBreakdown.toSeq
+      .sortBy(-_._2)
+      .map { case (k, v) => s"\"" + k + "\":" + jNum(v) }
+      .mkString("{", ",", "}")
     val mediansBody =
-      s"""{"metric":"total","value":${total(medians)},"unit":"sec","sf":"$sfDir","passes":$passes,"sick":$sick,"n_failed":$nFailed,"only":$onlyJson,"rep_outliers":$repOutliersJson,"io_sec":$ioSec,"artifact_sec":${jNum(artifactSec)},"io_queries":$ioJson,"queries":$qs}"""
+      s"""{"metric":"total","value":${total(medians)},"unit":"sec","sf":"$sfDir","passes":$passes,"sick":$sick,"n_failed":$nFailed,"only":$onlyJson,"rep_outliers":$repOutliersJson,"io_sec":$ioSec,"artifact_sec":${jNum(artifactSec)},"artifact_breakdown":$artifactBreakdown,"io_queries":$ioJson,"queries":$qs}"""
     val mediansRef = writeSide("SPARK_GRAFT_BENCH_MEDIANS_FILE", "target/bench_medians.json",
       mediansBody)
     // committed per-round provenance (r11 verdict #2): full-catalog runs

@@ -407,14 +407,24 @@ object Dedup {
     // change. Order = (xxhash64, shingle): deterministic, global, and
     // frequency-agnostic. The 1e-9 slack makes the float ceil round
     // toward a LONGER prefix, never a shorter (missed-pair) one.
-    val ordered = transform(
-      array_sort(transform(col("sh"), sh => struct(xxhash64(sh).as("h"), sh.as("s")))),
-      e => e.getField("s"))
+    //
+    // The bucket KEY is the shingle's 64-bit hash, not the string —
+    // the candidate shuffle carries 8-byte longs instead of n-gram
+    // text (the dominant shuffle-volume term at corpus scale), and
+    // the hash is already computed for the prefix order. A hash
+    // collision between two different shingles can only ADD a
+    // candidate pair (killed by the exact-Jaccard verify) or, in the
+    // astronomically unlikely case of a merged bucket crossing
+    // maxPostings, surface in the observed overflow metric — never
+    // silently lose a pair on its own.
+    val ordered = array_sort(
+      transform(col("sh"), sh => struct(xxhash64(sh).as("h"), sh.as("s"))))
     val pfxLen = (size(col("sh"))
       - ceil(lit(threshold) * size(col("sh")) - lit(1e-9)) + 1).cast(IntegerType)
     val asBuckets = withShingles
       .select(col("id"), size(col("sh")).as("sz"),
-        explode(slice(ordered, lit(1), pfxLen)).as("bucket"))
+        explode(transform(slice(ordered, lit(1), pfxLen),
+          e => e.getField("h"))).as("bucket"))
       .withColumn("band", lit(0))
     // length-ratio prune: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so pairs
     // under the threshold ratio are dropped before the pair-dedup
@@ -482,17 +492,21 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     // same deterministic global shingle order as the Jaccard prefix
-    // filter; slack makes the float ceil round toward a LONGER prefix
-    val ordered = transform(
-      array_sort(transform(col("sh"), sh => struct(xxhash64(sh).as("h"), sh.as("s")))),
-      e => e.getField("s"))
+    // filter; slack makes the float ceil round toward a LONGER prefix.
+    // Bucket keys are the shingles' 64-bit hashes (same rationale as
+    // ngramJaccardFromShingles: 8-byte join keys instead of n-gram
+    // text; collisions only add verified-away candidates)
+    val ordered = array_sort(
+      transform(col("sh"), sh => struct(xxhash64(sh).as("h"), sh.as("s"))))
     val pfxLen = (size(col("sh"))
       - ceil(lit(threshold) * size(col("sh")) - lit(1e-9)) + 1).cast(IntegerType)
     val prefixSide = projected
       .select(col("id"), size(col("sh")).as("sz"),
-        explode(slice(ordered, lit(1), pfxLen)).as("bucket"))
+        explode(transform(slice(ordered, lit(1), pfxLen),
+          e => e.getField("h"))).as("bucket"))
     val fullSide = projected
-      .select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("bucket"))
+      .select(col("id"), size(col("sh")).as("sz"),
+        explode(transform(col("sh"), sh => xxhash64(sh))).as("bucket"))
     // hot-shingle cap on the full side, observed so truncation is
     // never silent (overflow_buckets == 0 ⇒ complete result)
     val counts = fullSide.groupBy(col("bucket")).agg(count(lit(1)).as("__cnt"))

@@ -86,6 +86,19 @@ object Queries {
 
   def artifactBuildSeconds: Double = artifactNanos.get / 1e9
 
+  /** Per-artifact breakdown of [[artifactBuildSeconds]] (label →
+    * cumulative seconds, outermost builds only). Bench emits it as
+    * `artifact_breakdown` in the medians side file.
+    */
+  private val artifactNanosByLabel =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  def artifactBuildBreakdown: Map[String, Double] = {
+    val b = Map.newBuilder[String, Double]
+    artifactNanosByLabel.forEach((k, v) => b += (k -> v.toDouble / 1e9))
+    b.result()
+  }
+
   // builds nest (the pair graph's build consumes the docShingles
   // artifact): only the OUTERMOST build on a thread adds its elapsed
   // time, so nested artifact builds aren't double-counted
@@ -95,7 +108,8 @@ object Queries {
 
   private def memoPerDir[T <: AnyRef](
       cache: java.util.concurrent.ConcurrentHashMap[String, (SparkSession, T)],
-      s: SparkSession, d: String)(build: => T)(release: T => Unit): T = {
+      s: SparkSession, d: String, label: String = "other")(
+      build: => T)(release: T => Unit): T = {
     val hit = cache.get(d)
     if (hit != null && (hit._1 eq s)) hit._2
     else cache.synchronized {
@@ -118,7 +132,12 @@ object Queries {
           try build
           finally {
             buildDepth.set(depth)
-            if (depth == 0) artifactNanos.addAndGet(System.nanoTime() - t0)
+            if (depth == 0) {
+              val dt = System.nanoTime() - t0
+              artifactNanos.addAndGet(dt)
+              artifactNanosByLabel.merge(label, dt,
+                (a, b) => java.lang.Long.valueOf(a + b))
+            }
           }
         cache.put(d, (s, built))
         built
@@ -162,7 +181,7 @@ object Queries {
   }
 
   private def fuzzyMultipassPairs(s: SparkSession, d: String): DataFrame =
-    memoPerDir(fuzzyPairCache, s, d) {
+    memoPerDir(fuzzyPairCache, s, d, "fuzzy_pairs") {
       val all = fuzzyTitles(s, d)
       // PASS PROVENANCE (r11 verdict #7): each pass tags its pairs, the
       // shared frame carries per-pass membership flags — so the single-
@@ -202,7 +221,7 @@ object Queries {
     String, (SparkSession, DataFrame)]()
 
   private def docShingles(s: SparkSession, d: String): DataFrame =
-    memoPerDir(shingleCache, s, d) {
+    memoPerDir(shingleCache, s, d, "doc_shingles") {
       val sh = Dedup.shingleProjection(t(s, d, "documents"), "doc_id", "text", 3)
         .persist(StorageLevel.MEMORY_AND_DISK)
       sh.count() // materialize inside the timed artifact build
@@ -210,7 +229,7 @@ object Queries {
     } { _.unpersist(blocking = false) }
 
   private def ngramPairGraph(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    memoPerDir(pairGraphCache, s, d) {
+    memoPerDir(pairGraphCache, s, d, "ngram_pair_graph") {
       val pairs = Dedup.ngramJaccardFromShingles(
         docShingles(s, d), threshold = 0.5, maxPostings = 1000,
         metric = "graft_ngram_postings_doc_id_text")
@@ -233,7 +252,7 @@ object Queries {
     String, (SparkSession, DataFrame)]()
 
   private def passageSpans(s: SparkSession, d: String): DataFrame =
-    memoPerDir(passageSpanCache, s, d) {
+    memoPerDir(passageSpanCache, s, d, "passage_spans") {
       val spans = Dedup.duplicatePassageSpans(
         t(s, d, "documents"), "doc_id", "text", n = 8)
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -251,7 +270,7 @@ object Queries {
     String, (SparkSession, DataFrame)]()
 
   private def exactKnnGraph(s: SparkSession, d: String): DataFrame =
-    memoPerDir(exactKnnCache, s, d) {
+    memoPerDir(exactKnnCache, s, d, "exact_knn_graph") {
       val g = graft.operators.Similarity.knnGraph(
         t(s, d, "embeddings"), "vec_id", "embedding", k = 5)
         .persist(StorageLevel.MEMORY_AND_DISK)
