@@ -52,7 +52,11 @@ object GraftExtensions {
   }
 
   private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+    new ExpressionInfo(
+      classOf[GraftExtensions].getName, null, name, usage,
+      /* arguments */ "", /* examples */ "", /* note */ "",
+      /* group */ "misc_funcs", /* since */ "1.0.0", /* deprecated */ "",
+      /* source */ "built-in")
 
   /** Wraps a builder with an exact-arity check so a missing/extra SQL
     * argument fails at analysis time with the function name, not as an

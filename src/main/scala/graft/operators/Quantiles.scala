@@ -359,7 +359,7 @@ object Quantiles {
     if (bs.isEmpty) { // empty input: no boundaries — every value is null
       return df.withColumn(outCol, lit(null).cast(LongType))
     }
-    val arr = array(bs.map(lit(_)): _*)
+    val arr = array(bs.toIndexedSeq.map(lit(_)): _*)
     df.withColumn(outCol,
       when(v.isNull || isnan(v), lit(null).cast(LongType))
         .otherwise(lit(1L) + size(filter(arr, b => v > b)).cast(LongType)))
