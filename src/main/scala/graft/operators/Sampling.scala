@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 
 /** Deterministic corpus splitting and sampling for training-data
   * pipelines (train/val/test splits, per-stratum downsampling).
@@ -86,6 +86,26 @@ object Sampling {
     require(!df.columns.contains("split"),
       "input already has a column named 'split' (reserved by withSplit)")
     df.withColumn("split", splitLabel(col(idCol), weights, salt))
+  }
+
+  /** k-fold cross-validation assignment: deterministic `fold` in
+    * [0, k) from the same portable hash family as [[withSplit]],
+    * salt-isolated so fold membership is independent of the
+    * train/val/test split. Folds are contiguous bucket ranges
+    * (`fold = bucket·k div 1000`), as even as the per-mill resolution
+    * allows — exactly even when k divides [[Buckets]]. Pure codegen'd
+    * projection: no shuffle, no RNG state, reproducible at any
+    * parallelism. (floor over the double quotient is exact here:
+    * bucket·k ≤ 10⁶ and a quotient can only sit on an integer when
+    * the division is itself exact.)
+    */
+  def withFold(df: DataFrame, idCol: String, k: Int = 5, salt: Long = 3L): DataFrame = {
+    require(k >= 2 && k <= Buckets, s"k must be in [2, $Buckets], got $k")
+    require(!df.columns.contains("fold"),
+      "input already has a column named 'fold' (reserved by withFold)")
+    df.withColumn("fold",
+      floor((hashBucket(col(idCol), salt) * lit(k.toLong)).cast(DoubleType)
+        / lit(Buckets.toDouble)).cast(LongType))
   }
 
   /** Near-dup-leakage-safe split: every member of a near-dup CLUSTER

@@ -2028,6 +2028,15 @@ object Queries {
         .select(col("doc_id"), col("lang"), col("split"))
     }),
 
+    // k-fold CV assignment (k=5): per-doc fold membership + a fold-
+    // size audit in one frame — the same portable-hash projection as
+    // x_hash_split at a different salt, folds as contiguous bucket
+    // ranges so they're exactly even in bucket space.
+    "x_kfold" -> ((s, d) =>
+      graft.operators.Sampling.withFold(t(s, d, "documents"), "doc_id", k = 5)
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))),
+
     // Deterministic stratified downsample: keep 50% of 'en', 20% of
     // 'de', drop other strata; survivors' ids are exactly reproducible.
     "x_stratified_sample" -> ((s, d) => {
@@ -4123,6 +4132,18 @@ object Queries {
         |       WHEN bucket < 900 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM b""".stripMargin,
+
+    // same inline LCG at salt 3; integer // replays the engine's
+    // contiguous-range fold formula
+    "x_kfold" ->
+      """WITH b AS (
+        |  SELECT doc_id, n_chars,
+        |    (((((doc_id % 2147483647) + 3) * 1103515245) % 2147483647) * 784588716) % 2147483647 % 1000 AS bucket
+        |  FROM documents
+        |)
+        |SELECT (bucket * 5) // 1000 AS fold, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM b GROUP BY 1""".stripMargin,
 
     // same LCG without the per-mill collapse (salt 4), row_number over
     // (rank, id) per source

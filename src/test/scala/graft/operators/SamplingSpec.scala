@@ -28,6 +28,36 @@ class SamplingSpec extends SparkTestBase {
     assert(a.nonEmpty)
   }
 
+  test("withFold: every row gets one fold in [0,k); deterministic; fold formula matches bucket ranges") {
+    val folded = Sampling.withFold(docs, "doc_id", k = 5)
+    val rows = folded.select(col("doc_id"), col("fold")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.length == docs.count())
+    assert(rows.forall { case (_, f) => f >= 0 && f < 5 })
+    assert(rows.map(_._2).distinct.sorted.toSeq == Seq(0L, 1L, 2L, 3L, 4L),
+      "all five folds should be populated on 500 docs")
+    // fold == contiguous-range formula over the same salted bucket
+    val withBucket = docs.select(col("doc_id"),
+      Sampling.hashBucket(col("doc_id"), salt = 3L).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, f) =>
+      assert(f == withBucket(id) * 5 / 1000, s"doc $id fold $f bucket ${withBucket(id)}")
+    }
+    // deterministic across evaluations
+    val again = Sampling.withFold(docs, "doc_id", k = 5)
+      .select("doc_id", "fold").collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(again.toSet == rows.toSet)
+    // salt isolation: folds are not constant within a split label
+    val both = Sampling.withFold(Sampling.withSplit(docs, "doc_id"), "doc_id")
+    assert(both.filter(col("split") === "val").select("fold").distinct().count() > 1)
+  }
+
+  test("withFold rejects bad k and a reserved column") {
+    assertThrows[IllegalArgumentException](Sampling.withFold(docs, "doc_id", k = 1))
+    assertThrows[IllegalArgumentException](
+      Sampling.withFold(docs.withColumn("fold", lit(0)), "doc_id"))
+  }
+
   test("splitLabel rejects weights that do not sum to 1000") {
     assertThrows[IllegalArgumentException](
       Sampling.splitLabel(col("id"), Seq("a" -> 500, "b" -> 400)))
