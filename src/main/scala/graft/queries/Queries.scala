@@ -588,6 +588,36 @@ object Queries {
           dec(sum(dec(col("o_totalprice")))).cast(DoubleType).as("total_price"))
     }),
 
+    // UNPIVOT (wide → long melt): the three lineitem measures as
+    // (metric, value) rows, aggregated per metric — one Expand node,
+    // single pass, never three scans. Decimal-routed sums.
+    // null values excluded EXPLICITLY on both sides — Spark's unpivot
+    // and a UNION ALL replay differ on null handling, so the contract
+    // is pinned rather than left to either engine's default
+    "x_unpivot" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .unpivot(
+          Array(col("l_orderkey")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "value")
+        .filter(col("value").isNotNull)
+        .groupBy(col("metric"))
+        .agg(count(lit(1)).as("n_values"),
+          dec(sum(dec(col("value")))).cast(DoubleType).as("sum_value"))),
+
+    // Relational set ops: EXCEPT / INTERSECT (distinct semantics) over
+    // two derived id sets — planned as left-anti / left-semi joins
+    // after Catalyst's ReplaceExceptWithAntiJoin family, never a
+    // pairwise comparison.
+    "x_set_ops" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val en = docs.filter(col("lang") === "en").select(col("doc_id"))
+      val long = docs.filter(col("n_chars") >= 300).select(col("doc_id"))
+      en.except(long).agg(count(lit(1)).as("n_en_only"))
+        .crossJoin(en.intersect(long).agg(count(lit(1)).as("n_en_long")))
+        .crossJoin(long.except(en).agg(count(lit(1)).as("n_long_only")))
+    }),
+
     // GROUPING SETS: the two one-dimension marginals + grand total in
     // ONE Expand + single shuffle — the slice the full cube/rollup
     // doesn't give directly (no (status, priority) cross cells).
@@ -2583,6 +2613,25 @@ object Queries {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
         |CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_price
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    // the melt replayed as a three-way UNION ALL
+    "x_unpivot" ->
+      """WITH m AS (
+        |  SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem)
+        |SELECT metric, count(*) AS n_values,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
+        |FROM m WHERE value IS NOT NULL GROUP BY metric""".stripMargin,
+
+    "x_set_ops" ->
+      """SELECT
+        |  CAST((SELECT count(*) FROM ((SELECT doc_id FROM documents WHERE lang = 'en')
+        |    EXCEPT (SELECT doc_id FROM documents WHERE n_chars >= 300))) AS BIGINT) AS n_en_only,
+        |  CAST((SELECT count(*) FROM ((SELECT doc_id FROM documents WHERE lang = 'en')
+        |    INTERSECT (SELECT doc_id FROM documents WHERE n_chars >= 300))) AS BIGINT) AS n_en_long,
+        |  CAST((SELECT count(*) FROM ((SELECT doc_id FROM documents WHERE n_chars >= 300)
+        |    EXCEPT (SELECT doc_id FROM documents WHERE lang = 'en'))) AS BIGINT) AS n_long_only""".stripMargin,
 
     "x_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
