@@ -286,4 +286,43 @@ object Clusters {
       .select(col(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Triad census of an undirected pair graph: vertex / edge counts,
+    * open wedges (paths of length 2), and closed triangles — the
+    * structural summary a dedup owner reads to tell CHAINED
+    * near-duplication (long low-triangle paths: A≈B≈C but A≉C, the
+    * shape where transitive clustering over-merges) from CLIQUE
+    * near-duplication (high triangle closure: true mirror groups).
+    * The reference has no analogue; standard graph-mining census
+    * (wedges = Σ deg·(deg−1)/2, triangles counted once per ordered
+    * a<b<c closure).
+    *
+    * Scale shape: every input is the pair graph (structurally ≪
+    * corpus); the triangle join is edge-list × edge-list on the
+    * shared middle vertex then a semi-closure on (a,c) — candidate
+    * volume is Σ deg², the wedge count, never corpus-proportional.
+    * Degrees come from one unionAll+agg; all outputs are exact
+    * integers. Requires canonical pairs (id_a < id_b, no self-loops,
+    * no duplicate edges) — the contract every [[graft.operators.Dedup]]
+    * pair frame already meets.
+    */
+  def triadCensus(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(col("id_a"), col("id_b"))
+    val deg = e.select(col("id_a").as("id"))
+      .unionAll(e.select(col("id_b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val vw = deg.agg(
+      count(lit(1)).as("n_vertices"),
+      sum(expr("(deg * (deg - 1)) DIV 2")).as("n_wedges"))
+    val ne = e.agg(count(lit(1)).as("n_edges"))
+    // a<b and b<c gives a canonical a<b<c ordering, so each triangle
+    // is generated exactly once and closed by its (a,c) edge
+    val tri = e.select(col("id_a").as("a"), col("id_b").as("b"))
+      .join(e.select(col("id_a").as("b"), col("id_b").as("c")), "b")
+      .join(e.select(col("id_a").as("a"), col("id_b").as("c")), Seq("a", "c"))
+      .agg(count(lit(1)).as("n_triangles"))
+    vw.crossJoin(ne).crossJoin(tri)
+      .select(col("n_vertices"), col("n_edges"),
+        coalesce(col("n_wedges"), lit(0L)).as("n_wedges"), col("n_triangles"))
+  }
 }

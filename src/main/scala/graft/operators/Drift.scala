@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift measurement between two samples of one table —
+  * the monitoring step a 100 TB ingest pipeline runs per refresh
+  * ("did this crawl's quality/value distribution move vs the last
+  * one?") before the new slice is admitted to the training mix. The
+  * reference has no analogue (its validation is per-row rules); this
+  * is the standard two-sample Kolmogorov–Smirnov test statistic
+  * (max ECDF gap), kept EXACT and integer-valued so the result is
+  * hash-stable across engines.
+  */
+object Drift {
+
+  /** Per-group two-sample KS statistic, exact. `sampleCol` must be an
+    * integer 0/1 tag (sample A / sample B); null and NaN values are
+    * excluded (a missing measurement is not a position on the ECDF).
+    *
+    * Output per group: `n_a`, `n_b` (sample sizes) and `ks_num`, the
+    * INTEGER numerator of the KS distance — D = ks_num / (n_a·n_b),
+    * since at every distinct value v the scaled ECDF gap
+    * |n_b·cntA(≤v) − n_a·cntB(≤v)| is a whole number. Reporting the
+    * numerator avoids float division entirely: callers compare
+    * ks_num against c(α)·sqrt(n_a·n_b·(n_a+n_b)) driver-side.
+    *
+    * Scale shape: one hash-shuffle to (group, value) counts — the
+    * corpus collapses to its distinct values per group BEFORE any
+    * window — then a group-PARTITIONED cumulative-sum window over
+    * those distinct values (never an unpartitioned window; within a
+    * group the distinct-value stream is the bounded quantity, the
+    * same cardinality contract as Quantiles' histograms), and an
+    * algebraic max. Counts are longs; products stay within long for
+    * any n_a·cnt ≤ 9.2e18 — i.e. samples up to ~3e9 rows per group.
+    */
+  def ksStatistic(
+      df: DataFrame, groupCol: String, valueCol: String, sampleCol: String
+  ): DataFrame = {
+    val counts = df
+      .filter(col(valueCol).isNotNull && !isnan(col(valueCol)))
+      .groupBy(col(groupCol), col(valueCol))
+      .agg(
+        sum(when(col(sampleCol) === 0, 1L).otherwise(0L)).as("__c0"),
+        sum(when(col(sampleCol) === 1, 1L).otherwise(0L)).as("__c1"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("__f0", sum(col("__c0")).over(w))
+      .withColumn("__f1", sum(col("__c1")).over(w))
+    val totals = counts.groupBy(col(groupCol))
+      .agg(sum(col("__c0")).as("n_a"), sum(col("__c1")).as("n_b"))
+    cum.join(totals, groupCol)
+      .groupBy(col(groupCol), col("n_a"), col("n_b"))
+      .agg(max(abs(col("__f0") * col("n_b") - col("__f1") * col("n_a")))
+        .as("ks_num"))
+      .select(col(groupCol), col("n_a"), col("n_b"), col("ks_num"))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.config.{FieldMapping, ValidationRule}
-import graft.operators.{Clusters, Dedup, HeavyHitters, Multimodal, NgramLm, QualityClassifier, Similarity, TemporalJoins, TextAnalysis}
+import graft.operators.{Clusters, Dedup, Drift, HeavyHitters, Multimodal, NgramLm, QualityClassifier, Similarity, TemporalJoins, TextAnalysis}
 import graft.rules.RuleCompiler
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -991,6 +991,35 @@ object Queries {
         .withColumn("delta", col("n") - col("prev_n"))
     }),
 
+    // Day-of-week seasonality profile: (epoch-day mod 7, type) event
+    // and distinct-user counts — the weekly-rhythm view next to
+    // x_weekly_deltas' trend view. dow_idx 0 = Thursday (1970-01-01).
+    // One shuffle on the grouping key; integers only.
+    "x_dow_profile" -> ((s, d) =>
+      events(s, d)
+        .groupBy(
+          expr("datediff(to_date(ts_utc), date '1970-01-01') % 7")
+            .cast(LongType).as("dow_idx"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))),
+
+    // Two-sample KS drift, early-vs-late halves of the event stream
+    // (split at the epoch-µs midpoint), per event_type: did the value
+    // distribution move within the window? ks_num is the exact integer
+    // KS numerator (D = ks_num / (n_a·n_b)) — no float division, so
+    // the statistic is hash-stable. The midpoint is a 1-row broadcast.
+    "x_ks_drift" -> ((s, d) => {
+      val ev = events(s, d)
+      val mid = ev.agg(
+        expr("(min(unix_micros(ts_utc)) + max(unix_micros(ts_utc))) div 2")
+          .as("__mid"))
+      val tagged = ev.crossJoin(broadcast(mid))
+        .withColumn("__s",
+          (unix_micros(col("ts_utc")) >= col("__mid")).cast(IntegerType))
+      Drift.ksStatistic(tagged, "event_type", "value", "__s")
+    }),
+
     // First-touch attribution: each user's FIRST event type (algebraic
     // min-struct, map-side combined) crossed with the funnel's
     // conversion flag — users absent from the funnel count as 0.
@@ -1294,6 +1323,26 @@ object Queries {
           count(col("__loser")).as("n_dup_members"),
           coalesce(sum(col("__loser")), lit(0L)).as("n_removed"))
     }),
+
+    // Cluster-SIZE histogram off the shared pair graph: how big the
+    // near-dup groups are (size → n_clusters, n_docs) — the shape a
+    // curation owner reads before choosing a survivorship policy
+    // (many 2-groups vs a few giant mirror clusters behave very
+    // differently under keep-one). Pair-bounded aggregation only.
+    "x_cluster_sizes" -> ((s, d) => {
+      ngramPairGraph(s, d)._2
+        .groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+    }),
+
+    // Triad census of the near-dup graph (vertices/edges/wedges/
+    // triangles): distinguishes chained near-duplication (transitive
+    // clustering over-merges) from clique-like mirror groups. Exact
+    // integers; candidate volume is the wedge count, never the corpus.
+    "x_triad_census" -> ((s, d) =>
+      Clusters.triadCensus(ngramPairGraph(s, d)._1)),
 
     // Incremental dedup: index 4/5 of the corpus once, probe the other
     // 1/5 as an incoming batch — the 100 TB ingest pattern (the corpus
@@ -1703,6 +1752,56 @@ object Queries {
         .filter(col("token") =!= "")
       HeavyHitters.heavyHitters(toks, "token", minShare = 0.002)
         .select(col("item").as("token"), col("cnt"))
+    }),
+
+    // Adjacent-token bigram collocations: the 20 most frequent
+    // bigrams with their unigram counts — the corpus statistic behind
+    // PMI/collocation scoring (the log itself is driver arithmetic;
+    // the expensive corpus passes are these exact integer counts).
+    // Bigrams explode in-row (no join to reconstruct adjacency); the
+    // 20-row top-k is a TakeOrderedAndProject and broadcasts against
+    // the unigram vocabulary.
+    "x_bigram_colloc" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val bi = docs
+        .select(TextAnalysis.tokens(col("text")).as("ts"))
+        .filter(size(col("ts")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(ts) - 1), i -> struct(ts[i-1] AS w1, ts[i] AS w2))")).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .filter(col("w1") =!= "" && col("w2") =!= "")
+      val top = bi.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("n_pair"))
+        .orderBy(col("n_pair").desc, col("w1").asc, col("w2").asc)
+        .limit(20)
+      val uni = docs
+        .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      // enrich the 20-row top frame by streaming the vocabulary past
+      // it twice — the pair side is always the broadcast build side
+      val j1 = uni.select(col("w").as("w1"), col("n").as("n_w1"))
+        .join(broadcast(top), "w1")
+      uni.select(col("w").as("w2"), col("n").as("n_w2"))
+        .join(broadcast(j1), "w2")
+        .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"), col("n_w2"))
+    }),
+
+    // Out-of-vocabulary rate per language against the top-200 corpus
+    // vocabulary — the tokenizer-coverage audit run before committing
+    // a vocab size. Vocabulary is k rows → broadcast presence join;
+    // one shuffle for the per-lang counts. Integers only.
+    "x_oov_rate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val toks = docs
+        .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+      val vocab = TextAnalysis.vocabulary(docs, "text", 200)
+        .select(col("token"), lit(1).as("__in"))
+      toks.join(broadcast(vocab), Seq("token"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
     }),
 
     // Exact p50/p90/p99 by iterative histogram narrowing: ≤ 512-row
@@ -2979,6 +3078,148 @@ object Queries {
         |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_removed
         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
         |GROUP BY d.source""".stripMargin,
+
+    // same pair SQL + closure, grouped by component size
+    "x_cluster_sizes" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(ts)-2),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+        |  FROM toks WHERE len(ts) >= 3
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+        |), edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION
+        |  SELECT id_b AS u, id_a AS v FROM pairs
+        |), lbl(id, comp) AS (
+        |  SELECT u, least(u, min(v)) FROM edges GROUP BY u
+        |  UNION
+        |  SELECT e.u, l.comp FROM edges e JOIN lbl l ON e.v = l.id
+        |), comp AS (
+        |  SELECT id, min(comp) AS comp FROM lbl GROUP BY id
+        |), sz AS (
+        |  SELECT comp, count(*) AS cluster_size FROM comp GROUP BY comp
+        |)
+        |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+        |  CAST(count(*) AS BIGINT) AS n_clusters,
+        |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+        |FROM sz GROUP BY cluster_size""".stripMargin,
+
+    // same pair SQL; census over the canonical (id_a < id_b) edges
+    "x_triad_census" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(ts)-2),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+        |  FROM toks WHERE len(ts) >= 3
+        |), e AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+        |), deg AS (
+        |  SELECT id, count(*) AS deg
+        |  FROM (SELECT id_a AS id FROM e UNION ALL SELECT id_b AS id FROM e)
+        |  GROUP BY id
+        |), tri AS (
+        |  SELECT count(*) AS t
+        |  FROM e ab JOIN e bc ON ab.id_b = bc.id_a
+        |    JOIN e ac ON ac.id_a = ab.id_a AND ac.id_b = bc.id_b
+        |)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_vertices,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+        |  (SELECT CAST(coalesce(sum((deg * (deg - 1)) // 2), 0) AS BIGINT)
+        |     FROM deg) AS n_wedges,
+        |  (SELECT CAST(t AS BIGINT) FROM tri) AS n_triangles""".stripMargin,
+
+    "x_dow_profile" ->
+      """SELECT
+        |  CAST(datediff('day', DATE '1970-01-01',
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE)) % 7 AS BIGINT) AS dow_idx,
+        |  event_type, count(*) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // exact integer KS numerator: same midpoint split, same distinct-
+    // value cumulative counts; RANGE vs ROWS frames agree because the
+    // window runs over per-(type,value) DISTINCT rows
+    "x_ks_drift" ->
+      """WITH m AS (
+        |  SELECT (min(epoch_us(CAST(ts AS TIMESTAMP))) +
+        |          max(epoch_us(CAST(ts AS TIMESTAMP)))) // 2 AS mid
+        |  FROM events),
+        |e AS (
+        |  SELECT event_type, value,
+        |    CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) >= (SELECT mid FROM m)
+        |      THEN 1 ELSE 0 END AS s
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+        |c AS (
+        |  SELECT event_type, value,
+        |    sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS c0,
+        |    sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS c1
+        |  FROM e GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type,
+        |    sum(c0) OVER (PARTITION BY event_type ORDER BY value) AS f0,
+        |    sum(c1) OVER (PARTITION BY event_type ORDER BY value) AS f1
+        |  FROM c),
+        |tot AS (SELECT event_type, sum(c0) AS n_a, sum(c1) AS n_b
+        |        FROM c GROUP BY 1)
+        |SELECT t.event_type, CAST(t.n_a AS BIGINT) AS n_a,
+        |  CAST(t.n_b AS BIGINT) AS n_b,
+        |  CAST(max(abs(f0 * t.n_b - f1 * t.n_a)) AS BIGINT) AS ks_num
+        |FROM cum JOIN tot t USING (event_type)
+        |GROUP BY t.event_type, t.n_a, t.n_b""".stripMargin,
+
+    // same whitespace tokenization as x_vocab_topk; bigrams formed
+    // in-list (interior empty tokens are impossible after trim+split,
+    // so filtering empties before vs after pairing agrees)
+    "x_bigram_colloc" ->
+      """WITH toks AS (
+        |  SELECT list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |    t -> t <> '') AS ts
+        |  FROM documents),
+        |bi AS (
+        |  SELECT b[1] AS w1, b[2] AS w2
+        |  FROM (SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+        |          i -> [ts[i], ts[i+1]])) AS b
+        |        FROM toks WHERE len(ts) >= 2)),
+        |top AS (
+        |  SELECT w1, w2, count(*) AS n_pair FROM bi GROUP BY 1, 2
+        |  ORDER BY n_pair DESC, w1 ASC, w2 ASC LIMIT 20),
+        |uni AS (
+        |  SELECT t AS w, count(*) AS n
+        |  FROM (SELECT unnest(ts) AS t FROM toks) GROUP BY t)
+        |SELECT top.w1, top.w2, CAST(top.n_pair AS BIGINT) AS n_pair,
+        |  CAST(u1.n AS BIGINT) AS n_w1, CAST(u2.n AS BIGINT) AS n_w2
+        |FROM top JOIN uni u1 ON u1.w = top.w1
+        |         JOIN uni u2 ON u2.w = top.w2""".stripMargin,
+
+    "x_oov_rate" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(list_filter(string_split_regex(trim(text), '\s+'),
+        |    x -> x <> '')) AS token
+        |  FROM documents),
+        |v AS (
+        |  SELECT token FROM (
+        |    SELECT token, count(*) AS freq FROM toks GROUP BY token
+        |    ORDER BY freq DESC, token ASC LIMIT 200))
+        |SELECT t.lang, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov
+        |FROM toks t LEFT JOIN v ON t.token = v.token
+        |GROUP BY t.lang""".stripMargin,
 
     // same injection + blocking + levenshtein (identical definition,
     // no transpositions, both engines); blocks over 1000 rows excluded

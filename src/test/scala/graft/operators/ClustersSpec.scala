@@ -162,4 +162,57 @@ class ClustersSpec extends SparkTestBase {
     assert(!plan.contains("Aggregate [doc_id"),
       s"corpus must not be aggregated:\n$plan")
   }
+
+  test("triadCensus: hand-checked counts on a known graph") {
+    import spark.implicits._
+    // triangle {1,2,3} + pendant (3,4) + isolated edge (10,11)
+    // degrees: 1→2, 2→2, 3→3, 4→1, 10→1, 11→1
+    // wedges = 1+1+3+0+0+0 = 5; triangles = 1
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (10L, 11L)
+    ).toDF("id_a", "id_b")
+    val r = Clusters.triadCensus(pairs).collect().head
+    assert(r.getAs[Long]("n_vertices") == 6L)
+    assert(r.getAs[Long]("n_edges") == 5L)
+    assert(r.getAs[Long]("n_wedges") == 5L)
+    assert(r.getAs[Long]("n_triangles") == 1L)
+  }
+
+  test("triadCensus: empty and triangle-free graphs") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val r0 = Clusters.triadCensus(empty).collect().head
+    assert(r0.getAs[Long]("n_vertices") == 0L)
+    assert(r0.getAs[Long]("n_edges") == 0L)
+    assert(r0.getAs[Long]("n_wedges") == 0L)
+    assert(r0.getAs[Long]("n_triangles") == 0L)
+    // path 1-2-3-4: 2 wedges, no triangle
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val r1 = Clusters.triadCensus(path).collect().head
+    assert(r1.getAs[Long]("n_wedges") == 2L)
+    assert(r1.getAs[Long]("n_triangles") == 0L)
+  }
+
+  test("triadCensus matches a brute-force count on seeded random graphs") {
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val n = 40
+      val edges = (for (a <- 0L until n; b <- (a + 1) until n
+        if rnd.nextDouble() < 0.08) yield (a, b)).toSeq
+      val es = edges.toSet
+      val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val deg = edges.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val wedges = deg.values.map(d => d * (d - 1) / 2).sum
+      val tris = (for (a <- verts; b <- verts if a < b; c <- verts if b < c)
+        yield (a, b, c)).count { case (a, b, c) =>
+          es((a, b)) && es((b, c)) && es((a, c)) }
+      val r = Clusters.triadCensus(edges.toDF("id_a", "id_b")).collect().head
+      assert(r.getAs[Long]("n_vertices") == verts.size.toLong, s"seed $seed")
+      assert(r.getAs[Long]("n_edges") == edges.size.toLong, s"seed $seed")
+      assert(r.getAs[Long]("n_wedges") == wedges, s"seed $seed")
+      assert(r.getAs[Long]("n_triangles") == tris.toLong, s"seed $seed")
+    }
+  }
 }

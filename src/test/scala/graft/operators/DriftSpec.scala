@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class DriftSpec extends SparkTestBase {
+
+  test("ksStatistic: hand-computed numerator on a known split") {
+    import spark.implicits._
+    // group g: A = {1,2,3}, B = {3,4,5}  (n_a=3, n_b=3)
+    // distinct values 1,2,3,4,5 → FA = 1,2,3,3,3 ; FB = 0,0,1,2,3
+    // |FA*3 - FB*3| = 3,6,6,3,0 → ks_num = 6  (D = 6/9 = 2/3)
+    val df = Seq(
+      ("g", 1.0, 0), ("g", 2.0, 0), ("g", 3.0, 0),
+      ("g", 3.0, 1), ("g", 4.0, 1), ("g", 5.0, 1)
+    ).toDF("k", "v", "s")
+    val r = Drift.ksStatistic(df, "k", "v", "s").collect().head
+    assert(r.getAs[Long]("n_a") == 3L)
+    assert(r.getAs[Long]("n_b") == 3L)
+    assert(r.getAs[Long]("ks_num") == 6L)
+  }
+
+  test("ksStatistic: identical samples drift zero; disjoint samples drift maximally") {
+    import spark.implicits._
+    val same = Seq.tabulate(20)(i => ("g", (i % 5).toDouble, i % 2))
+      .toDF("k", "v", "s")
+    val r0 = Drift.ksStatistic(same, "k", "v", "s").collect().head
+    assert(r0.getAs[Long]("ks_num") == 0L)
+    // A entirely below B → D = 1 → ks_num = n_a*n_b
+    val split = (Seq.tabulate(4)(i => ("g", i.toDouble, 0)) ++
+      Seq.tabulate(6)(i => ("g", 100.0 + i, 1))).toDF("k", "v", "s")
+    val r1 = Drift.ksStatistic(split, "k", "v", "s").collect().head
+    assert(r1.getAs[Long]("ks_num") == 24L)
+  }
+
+  test("ksStatistic: null and NaN values are excluded; groups are independent") {
+    import spark.implicits._
+    val df = Seq(
+      ("g1", Some(1.0), 0), ("g1", None, 0), ("g1", Some(Double.NaN), 1),
+      ("g1", Some(2.0), 1),
+      ("g2", Some(5.0), 0), ("g2", Some(5.0), 1)
+    ).toDF("k", "v", "s")
+    val rows = Drift.ksStatistic(df, "k", "v", "s")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // g1 after exclusions: A={1}, B={2} → disjoint → ks_num = 1
+    assert(rows("g1").getAs[Long]("n_a") == 1L)
+    assert(rows("g1").getAs[Long]("n_b") == 1L)
+    assert(rows("g1").getAs[Long]("ks_num") == 1L)
+    // g2 identical singletons → 0
+    assert(rows("g2").getAs[Long]("ks_num") == 0L)
+  }
+
+  test("ksStatistic: window is group-partitioned (scale guard)") {
+    import spark.implicits._
+    val df = Seq(("g", 1.0, 0)).toDF("k", "v", "s")
+    val plan = Drift.ksStatistic(df, "k", "v", "s")
+      .queryExecution.executedPlan.toString
+    // an unpartitioned window would show an Exchange SinglePartition
+    // feeding the cumulative-sum Window — the corpus on one task
+    assert(plan.contains("Window"), s"expected a window node:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"cumulative window must not serialize through one task:\n$plan")
+  }
+}
