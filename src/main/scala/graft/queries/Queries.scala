@@ -1948,6 +1948,41 @@ object Queries {
           case (l, i) => col("h").getItem(i).as(s"${l}_hits") }: _*)
     }),
 
+    // Language-ID confusion matrix: labeled lang × predicted lang
+    // (marker-argmax heuristic, ties to the lexicographically largest
+    // language, "und" when no marker hits) — the audit that tells a
+    // curation owner WHERE the cheap classifier fails before it gates
+    // a 100 TB filter. One codegen'd pass + one count shuffle.
+    "x_lang_confusion" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy(col("lang").as("label_lang"),
+          TextAnalysis.langId(col("text")).as("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))),
+
+    // Token-length histogram per language — the tokenizer diagnostic
+    // read before choosing vocab/merge budgets. Integers only; the
+    // explode shrinks map-side to distinct (lang, len) pairs.
+    "x_token_len_profile" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("lang"), length(col("tok")).cast(LongType).as("tok_len"))
+        .agg(count(lit(1)).as("n_tokens"))),
+
+    // Cohort drift on a SECOND table: per-language KS statistic of the
+    // document-length distribution between even- and odd-indexed
+    // sources (crawl cohort A/B) — Drift.ksStatistic reused beyond the
+    // event stream. Exact integer numerator, same contract as
+    // x_ks_drift.
+    "x_chars_drift" -> ((s, d) =>
+      Drift.ksStatistic(
+        t(s, d, "documents")
+          .withColumn("__v", col("n_chars").cast(DoubleType))
+          .withColumn("__s",
+            (substring(col("source"), 4, 10).cast(IntegerType) % 2)
+              .cast(IntegerType)),
+        "lang", "__v", "__s")),
+
     // Multimodal plumbing: binary payload + byte-level metadata
     // (decode itself is the stubbed mapPartitions path, MultimodalSpec).
     "x_multimodal_meta" -> ((s, d) => {
@@ -5067,6 +5102,60 @@ object Queries {
         |len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t IN ('le','la','les','et','est','une','pour','dans','que','des'))) AS fr_hits,
         |len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t IN ('el','la','los','las','es','una','para','que','por','con'))) AS es_hits
         |FROM documents""".stripMargin,
+
+    // argmax over (hits, lang): ties go to the lexicographically
+    // LARGEST language (the engine's greatest-of-structs order), so
+    // the CASE checks fr > es > en > de
+    "x_lang_confusion" ->
+      """WITH h AS (
+        |  SELECT lang,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t IN ('the','and','of','to','is','in','that','it','with','for'))) AS h_en,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t IN ('der','die','das','und','ist','nicht','ein','mit','für','auf'))) AS h_de,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t IN ('le','la','les','et','est','une','pour','dans','que','des'))) AS h_fr,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t IN ('el','la','los','las','es','una','para','que','por','con'))) AS h_es
+        |  FROM documents),
+        |p AS (
+        |  SELECT lang AS label_lang,
+        |    CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+        |         WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+        |         WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
+        |         WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+        |         ELSE 'de' END AS pred_lang
+        |  FROM h)
+        |SELECT label_lang, pred_lang, count(*) AS n_docs
+        |FROM p GROUP BY 1, 2""".stripMargin,
+
+    "x_token_len_profile" ->
+      """SELECT lang, CAST(length(t) AS BIGINT) AS tok_len,
+        |  count(*) AS n_tokens
+        |FROM (SELECT lang, unnest(list_filter(string_split_regex(trim(text), '\s+'),
+        |        x -> x <> '')) AS t
+        |      FROM documents)
+        |GROUP BY 1, 2""".stripMargin,
+
+    // same exact-KS construction as x_ks_drift, over document lengths
+    // split by even/odd source index
+    "x_chars_drift" ->
+      """WITH e AS (
+        |  SELECT lang, CAST(n_chars AS DOUBLE) AS value,
+        |    CAST(substring(source, 4) AS INTEGER) % 2 AS s
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |c AS (
+        |  SELECT lang, value,
+        |    sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS c0,
+        |    sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS c1
+        |  FROM e GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT lang,
+        |    sum(c0) OVER (PARTITION BY lang ORDER BY value) AS f0,
+        |    sum(c1) OVER (PARTITION BY lang ORDER BY value) AS f1
+        |  FROM c),
+        |tot AS (SELECT lang, sum(c0) AS n_a, sum(c1) AS n_b FROM c GROUP BY 1)
+        |SELECT t.lang, CAST(t.n_a AS BIGINT) AS n_a,
+        |  CAST(t.n_b AS BIGINT) AS n_b,
+        |  CAST(max(abs(f0 * t.n_b - f1 * t.n_a)) AS BIGINT) AS ks_num
+        |FROM cum JOIN tot t USING (lang)
+        |GROUP BY t.lang, t.n_a, t.n_b""".stripMargin,
 
     "x_salted_count" ->
       """SELECT l_returnflag, count(*) AS cnt
