@@ -203,6 +203,54 @@ object Dedup {
       else Some(withShingles))
   }
 
+  /** MinHash ESTIMATED near-dup pairs: LSH candidate pairs scored by
+    * SIGNATURE AGREEMENT alone (`n_agree` of `numHashes` rows equal),
+    * with NO exact verification — the cheap pass whose fidelity
+    * `x_minhash_vs_exact` audits against the exact-Jaccard pair graph.
+    * E[n_agree/numHashes] = J(A,B) (Broder 1997), so `threshold` keeps
+    * pairs with n_agree ≥ ceil(threshold·numHashes).
+    *
+    * Scale shape: identical candidate machinery to
+    * [[minHashNearDupsResult]] (one banding shuffle, capped-collect
+    * buckets, id-only pair expansion); the agreement zip runs only
+    * over candidate pairs (pair-bounded, so the interpreted HOF is off
+    * the corpus-proportional path). The signature projection is
+    * evaluated by both the banding branch and the payload join — at
+    * corpus scale route it through a checkpoint like
+    * [[minHashNearDupsResult]]'s `checkpointDir`; for the audit's
+    * pair-bounded volumes the recompute is cheaper than a persist.
+    */
+  def minHashEstimatedPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      maxBucket: Int = 1000,
+      metricName: Option[String] = None
+  ): DataFrame = {
+    val metric = metricName.getOrElse(s"graft_minhash_est_${idCol}_$textCol")
+    val projected = df
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"),
+        minHashSignature(col("sh"), numHashes).as("sig"),
+        minHashBands(col("sh"), numHashes, bands).as("bk"))
+    val banded = projected
+      .select(col("id"), posexplode(col("bk")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val pairs = candidatePairs(banded, maxBucket, metric)
+    val minAgree = math.ceil(threshold * numHashes).toLong
+    verifyPairs(pairs, projected.select(col("id"), col("sig").as("payload")),
+      aggregate(
+        zip_with(col("payload_a"), col("payload_b"),
+          (x, y) => when(x === y, 1L).otherwise(0L)),
+        lit(0L), (acc, v) => acc + v).as("n_agree"))
+      .filter(col("n_agree") >= minAgree)
+  }
+
   /** Id-only candidate pairs from banded rows (`id`, `bk:{band,bucket}`):
     * ONE shuffle on (band, bucket), per-bucket id-pair expansion, global
     * pair dedup. Pairs carry ONLY two longs — never the documents'

@@ -1397,6 +1397,28 @@ object Queries {
           sum(when(col("__s").isNull, 1L).otherwise(0L)).as("n_exact_only"))
     }),
 
+    // Estimator-quality audit #2: MinHash SIGNATURE-agreement pairs
+    // (n_agree/64 ≥ 0.5, no exact verification — the pass a 100 TB
+    // pipeline would run if it skipped verify) vs the exact n-gram
+    // Jaccard ≥ 0.5 pair set. Complements x_simhash_vs_exact: SimHash
+    // is the one-hash signal, MinHash-unverified is the signature
+    // signal — together they bound what verification buys. Both pair
+    // frames structurally ≪ corpus.
+    "x_minhash_vs_exact" -> ((s, d) => {
+      val est = Dedup.minHashEstimatedPairs(t(s, d, "documents"), "doc_id", "text",
+          threshold = 0.5)
+        .select(col("id_a"), col("id_b"), lit(1L).as("__m"))
+      val exact = ngramPairGraph(s, d)._1
+        .select(col("id_a"), col("id_b"), lit(1L).as("__e"))
+      est.join(exact, Seq("id_a", "id_b"), "full_outer")
+        .agg(
+          count(lit(1)).as("n_union"),
+          sum(when(col("__m").isNotNull && col("__e").isNotNull, 1L)
+            .otherwise(0L)).as("n_both"),
+          sum(when(col("__e").isNull, 1L).otherwise(0L)).as("n_minhash_only"),
+          sum(when(col("__m").isNull, 1L).otherwise(0L)).as("n_exact_only"))
+    }),
+
     // Embedding-cosine near-dups via hyperplane LSH — rows-only.
     // threshold tuned to the synthetic corpus (max pairwise cosine ~0.51;
     // 271 pairs >= 0.35 at sf0.01) so the check is non-vacuous.
@@ -4008,6 +4030,38 @@ object Queries {
         |  CAST(sum(CASE WHEN sa IS NOT NULL AND ea IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
         |  CAST(sum(CASE WHEN ea IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_simhash_only,
         |  CAST(sum(CASE WHEN sa IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_only
+        |FROM f""".stripMargin,
+
+    // est side = corpus-keyed golden replay of the MinHash signature +
+    // banding kernels (tools/gen_hash_goldens.py); exact side = the
+    // live all-pairs Jaccard SQL, as in x_simhash_vs_exact
+    "x_minhash_vs_exact" ->
+      """WITH ck AS (SELECT CAST(sum((doc_id+1)*length(text)) AS BIGINT) AS k FROM documents WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT id_a, id_b
+        |  FROM read_parquet('/root/repo/tools/golden/minhash_est_pairs.parquet') gg, ck
+        |  WHERE gg.corpus_key = ck.k),
+        |toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(ts)-2),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+        |  FROM toks WHERE len(ts) >= 3
+        |), ex AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+        |), f AS (
+        |  SELECT g.id_a AS ma, ex.id_a AS ea
+        |  FROM g FULL OUTER JOIN ex
+        |    ON g.id_a = ex.id_a AND g.id_b = ex.id_b)
+        |SELECT CAST(count(*) AS BIGINT) AS n_union,
+        |  CAST(sum(CASE WHEN ma IS NOT NULL AND ea IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+        |  CAST(sum(CASE WHEN ea IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_minhash_only,
+        |  CAST(sum(CASE WHEN ma IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_only
         |FROM f""".stripMargin,
 
     "x_ann_ivf" ->

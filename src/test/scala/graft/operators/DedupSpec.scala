@@ -127,6 +127,45 @@ class DedupSpec extends SparkTestBase {
     assert(math.abs(est - trueJ) < 0.12, s"minhash estimate $est vs true $trueJ")
   }
 
+  test("minHashEstimatedPairs matches the committed kernel-replay golden at sf0.001") {
+    // pins the Python replay in tools/gen_hash_goldens.py to the
+    // engine kernels (shingles → xxh64(42) → splitmix affine mins →
+    // band buckets → capped candidates → signature agreement): a
+    // kernel drift on either side fails here before CORRECTNESS
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val got = Dedup.minHashEstimatedPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val key = docs.selectExpr(
+        "CAST(sum((doc_id+1)*length(text)) AS BIGINT) AS k")
+      .filter(col("k").isNotNull).collect().head.getLong(0)
+    val golden = spark.read
+      .parquet("tools/golden/minhash_est_pairs.parquet")
+      .filter(col("corpus_key") === key)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getInt(3).toLong)).toSet
+    assert(golden.nonEmpty, "golden has no rows for this corpus key")
+    assert(got == golden,
+      s"engine-vs-replay drift: only-engine=${got -- golden}, only-golden=${golden -- got}")
+  }
+
+  test("minHashEstimatedPairs vs verified pairs: estimation is the only difference") {
+    // the estimated pass at threshold t must be a superset-or-equal
+    // story explainable purely by estimator error, never by candidate
+    // generation: the same banding feeds both, so every VERIFIED pair
+    // whose true jaccard clears the SIGNATURE threshold comfortably
+    // must appear in the estimated set
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val est = Dedup.minHashEstimatedPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val verified = Dedup.minHashNearDups(docs, "doc_id", "text",
+        threshold = 0.9, storage = org.apache.spark.storage.StorageLevel.NONE)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // jaccard >= 0.9 pairs: signature agreement E = j, stderr ~ 0.06 —
+    // clearing the 0.5 signature cut is a >6-sigma event per pair
+    assert(verified.subsetOf(est),
+      s"high-jaccard pairs missing from the estimated set: ${verified -- est}")
+  }
+
   test("NearDupResult.use releases the cached intermediate; metric name is stable") {
     // earlier tests used the lazy variants (caller-owned lifecycle) —
     // start from a clean cache so the assertion is about THIS call

@@ -166,6 +166,93 @@ def simhash_pairs(docs, max_distance=3, max_bucket=1000):
 
 
 # ---------------------------------------------------------------------
+# MinHash estimated-pair replay (Dedup.minHashEstimatedPairs:
+# shingleSize=3, numHashes=64, bands=16, threshold=0.5, maxBucket=1000)
+# ---------------------------------------------------------------------
+
+SM1 = 0x9E3779B97F4A7C15
+SM2 = 0xBF58476D1CE4E5B9
+SM3 = 0x94D049BB133111EB
+
+
+def splitmix64(x):
+    x = (x + SM1) & M64
+    x = ((x ^ (x >> 30)) * SM2) & M64
+    x = ((x ^ (x >> 27)) * SM3) & M64
+    return x ^ (x >> 31)
+
+
+# Kernels.shingles uses Java String.trim (strips every char <= U+0020),
+# unlike the Spark SQL trim() the SimHash path goes through
+JTRIM = "".join(chr(i) for i in range(0x21))
+
+
+def shingles3(text, n=3):
+    """Kernels.shingles replay: Java trim, ASCII \\s+ split, n-token
+    windows joined by single spaces, first-occurrence dedup."""
+    toks = WS.split(text.strip(JTRIM))
+    m = len(toks)
+    if m < n or (m == 1 and toks[0] == ""):
+        return []
+    return list(dict.fromkeys(" ".join(toks[i:i + n]) for i in range(m - n + 1)))
+
+
+GA = [splitmix64(2 * j + 1) | 1 for j in range(64)]
+GB = [splitmix64(2 * j) for j in range(64)]
+LONG_MAX = (1 << 63) - 1
+
+
+def minhash_signature(shs, num_hashes=64):
+    """Each shingle xxh64'd once (seed 42); g_j = a_j*h + b_j with
+    SIGNED 64-bit wraparound; min per row by signed comparison."""
+    sig = [LONG_MAX] * num_hashes
+    for s in shs:
+        h = xxh64(s.encode("utf-8"), 42)
+        for j in range(num_hashes):
+            g = signed64((h * GA[j] + GB[j]) & M64)
+            if g < sig[j]:
+                sig[j] = g
+    return sig
+
+
+def minhash_bands(sig, bands=16):
+    rows = len(sig) // bands
+    out = []
+    for b in range(bands):
+        h = (0x517CC1B727220A95 + b) & M64
+        for r in range(b * rows, (b + 1) * rows):
+            h = xxh64_long(sig[r], h)
+        out.append(h)
+    return out
+
+
+def minhash_est_pairs(docs, threshold=0.5, max_bucket=1000):
+    sigs, buckets = {}, {}
+    for did, t in docs.items():
+        shs = shingles3(t)
+        if not shs:
+            continue
+        sig = minhash_signature(shs)
+        sigs[did] = sig
+        for b, bk in enumerate(minhash_bands(sig)):
+            buckets.setdefault((b, bk), []).append(did)
+    cands = set()
+    for ids in buckets.values():
+        if 2 <= len(ids) <= max_bucket:
+            ids = sorted(ids)
+            for i, a in enumerate(ids):
+                for b in ids[i + 1:]:
+                    cands.add((a, b))
+    min_agree = math.ceil(threshold * 64)
+    out = []
+    for a, b in sorted(cands):
+        agree = sum(1 for x, y in zip(sigs[a], sigs[b]) if x == y)
+        if agree >= min_agree:
+            out.append((a, b, agree))
+    return out
+
+
+# ---------------------------------------------------------------------
 # IVF top-k replay (Ivf.ivfTopK: k=10, nlist=64, nProbe=8)
 # ---------------------------------------------------------------------
 
@@ -252,7 +339,7 @@ def diversity_sample(vecs, nlist=64, per_cell=3):
     return out
 
 
-sim_rows, ivf_rows, div_rows = [], [], []
+sim_rows, ivf_rows, div_rows, mh_rows = [], [], [], []
 for sf in SFS:
     docs = dict(
         duckdb.sql(
@@ -263,6 +350,8 @@ for sf in SFS:
     doc_key = sum((did + 1) * len(t) for did, t in docs.items())
     pairs = simhash_pairs(docs)
     sim_rows += [(doc_key, a, b, h) for a, b, h in pairs]
+    mh = minhash_est_pairs(docs)
+    mh_rows += [(doc_key, a, b, g) for a, b, g in mh]
 
     vecs = {
         vid: list(v)
@@ -276,7 +365,8 @@ for sf in SFS:
     ivf_rows += [(emb_key, q, i, r) for q, i, r in topk]
     div = diversity_sample(vecs)
     div_rows += [(emb_key, c, p, i) for c, p, i in div]
-    print(f"sf{sf}: doc_key={doc_key} ({len(pairs)} simhash pairs), "
+    print(f"sf{sf}: doc_key={doc_key} ({len(pairs)} simhash pairs, "
+          f"{len(mh)} minhash est pairs), "
           f"emb_key={emb_key} ({len(topk)} ivf rows, {len(div)} diversity rows)")
 
 pq.write_table(
@@ -312,4 +402,16 @@ pq.write_table(
     ),
     "tools/golden/diversity_sample.parquet",
 )
-print("wrote tools/golden/{simhash_pairs,ivf_topk,diversity_sample}.parquet")
+pq.write_table(
+    pa.table(
+        {
+            "corpus_key": pa.array([r[0] for r in mh_rows], pa.int64()),
+            "id_a": pa.array([r[1] for r in mh_rows], pa.int64()),
+            "id_b": pa.array([r[2] for r in mh_rows], pa.int64()),
+            "n_agree": pa.array([r[3] for r in mh_rows], pa.int32()),
+        }
+    ),
+    "tools/golden/minhash_est_pairs.parquet",
+)
+print("wrote tools/golden/{simhash_pairs,minhash_est_pairs,ivf_topk,"
+      "diversity_sample}.parquet")
