@@ -567,6 +567,40 @@ object Queries {
           count(lit(1)).as("n_orders"))
     }),
 
+    // TPC-H Q6 shape: tight multi-predicate scan + one global money
+    // agg — the pushdown showcase (every predicate reaches the parquet
+    // scan; the projection is 3 columns of 16). The 2-dec × 2-dec
+    // product is fully represented at DECIMAL scale 4, so the sum is
+    // order-independent and portable.
+    "q6_filter_agg" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType)
+          && col("l_shipdate") < lit("1997-01-01").cast(TimestampType)
+          && col("l_discount").between(0.05, 0.07)
+          && col("l_quantity") < 24)
+        .agg(
+          dec4(sum(dec4(col("l_extendedprice") * col("l_discount"))))
+            .cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_lines"))),
+
+    // Weekly active/new user growth: distinct (user, week) pairs, each
+    // user's first week from an algebraic min, then one count per
+    // week — the audience-growth view next to x_retention's cohort
+    // view. Integers only; two key-partitioned shuffles.
+    "x_user_growth" -> ((s, d) => {
+      val wk = expr("datediff(to_date(ts_utc), date '1970-01-01') div 7")
+      val uw = events(s, d)
+        .select(col("user_id"), wk.cast(LongType).as("week"))
+        .distinct()
+      val first = uw.groupBy(col("user_id"))
+        .agg(min(col("week")).as("first_week"))
+      uw.join(first, "user_id")
+        .groupBy(col("week"))
+        .agg(count(lit(1)).as("n_active"),
+          sum(when(col("week") === col("first_week"), 1L).otherwise(0L))
+            .as("n_new"))
+    }),
+
     // Top-N per group: rank orders inside each customer by price.
     // Window partitioned by the group key — parallel by key, no global
     // sort; the filter keeps plans bounded regardless of group count.
@@ -2749,6 +2783,28 @@ object Queries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderstatus = 'O'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q6_filter_agg" ->
+      """SELECT
+        |CAST(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+        |count(*) AS n_lines
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01'
+        |  AND CAST(l_shipdate AS TIMESTAMP) < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "x_user_growth" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    datediff('day', DATE '1970-01-01',
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) // 7 AS week
+        |  FROM events),
+        |f AS (SELECT user_id, min(week) AS first_week FROM uw GROUP BY 1)
+        |SELECT CAST(uw.week AS BIGINT) AS week, count(*) AS n_active,
+        |  CAST(sum(CASE WHEN uw.week = f.first_week THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_new
+        |FROM uw JOIN f ON uw.user_id = f.user_id
+        |GROUP BY uw.week""".stripMargin,
 
     "q5_multi_join" ->
       """SELECT n_name,

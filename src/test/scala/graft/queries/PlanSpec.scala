@@ -54,6 +54,19 @@ class PlanSpec extends SparkTestBase {
       p.contains("LessThanOrEqual(s_suppkey,5)"))
   }
 
+  test("q6 predicates all push into the parquet scan; projection is pruned") {
+    val p = plan("q6_filter_agg")
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    // all four predicate columns reach the scan (discount appears twice
+    // via BETWEEN's two bounds)
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_discount")
+      && pushed.contains("l_quantity"), s"pushdown incomplete: $pushed")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_extendedprice")
+      && !readSchema.contains("l_orderkey") && !readSchema.contains("l_tax"),
+      s"projection not pruned: $readSchema")
+  }
+
   test("star join broadcasts both dimension sides") {
     val p = plan("q5_multi_join")
     assert("BroadcastHashJoin".r.findAllIn(p).size == 2)
