@@ -971,6 +971,31 @@ object Queries {
     // First-order event-type transition matrix (Markov counts): one
     // key-partitioned lead window over (ts, event_id), then a
     // |types|²-bounded pair agg + broadcast denominator.
+    // Exact Spearman trend test per event type: is `value` drifting
+    // with time? d2x4 is the integer numerator Σ(2r_v − 2r_t)² over
+    // tie-averaged ranks (doubled ranks 2r = 2·rank + ties − 1 clear
+    // the .5 halves, squaring clears the rest: scale 4) — Spearman
+    // ρ = 1 − 6·(d2x4/4)/(n(n²−1)) is driver arithmetic. Both rank
+    // windows are event_type-partitioned; no float ever leaves a row.
+    "x_rank_corr" -> ((s, d) => {
+      val e = events(s, d)
+        .filter(col("value").isNotNull && !isnan(col("value")))
+        .select(col("event_type"), col("value"),
+          unix_micros(col("ts_utc")).as("__t"))
+      val wv = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      val wvt = Window.partitionBy(col("event_type"), col("value"))
+      val wt = Window.partitionBy(col("event_type")).orderBy(col("__t"))
+      val wtt = Window.partitionBy(col("event_type"), col("__t"))
+      e.withColumn("__rv",
+          lit(2L) * rank().over(wv) + count(lit(1)).over(wvt) - 1L)
+        .withColumn("__rt",
+          lit(2L) * rank().over(wt) + count(lit(1)).over(wtt) - 1L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("__rv") - col("__rt")) * (col("__rv") - col("__rt")))
+            .as("d2x4"))
+    }),
+
     "x_event_transitions" -> ((s, d) =>
       graft.operators.EventFeatures.transitionCounts(
         events(s, d), "ts_utc", "user_id", "event_type", "event_id")),
@@ -1980,6 +2005,26 @@ object Queries {
           sum(col("n_chars")).as("total_chars"))
     }),
 
+    // Character-class profile per language: total chars, digits,
+    // ASCII letters, spaces — the alphabet-level quality signal next
+    // to x_text_stats' token view (a crawl whose digit or non-letter
+    // share jumps is machine-generated or mis-decoded). Counts via
+    // codegen'd regexp_replace length deltas; integers only.
+    "x_char_classes" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          sum(length(col("text")).cast(LongType)).as("n_chars"),
+          sum((length(col("text")) -
+            length(regexp_replace(col("text"), "[0-9]", "")))
+            .cast(LongType)).as("n_digits"),
+          sum((length(col("text")) -
+            length(regexp_replace(col("text"), "[A-Za-z]", "")))
+            .cast(LongType)).as("n_ascii_letters"),
+          sum((length(col("text")) -
+            length(regexp_replace(col("text"), " ", "")))
+            .cast(LongType)).as("n_spaces"))),
+
     // Flesch–Kincaid-style readability: three codegen'd regex counters
     // + fixed-order IEEE arithmetic (no rounding — bit-identical).
     "x_readability" -> ((s, d) =>
@@ -2246,6 +2291,28 @@ object Queries {
     "x_hash_split" -> ((s, d) => {
       graft.operators.Sampling.withSplit(t(s, d, "documents"), "doc_id")
         .select(col("doc_id"), col("lang"), col("split"))
+    }),
+
+    // Leakage-safe TEMPORAL split: train up to the exact 80th
+    // percentile timestamp, a 7-day embargo gap, test after — the
+    // time-series counterpart of x_cluster_safe_split (no event after
+    // the cutoff leaks into training, and the embargo absorbs
+    // label-window overlap; cf. combinatorial purged CV). The cutoff
+    // is the TRUE order statistic from the histogram-narrowing
+    // selector (ceil(0.8·n), never a sample) broadcast as one row;
+    // epoch-µs values are < 2^53 so the double round-trip is exact.
+    "x_temporal_split" -> ((s, d) => {
+      val ev = events(s, d).withColumn("__us", unix_micros(col("ts_utc")))
+      val cut = graft.operators.Quantiles.exactQuantiles(
+          ev.withColumn("__v", col("__us").cast(DoubleType)), "__v", Seq(0.8))
+        .select(col("value").cast(LongType).as("__cut"))
+      ev.crossJoin(broadcast(cut))
+        .withColumn("split",
+          when(col("__us") <= col("__cut"), "train")
+            .when(col("__us") <= col("__cut") + lit(7L * 86400000000L), "embargo")
+            .otherwise("test"))
+        .groupBy(col("event_type"), col("split"))
+        .agg(count(lit(1)).as("n_events"))
     }),
 
     // k-fold CV assignment (k=5): per-doc fold membership + a fold-
@@ -3723,6 +3790,23 @@ object Queries {
 
     // lead over the same (ts, event_id) per-user order; n_from summed
     // off the pair counts (sum(BIGINT) is HUGEINT in DuckDB — cast back)
+    // doubled tie-averaged ranks (2r = 2·rank + ties − 1) keep the
+    // Spearman numerator integral; windows mirror the engine's
+    "x_rank_corr" ->
+      """WITH e AS (
+        |  SELECT event_type, value, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+        |r AS (
+        |  SELECT event_type,
+        |    2*rank() OVER (PARTITION BY event_type ORDER BY value)
+        |      + count(*) OVER (PARTITION BY event_type, value) - 1 AS rv,
+        |    2*rank() OVER (PARTITION BY event_type ORDER BY t)
+        |      + count(*) OVER (PARTITION BY event_type, t) - 1 AS rt
+        |  FROM e)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum((rv - rt) * (rv - rt)) AS BIGINT) AS d2x4
+        |FROM r GROUP BY 1""".stripMargin,
+
     "x_event_transitions" ->
       """WITH p AS (
         |  SELECT event_type AS from_type,
@@ -4568,6 +4652,23 @@ object Queries {
         |       ELSE 'test' END AS split
         |FROM b""".stripMargin,
 
+    // cutoff = the exact ceil(0.8n)-th order statistic of epoch-µs
+    // (the x_winsorize rank convention); 7-day embargo in µs
+    "x_temporal_split" ->
+      """WITH v AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+        |  FROM events),
+        |n AS (SELECT count(*) AS n FROM v),
+        |s AS (SELECT us, row_number() OVER (ORDER BY us) AS rn FROM v),
+        |c AS (SELECT s.us AS cut FROM s, n
+        |      WHERE s.rn = greatest(1, CAST(ceil(0.8 * n.n) AS BIGINT)))
+        |SELECT event_type,
+        |  CASE WHEN us <= (SELECT cut FROM c) THEN 'train'
+        |       WHEN us <= (SELECT cut FROM c) + 604800000000 THEN 'embargo'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS n_events
+        |FROM v GROUP BY 1, 2""".stripMargin,
+
     // same inline LCG at salt 3; integer // replays the engine's
     // contiguous-range fold formula
     "x_kfold" ->
@@ -5178,6 +5279,15 @@ object Queries {
       """SELECT lang, count(*) AS n_docs,
         |CAST(sum(CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS total_tokens,
         |CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    // class counts as replace-and-measure length deltas ('g' for
+    // global — DuckDB's regexp_replace is first-match by default)
+    "x_char_classes" ->
+      """SELECT lang, CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  CAST(sum(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) AS BIGINT) AS n_digits,
+        |  CAST(sum(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) AS BIGINT) AS n_ascii_letters,
+        |  CAST(sum(length(text) - length(regexp_replace(text, ' ', '', 'g'))) AS BIGINT) AS n_spaces
         |FROM documents GROUP BY lang""".stripMargin,
 
     // same token-count formula as x_text_stats; sentence/syllable
