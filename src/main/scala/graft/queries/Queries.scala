@@ -2237,6 +2237,80 @@ object Queries {
           col("keep").cast(IntegerType).as("keep_flag"))
     }),
 
+    // Filter-agreement audit: Gopher rule keep × classifier keep as a
+    // 2×2 matrix over the PLAIN corpus — the comparison a curation
+    // owner reads before swapping one cheap filter for the other (or
+    // chaining them). Both signals are codegen'd projections; one
+    // count shuffle.
+    "x_quality_agreement" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val g = TextAnalysis.gopherRules(docs, "doc_id", "text",
+          minTokens = 50, maxTokens = 100000,
+          minMeanTokLen = 4.0, maxMeanTokLen = 10.0,
+          maxTop2Frac = 0.08, maxDupLineFrac = 0.2, minStopHits = 2)
+        .select(col("doc_id"), col("keep").as("keep_gopher"))
+      val c = QualityClassifier.score(docs, "text")
+        .select(col("doc_id"), col("keep").cast(IntegerType).as("keep_clf"))
+      g.join(c, "doc_id")
+        .groupBy(col("keep_gopher"), col("keep_clf"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
+    // Vocabulary coverage curve: corpus token coverage at vocab sizes
+    // 10/50/100/200/500 — the diminishing-returns read before fixing a
+    // tokenizer vocab budget. The ranked top-500 frame is 500 rows
+    // (TakeOrderedAndProject + the sorted-array rank idiom — no
+    // unpartitioned window); every join side against it broadcasts.
+    "x_coverage_curve" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+      val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      val ranked = counts
+        .orderBy(col("freq").desc, col("token").asc).limit(500)
+        .agg(sort_array(collect_list(
+          struct((-col("freq")).as("nf"), col("token").as("token")))).as("xs"))
+        .select(posexplode(col("xs")))
+        .select(col("col.token").as("token"), (col("pos") + 1L).as("rank"),
+          (-col("col.nf")).as("freq"))
+      val tot = counts.agg(sum(col("freq")).as("n_total"))
+      import s.implicits._
+      ranked
+        .crossJoin(broadcast(Seq(10L, 50L, 100L, 200L, 500L).toDF("k")))
+        .groupBy(col("k"))
+        .agg(sum(when(col("rank") <= col("k"), col("freq")).otherwise(0L))
+          .as("n_covered"))
+        .crossJoin(broadcast(tot))
+        .select(col("k"), col("n_covered"), col("n_total"))
+    }),
+
+    // Session-gap sensitivity sweep: total session count at 15/30/60
+    // minute inactivity thresholds from ONE lag pass — sessions(T) =
+    // distinct users + gaps exceeding T, so the sweep costs one
+    // window, not one sessionization per threshold. The 30-minute row
+    // equals x_sessionize's session count (spec-pinned).
+    "x_session_gap_sweep" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_utc"))
+      val tsUs = unix_micros(col("ts_utc"))
+      val gaps = events(s, d)
+        .select(col("user_id"), (tsUs - lag(tsUs, 1).over(byUser)).as("__gap"))
+      val minute = 60L * 1000000L
+      gaps.agg(
+          countDistinct(col("user_id")).as("nu"),
+          sum(when(col("__gap") > 15L * minute, 1L).otherwise(0L)).as("g15"),
+          sum(when(col("__gap") > 30L * minute, 1L).otherwise(0L)).as("g30"),
+          sum(when(col("__gap") > 60L * minute, 1L).otherwise(0L)).as("g60"))
+        .select(explode(array(
+          struct(lit(15L).as("gap_minutes"),
+            (col("nu") + col("g15")).as("n_sessions")),
+          struct(lit(30L).as("gap_minutes"),
+            (col("nu") + col("g30")).as("n_sessions")),
+          struct(lit(60L).as("gap_minutes"),
+            (col("nu") + col("g60")).as("n_sessions")))).as("r"))
+        .select(col("r.gap_minutes").as("gap_minutes"),
+          col("r.n_sessions").as("n_sessions"))
+    }),
+
     // Skew-safe salted aggregation: two-stage count on a low-cardinality
     // (hot) key column — result identical to a plain groupBy count.
     "x_salted_count" -> ((s, d) => {
@@ -5456,6 +5530,105 @@ object Queries {
         |SELECT doc_id, logit,
         |  CASE WHEN logit >= 0.0 THEN 1 ELSE 0 END AS keep_flag
         |FROM scored""".stripMargin,
+
+    // Gopher keep (x_gopher_rules formulas on PLAIN text) × classifier
+    // keep (x_quality_classifier formulas on PLAIN text), composed
+    "x_quality_agreement" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        |         ELSE string_split_regex(trim(text), '\s+') END AS t,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, t, len(t) AS nt, len(lines) AS nl,
+        |         len(list_distinct(lines)) AS ndl,
+        |         list_transform(t, x -> lower(x)) AS tl,
+        |         CASE WHEN len(t) >= 2 THEN list_transform(generate_series(1, len(t)-1),
+        |           i -> t[i] || ' ' || t[i+1]) ELSE []::VARCHAR[] END AS g2
+        |  FROM toks),
+        |sig AS (
+        |  SELECT doc_id,
+        |    nt::INT AS n_tokens,
+        |    CASE WHEN nt = 0 THEN 0.0
+        |         ELSE list_sum(list_transform(t, x -> len(x)))::DOUBLE / nt END AS mean_tok_len,
+        |    CASE WHEN len(g2) = 0 THEN 0.0 ELSE
+        |      (SELECT max(c)::DOUBLE FROM (SELECT count(*) AS c FROM unnest(g2) AS u(x) GROUP BY x)) / len(g2)
+        |    END AS top2_frac,
+        |    (nl - ndl)::DOUBLE / nl AS dup_line_frac,
+        |    len(list_filter(['the','a','an','and','or','of','to','in','is','are','was',
+        |                     'for','on','with','as','at','by','it','be','this','that'],
+        |        s -> list_contains(tl, s)))::INT AS stop_hits
+        |  FROM base),
+        |g AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN n_tokens BETWEEN 50 AND 100000 THEN 1 ELSE 0 END)
+        |    * (CASE WHEN mean_tok_len BETWEEN 4.0 AND 10.0 THEN 1 ELSE 0 END)
+        |    * (CASE WHEN top2_frac <= 0.08 THEN 1 ELSE 0 END)
+        |    * (CASE WHEN dup_line_frac <= 0.2 THEN 1 ELSE 0 END)
+        |    * (CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END) AS keep_gopher
+        |  FROM sig),
+        |f AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN 0.0
+        |         ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) END AS n_tok,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |         ELSE CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS DOUBLE) / length(text) END AS punct_ratio,
+        |    CASE WHEN trim(text) = '' THEN 0.0
+        |         ELSE CAST(len(list_filter(string_split_regex(trim(text),'\s+'), t -> lower(t) IN ('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by','it','be','this','that'))) AS DOUBLE)
+        |              / len(string_split_regex(trim(text), '\s+')) END AS stop_ratio,
+        |    CASE WHEN trim(text) = '' THEN 0.0
+        |         ELSE CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |              / len(string_split_regex(trim(text), '\s+')) END AS mtl
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CASE WHEN -2.0 + 0.02 * n_tok + -10.0 * punct_ratio
+        |         + 5.0 * stop_ratio + 0.1 * mtl >= 0.0 THEN 1 ELSE 0 END AS keep_clf
+        |  FROM f)
+        |SELECT g.keep_gopher, c.keep_clf, count(*) AS n_docs
+        |FROM g JOIN c ON g.doc_id = c.doc_id
+        |GROUP BY 1, 2""".stripMargin,
+
+    // rank over ALL tokens; CASE rank<=k restricts to the same top-500
+    // the engine ranks explicitly (k never exceeds 500)
+    "x_coverage_curve" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+        |    x -> x <> '')) AS token
+        |  FROM documents),
+        |c AS (SELECT token, count(*) AS freq FROM toks GROUP BY token),
+        |r AS (SELECT token, freq,
+        |        row_number() OVER (ORDER BY freq DESC, token ASC) AS rank
+        |      FROM c),
+        |t AS (SELECT CAST(sum(freq) AS BIGINT) AS n_total FROM c),
+        |k AS (SELECT unnest([10, 50, 100, 200, 500]) AS k)
+        |SELECT CAST(k.k AS BIGINT) AS k,
+        |  CAST(sum(CASE WHEN r.rank <= k.k THEN r.freq ELSE 0 END) AS BIGINT)
+        |    AS n_covered,
+        |  t.n_total
+        |FROM k CROSS JOIN r CROSS JOIN t
+        |GROUP BY k.k, t.n_total""".stripMargin,
+
+    // sessions(T) = distinct users + gaps > T; same ts-ordered lag as
+    // the engine (ties gap 0 regardless of tie order)
+    "x_session_gap_sweep" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) -
+        |      lag(epoch_us(CAST(ts AS TIMESTAMP)))
+        |        OVER (PARTITION BY user_id ORDER BY ts) AS gap
+        |  FROM events),
+        |a AS (
+        |  SELECT count(DISTINCT user_id) AS nu,
+        |    sum(CASE WHEN gap > 900000000 THEN 1 ELSE 0 END) AS g15,
+        |    sum(CASE WHEN gap > 1800000000 THEN 1 ELSE 0 END) AS g30,
+        |    sum(CASE WHEN gap > 3600000000 THEN 1 ELSE 0 END) AS g60
+        |  FROM g)
+        |SELECT CAST(k.gap_minutes AS BIGINT) AS gap_minutes,
+        |  CAST(CASE k.gap_minutes WHEN 15 THEN nu + g15
+        |       WHEN 30 THEN nu + g30 ELSE nu + g60 END AS BIGINT) AS n_sessions
+        |FROM a, (SELECT unnest([15, 30, 60]) AS gap_minutes) k""".stripMargin,
 
     // same boilerplate injection as the Spark side; gram keys are
     // space-joined (tokens cannot contain whitespace, so injective);

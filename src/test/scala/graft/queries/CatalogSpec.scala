@@ -23,4 +23,15 @@ class CatalogSpec extends SparkTestBase {
   test("the flagship entry returns rows at the smoke scale") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("session-gap sweep at 30 minutes equals the sessionized frame's count") {
+    // x_session_gap_sweep derives sessions(T) = users + gaps>T from one
+    // lag pass; the closed form must agree with the explicit
+    // sessionization both entries' users rely on
+    val sweep30 = SparkEntry.queries("x_session_gap_sweep")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sessions = SparkEntry.queries("x_sessionize")(spark, sfDir).count()
+    assert(sweep30(30L) == sessions,
+      s"closed form ${sweep30(30L)} != sessionized $sessions")
+  }
 }
