@@ -29,11 +29,16 @@ object Drift {
     * Scale shape: one hash-shuffle to (group, value) counts — the
     * corpus collapses to its distinct values per group BEFORE any
     * window — then a group-PARTITIONED cumulative-sum window over
-    * those distinct values (never an unpartitioned window; within a
-    * group the distinct-value stream is the bounded quantity, the
-    * same cardinality contract as Quantiles' histograms), and an
-    * algebraic max. Counts are longs; products stay within long for
-    * any n_a·cnt ≤ 9.2e18 — i.e. samples up to ~3e9 rows per group.
+    * those distinct values (never an unpartitioned window), and an
+    * algebraic max. The per-group window cost is the group's
+    * DISTINCT-VALUE cardinality: for measured/quantized columns
+    * (prices, counts, scores) that is ≪ rows; for a continuous
+    * full-precision column it approaches the row count, and the exact
+    * ECDF inherently needs those values ordered — at that extreme,
+    * pre-quantize the value column (KS on a quantized grid bounds the
+    * true D within one grid cell) or accept the per-group sort.
+    * Counts are longs; products stay within long for any
+    * n_a·cnt ≤ 9.2e18 — i.e. samples up to ~3e9 rows per group.
     */
   def ksStatistic(
       df: DataFrame, groupCol: String, valueCol: String, sampleCol: String

@@ -971,22 +971,29 @@ object Queries {
     // First-order event-type transition matrix (Markov counts): one
     // key-partitioned lead window over (ts, event_id), then a
     // |types|²-bounded pair agg + broadcast denominator.
-    // Exact Spearman trend test per event type: is `value` drifting
-    // with time? d2x4 is the integer numerator Σ(2r_v − 2r_t)² over
-    // tie-averaged ranks (doubled ranks 2r = 2·rank + ties − 1 clear
-    // the .5 halves, squaring clears the rest: scale 4) — Spearman
-    // ρ = 1 − 6·(d2x4/4)/(n(n²−1)) is driver arithmetic. Both rank
-    // windows are event_type-partitioned; no float ever leaves a row.
+    // Exact Spearman trend test per event type: is DAILY VOLUME
+    // drifting with time? d2x4 is the integer numerator
+    // Σ(2r_n − 2r_day)² over tie-averaged ranks of the daily-count
+    // series (doubled ranks 2r = 2·rank + ties − 1 clear the .5
+    // halves, squaring clears the rest: scale 4) — Spearman
+    // ρ = 1 − 6·(d2x4/4)/(n(n²−1)) is driver arithmetic. The corpus
+    // collapses to the (type, day) aggregate BEFORE any window, so the
+    // rank windows run over the bounded daily series (the
+    // x_ewma_trend/x_weekly_deltas contract), never a per-type sort of
+    // raw rows.
     "x_rank_corr" -> ((s, d) => {
-      val e = events(s, d)
-        .filter(col("value").isNotNull && !isnan(col("value")))
-        .select(col("event_type"), col("value"),
-          unix_micros(col("ts_utc")).as("__t"))
-      val wv = Window.partitionBy(col("event_type")).orderBy(col("value"))
-      val wvt = Window.partitionBy(col("event_type"), col("value"))
-      val wt = Window.partitionBy(col("event_type")).orderBy(col("__t"))
-      val wtt = Window.partitionBy(col("event_type"), col("__t"))
-      e.withColumn("__rv",
+      val daily = events(s, d)
+        .groupBy(col("event_type"),
+          expr("datediff(to_date(ts_utc), date '1970-01-01')")
+            .cast(LongType).as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      val wv = Window.partitionBy(col("event_type")).orderBy(col("n_events"))
+      val wvt = Window.partitionBy(col("event_type"), col("n_events"))
+      // day is unique within a type (plain rank would do), but both
+      // axes share the doubled-rank form so the formula stays one
+      val wt = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val wtt = Window.partitionBy(col("event_type"), col("day"))
+      daily.withColumn("__rv",
           lit(2L) * rank().over(wv) + count(lit(1)).over(wvt) - 1L)
         .withColumn("__rt",
           lit(2L) * rank().over(wt) + count(lit(1)).over(wtt) - 1L)
@@ -3865,18 +3872,21 @@ object Queries {
     // lead over the same (ts, event_id) per-user order; n_from summed
     // off the pair counts (sum(BIGINT) is HUGEINT in DuckDB — cast back)
     // doubled tie-averaged ranks (2r = 2·rank + ties − 1) keep the
-    // Spearman numerator integral; windows mirror the engine's
+    // Spearman numerator integral; ranks over the daily-count series
     "x_rank_corr" ->
-      """WITH e AS (
-        |  SELECT event_type, value, epoch_us(CAST(ts AS TIMESTAMP)) AS t
-        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+      """WITH dcount AS (
+        |  SELECT event_type,
+        |    datediff('day', DATE '1970-01-01',
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
         |r AS (
         |  SELECT event_type,
-        |    2*rank() OVER (PARTITION BY event_type ORDER BY value)
-        |      + count(*) OVER (PARTITION BY event_type, value) - 1 AS rv,
-        |    2*rank() OVER (PARTITION BY event_type ORDER BY t)
-        |      + count(*) OVER (PARTITION BY event_type, t) - 1 AS rt
-        |  FROM e)
+        |    2*rank() OVER (PARTITION BY event_type ORDER BY n_events)
+        |      + count(*) OVER (PARTITION BY event_type, n_events) - 1 AS rv,
+        |    2*rank() OVER (PARTITION BY event_type ORDER BY day)
+        |      + count(*) OVER (PARTITION BY event_type, day) - 1 AS rt
+        |  FROM dcount)
         |SELECT event_type, count(*) AS n,
         |  CAST(sum((rv - rt) * (rv - rt)) AS BIGINT) AS d2x4
         |FROM r GROUP BY 1""".stripMargin,
