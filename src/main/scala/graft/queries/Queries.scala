@@ -1372,6 +1372,23 @@ object Queries {
         .select(col("id").as("doc_id"), col("component").as("cluster_id"))
     }),
 
+    // Source-contribution inequality: the exact Gini NUMERATOR
+    // (Σᵢⱼ|tᵢ−tⱼ|, integers) over per-source token mass plus n and the
+    // total — Gini = sad/(2·n·total) is driver arithmetic. The
+    // corpus collapses to one row per source before the |sources|²
+    // broadcast cross — the rebalancing signal read before setting
+    // x_temperature_mix exponents.
+    "x_source_balance" -> ((s, d) => {
+      val st = t(s, d, "documents")
+        .groupBy(col("source"))
+        .agg(sum(TextAnalysis.tokenCount(col("text")).cast(LongType)).as("tok"))
+      st.select(col("tok").as("ta"))
+        .crossJoin(broadcast(st.select(col("tok").as("tb"))))
+        .agg(sum(abs(col("ta") - col("tb"))).as("sum_abs_diff"))
+        .crossJoin(broadcast(st.agg(count(lit(1)).as("n_sources"),
+          sum(col("tok")).as("total_tokens"))))
+    }),
+
     // Dedup GOVERNANCE by source, off the shared pair graph: per
     // source, how many docs sit in a near-dup cluster and how many a
     // min-id dedup would remove — the "which crawls ship duplicated
@@ -1409,6 +1426,24 @@ object Queries {
     // integers; candidate volume is the wedge count, never the corpus.
     "x_triad_census" -> ((s, d) =>
       Clusters.triadCensus(ngramPairGraph(s, d)._1)),
+
+    // 2-hop reach per dup-graph vertex: how many docs each doc would
+    // drag along under transitive merging — large reach with low
+    // triangle closure (x_triad_census) is the over-merge smell. One
+    // symmetric edge self-join on the middle vertex; volume = wedge
+    // count, pair-bounded, never the corpus.
+    "x_khop_reach" -> ((s, d) => {
+      val p = ngramPairGraph(s, d)._1
+      val sym = p.select(col("id_a").as("u"), col("id_b").as("v"))
+        .unionAll(p.select(col("id_b").as("u"), col("id_a").as("v")))
+      val two = sym.select(col("u"), col("v").as("m"))
+        .join(sym.select(col("u").as("m"), col("v")), "m")
+        .select(col("u"), col("v"))
+        .filter(col("u") =!= col("v"))
+      sym.unionAll(two).distinct()
+        .groupBy(col("u")).agg(count(lit(1)).as("n_within_2"))
+        .select(col("u").as("doc_id"), col("n_within_2"))
+    }),
 
     // Incremental dedup: index 4/5 of the corpus once, probe the other
     // 1/5 as an incoming batch — the 100 TB ingest pattern (the corpus
@@ -3372,6 +3407,47 @@ object Queries {
         |  CAST(count(*) AS BIGINT) AS n_clusters,
         |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
         |FROM sz GROUP BY cluster_size""".stripMargin,
+
+    // same pair SQL; symmetric edges, one middle-vertex join
+    "x_khop_reach" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(ts)-2),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+        |  FROM toks WHERE len(ts) >= 3
+        |), pr AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+        |), e AS (
+        |  SELECT id_a AS u, id_b AS v FROM pr
+        |  UNION ALL
+        |  SELECT id_b AS u, id_a AS v FROM pr
+        |), two AS (
+        |  SELECT a.u AS u, b.v AS v FROM e a JOIN e b ON a.v = b.u
+        |  WHERE a.u <> b.v
+        |), r AS (
+        |  SELECT DISTINCT u, v FROM (
+        |    SELECT u, v FROM e UNION ALL SELECT u, v FROM two)
+        |)
+        |SELECT u AS doc_id, count(*) AS n_within_2
+        |FROM r GROUP BY u""".stripMargin,
+
+    "x_source_balance" ->
+      """WITH st AS (
+        |  SELECT source,
+        |    sum(CASE WHEN trim(text) = '' THEN 0
+        |        ELSE len(string_split_regex(trim(text), '\s+')) END) AS tok
+        |  FROM documents GROUP BY source)
+        |SELECT
+        |  (SELECT CAST(sum(abs(a.tok - b.tok)) AS BIGINT) FROM st a, st b)
+        |    AS sum_abs_diff,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM st) AS n_sources,
+        |  (SELECT CAST(sum(tok) AS BIGINT) FROM st) AS total_tokens""".stripMargin,
 
     // same pair SQL; census over the canonical (id_a < id_b) edges
     "x_triad_census" ->
