@@ -567,6 +567,34 @@ object Queries {
           count(lit(1)).as("n_orders"))
     }),
 
+    // Backlog sweep-line: open orders per (priority, day) from
+    // +1/−1 interval deltas and a priority-partitioned cumulative sum
+    // — interval counting WITHOUT expanding one row per open day (the
+    // classic scalable shape; expansion would be |orders|·|span|). An
+    // order opens at o_orderdate and closes the day after its last
+    // lineitem ship date; orders with no lineitems are out of scope.
+    // The window runs over the (priority, day) aggregate — bounded by
+    // the calendar, never the fact table.
+    "x_open_orders" -> ((s, d) => {
+      val o = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderpriority").as("prio"),
+        expr("datediff(to_date(o_orderdate), date '1970-01-01')")
+          .cast(LongType).as("d0"))
+      val close = t(s, d, "lineitem").groupBy(col("l_orderkey"))
+        .agg(max(expr("datediff(to_date(l_shipdate), date '1970-01-01')"))
+          .cast(LongType).as("d1"))
+      val iv = o.join(close, col("o_orderkey") === col("l_orderkey"))
+      val deltas = iv.select(col("prio"), col("d0").as("day"), lit(1L).as("delta"))
+        .unionAll(iv.select(col("prio"), (col("d1") + 1L).as("day"),
+          lit(-1L).as("delta")))
+        .groupBy(col("prio"), col("day")).agg(sum(col("delta")).as("net"))
+      val w = Window.partitionBy(col("prio")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      deltas.withColumn("n_open", sum(col("net")).over(w))
+        .select(col("prio").as("o_orderpriority"), col("day"),
+          col("net"), col("n_open"))
+    }),
+
     // TPC-H Q6 shape: tight multi-predicate scan + one global money
     // agg — the pushdown showcase (every predicate reaches the parquet
     // scan; the projection is 3 columns of 16). The 2-dec × 2-dec
@@ -1426,6 +1454,16 @@ object Queries {
     // integers; candidate volume is the wedge count, never the corpus.
     "x_triad_census" -> ((s, d) =>
       Clusters.triadCensus(ngramPairGraph(s, d)._1)),
+
+    // Similarity histogram of the verified near-dup pairs: pair counts
+    // per jaccard decile — the threshold-setting view (a mass of pairs
+    // hugging 0.5 means the cut is arbitrary; a bimodal split means
+    // it's safe). floor(j·10) on the exact IEEE division is
+    // bit-identical across engines; rides the shared pair graph.
+    "x_dup_similarity_hist" -> ((s, d) =>
+      ngramPairGraph(s, d)._1
+        .groupBy(floor(col("jaccard") * 10).cast(LongType).as("sim_decile"))
+        .agg(count(lit(1)).as("n_pairs"))),
 
     // 2-hop reach per dup-graph vertex: how many docs each doc would
     // drag along under transitive merging — large reach with low
@@ -3407,6 +3445,47 @@ object Queries {
         |  CAST(count(*) AS BIGINT) AS n_clusters,
         |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
         |FROM sz GROUP BY cluster_size""".stripMargin,
+
+    // same pair SQL; identical IEEE division then floor(j*10)
+    "x_dup_similarity_hist" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(ts)-2),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+        |  FROM toks WHERE len(ts) >= 3
+        |), pj AS (
+        |  SELECT CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |)
+        |SELECT CAST(floor(j * 10) AS BIGINT) AS sim_decile,
+        |  count(*) AS n_pairs
+        |FROM pj WHERE j >= 0.5 GROUP BY 1""".stripMargin,
+
+    "x_open_orders" ->
+      """WITH cl AS (
+        |  SELECT l_orderkey, max(datediff('day', DATE '1970-01-01',
+        |    CAST(CAST(l_shipdate AS TIMESTAMP) AS DATE))) AS d1
+        |  FROM lineitem GROUP BY 1),
+        |iv AS (
+        |  SELECT o.o_orderpriority AS prio,
+        |    datediff('day', DATE '1970-01-01',
+        |      CAST(CAST(o.o_orderdate AS TIMESTAMP) AS DATE)) AS d0,
+        |    cl.d1
+        |  FROM orders o JOIN cl ON o.o_orderkey = cl.l_orderkey),
+        |de AS (
+        |  SELECT prio, d0 AS day, 1 AS delta FROM iv
+        |  UNION ALL
+        |  SELECT prio, d1 + 1 AS day, -1 AS delta FROM iv),
+        |g AS (SELECT prio, day, sum(delta) AS net FROM de GROUP BY 1, 2)
+        |SELECT prio AS o_orderpriority, CAST(day AS BIGINT) AS day,
+        |  CAST(net AS BIGINT) AS net,
+        |  CAST(sum(net) OVER (PARTITION BY prio ORDER BY day) AS BIGINT)
+        |    AS n_open
+        |FROM g""".stripMargin,
 
     // same pair SQL; symmetric edges, one middle-vertex join
     "x_khop_reach" ->
