@@ -567,6 +567,33 @@ object Queries {
           count(lit(1)).as("n_orders"))
     }),
 
+    // Equi-WIDTH histogram of l_quantity (10 buckets over [min,max])
+    // — the fixed-grid companion to x_value_deciles' equi-depth cut.
+    // The 1-row min/max broadcasts; bucketing is one codegen'd
+    // expression whose IEEE ops replay identically in the oracle.
+    "x_equiwidth_hist" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_quantity").as("v"))
+      val mm = li.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      li.crossJoin(broadcast(mm))
+        .select(least(lit(9L),
+          floor((col("v") - col("mn")) / ((col("mx") - col("mn")) / 10))
+            .cast(LongType)).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    }),
+
+    // Algebraic MODE per group (most frequent user per event type):
+    // count pairs, then ONE max-struct agg — ties to the smaller id;
+    // no window, no sort, fully map-side combinable. The mode shape
+    // that survives a hot group at corpus scale.
+    "x_mode_per_group" -> ((s, d) =>
+      events(s, d)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("event_type"))
+        .agg(max(struct(col("c"), (-col("user_id")).as("nu"))).as("m"))
+        .select(col("event_type"), col("m.c").as("n_events"),
+          (-col("m.nu")).as("user_id"))),
+
     // Backlog sweep-line: open orders per (priority, day) from
     // +1/−1 interval deltas and a priority-partitioned cumulative sum
     // — interval counting WITHOUT expanding one row per open day (the
@@ -3464,6 +3491,27 @@ object Queries {
         |SELECT CAST(floor(j * 10) AS BIGINT) AS sim_decile,
         |  count(*) AS n_pairs
         |FROM pj WHERE j >= 0.5 GROUP BY 1""".stripMargin,
+
+    "x_equiwidth_hist" ->
+      """WITH mm AS (SELECT min(l_quantity) AS mn, max(l_quantity) AS mx
+        |           FROM lineitem)
+        |SELECT CAST(least(9, CAST(floor((l_quantity - mm.mn) /
+        |    ((mm.mx - mm.mn) / 10)) AS BIGINT)) AS BIGINT) AS bucket,
+        |  count(*) AS n
+        |FROM lineitem, mm GROUP BY 1""".stripMargin,
+
+    // mode via deterministic rank (count desc, id asc) — mirrors the
+    // engine's max-struct tie-break
+    "x_mode_per_group" ->
+      """WITH c AS (
+        |  SELECT event_type, user_id, count(*) AS c
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(c AS BIGINT) AS n_events, user_id
+        |FROM (SELECT event_type, user_id, c,
+        |        row_number() OVER (PARTITION BY event_type
+        |          ORDER BY c DESC, user_id ASC) AS rn
+        |      FROM c)
+        |WHERE rn = 1""".stripMargin,
 
     "x_open_orders" ->
       """WITH cl AS (
