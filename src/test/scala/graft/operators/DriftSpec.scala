@@ -50,6 +50,29 @@ class DriftSpec extends SparkTestBase {
     assert(rows("g2").getAs[Long]("ks_num") == 0L)
   }
 
+  test("ksStatistic matches a brute-force ECDF scan on seeded random data") {
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      // quantized values force ties across and within samples
+      val rows = Seq.tabulate(400) { i =>
+        (s"g${i % 3}", (rnd.nextInt(25) / 2.0), rnd.nextInt(2))
+      }
+      val got = Drift.ksStatistic(rows.toDF("k", "v", "s"), "k", "v", "s")
+        .collect().map(r => r.getString(0) ->
+          (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Long]("ks_num")))
+        .toMap
+      rows.groupBy(_._1).foreach { case (g, rs) =>
+        val a = rs.filter(_._3 == 0).map(_._2)
+        val b = rs.filter(_._3 == 1).map(_._2)
+        val ks = (a ++ b).distinct.map { v =>
+          math.abs(a.count(_ <= v).toLong * b.size - b.count(_ <= v).toLong * a.size)
+        }.max
+        assert(got(g) == ((a.size.toLong, b.size.toLong, ks)), s"seed $seed group $g")
+      }
+    }
+  }
+
   test("ksStatistic: window is group-partitioned (scale guard)") {
     import spark.implicits._
     val df = Seq(("g", 1.0, 0)).toDF("k", "v", "s")
