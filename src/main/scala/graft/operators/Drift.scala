@@ -62,4 +62,37 @@ object Drift {
         .as("ks_num"))
       .select(col(groupCol), col("n_a"), col("n_b"), col("ks_num"))
   }
+
+  /** Binned drift counts — the 100 TB-scale drift path. Where
+    * [[ksStatistic]]'s window walks every distinct value, this bins
+    * each row against the EXACT corpus deciles (from
+    * [[Quantiles.exactQuantiles]]' histogram-narrowing selector — a
+    * bounded-driver-state computation, never a sort) and emits per
+    * (group, bin) sample counts: the contingency table PSI / chi² /
+    * G-tests read. Bin k = number of decile edges STRICTLY below the
+    * value (0..9); duplicate edges (tied deciles) are counted per
+    * rank, exactly as the 9-row edge list contains them.
+    *
+    * Scale shape: the 9 edge values are collected (bounded by
+    * construction, like the session-stats p50) and compiled into ONE
+    * codegen'd comparison chain — no join, no explode, no window; the
+    * only shuffle is the final (group, bin) count. Output integers
+    * only: `bin`, `n_a`, `n_b` per group.
+    */
+  def binnedDriftCounts(
+      df: DataFrame, groupCol: String, valueCol: String, sampleCol: String
+  ): DataFrame = {
+    val vals = df.filter(col(valueCol).isNotNull && !isnan(col(valueCol)))
+    val edges = Quantiles.exactQuantiles(
+        vals, valueCol, (1 to 9).map(_ / 10.0))
+      .collect().map(_.getDouble(2))
+    val bin = edges
+      .map(e => when(col(valueCol) > lit(e), 1L).otherwise(0L))
+      .reduceOption(_ + _).getOrElse(lit(0L))
+    vals
+      .groupBy(col(groupCol), bin.as("bin"))
+      .agg(
+        sum(when(col(sampleCol) === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col(sampleCol) === 1, 1L).otherwise(0L)).as("n_b"))
+  }
 }

@@ -622,6 +622,19 @@ object Queries {
           col("net"), col("n_open"))
     }),
 
+    // Join-cardinality profile: lineitems-per-order histogram with
+    // childless orders at bin 0 (left join + coalesce) — the
+    // relationship profiling a join planner's skew story starts from.
+    // Fact collapses to per-key counts before the dimension join.
+    "x_join_card_hist" -> ((s, d) => {
+      val cnt = t(s, d, "lineitem").groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_lines"))
+      t(s, d, "orders").select(col("o_orderkey"))
+        .join(cnt, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(coalesce(col("n_lines"), lit(0L)).as("lines_per_order"))
+        .groupBy(col("lines_per_order")).agg(count(lit(1)).as("n_orders"))
+    }),
+
     // TPC-H Q6 shape: tight multi-predicate scan + one global money
     // agg — the pushdown showcase (every predicate reaches the parquet
     // scan; the projection is 3 columns of 16). The 2-dec × 2-dec
@@ -1141,6 +1154,23 @@ object Queries {
       Drift.ksStatistic(tagged, "event_type", "value", "__s")
     }),
 
+    // Binned drift contingency table — the 100 TB-scale drift path
+    // next to x_ks_drift's exact-ECDF view: per (type, corpus-decile
+    // bin) early/late counts, edges from the histogram-narrowing
+    // exact-quantile selector compiled into ONE codegen'd comparison
+    // chain (no join, no window; PSI/chi² are driver arithmetic over
+    // these integers).
+    "x_bin_drift" -> ((s, d) => {
+      val ev = events(s, d)
+      val mid = ev.agg(
+        expr("(min(unix_micros(ts_utc)) + max(unix_micros(ts_utc))) div 2")
+          .as("__mid"))
+      val tagged = ev.crossJoin(broadcast(mid))
+        .withColumn("__s",
+          (unix_micros(col("ts_utc")) >= col("__mid")).cast(IntegerType))
+      Drift.binnedDriftCounts(tagged, "event_type", "value", "__s")
+    }),
+
     // First-touch attribution: each user's FIRST event type (algebraic
     // min-struct, map-side combined) crossed with the funnel's
     // conversion flag — users absent from the funnel count as 0.
@@ -1583,6 +1613,29 @@ object Queries {
             .otherwise(0L)).as("n_both"),
           sum(when(col("__e").isNull, 1L).otherwise(0L)).as("n_minhash_only"),
           sum(when(col("__m").isNull, 1L).otherwise(0L)).as("n_exact_only"))
+    }),
+
+    // Signature-width sweep: the x_minhash_vs_exact audit at 64 AND
+    // 16 hashes (bands 16/4, same rows-per-band) — what narrowing the
+    // signature 4× costs in estimator fidelity, as two integer rows.
+    "x_minhash_sweep" -> ((s, d) => {
+      val exact = ngramPairGraph(s, d)._1
+        .select(col("id_a"), col("id_b"), lit(1L).as("__e"))
+      def audit(nh: Int, nb: Int): DataFrame =
+        Dedup.minHashEstimatedPairs(t(s, d, "documents"), "doc_id", "text",
+            numHashes = nh, bands = nb, threshold = 0.5,
+            metricName = Some(s"graft_minhash_sweep_$nh"))
+          .select(col("id_a"), col("id_b"), lit(1L).as("__m"))
+          .join(exact, Seq("id_a", "id_b"), "full_outer")
+          .agg(
+            count(lit(1)).as("n_union"),
+            sum(when(col("__m").isNotNull && col("__e").isNotNull, 1L)
+              .otherwise(0L)).as("n_both"),
+            sum(when(col("__e").isNull, 1L).otherwise(0L)).as("n_minhash_only"),
+            sum(when(col("__m").isNull, 1L).otherwise(0L)).as("n_exact_only"))
+          .select(lit(nh.toLong).as("n_hashes"), col("n_union"),
+            col("n_both"), col("n_minhash_only"), col("n_exact_only"))
+      audit(64, 16).unionAll(audit(16, 4))
     }),
 
     // Embedding-cosine near-dups via hyperplane LSH — rows-only.
@@ -3492,6 +3545,15 @@ object Queries {
         |  count(*) AS n_pairs
         |FROM pj WHERE j >= 0.5 GROUP BY 1""".stripMargin,
 
+    "x_join_card_hist" ->
+      """WITH c AS (
+        |  SELECT l_orderkey, count(*) AS n_lines
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CAST(coalesce(c.n_lines, 0) AS BIGINT) AS lines_per_order,
+        |  count(*) AS n_orders
+        |FROM orders o LEFT JOIN c ON o.o_orderkey = c.l_orderkey
+        |GROUP BY 1""".stripMargin,
+
     "x_equiwidth_hist" ->
       """WITH mm AS (SELECT min(l_quantity) AS mn, max(l_quantity) AS mx
         |           FROM lineitem)
@@ -3645,6 +3707,34 @@ object Queries {
         |  CAST(max(abs(f0 * t.n_b - f1 * t.n_a)) AS BIGINT) AS ks_num
         |FROM cum JOIN tot t USING (event_type)
         |GROUP BY t.event_type, t.n_a, t.n_b""".stripMargin,
+
+    // decile edges via the same CAST-to-DOUBLE rank arithmetic the
+    // engine uses (ceil(q*n) in IEEE — never DuckDB DECIMAL literals,
+    // whose exact products can flip a boundary rank); one edge row
+    // per q, duplicates preserved
+    "x_bin_drift" ->
+      """WITH m AS (
+        |  SELECT (min(epoch_us(CAST(ts AS TIMESTAMP))) +
+        |          max(epoch_us(CAST(ts AS TIMESTAMP)))) // 2 AS mid
+        |  FROM events),
+        |v AS (
+        |  SELECT event_type, value,
+        |    CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) >= (SELECT mid FROM m)
+        |      THEN 1 ELSE 0 END AS s
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+        |n AS (SELECT count(*) AS n FROM v),
+        |o AS (SELECT value, row_number() OVER (ORDER BY value) AS rn FROM v),
+        |e AS (
+        |  SELECT o.value AS b
+        |  FROM o, n,
+        |    (SELECT unnest([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS q) qq
+        |  WHERE o.rn = greatest(1,
+        |    CAST(ceil(CAST(qq.q AS DOUBLE) * n.n) AS BIGINT)))
+        |SELECT event_type,
+        |  CAST((SELECT count(*) FROM e WHERE e.b < v.value) AS BIGINT) AS bin,
+        |  CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |FROM v GROUP BY 1, 2""".stripMargin,
 
     // same whitespace tokenization as x_vocab_topk; bigrams formed
     // in-list (interior empty tokens are impossible after trim+split,
@@ -4490,6 +4580,53 @@ object Queries {
         |  CAST(sum(CASE WHEN ea IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_minhash_only,
         |  CAST(sum(CASE WHEN ma IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_only
         |FROM f""".stripMargin,
+
+    // both signature widths against the same live exact-pair CTE;
+    // goldens are the 64- and 16-hash kernel replays
+    "x_minhash_sweep" ->
+      """WITH ck AS (SELECT CAST(sum((doc_id+1)*length(text)) AS BIGINT) AS k FROM documents WHERE text IS NOT NULL),
+        |g64 AS (
+        |  SELECT id_a, id_b
+        |  FROM read_parquet('/root/repo/tools/golden/minhash_est_pairs.parquet') gg, ck
+        |  WHERE gg.corpus_key = ck.k),
+        |g16 AS (
+        |  SELECT id_a, id_b
+        |  FROM read_parquet('/root/repo/tools/golden/minhash_est_pairs16.parquet') gg, ck
+        |  WHERE gg.corpus_key = ck.k),
+        |toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(ts)-2),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+        |  FROM toks WHERE len(ts) >= 3
+        |), ex AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+        |), f64 AS (
+        |  SELECT g64.id_a AS ma, ex.id_a AS ea
+        |  FROM g64 FULL OUTER JOIN ex
+        |    ON g64.id_a = ex.id_a AND g64.id_b = ex.id_b),
+        |f16 AS (
+        |  SELECT g16.id_a AS ma, ex.id_a AS ea
+        |  FROM g16 FULL OUTER JOIN ex
+        |    ON g16.id_a = ex.id_a AND g16.id_b = ex.id_b)
+        |SELECT CAST(64 AS BIGINT) AS n_hashes,
+        |  CAST(count(*) AS BIGINT) AS n_union,
+        |  CAST(sum(CASE WHEN ma IS NOT NULL AND ea IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+        |  CAST(sum(CASE WHEN ea IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_minhash_only,
+        |  CAST(sum(CASE WHEN ma IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_only
+        |FROM f64
+        |UNION ALL
+        |SELECT CAST(16 AS BIGINT) AS n_hashes,
+        |  CAST(count(*) AS BIGINT) AS n_union,
+        |  CAST(sum(CASE WHEN ma IS NOT NULL AND ea IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+        |  CAST(sum(CASE WHEN ea IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_minhash_only,
+        |  CAST(sum(CASE WHEN ma IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_only
+        |FROM f16""".stripMargin,
 
     "x_ann_ivf" ->
       """WITH ck AS (SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 281474976710656) AS BIGINT)) AS BIGINT) AS k FROM embeddings)

@@ -226,15 +226,16 @@ def minhash_bands(sig, bands=16):
     return out
 
 
-def minhash_est_pairs(docs, threshold=0.5, max_bucket=1000):
+def minhash_est_pairs(docs, threshold=0.5, max_bucket=1000,
+                      num_hashes=64, bands=16):
     sigs, buckets = {}, {}
     for did, t in docs.items():
         shs = shingles3(t)
         if not shs:
             continue
-        sig = minhash_signature(shs)
+        sig = minhash_signature(shs, num_hashes)
         sigs[did] = sig
-        for b, bk in enumerate(minhash_bands(sig)):
+        for b, bk in enumerate(minhash_bands(sig, bands)):
             buckets.setdefault((b, bk), []).append(did)
     cands = set()
     for ids in buckets.values():
@@ -243,7 +244,7 @@ def minhash_est_pairs(docs, threshold=0.5, max_bucket=1000):
             for i, a in enumerate(ids):
                 for b in ids[i + 1:]:
                     cands.add((a, b))
-    min_agree = math.ceil(threshold * 64)
+    min_agree = math.ceil(threshold * num_hashes)
     out = []
     for a, b in sorted(cands):
         agree = sum(1 for x, y in zip(sigs[a], sigs[b]) if x == y)
@@ -339,7 +340,7 @@ def diversity_sample(vecs, nlist=64, per_cell=3):
     return out
 
 
-sim_rows, ivf_rows, div_rows, mh_rows = [], [], [], []
+sim_rows, ivf_rows, div_rows, mh_rows, mh16_rows = [], [], [], [], []
 for sf in SFS:
     docs = dict(
         duckdb.sql(
@@ -352,6 +353,8 @@ for sf in SFS:
     sim_rows += [(doc_key, a, b, h) for a, b, h in pairs]
     mh = minhash_est_pairs(docs)
     mh_rows += [(doc_key, a, b, g) for a, b, g in mh]
+    mh16 = minhash_est_pairs(docs, num_hashes=16, bands=4)
+    mh16_rows += [(doc_key, a, b, g) for a, b, g in mh16]
 
     vecs = {
         vid: list(v)
@@ -413,5 +416,16 @@ pq.write_table(
     ),
     "tools/golden/minhash_est_pairs.parquet",
 )
-print("wrote tools/golden/{simhash_pairs,minhash_est_pairs,ivf_topk,"
+pq.write_table(
+    pa.table(
+        {
+            "corpus_key": pa.array([r[0] for r in mh16_rows], pa.int64()),
+            "id_a": pa.array([r[1] for r in mh16_rows], pa.int64()),
+            "id_b": pa.array([r[2] for r in mh16_rows], pa.int64()),
+            "n_agree": pa.array([r[3] for r in mh16_rows], pa.int32()),
+        }
+    ),
+    "tools/golden/minhash_est_pairs16.parquet",
+)
+print("wrote tools/golden/{simhash_pairs,minhash_est_pairs[16],ivf_topk,"
       "diversity_sample}.parquet")
