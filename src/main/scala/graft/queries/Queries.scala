@@ -732,6 +732,28 @@ object Queries {
           dec(sum(dec(col("o_totalprice")))).cast(DoubleType).as("total_price"))
     }),
 
+    // Multi-granularity time rollup in ONE Expand pass: event counts
+    // at day, epoch-week, and epoch-month grain via grouping sets —
+    // one scan + one shuffle instead of a job per grain. `grain`
+    // disambiguates (a null key marks the other grains' rows).
+    "x_time_rollup" -> ((s, d) => {
+      val ev = events(s, d).select(
+        expr("datediff(to_date(ts_utc), date '1970-01-01')")
+          .cast(LongType).as("day"))
+        .withColumn("week", expr("day div 7"))
+        .withColumn("month", expr("day div 30"))
+      ev.groupingSets(
+          Seq(Seq(col("day")), Seq(col("week")), Seq(col("month"))),
+          col("day"), col("week"), col("month"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(
+          when(col("day").isNotNull, "day")
+            .when(col("week").isNotNull, "week")
+            .otherwise("month").as("grain"),
+          coalesce(col("day"), col("week"), col("month")).as("bucket"),
+          col("n_events"))
+    }),
+
     // Running cumulative sum per customer over order time — partitioned
     // window, frame unbounded-preceding..current (decimal-routed).
     "q_running_sum" -> ((s, d) => {
@@ -2395,6 +2417,25 @@ object Queries {
       graft.operators.QualityClassifier.score(docs, "text2")
         .select(col("doc_id"), col("logit"),
           col("keep").cast(IntegerType).as("keep_flag"))
+    }),
+
+    // Canonicalization lift on exact dedup: inject an upper-cased,
+    // control-junk-suffixed copy of every 5th doc, then count distinct
+    // raw texts vs distinct canonical keys (lower ∘ normalizeText) —
+    // the measurement that justifies normalizing BEFORE hashing in an
+    // exact-dedup pass. countDistinct over full text is the honest
+    // formulation at this SF; at 100 TB hash the canonical key first.
+    "x_canon_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val dirty = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          concat(upper(col("text")), lit("\t\u0007 ")).as("text"))
+      docs.unionAll(dirty).agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_raw_distinct"),
+        countDistinct(
+          lower(graft.functions.VectorFunctions.normalizeText(col("text"))))
+          .as("n_canon_distinct"))
     }),
 
     // Filter-agreement audit: Gopher rule keep × classifier keep as a
@@ -5880,6 +5921,33 @@ object Queries {
         |SELECT doc_id, logit,
         |  CASE WHEN logit >= 0.0 THEN 1 ELSE 0 END AS keep_flag
         |FROM scored""".stripMargin,
+
+    // same dirty-copy injection; canonical key = lower(trim(collapse(
+    // scrub(nfc(text))))) — the x_normalize_text pipeline + lower
+    "x_canon_dedup" ->
+      """WITH aug AS (
+        |  SELECT text FROM documents
+        |  UNION ALL
+        |  SELECT upper(text) || chr(9) || chr(7) || ' '
+        |  FROM documents WHERE doc_id % 5 = 0)
+        |SELECT count(*) AS n_docs,
+        |  CAST(count(DISTINCT text) AS BIGINT) AS n_raw_distinct,
+        |  CAST(count(DISTINCT lower(trim(regexp_replace(regexp_replace(
+        |    nfc_normalize(text), '[\x00-\x1f\x7f-\x9f]', ' ', 'g'),
+        |    '\s+', ' ', 'g')))) AS BIGINT) AS n_canon_distinct
+        |FROM aug""".stripMargin,
+
+    "x_time_rollup" ->
+      """WITH b AS (
+        |  SELECT datediff('day', DATE '1970-01-01',
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day
+        |  FROM events)
+        |SELECT 'day' AS grain, CAST(day AS BIGINT) AS bucket,
+        |  count(*) AS n_events FROM b GROUP BY 2
+        |UNION ALL
+        |SELECT 'week', CAST(day // 7 AS BIGINT), count(*) FROM b GROUP BY 2
+        |UNION ALL
+        |SELECT 'month', CAST(day // 30 AS BIGINT), count(*) FROM b GROUP BY 2""".stripMargin,
 
     // Gopher keep (x_gopher_rules formulas on PLAIN text) × classifier
     // keep (x_quality_classifier formulas on PLAIN text), composed
