@@ -1147,6 +1147,41 @@ object Queries {
         .withColumn("delta", col("n") - col("prev_n"))
     }),
 
+    // Top weekly movers: the 10 largest week-over-week count swings
+    // across event types (|delta| desc, ties by type/week) — the
+    // anomaly shortlist over x_weekly_deltas' full series. TakeOrdered
+    // top-k, never a global sort.
+    "x_top_movers" -> ((s, d) => {
+      val week = expr("datediff(to_date(ts_utc), date '1970-01-01') div 7")
+      val weekly = events(s, d)
+        .groupBy(col("event_type"), week.cast(LongType).as("week"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("week"))
+      weekly
+        .withColumn("delta", col("n") - lag(col("n"), 1).over(w))
+        .filter(col("delta").isNotNull)
+        .select(col("event_type"), col("week"), col("delta"))
+        .orderBy(abs(col("delta")).desc, col("event_type").asc, col("week").asc)
+        .limit(10)
+    }),
+
+    // Event-type co-occurrence (market-basket affinity): users doing
+    // BOTH type A and B, per unordered pair — per-user type sets are
+    // bounded by the event-type vocabulary, so the in-row pair
+    // expansion is constant-sized and the only shuffles are the
+    // distinct and the final count.
+    "x_type_affinity" -> ((s, d) => {
+      val sets = events(s, d)
+        .select(col("user_id"), col("event_type")).distinct()
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_set(col("event_type"))).as("ts"))
+      sets.select(explode(expr(
+          "flatten(transform(ts, (a, i) -> transform(slice(ts, i + 2, size(ts)), b -> struct(a AS type_a, b AS type_b))))")).as("p"))
+        .select(col("p.type_a").as("type_a"), col("p.type_b").as("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
     // Day-of-week seasonality profile: (epoch-day mod 7, type) event
     // and distinct-user counts — the weekly-rhythm view next to
     // x_weekly_deltas' trend view. dow_idx 0 = Thursday (1970-01-01).
@@ -2417,6 +2452,20 @@ object Queries {
       graft.operators.QualityClassifier.score(docs, "text2")
         .select(col("doc_id"), col("logit"),
           col("keep").cast(IntegerType).as("keep_flag"))
+    }),
+
+    // Small-cell suppression audit (k-anonymity, k=5): how many
+    // (lang, source) cells are too small to release — the privacy
+    // check run before publishing per-cell statistics. Two cheap
+    // aggregations; integers only.
+    "x_small_cells" -> ((s, d) => {
+      t(s, d, "documents").groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"))
+        .agg(
+          count(lit(1)).as("n_cells"),
+          sum(when(col("n") < 5, 1L).otherwise(0L)).as("n_small_cells"),
+          coalesce(sum(when(col("n") < 5, col("n"))), lit(0L))
+            .as("n_docs_in_small"))
     }),
 
     // Canonicalization lift on exact dedup: inject an upper-cased,
@@ -5921,6 +5970,41 @@ object Queries {
         |SELECT doc_id, logit,
         |  CASE WHEN logit >= 0.0 THEN 1 ELSE 0 END AS keep_flag
         |FROM scored""".stripMargin,
+
+    "x_small_cells" ->
+      """WITH g AS (
+        |  SELECT lang, source, count(*) AS n
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT count(*) AS n_cells,
+        |  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_small_cells,
+        |  CAST(coalesce(sum(CASE WHEN n < 5 THEN n END), 0) AS BIGINT)
+        |    AS n_docs_in_small
+        |FROM g""".stripMargin,
+
+    "x_top_movers" ->
+      """WITH w AS (
+        |  SELECT event_type,
+        |    datediff('day', DATE '1970-01-01',
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) // 7 AS week,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |d AS (
+        |  SELECT event_type, CAST(week AS BIGINT) AS week,
+        |    n - lag(n) OVER (PARTITION BY event_type ORDER BY week) AS delta
+        |  FROM w)
+        |SELECT event_type, week, CAST(delta AS BIGINT) AS delta
+        |FROM d WHERE delta IS NOT NULL
+        |ORDER BY abs(delta) DESC, event_type ASC, week ASC
+        |LIMIT 10""".stripMargin,
+
+    "x_type_affinity" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  count(*) AS n_users
+        |FROM ut a JOIN ut b
+        |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |GROUP BY 1, 2""".stripMargin,
 
     // same dirty-copy injection; canonical key = lower(trim(collapse(
     // scrub(nfc(text))))) — the x_normalize_text pipeline + lower
