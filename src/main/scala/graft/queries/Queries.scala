@@ -622,6 +622,19 @@ object Queries {
           col("net"), col("n_open"))
     }),
 
+    // TPC-H Q4 shape: EXISTS as a LEFT SEMI join — orders with at
+    // least one high-quantity line, counted per priority. The fact
+    // side collapses to distinct keys inside the semi join; no
+    // row multiplication ever happens.
+    "q4_semi_join" -> ((s, d) => {
+      val hi = t(s, d, "lineitem")
+        .filter(col("l_quantity") >= 48).select(col("l_orderkey"))
+      t(s, d, "orders")
+        .join(hi, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+    }),
+
     // Join-cardinality profile: lineitems-per-order histogram with
     // childless orders at bin 0 (left join + coalesce) — the
     // relationship profiling a join planner's skew story starts from.
@@ -1568,6 +1581,18 @@ object Queries {
     // integers; candidate volume is the wedge count, never the corpus.
     "x_triad_census" -> ((s, d) =>
       Clusters.triadCensus(ngramPairGraph(s, d)._1)),
+
+    // Posting-list capacity profile: shingle document-frequency
+    // histogram (df → n_shingles) off the SHARED shingle projection —
+    // the distribution that justifies the inverted-index family's
+    // hot-shingle caps (maxPostings): a heavy tail here is exactly
+    // the bucket-overflow risk the caps bound. Linear work; the df
+    // agg is map-side combined.
+    "x_posting_stats" -> ((s, d) =>
+      docShingles(s, d)
+        .select(explode(col("sh")).as("shingle"))
+        .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .groupBy(col("df")).agg(count(lit(1)).as("n_shingles"))),
 
     // Similarity histogram of the verified near-dup pairs: pair counts
     // per jaccard decile — the threshold-setting view (a mass of pairs
@@ -3615,6 +3640,32 @@ object Queries {
         |  CAST(count(*) AS BIGINT) AS n_clusters,
         |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
         |FROM sz GROUP BY cluster_size""".stripMargin,
+
+    // per-doc DISTINCT shingles (the projection's contract), then a
+    // plain df histogram
+    "x_posting_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(ts)-2),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+        |  FROM toks WHERE len(ts) >= 3
+        |), post AS (
+        |  SELECT u.sg, count(*) AS df
+        |  FROM (SELECT unnest(s) AS sg FROM sh) u
+        |  GROUP BY u.sg)
+        |SELECT CAST(df AS BIGINT) AS df, count(*) AS n_shingles
+        |FROM post GROUP BY 1""".stripMargin,
+
+    "q4_semi_join" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_quantity >= 48)
+        |GROUP BY 1""".stripMargin,
 
     // same pair SQL; identical IEEE division then floor(j*10)
     "x_dup_similarity_hist" ->

@@ -67,6 +67,12 @@ class PlanSpec extends SparkTestBase {
       s"projection not pruned: $readSchema")
   }
 
+  test("q4 EXISTS compiles to a LEFT SEMI join, never an inner + distinct") {
+    val p = plan("q4_semi_join")
+    assert(p.contains("LeftSemi"), s"no semi join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("star join broadcasts both dimension sides") {
     val p = plan("q5_multi_join")
     assert("BroadcastHashJoin".r.findAllIn(p).size == 2)
