@@ -1741,6 +1741,16 @@ object Queries {
         .select(col("vec_id"))
     }),
 
+    // Embedding-store health: per-label vector counts + zero vectors
+    // (undefined cosine — the rows the ANN family's NaN guards
+    // exist for). Exact float comparison, one agg.
+    "x_label_balance" -> ((s, d) =>
+      t(s, d, "embeddings")
+        .groupBy(col("label").cast(LongType).as("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(expr("!exists(embedding, x -> x != 0F)"), 1L)
+            .otherwise(0L)).as("n_zero_vecs"))),
+
     // Brute-force cosine top-k (exact ANN baseline): top 10 neighbors of
     // vec_id=0. Scan → TakeOrderedAndProject; ids+rank only (float-safe).
     // Rank is assigned by sorting the 10 surviving rows as an array —
@@ -2492,6 +2502,17 @@ object Queries {
           coalesce(sum(when(col("n") < 5, col("n"))), lit(0L))
             .as("n_docs_in_small"))
     }),
+
+    // Intra-doc line dedup stats: lines vs first-occurrence-distinct
+    // lines per doc (the boilerplate-line-removal transform's
+    // before/after counts) — pure per-row array work, no shuffle at
+    // all until the dump.
+    "x_dedup_lines" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        size(split(col("text"), "\n", -1)).cast(LongType).as("n_lines"),
+        size(array_distinct(split(col("text"), "\n", -1)))
+          .cast(LongType).as("n_kept"))),
 
     // Canonicalization lift on exact dedup: inject an upper-cased,
     // control-junk-suffixed copy of every 5th doc, then count distinct
@@ -6021,6 +6042,19 @@ object Queries {
         |SELECT doc_id, logit,
         |  CASE WHEN logit >= 0.0 THEN 1 ELSE 0 END AS keep_flag
         |FROM scored""".stripMargin,
+
+    "x_dedup_lines" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+        |  CAST(len(list_distinct(string_split(text, chr(10)))) AS BIGINT)
+        |    AS n_kept
+        |FROM documents""".stripMargin,
+
+    "x_label_balance" ->
+      """SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vecs,
+        |  CAST(sum(CASE WHEN len(list_filter(embedding, x -> x <> 0)) = 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_vecs
+        |FROM embeddings GROUP BY 1""".stripMargin,
 
     "x_small_cells" ->
       """WITH g AS (
