@@ -1160,6 +1160,29 @@ object Queries {
         .withColumn("delta", col("n") - col("prev_n"))
     }),
 
+    // Activity distribution: events-per-user histogram — the state-
+    // sizing view for every per-user stateful operator (sessionize,
+    // funnels, streaming state stores). Two map-side-combined aggs.
+    "x_events_per_user_hist" -> ((s, d) =>
+      events(s, d).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("events_per_user"))
+        .groupBy(col("events_per_user"))
+        .agg(count(lit(1)).as("n_users"))),
+
+    // Inter-event gap histogram (whole minutes, capped at 120): the
+    // distribution the session-gap threshold is read off — pairs with
+    // x_session_gap_sweep's closed-form counts. One per-user lag
+    // window, then a bounded-bucket count.
+    "x_gap_hist" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_utc"))
+      val tsUs = unix_micros(col("ts_utc"))
+      events(s, d)
+        .select((tsUs - lag(tsUs, 1).over(byUser)).as("__gap"))
+        .filter(col("__gap").isNotNull)
+        .select(least(expr("__gap div 60000000"), lit(120L)).as("gap_minutes"))
+        .groupBy(col("gap_minutes")).agg(count(lit(1)).as("n_gaps"))
+    }),
+
     // Top weekly movers: the 10 largest week-over-week count swings
     // across event types (|delta| desc, ties by type/week) — the
     // anomaly shortlist over x_weekly_deltas' full series. TakeOrdered
@@ -1514,6 +1537,17 @@ object Queries {
       Dedup.pairAttributeOverlap(
         ngramPairGraph(s, d)._1, t(s, d, "documents"), "doc_id", "source")
         .select(col("attr_a").as("source_a"), col("attr_b").as("source_b"),
+          col("n_pairs"))),
+
+    // Cross-LANGUAGE near-dup pairs (same machinery as
+    // x_source_overlap on the lang axis): off-diagonal mass here is
+    // the translation/copy-paste artifact signal — text that clears
+    // the n-gram threshold across language labels is almost always a
+    // mislabeled or code/number-heavy duplicate.
+    "x_dup_pairs_by_lang" -> ((s, d) =>
+      Dedup.pairAttributeOverlap(
+        ngramPairGraph(s, d)._1, t(s, d, "documents"), "doc_id", "lang")
+        .select(col("attr_a").as("lang_a"), col("attr_b").as("lang_b"),
           col("n_pairs"))),
 
     // Duplicate-CLUSTER resolution: near-dup pairs → connected
@@ -4422,6 +4456,49 @@ object Queries {
         |  JOIN documents db ON pairs.id_b = db.doc_id)
         |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
         |FROM lab GROUP BY source_a, source_b""".stripMargin,
+
+    // same pair SQL as x_source_overlap, lang attribute
+    "x_dup_pairs_by_lang" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(ts)-2),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+        |  FROM toks WHERE len(ts) >= 3
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+        |), lab AS (
+        |  SELECT least(da.lang, db.lang) AS lang_a,
+        |         greatest(da.lang, db.lang) AS lang_b
+        |  FROM pairs
+        |  JOIN documents da ON pairs.id_a = da.doc_id
+        |  JOIN documents db ON pairs.id_b = db.doc_id)
+        |SELECT lang_a, lang_b, CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM lab GROUP BY lang_a, lang_b""".stripMargin,
+
+    "x_events_per_user_hist" ->
+      """WITH c AS (
+        |  SELECT user_id, count(*) AS events_per_user
+        |  FROM events GROUP BY 1)
+        |SELECT CAST(events_per_user AS BIGINT) AS events_per_user,
+        |  count(*) AS n_users
+        |FROM c GROUP BY 1""".stripMargin,
+
+    "x_gap_hist" ->
+      """WITH g AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) -
+        |    lag(epoch_us(CAST(ts AS TIMESTAMP)))
+        |      OVER (PARTITION BY user_id ORDER BY ts) AS gap
+        |  FROM events)
+        |SELECT CAST(least(gap // 60000000, 120) AS BIGINT) AS gap_minutes,
+        |  count(*) AS n_gaps
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY 1""".stripMargin,
 
     // same shingle/jaccard formulation as x_dedup_minhash, restricted to
     // (batch, corpus) cross pairs
