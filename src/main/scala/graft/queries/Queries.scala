@@ -622,6 +622,31 @@ object Queries {
           col("net"), col("n_open"))
     }),
 
+    // Correlated-subquery shape: orders above their CUSTOMER's mean
+    // price, per priority. The mean comparison is cross-multiplied
+    // (price·n > sum) so it stays exact decimal arithmetic — no
+    // division ever happens, hence no float tie ambiguity at the
+    // boundary. Per-customer stats join back on the key.
+    "q_above_avg" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val stats = o.groupBy(col("o_custkey").as("__ck"))
+        .agg(sum(dec(col("o_totalprice"))).as("__s"),
+          count(lit(1)).as("__c"))
+      o.join(stats, col("o_custkey") === col("__ck"))
+        .filter(dec(col("o_totalprice")) * col("__c") > col("__s"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_above_avg"))
+    }),
+
+    // User lifespan histogram: whole days between first and last
+    // event per user — the retention proxy next to x_retention's
+    // cohort matrix. One min/max agg, then a bounded-bucket count.
+    "x_lifespan_hist" -> ((s, d) =>
+      events(s, d).groupBy(col("user_id"))
+        .agg(expr("(max(unix_micros(ts_utc)) - min(unix_micros(ts_utc))) div 86400000000")
+          .as("lifespan_days"))
+        .groupBy(col("lifespan_days")).agg(count(lit(1)).as("n_users"))),
+
     // TPC-H Q4 shape: EXISTS as a LEFT SEMI join — orders with at
     // least one high-quantity line, counted per priority. The fact
     // side collapses to distinct keys inside the semi join; no
@@ -3713,6 +3738,28 @@ object Queries {
         |  GROUP BY u.sg)
         |SELECT CAST(df AS BIGINT) AS df, count(*) AS n_shingles
         |FROM post GROUP BY 1""".stripMargin,
+
+    // cross-multiplied mean comparison — exact DECIMAL both engines
+    "q_above_avg" ->
+      """WITH st AS (
+        |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s,
+        |    count(*) AS c
+        |  FROM orders GROUP BY 1)
+        |SELECT o.o_orderpriority, count(*) AS n_above_avg
+        |FROM orders o JOIN st ON o.o_custkey = st.o_custkey
+        |WHERE CAST(o.o_totalprice AS DECIMAL(18,2)) * st.c > st.s
+        |GROUP BY 1""".stripMargin,
+
+    "x_lifespan_hist" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    (max(epoch_us(CAST(ts AS TIMESTAMP))) -
+        |     min(epoch_us(CAST(ts AS TIMESTAMP)))) // 86400000000
+        |      AS lifespan_days
+        |  FROM events GROUP BY 1)
+        |SELECT CAST(lifespan_days AS BIGINT) AS lifespan_days,
+        |  count(*) AS n_users
+        |FROM u GROUP BY 1""".stripMargin,
 
     "q4_semi_join" ->
       """SELECT o_orderpriority, count(*) AS n_orders
