@@ -1243,6 +1243,40 @@ object Queries {
         .agg(count(lit(1)).as("n_users"))
     }),
 
+    // 7-day rolling value sum per event type over the daily series —
+    // a RANGE-framed window (gaps in the calendar shorten the frame,
+    // unlike a rows frame), exact through DECIMAL, over the bounded
+    // (type, day) aggregate.
+    "x_rolling_value_7d" -> ((s, d) => {
+      val daily = events(s, d)
+        .filter(col("value").isNotNull && !isnan(col("value")))
+        .groupBy(col("event_type"),
+          expr("datediff(to_date(ts_utc), date '1970-01-01')")
+            .cast(LongType).as("day"))
+        .agg(sum(dec(col("value"))).as("__s"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rangeBetween(-6, Window.currentRow)
+      daily.select(col("event_type"), col("day"),
+        dec(sum(col("__s")).over(w)).cast(DoubleType).as("sum_7d"))
+    }),
+
+    // Longest consecutive-day activity streak per user → histogram:
+    // the gaps-and-islands pattern (island id = day − row_number per
+    // user, a per-user window over DISTINCT days), then two counts.
+    "x_streak_hist" -> ((s, d) => {
+      val ud = events(s, d)
+        .select(col("user_id"),
+          expr("datediff(to_date(ts_utc), date '1970-01-01')")
+            .cast(LongType).as("day"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      ud.withColumn("__island", col("day") - row_number().over(w))
+        .groupBy(col("user_id"), col("__island"))
+        .agg(count(lit(1)).as("__len"))
+        .groupBy(col("user_id")).agg(max(col("__len")).as("max_streak"))
+        .groupBy(col("max_streak")).agg(count(lit(1)).as("n_users"))
+    }),
+
     // Day-of-week seasonality profile: (epoch-day mod 7, type) event
     // and distinct-user counts — the weekly-rhythm view next to
     // x_weekly_deltas' trend view. dow_idx 0 = Thursday (1970-01-01).
@@ -4527,6 +4561,39 @@ object Queries {
         |  JOIN documents db ON pairs.id_b = db.doc_id)
         |SELECT lang_a, lang_b, CAST(count(*) AS BIGINT) AS n_pairs
         |FROM lab GROUP BY lang_a, lang_b""".stripMargin,
+
+    // RANGE frame over integer days; DECIMAL window sum both engines
+    "x_rolling_value_7d" ->
+      """WITH dsum AS (
+        |  SELECT event_type,
+        |    datediff('day', DATE '1970-01-01',
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS s
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        |  GROUP BY 1, 2)
+        |SELECT event_type, CAST(day AS BIGINT) AS day,
+        |  CAST(CAST(sum(s) OVER (PARTITION BY event_type ORDER BY day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2))
+        |    AS DOUBLE) AS sum_7d
+        |FROM dsum""".stripMargin,
+
+    // gaps-and-islands: island id = day - row_number over distinct days
+    "x_streak_hist" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |    datediff('day', DATE '1970-01-01',
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day
+        |  FROM events),
+        |isl AS (
+        |  SELECT user_id,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS island
+        |  FROM ud),
+        |st AS (SELECT user_id, island, count(*) AS len
+        |       FROM isl GROUP BY 1, 2),
+        |mx AS (SELECT user_id, max(len) AS max_streak FROM st GROUP BY 1)
+        |SELECT CAST(max_streak AS BIGINT) AS max_streak, count(*) AS n_users
+        |FROM mx GROUP BY 1""".stripMargin,
 
     "x_events_per_user_hist" ->
       """WITH c AS (
