@@ -660,6 +660,32 @@ object Queries {
         .agg(count(lit(1)).as("n_orders"))
     }),
 
+    // TPC-H Q13 shape: orders-per-customer distribution including
+    // zero-order customers (left join + coalesce) — the other
+    // cardinality profile next to x_join_card_hist's lines-per-order.
+    "q13_custdist" -> ((s, d) => {
+      val cnt = t(s, d, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("c"))
+      t(s, d, "customer").select(col("c_custkey"))
+        .join(cnt, col("c_custkey") === col("o_custkey"), "left")
+        .select(coalesce(col("c"), lit(0L)).as("c_orders"))
+        .groupBy(col("c_orders")).agg(count(lit(1)).as("n_customers"))
+    }),
+
+    // The SQL-registered extension surface end-to-end: graft_* kernel
+    // functions resolved by name through spark.sql over a temp view,
+    // verified by the same DuckDB oracle as the DataFrame surface —
+    // proof the FunctionRegistry path (GraftExtensions.register) and
+    // the Column path share one kernel.
+    "x_sql_surface" -> ((s, d) => {
+      graft.functions.GraftExtensions.register(s)
+      t(s, d, "documents").createOrReplaceTempView("x_sql_docs")
+      s.sql("""SELECT doc_id,
+                 CAST(size(graft_shingles(text, 3)) AS BIGINT) AS n_shingles,
+                 CAST(length(graft_normalize_text(text)) AS BIGINT) AS norm_len
+               FROM x_sql_docs""")
+    }),
+
     // Join-cardinality profile: lineitems-per-order histogram with
     // childless orders at bin 0 (left join + coalesce) — the
     // relationship profiling a join planner's skew story starts from.
@@ -1099,6 +1125,35 @@ object Queries {
     // First-order event-type transition matrix (Markov counts): one
     // key-partitioned lead window over (ts, event_id), then a
     // |types|²-bounded pair agg + broadcast denominator.
+    // Weekly-seasonality strength: exact Spearman numerator between
+    // each day's volume and the volume 7 days earlier, per event type
+    // — high rank agreement at lag 7 = strong weekly rhythm (reads
+    // against x_dow_profile). Same doubled tie-averaged rank formula
+    // as x_rank_corr, over the joined bounded daily series.
+    "x_seasonal_corr" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("event_type"),
+          expr("datediff(to_date(ts_utc), date '1970-01-01')")
+            .cast(LongType).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val joined = daily.join(
+        daily.select(col("event_type"), (col("day") + 7).as("day"),
+          col("n").as("n7")),
+        Seq("event_type", "day"))
+      val wv = Window.partitionBy(col("event_type")).orderBy(col("n"))
+      val wvt = Window.partitionBy(col("event_type"), col("n"))
+      val wt = Window.partitionBy(col("event_type")).orderBy(col("n7"))
+      val wtt = Window.partitionBy(col("event_type"), col("n7"))
+      joined.withColumn("__rv",
+          lit(2L) * rank().over(wv) + count(lit(1)).over(wvt) - 1L)
+        .withColumn("__rt",
+          lit(2L) * rank().over(wt) + count(lit(1)).over(wtt) - 1L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("__rv") - col("__rt")) * (col("__rv") - col("__rt")))
+            .as("d2x4"))
+    }),
+
     // Exact Spearman trend test per event type: is DAILY VOLUME
     // drifting with time? d2x4 is the integer numerator
     // Σ(2r_n − 2r_day)² over tie-averaged ranks of the daily-count
@@ -3822,6 +3877,33 @@ object Queries {
         |  count(*) AS n_pairs
         |FROM pj WHERE j >= 0.5 GROUP BY 1""".stripMargin,
 
+    "q13_custdist" ->
+      """WITH c AS (
+        |  SELECT o_custkey, count(*) AS n
+        |  FROM orders GROUP BY 1)
+        |SELECT CAST(coalesce(c.n, 0) AS BIGINT) AS c_orders,
+        |  count(*) AS n_customers
+        |FROM customer cu LEFT JOIN c ON cu.c_custkey = c.o_custkey
+        |GROUP BY 1""".stripMargin,
+
+    // shingle count = distinct 3-token windows (0 under 3 tokens);
+    // norm_len = the x_normalize_text pipeline's length
+    "x_sql_surface" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      t -> t <> '') AS ts
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN len(ts) >= 3
+        |    THEN len(list_distinct(list_transform(generate_series(1, len(ts)-2),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])))
+        |    ELSE 0 END AS BIGINT) AS n_shingles,
+        |  CAST(length(trim(regexp_replace(regexp_replace(nfc_normalize(text),
+        |    '[\x00-\x1f\x7f-\x9f]', ' ', 'g'), '\s+', ' ', 'g')))
+        |    AS BIGINT) AS norm_len
+        |FROM toks""".stripMargin,
+
     "x_join_card_hist" ->
       """WITH c AS (
         |  SELECT l_orderkey, count(*) AS n_lines
@@ -4441,6 +4523,29 @@ object Queries {
 
     // lead over the same (ts, event_id) per-user order; n_from summed
     // off the pair counts (sum(BIGINT) is HUGEINT in DuckDB — cast back)
+    // same doubled-rank Spearman numerator, lag-7 self-join
+    "x_seasonal_corr" ->
+      """WITH dcount AS (
+        |  SELECT event_type,
+        |    datediff('day', DATE '1970-01-01',
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |j AS (
+        |  SELECT a.event_type, a.n, b.n AS n7
+        |  FROM dcount a JOIN dcount b
+        |    ON a.event_type = b.event_type AND a.day = b.day + 7),
+        |r AS (
+        |  SELECT event_type,
+        |    2*rank() OVER (PARTITION BY event_type ORDER BY n)
+        |      + count(*) OVER (PARTITION BY event_type, n) - 1 AS rv,
+        |    2*rank() OVER (PARTITION BY event_type ORDER BY n7)
+        |      + count(*) OVER (PARTITION BY event_type, n7) - 1 AS rt
+        |  FROM j)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum((rv - rt) * (rv - rt)) AS BIGINT) AS d2x4
+        |FROM r GROUP BY 1""".stripMargin,
+
     // doubled tie-averaged ranks (2r = 2·rank + ties − 1) keep the
     // Spearman numerator integral; ranks over the daily-count series
     "x_rank_corr" ->
