@@ -733,6 +733,42 @@ object Queries {
             .as("n_new"))
     }),
 
+    // Four-level star rollup: region → nation → customer → orders —
+    // the deepest dimension chain in the schema (and the only reader
+    // of `region`). Every dimension broadcasts; the fact table
+    // shuffles once, for the final aggregate.
+    "x_region_rollup" -> ((s, d) => {
+      val reg = t(s, d, "region").select(col("r_regionkey"), col("r_name"))
+      val nat = t(s, d, "nation")
+        .select(col("n_nationkey"), col("n_regionkey"))
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      t(s, d, "orders")
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          dec(sum(dec(col("o_totalprice")))).cast(DoubleType)
+            .as("total_price"))
+    }),
+
+    // Top shipped parts by quantity with attributes from the `part`
+    // dimension: fact collapses to per-part sums FIRST, the 15-row
+    // top-k is a TakeOrdered, and the dimension attaches by broadcast
+    // of the top frame — the dimension never joins the raw fact.
+    "x_top_parts" -> ((s, d) => {
+      val sums = t(s, d, "lineitem").groupBy(col("l_partkey"))
+        .agg(dec(sum(dec(col("l_quantity")))).as("__q"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("__q").desc, col("l_partkey").asc)
+        .limit(15)
+      t(s, d, "part").select(col("p_partkey"), col("p_name"), col("p_brand"))
+        .join(broadcast(sums), col("p_partkey") === col("l_partkey"))
+        .select(col("p_partkey"), col("p_name"), col("p_brand"),
+          col("__q").cast(DoubleType).as("sum_qty"), col("n_lines"))
+    }),
+
     // Top-N per group: rank orders inside each customer by price.
     // Window partitioned by the group key — parallel by key, no global
     // sort; the filter keeps plans bounded regardless of group count.
@@ -3368,6 +3404,27 @@ object Queries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderstatus = 'O'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "x_region_rollup" ->
+      """SELECT r.r_name,
+        |  count(*) AS n_orders,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_price
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY 1""".stripMargin,
+
+    "x_top_parts" ->
+      """WITH s AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS q,
+        |    count(*) AS n_lines
+        |  FROM lineitem GROUP BY 1
+        |  ORDER BY q DESC, l_partkey ASC LIMIT 15)
+        |SELECT p.p_partkey, p.p_name, p.p_brand,
+        |  CAST(s.q AS DOUBLE) AS sum_qty, CAST(s.n_lines AS BIGINT) AS n_lines
+        |FROM part p JOIN s ON p.p_partkey = s.l_partkey""".stripMargin,
 
     "q6_filter_agg" ->
       """SELECT
