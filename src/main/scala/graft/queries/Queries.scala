@@ -1161,6 +1161,21 @@ object Queries {
     // First-order event-type transition matrix (Markov counts): one
     // key-partitioned lead window over (ts, event_id), then a
     // |types|²-bounded pair agg + broadcast denominator.
+    // percent_rank over the bounded daily series per type: both
+    // engines define it as (rank−1)/(rows−1) — an exact IEEE division
+    // of the same integers, so the doubles are bit-identical. Adds
+    // the relative-rank window family to the catalog.
+    "x_percent_rank" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("event_type"),
+          expr("datediff(to_date(ts_utc), date '1970-01-01')")
+            .cast(LongType).as("day"))
+        .agg(count(lit(1)).as("n"))
+      daily.select(col("event_type"), col("day"), col("n"),
+        percent_rank().over(
+          Window.partitionBy(col("event_type")).orderBy(col("n"))).as("pr"))
+    }),
+
     // Weekly-seasonality strength: exact Spearman numerator between
     // each day's volume and the volume 7 days earlier, per event type
     // — high rank agreement at lag 7 = strong weekly rhythm (reads
@@ -1765,6 +1780,19 @@ object Queries {
     // integers; candidate volume is the wedge count, never the corpus.
     "x_triad_census" -> ((s, d) =>
       Clusters.triadCensus(ngramPairGraph(s, d)._1)),
+
+    // LSH banding capacity profile: (band, bucket) population
+    // histogram for the MinHash index — the companion to
+    // x_posting_stats for the signature family, and the distribution
+    // maxBucket is sized against. Rides the shared shingle
+    // projection; verified against the kernel-replay golden.
+    "x_minhash_bucket_hist" -> ((s, d) =>
+      docShingles(s, d)
+        .select(posexplode(Dedup.minHashBands(col("sh"), 64, 16)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+        .groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("bucket_size"))
+        .groupBy(col("bucket_size")).agg(count(lit(1)).as("n_buckets"))),
 
     // Posting-list capacity profile: shingle document-frequency
     // histogram (df → n_shingles) off the SHARED shingle projection —
@@ -4580,6 +4608,24 @@ object Queries {
 
     // lead over the same (ts, event_id) per-user order; n_from summed
     // off the pair counts (sum(BIGINT) is HUGEINT in DuckDB — cast back)
+    // (rank−1)/(rows−1): same integer inputs → bit-identical doubles
+    "x_percent_rank" ->
+      """WITH dcount AS (
+        |  SELECT event_type,
+        |    datediff('day', DATE '1970-01-01',
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(day AS BIGINT) AS day, CAST(n AS BIGINT) AS n,
+        |  percent_rank() OVER (PARTITION BY event_type ORDER BY n) AS pr
+        |FROM dcount""".stripMargin,
+
+    "x_minhash_bucket_hist" ->
+      """WITH ck AS (SELECT CAST(sum((doc_id+1)*length(text)) AS BIGINT) AS k FROM documents WHERE text IS NOT NULL)
+        |SELECT bucket_size, n_buckets
+        |FROM read_parquet('/root/repo/tools/golden/minhash_bucket_hist.parquet') g, ck
+        |WHERE g.corpus_key = ck.k""".stripMargin,
+
     // same doubled-rank Spearman numerator, lag-7 self-join
     "x_seasonal_corr" ->
       """WITH dcount AS (

@@ -226,6 +226,22 @@ def minhash_bands(sig, bands=16):
     return out
 
 
+def minhash_bucket_hist(docs, num_hashes=64, bands=16):
+    """(band, bucket) population histogram: bucket_size -> n_buckets."""
+    buckets = {}
+    for did, t in docs.items():
+        shs = shingles3(t)
+        if not shs:
+            continue
+        sig = minhash_signature(shs, num_hashes)
+        for b, bk in enumerate(minhash_bands(sig, bands)):
+            buckets[(b, bk)] = buckets.get((b, bk), 0) + 1
+    hist = {}
+    for sz in buckets.values():
+        hist[sz] = hist.get(sz, 0) + 1
+    return sorted(hist.items())
+
+
 def minhash_est_pairs(docs, threshold=0.5, max_bucket=1000,
                       num_hashes=64, bands=16):
     sigs, buckets = {}, {}
@@ -340,7 +356,7 @@ def diversity_sample(vecs, nlist=64, per_cell=3):
     return out
 
 
-sim_rows, ivf_rows, div_rows, mh_rows, mh16_rows = [], [], [], [], []
+sim_rows, ivf_rows, div_rows, mh_rows, mh16_rows, mhh_rows = [], [], [], [], [], []
 for sf in SFS:
     docs = dict(
         duckdb.sql(
@@ -355,6 +371,7 @@ for sf in SFS:
     mh_rows += [(doc_key, a, b, g) for a, b, g in mh]
     mh16 = minhash_est_pairs(docs, num_hashes=16, bands=4)
     mh16_rows += [(doc_key, a, b, g) for a, b, g in mh16]
+    mhh_rows += [(doc_key, sz, nb) for sz, nb in minhash_bucket_hist(docs)]
 
     vecs = {
         vid: list(v)
@@ -427,5 +444,15 @@ pq.write_table(
     ),
     "tools/golden/minhash_est_pairs16.parquet",
 )
-print("wrote tools/golden/{simhash_pairs,minhash_est_pairs[16],ivf_topk,"
-      "diversity_sample}.parquet")
+pq.write_table(
+    pa.table(
+        {
+            "corpus_key": pa.array([r[0] for r in mhh_rows], pa.int64()),
+            "bucket_size": pa.array([r[1] for r in mhh_rows], pa.int64()),
+            "n_buckets": pa.array([r[2] for r in mhh_rows], pa.int64()),
+        }
+    ),
+    "tools/golden/minhash_bucket_hist.parquet",
+)
+print("wrote tools/golden/{simhash_pairs,minhash_est_pairs[16],"
+      "minhash_bucket_hist,ivf_topk,diversity_sample}.parquet")
