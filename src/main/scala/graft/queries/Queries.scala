@@ -1743,6 +1743,21 @@ object Queries {
           sum(col("tok")).as("total_tokens"))))
     }),
 
+    // Are near-duplicates lower quality? Classifier keep-rate split
+    // by dup-cluster membership (pair-bounded components broadcast
+    // onto the codegen'd classifier projection) — the evidence for
+    // ordering dedup before or after the quality gate at 100 TB.
+    "x_dup_quality" -> ((s, d) => {
+      val comp = ngramPairGraph(s, d)._2
+        .select(col("id").as("doc_id"), lit(1).as("__dup"))
+      QualityClassifier.score(t(s, d, "documents"), "text")
+        .select(col("doc_id"), col("keep").cast(IntegerType).as("keep_flag"))
+        .join(broadcast(comp), Seq("doc_id"), "left")
+        .groupBy(coalesce(col("__dup"), lit(0)).as("in_dup_cluster"),
+          col("keep_flag"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
     // Dedup GOVERNANCE by source, off the shared pair graph: per
     // source, how many docs sit in a near-dup cluster and how many a
     // min-id dedup would remove — the "which crawls ship duplicated
@@ -1952,6 +1967,14 @@ object Queries {
         threshold = 0.35, planes = 6, tables = 8, storage = StorageLevel.NONE)
         .select(col("vec_id"))
     }),
+
+    // Embedding dimension contract: vector-length histogram — a mixed
+    // dim column breaks every ANN kernel downstream, so this is the
+    // first audit run on a new embedding drop.
+    "x_embed_dims" -> ((s, d) =>
+      t(s, d, "embeddings")
+        .groupBy(size(col("embedding")).cast(LongType).as("dim"))
+        .agg(count(lit(1)).as("n_vecs"))),
 
     // Embedding-store health: per-label vector counts + zero vectors
     // (undefined cosine — the rows the ANN family's NaN guards
@@ -6448,6 +6471,53 @@ object Queries {
         |  CAST(len(list_distinct(string_split(text, chr(10)))) AS BIGINT)
         |    AS n_kept
         |FROM documents""".stripMargin,
+
+    "x_embed_dims" ->
+      """SELECT CAST(len(embedding) AS BIGINT) AS dim, count(*) AS n_vecs
+        |FROM embeddings GROUP BY 1""".stripMargin,
+
+    // classifier keep on plain text (x_quality_agreement's formulas) ×
+    // near-dup pair membership (the standard pair CTE)
+    "x_dup_quality" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(ts)-2),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+        |  FROM toks WHERE len(ts) >= 3
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+        |), mem AS (
+        |  SELECT DISTINCT id FROM (
+        |    SELECT id_a AS id FROM pairs
+        |    UNION ALL SELECT id_b AS id FROM pairs)
+        |), f AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN 0.0
+        |         ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) END AS n_tok,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |         ELSE CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS DOUBLE) / length(text) END AS punct_ratio,
+        |    CASE WHEN trim(text) = '' THEN 0.0
+        |         ELSE CAST(len(list_filter(string_split_regex(trim(text),'\s+'), t -> lower(t) IN ('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by','it','be','this','that'))) AS DOUBLE)
+        |              / len(string_split_regex(trim(text), '\s+')) END AS stop_ratio,
+        |    CASE WHEN trim(text) = '' THEN 0.0
+        |         ELSE CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |              / len(string_split_regex(trim(text), '\s+')) END AS mtl
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CASE WHEN -2.0 + 0.02 * n_tok + -10.0 * punct_ratio
+        |         + 5.0 * stop_ratio + 0.1 * mtl >= 0.0 THEN 1 ELSE 0 END AS keep_flag
+        |  FROM f)
+        |SELECT CASE WHEN mem.id IS NOT NULL THEN 1 ELSE 0 END AS in_dup_cluster,
+        |  c.keep_flag, count(*) AS n_docs
+        |FROM c LEFT JOIN mem ON c.doc_id = mem.id
+        |GROUP BY 1, 2""".stripMargin,
 
     "x_label_balance" ->
       """SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vecs,
