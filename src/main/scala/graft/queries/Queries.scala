@@ -332,6 +332,33 @@ object Queries {
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
   private def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
 
+  /** BM25 lexical top-50 → cosine rerank → top-10 with ranks: the
+    * hybrid-retrieval composition shared by `x_hybrid_search` (the
+    * result) and `x_rerank_shift` (the what-did-reranking-change
+    * audit). Rank assignment is the ≤10-row sorted-array idiom — no
+    * unpartitioned window.
+    */
+  private def hybridTop10(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val lexical = TextAnalysis.bm25TopK(
+      t(s, d, "documents").filter(col("doc_id") =!= 0), "doc_id", "text",
+      queryTerms = Seq("spark", "join", "window"), k = 50, logIdf = false)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val reranked = emb
+      .join(broadcast(lexical.select(col("doc_id"))), col("vec_id") === col("doc_id"))
+      .crossJoin(broadcast(q))
+      .select(col("doc_id"), Similarity.cosine(col("embedding"), col("qv")).as("c"))
+      .filter(!isnan(col("c")))
+      .orderBy(col("c").desc, col("doc_id").asc)
+      .limit(10)
+    reranked
+      .agg(sort_array(collect_list(
+        struct((-col("c")).as("nc"), col("doc_id").as("doc_id")))).as("xs"))
+      .select(posexplode(col("xs")))
+      .select(col("col.doc_id").as("doc_id"),
+        (col("pos") + 1).cast(IntegerType).as("rank"))
+  }
+
   // --- the lineitem validation-rule set used by several queries --------
   // (range / date_range / not_null over typed parquet columns — the same
   // compiler the XML pipeline uses, pointed at the testdata tables)
@@ -2681,25 +2708,27 @@ object Queries {
     // onto the embedding store (embeddings never shuffle); ranks are
     // emitted instead of float cosines (same reason as x_cosine_topk:
     // the ORDER is engine-stable, the accumulated float is not).
-    "x_hybrid_search" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      val lexical = TextAnalysis.bm25TopK(
-        t(s, d, "documents").filter(col("doc_id") =!= 0), "doc_id", "text",
-        queryTerms = Seq("spark", "join", "window"), k = 50, logIdf = false)
-      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-      val reranked = emb
-        .join(broadcast(lexical.select(col("doc_id"))), col("vec_id") === col("doc_id"))
-        .crossJoin(broadcast(q))
-        .select(col("doc_id"), Similarity.cosine(col("embedding"), col("qv")).as("c"))
-        .filter(!isnan(col("c")))
-        .orderBy(col("c").desc, col("doc_id").asc)
-        .limit(10)
-      reranked
+    "x_hybrid_search" -> ((s, d) => hybridTop10(s, d)),
+
+    // What reranking CHANGES: overlap + total rank displacement
+    // between the BM25 top-10 and the hybrid (cosine-reranked)
+    // top-10 for the same query — the audit read before paying for
+    // the rerank stage in production. Both sides' ranks are
+    // sorted-array assignments over ≤10-row frames.
+    "x_rerank_shift" -> ((s, d) => {
+      val bmRanked = TextAnalysis.bm25TopK(
+          t(s, d, "documents").filter(col("doc_id") =!= 0), "doc_id", "text",
+          queryTerms = Seq("spark", "join", "window"), k = 10, logIdf = false)
         .agg(sort_array(collect_list(
-          struct((-col("c")).as("nc"), col("doc_id").as("doc_id")))).as("xs"))
+          struct((-col("score")).as("ns"), col("doc_id").as("doc_id")))).as("xs"))
         .select(posexplode(col("xs")))
-        .select(col("col.doc_id").as("doc_id"),
-          (col("pos") + 1).cast(IntegerType).as("rank"))
+        .select(col("col.doc_id").as("doc_id"), (col("pos") + 1L).as("r_bm"))
+      val hy = hybridTop10(s, d)
+        .select(col("doc_id"), col("rank").cast(LongType).as("r_hy"))
+      bmRanked.join(hy, "doc_id")
+        .agg(count(lit(1)).as("n_overlap"),
+          coalesce(sum(abs(col("r_bm") - col("r_hy"))), lit(0L))
+            .as("sum_rank_shift"))
     }),
 
     // Token-association mining: top-40 co-occurring token pairs by
@@ -6893,6 +6922,58 @@ object Queries {
         |SELECT doc_id,
         |  CAST(row_number() OVER (ORDER BY c DESC, doc_id ASC) AS INTEGER) AS rank
         |FROM rer WHERE NOT isnan(c) ORDER BY c DESC, doc_id ASC LIMIT 10""".stripMargin,
+
+    // same scored CTE as x_hybrid_search; bm10 ranks the lexical agg
+    // directly, hy10 ranks the reranked lex-50 — both by the shared
+    // deterministic (score desc, id) order
+    "x_rerank_shift" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS token
+        |  FROM documents WHERE doc_id <> 0),
+        |lens AS (
+        |  SELECT doc_id, CASE WHEN trim(text) = '' THEN 0
+        |    ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS dl
+        |  FROM documents WHERE doc_id <> 0),
+        |stats AS (
+        |  SELECT (SELECT count(*) FROM documents WHERE doc_id <> 0) AS n_docs,
+        |         (SELECT sum(dl) FROM lens) AS total_tokens),
+        |tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM toks
+        |  WHERE token IN ('spark', 'join', 'window') GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token,
+        |    ((CAST(stats.n_docs - dfreq.df AS DOUBLE) + 0.5) /
+        |     (CAST(dfreq.df AS DOUBLE) + 0.5)) *
+        |    ((CAST(tf.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0)) /
+        |     (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+        |      (0.25 + 0.75 * (CAST(lens.dl AS DOUBLE) /
+        |       (CAST(stats.total_tokens AS DOUBLE) / CAST(stats.n_docs AS DOUBLE))))))
+        |    AS term_score
+        |  FROM tf JOIN lens USING (doc_id) JOIN dfreq USING (token) CROSS JOIN stats),
+        |lexall AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(term_score ORDER BY token)), (a, x) -> a + x) AS score
+        |  FROM scored GROUP BY doc_id),
+        |lex50 AS (SELECT doc_id FROM lexall
+        |          ORDER BY score DESC, doc_id ASC LIMIT 50),
+        |bm10 AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r_bm
+        |  FROM lexall ORDER BY score DESC, doc_id ASC LIMIT 10),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |rer AS (
+        |  SELECT lex50.doc_id, list_cosine_similarity(e.embedding, q.qv) AS c
+        |  FROM lex50 JOIN embeddings e ON e.vec_id = lex50.doc_id CROSS JOIN q),
+        |hy10 AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY c DESC, doc_id ASC) AS r_hy
+        |  FROM rer WHERE NOT isnan(c) ORDER BY c DESC, doc_id ASC LIMIT 10)
+        |SELECT CAST(count(*) AS BIGINT) AS n_overlap,
+        |  CAST(coalesce(sum(abs(r_bm - r_hy)), 0) AS BIGINT) AS sum_rank_shift
+        |FROM bm10 JOIN hy10 USING (doc_id)""".stripMargin,
 
     // Same augmentation + token/line/bigram machinery as
     // x_repetition_stats; adds the distinct-stopword count and the
