@@ -1318,6 +1318,26 @@ object Queries {
         .withColumn("delta", col("n") - col("prev_n"))
     }),
 
+    // 7-day rolling distinct users (WAU) per day: each (user, day)
+    // activity row CONTRIBUTES to the next 7 report days (in-row
+    // sequence explode — a bounded 7× expansion), then one distinct
+    // count per day. Exact rolling distincts without a range join and
+    // without re-scanning 7 days per report day.
+    "x_rolling_wau" -> ((s, d) => {
+      val ud = events(s, d)
+        .select(col("user_id"),
+          expr("datediff(to_date(ts_utc), date '1970-01-01')")
+            .cast(LongType).as("day"))
+        .distinct()
+      val days = ud.select(col("day")).distinct()
+      ud.select(col("user_id"),
+          explode(expr("sequence(day, day + 6)")).as("rday"))
+        .join(broadcast(days.select(col("day").as("rday"))), "rday")
+        .groupBy(col("rday"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+        .select(col("rday").as("day"), col("wau"))
+    }),
+
     // Activity distribution: events-per-user histogram — the state-
     // sizing view for every per-user stateful operator (sessionize,
     // funnels, streaming state stores). Two map-side-combined aggs.
@@ -2583,6 +2603,25 @@ object Queries {
         .filter(col("tok") =!= "")
         .groupBy(col("lang"), length(col("tok")).cast(LongType).as("tok_len"))
         .agg(count(lit(1)).as("n_tokens"))),
+
+    // LEXICAL drift between source cohorts: top-100 vocabulary
+    // overlap between even- and odd-indexed sources — the
+    // vocabulary-level companion to x_chars_drift's length KS (a
+    // crawl whose head vocabulary diverges is topically drifting even
+    // if its length profile holds). Both vocabularies are k-row
+    // TakeOrdered frames; the overlap join is k×k broadcast work.
+    "x_vocab_drift" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("__c",
+          (substring(col("source"), 4, 10).cast(IntegerType) % 2))
+      val va = TextAnalysis.vocabulary(docs.filter(col("__c") === 0), "text", 100)
+        .select(col("token"))
+      val vb = TextAnalysis.vocabulary(docs.filter(col("__c") === 1), "text", 100)
+        .select(col("token"))
+      va.join(broadcast(vb), "token")
+        .agg(count(lit(1)).as("n_shared"))
+        .select(col("n_shared"), (lit(200L) - col("n_shared")).as("n_union"))
+    }),
 
     // Cohort drift on a SECOND table: per-language KS statistic of the
     // document-length distribution between even- and odd-indexed
@@ -6389,6 +6428,44 @@ object Queries {
         |        x -> x <> '')) AS t
         |      FROM documents)
         |GROUP BY 1, 2""".stripMargin,
+
+    // two deterministic top-100 vocabularies (freq desc, token asc),
+    // intersection count
+    "x_vocab_drift" ->
+      """WITH docs AS (
+        |  SELECT text, CAST(substring(source, 4) AS INTEGER) % 2 AS c
+        |  FROM documents),
+        |ta AS (
+        |  SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+        |    x -> x <> '')) AS token
+        |  FROM docs WHERE c = 0),
+        |tb AS (
+        |  SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+        |    x -> x <> '')) AS token
+        |  FROM docs WHERE c = 1),
+        |va AS (SELECT token FROM (
+        |  SELECT token, count(*) AS f FROM ta GROUP BY 1
+        |  ORDER BY f DESC, token ASC LIMIT 100)),
+        |vb AS (SELECT token FROM (
+        |  SELECT token, count(*) AS f FROM tb GROUP BY 1
+        |  ORDER BY f DESC, token ASC LIMIT 100))
+        |SELECT CAST(count(*) AS BIGINT) AS n_shared,
+        |  CAST(200 - count(*) AS BIGINT) AS n_union
+        |FROM va JOIN vb USING (token)""".stripMargin,
+
+    "x_rolling_wau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |    datediff('day', DATE '1970-01-01',
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day
+        |  FROM events),
+        |days AS (SELECT DISTINCT day FROM ud),
+        |c AS (
+        |  SELECT ud.user_id, d2.day AS rday
+        |  FROM ud JOIN days d2 ON d2.day BETWEEN ud.day AND ud.day + 6)
+        |SELECT CAST(rday AS BIGINT) AS day,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        |FROM c GROUP BY 1""".stripMargin,
 
     // same exact-KS construction as x_ks_drift, over document lengths
     // split by even/odd source index
