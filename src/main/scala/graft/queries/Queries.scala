@@ -760,6 +760,35 @@ object Queries {
             .as("n_new"))
     }),
 
+    // Customer reorder-cadence histogram: whole days between
+    // consecutive orders per customer (capped at 180) — the purchase
+    // analogue of x_gap_hist. Fully deterministic lag order
+    // (orderdate, orderkey).
+    "x_reorder_gaps" -> ((s, d) => {
+      val day = expr("datediff(to_date(o_orderdate), date '1970-01-01')")
+        .cast(LongType)
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("__day"), col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), day.as("__day"))
+        .withColumn("__gap", col("__day") - lag(col("__day"), 1).over(w))
+        .filter(col("__gap").isNotNull)
+        .groupBy(least(col("__gap"), lit(180L)).as("gap_days"))
+        .agg(count(lit(1)).as("n_gaps"))
+    }),
+
+    // Supplier account-balance rollup per nation: the supplier
+    // dimension's deep-read entry (broadcast nation join, decimal
+    // money sums).
+    "x_supplier_balance" -> ((s, d) => {
+      val nat = t(s, d, "nation").select(col("n_nationkey"), col("n_name"))
+      t(s, d, "supplier")
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          dec(sum(dec(col("s_acctbal")))).cast(DoubleType).as("total_acctbal"))
+    }),
+
     // Four-level star rollup: region → nation → customer → orders —
     // the deepest dimension chain in the schema (and the only reader
     // of `region`). Every dimension broadcasts; the fact table
@@ -3523,6 +3552,27 @@ object Queries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderstatus = 'O'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "x_reorder_gaps" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    datediff('day', DATE '1970-01-01',
+        |      CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE)) AS day
+        |  FROM orders),
+        |g AS (
+        |  SELECT day - lag(day) OVER (PARTITION BY o_custkey
+        |    ORDER BY day, o_orderkey) AS gap
+        |  FROM o)
+        |SELECT CAST(least(gap, 180) AS BIGINT) AS gap_days,
+        |  count(*) AS n_gaps
+        |FROM g WHERE gap IS NOT NULL GROUP BY 1""".stripMargin,
+
+    "x_supplier_balance" ->
+      """SELECT n.n_name,
+        |  count(*) AS n_suppliers,
+        |  CAST(CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_acctbal
+        |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |GROUP BY 1""".stripMargin,
 
     "x_region_rollup" ->
       """SELECT r.r_name,
