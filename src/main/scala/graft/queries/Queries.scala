@@ -2821,6 +2821,28 @@ object Queries {
           col("keep").cast(IntegerType).as("keep_flag"))
     }),
 
+    // Deterministic resampling WITH replacement: n draws from n docs
+    // via the portable LCG rank on the DRAW index, then the
+    // times-drawn histogram. Zero RNG state — any engine replays the
+    // same resample; never-drawn docs enter through the left join.
+    // NOTE the histogram doubles as a generator-dispersion audit: a
+    // true uniform resample is Poisson(1) (~37% absent); the
+    // two-round LCG on consecutive indices is measurably
+    // SUB-Poisson (8% absent at sf0.01) — fine for split/shuffle
+    // decisions, visible here before anyone uses it for variance
+    // estimation.
+    "x_bootstrap_hist" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"))
+      val n = docs.count() // bounded driver scalar: one row count
+      val draws = s.range(n).select(
+        pmod(graft.operators.Sampling.hashRank(col("id"), salt = 7L), lit(n))
+          .as("drawn"))
+      val times = draws.groupBy(col("drawn")).agg(count(lit(1)).as("__t"))
+      docs.join(times, col("doc_id") === col("drawn"), "left")
+        .select(coalesce(col("__t"), lit(0L)).as("times_drawn"))
+        .groupBy(col("times_drawn")).agg(count(lit(1)).as("n_docs"))
+    }),
+
     // Small-cell suppression audit (k-anonymity, k=5): how many
     // (lang, source) cells are too small to release — the privacy
     // check run before publishing per-cell statistics. Two cheap
@@ -6680,6 +6702,20 @@ object Queries {
         |  CAST(sum(CASE WHEN len(list_filter(embedding, x -> x <> 0)) = 0
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_vecs
         |FROM embeddings GROUP BY 1""".stripMargin,
+
+    // same two-round LCG (salt 7) on the draw index, mod n
+    "x_bootstrap_hist" ->
+      """WITH n AS (SELECT count(*) AS n FROM documents),
+        |i AS (SELECT unnest(generate_series(0, (SELECT n FROM n) - 1)) AS i),
+        |dr AS (
+        |  SELECT ((((i % 2147483647) + 7) * 1103515245) % 2147483647
+        |          * 784588716) % 2147483647 % (SELECT n FROM n) AS drawn
+        |  FROM i),
+        |tm AS (SELECT drawn, count(*) AS t FROM dr GROUP BY 1)
+        |SELECT CAST(coalesce(tm.t, 0) AS BIGINT) AS times_drawn,
+        |  count(*) AS n_docs
+        |FROM documents d LEFT JOIN tm ON d.doc_id = tm.drawn
+        |GROUP BY 1""".stripMargin,
 
     "x_small_cells" ->
       """WITH g AS (
