@@ -1347,6 +1347,41 @@ object Queries {
         .withColumn("delta", col("n") - col("prev_n"))
     }),
 
+    // Weekly churn: per week, active users and how many are ABSENT
+    // the following week — the loss-side companion to x_user_growth's
+    // new-user counts (the final week churns fully by construction:
+    // there is no week after it). One distinct + one self-join on the
+    // shifted week.
+    "x_churn" -> ((s, d) => {
+      val uw = events(s, d)
+        .select(col("user_id"),
+          expr("datediff(to_date(ts_utc), date '1970-01-01') div 7")
+            .cast(LongType).as("week"))
+        .distinct()
+      val next = uw.select(col("user_id"), (col("week") - 1).as("week"),
+        lit(1).as("__next"))
+      uw.join(next, Seq("user_id", "week"), "left")
+        .groupBy(col("week"))
+        .agg(count(lit(1)).as("n_active"),
+          sum(when(col("__next").isNull, 1L).otherwise(0L)).as("n_churned"))
+    }),
+
+    // Activity concentration: the top-1% heaviest users' share of all
+    // events, as exact integers (top_events / total_events). k =
+    // ceil(0.01·U) from one bounded count; the k heavy users come
+    // from a TakeOrdered over per-user counts (ties to smaller id).
+    "x_power_users" -> ((s, d) => {
+      val per = events(s, d).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      val u = per.count()
+      val k = math.max(1L, math.ceil(0.01 * u).toLong)
+      val top = per.orderBy(col("n").desc, col("user_id").asc).limit(k.toInt)
+      top.agg(sum(col("n")).as("top_events"))
+        .select(lit(u).as("n_users"), lit(k).as("k"), col("top_events"))
+        .crossJoin(broadcast(
+          per.agg(sum(col("n")).as("total_events"))))
+    }),
+
     // 7-day rolling distinct users (WAU) per day: each (user, day)
     // activity row CONTRIBUTES to the next 7 report days (in-row
     // sequence explode — a bounded 7× expansion), then one distinct
@@ -6524,6 +6559,34 @@ object Queries {
         |SELECT CAST(count(*) AS BIGINT) AS n_shared,
         |  CAST(200 - count(*) AS BIGINT) AS n_union
         |FROM va JOIN vb USING (token)""".stripMargin,
+
+    "x_churn" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    datediff('day', DATE '1970-01-01',
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) // 7 AS week
+        |  FROM events)
+        |SELECT CAST(a.week AS BIGINT) AS week, count(*) AS n_active,
+        |  CAST(sum(CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_churned
+        |FROM uw a LEFT JOIN uw b
+        |  ON a.user_id = b.user_id AND b.week = a.week + 1
+        |GROUP BY 1""".stripMargin,
+
+    // k = greatest(1, ceil(0.01*U)); ties to smaller user_id
+    "x_power_users" ->
+      """WITH per AS (
+        |  SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+        |u AS (SELECT count(*) AS u, CAST(sum(n) AS BIGINT) AS total FROM per),
+        |top AS (
+        |  SELECT n FROM per, u
+        |  ORDER BY n DESC, user_id ASC
+        |  LIMIT (SELECT greatest(1, CAST(ceil(CAST(0.01 AS DOUBLE) * u) AS BIGINT)) FROM u))
+        |SELECT u.u AS n_users,
+        |  greatest(1, CAST(ceil(CAST(0.01 AS DOUBLE) * u.u) AS BIGINT)) AS k,
+        |  (SELECT CAST(sum(n) AS BIGINT) FROM top) AS top_events,
+        |  u.total AS total_events
+        |FROM u""".stripMargin,
 
     "x_rolling_wau" ->
       """WITH ud AS (
