@@ -1347,6 +1347,15 @@ object Queries {
         .withColumn("delta", col("n") - col("prev_n"))
     }),
 
+    // Behavioral breadth: distinct event types per user → histogram
+    // — the engagement-depth view next to x_type_affinity's pair
+    // counts.
+    "x_type_diversity" -> ((s, d) =>
+      events(s, d)
+        .select(col("user_id"), col("event_type")).distinct()
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_types"))
+        .groupBy(col("n_types")).agg(count(lit(1)).as("n_users"))),
+
     // Weekly churn: per week, active users and how many are ABSENT
     // the following week — the loss-side companion to x_user_growth's
     // new-user counts (the final week churns fully by construction:
@@ -2891,6 +2900,29 @@ object Queries {
           coalesce(sum(when(col("n") < 5, col("n"))), lit(0L))
             .as("n_docs_in_small"))
     }),
+
+    // Prefix-blocking collision profile: 50-char text-prefix group
+    // sizes — the cheap near-exact-dup blocking key's selectivity
+    // (how many candidates a prefix block would generate), read
+    // before choosing it over shingle blocking.
+    "x_prefix_groups" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy(substring(col("text"), 1, 50).as("__p"))
+        .agg(count(lit(1)).as("group_size"))
+        .groupBy(col("group_size")).agg(count(lit(1)).as("n_groups"))),
+
+    // Hapax legomena per language: distinct tokens vs once-occurring
+    // tokens — the lexical-richness audit (a shrinking hapax share
+    // under corpus growth is the classic mark of boilerplate
+    // flooding).
+    "x_hapax" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("__c"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_distinct_tokens"),
+          sum(when(col("__c") === 1, 1L).otherwise(0L)).as("n_hapax"))),
 
     // Intra-doc line dedup stats: lines vs first-occurrence-distinct
     // lines per doc (the boilerplate-line-removal transform's
@@ -6705,6 +6737,31 @@ object Queries {
         |SELECT doc_id, logit,
         |  CASE WHEN logit >= 0.0 THEN 1 ELSE 0 END AS keep_flag
         |FROM scored""".stripMargin,
+
+    "x_prefix_groups" ->
+      """WITH g AS (
+        |  SELECT substring(text, 1, 50) AS p, count(*) AS group_size
+        |  FROM documents GROUP BY 1)
+        |SELECT CAST(group_size AS BIGINT) AS group_size,
+        |  count(*) AS n_groups
+        |FROM g GROUP BY 1""".stripMargin,
+
+    "x_hapax" ->
+      """WITH tc AS (
+        |  SELECT lang, t, count(*) AS c
+        |  FROM (SELECT lang, unnest(list_filter(
+        |          string_split_regex(trim(text), '\s+'), x -> x <> '')) AS t
+        |        FROM documents)
+        |  GROUP BY 1, 2)
+        |SELECT lang, count(*) AS n_distinct_tokens,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+        |FROM tc GROUP BY 1""".stripMargin,
+
+    "x_type_diversity" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |c AS (SELECT user_id, count(*) AS n_types FROM ut GROUP BY 1)
+        |SELECT CAST(n_types AS BIGINT) AS n_types, count(*) AS n_users
+        |FROM c GROUP BY 1""".stripMargin,
 
     "x_dedup_lines" ->
       """SELECT doc_id,
