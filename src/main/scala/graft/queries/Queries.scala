@@ -2234,6 +2234,25 @@ object Queries {
     // eval every ANN deployment gates on. Integer (hits, k) per
     // query; the IVF side replays the committed corpus-keyed golden,
     // the exact side is the same brute-force rank SQL as x_knn_graph.
+    // ANN tuning curve: recall@10 at nProbe 2/4/8 against the live
+    // exact top-k — the probes-vs-recall trade a 100 TB deployment
+    // reads before fixing nProbe (each probe level scans
+    // nProbe/nlist of the corpus). Exact side computed once.
+    "x_ann_probe_sweep" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val exact = Similarity.batchTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qv", k = 10)
+      Seq(2, 4, 8).map { p =>
+        val ann = graft.operators.Ivf.ivfTopK(emb, "vec_id", "embedding",
+          queries, "qid", "qv", k = 10, nlist = 64, nProbe = p)
+        Similarity.recallAtK(ann, exact)
+          .select(lit(p.toLong).as("n_probe"), col("query_id"),
+            col("n_hits"), col("k"))
+      }.reduce(_.unionAll(_))
+    }),
+
     "x_ann_recall" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val queries = emb.filter(col("vec_id") < 5)
@@ -5430,6 +5449,33 @@ object Queries {
         |SELECT cell, pos, id
         |FROM read_parquet('/root/repo/tools/golden/diversity_sample.parquet') g, ck
         |WHERE g.corpus_key = ck.k""".stripMargin,
+
+    // IVF side per probe level = the corpus-keyed sweep golden; exact
+    // side = the live brute-force rank SQL (as x_ann_recall)
+    "x_ann_probe_sweep" ->
+      """WITH ck AS (SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 281474976710656) AS BIGINT)) AS BIGINT) AS k FROM embeddings),
+        |g AS (
+        |  SELECT n_probe, query_id, id
+        |  FROM read_parquet('/root/repo/tools/golden/ivf_probe_sweep.parquet') gg, ck
+        |  WHERE gg.corpus_key = ck.k),
+        |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id AS id,
+        |         list_cosine_similarity(e.embedding, q.qv) AS c
+        |  FROM embeddings e CROSS JOIN q),
+        |ranked AS (
+        |  SELECT qid, id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY c DESC, id ASC) AS rn
+        |  FROM scored),
+        |ex AS (SELECT qid, id FROM ranked WHERE rn <= 10),
+        |probes AS (SELECT DISTINCT n_probe FROM g)
+        |SELECT p.n_probe, ex.qid AS query_id,
+        |  CAST(count(g.id) AS BIGINT) AS n_hits,
+        |  count(*) AS k
+        |FROM probes p CROSS JOIN ex
+        |LEFT JOIN g ON g.n_probe = p.n_probe
+        |  AND g.query_id = ex.qid AND g.id = ex.id
+        |GROUP BY 1, 2""".stripMargin,
 
     // IVF side = the corpus-keyed golden replay (same as x_ann_ivf);
     // exact side = the x_knn_graph brute-force rank SQL with self

@@ -313,6 +313,15 @@ def cosine(a, b):
     return 0.0 if denom == 0.0 else dot / denom
 
 
+def ivf_probe_sweep(vecs, probes=(2, 4, 8), k=10, nlist=64):
+    """ivf_topk at several nProbe settings: (n_probe, qid, id, rank)."""
+    out = []
+    for p in probes:
+        for qid, vid, rank in ivf_topk(vecs, k=k, nlist=nlist, n_probe=p):
+            out.append((p, qid, vid, rank))
+    return out
+
+
 def ivf_topk(vecs, k=10, nlist=64, n_probe=8):
     by_hash = sorted(
         (vid for vid, v in vecs.items() if v),
@@ -357,6 +366,7 @@ def diversity_sample(vecs, nlist=64, per_cell=3):
 
 
 sim_rows, ivf_rows, div_rows, mh_rows, mh16_rows, mhh_rows = [], [], [], [], [], []
+sweep_rows = []
 for sf in SFS:
     docs = dict(
         duckdb.sql(
@@ -383,6 +393,8 @@ for sf in SFS:
     emb_key = sum(math.floor(v[0] * float(1 << 48)) for v in vecs.values())
     topk = ivf_topk(vecs)
     ivf_rows += [(emb_key, q, i, r) for q, i, r in topk]
+    sweep_rows += [(emb_key, p, q, i, r)
+                   for p, q, i, r in ivf_probe_sweep(vecs)]
     div = diversity_sample(vecs)
     div_rows += [(emb_key, c, p, i) for c, p, i in div]
     print(f"sf{sf}: doc_key={doc_key} ({len(pairs)} simhash pairs, "
@@ -454,5 +466,17 @@ pq.write_table(
     ),
     "tools/golden/minhash_bucket_hist.parquet",
 )
+pq.write_table(
+    pa.table(
+        {
+            "corpus_key": pa.array([r[0] for r in sweep_rows], pa.int64()),
+            "n_probe": pa.array([r[1] for r in sweep_rows], pa.int64()),
+            "query_id": pa.array([r[2] for r in sweep_rows], pa.int64()),
+            "id": pa.array([r[3] for r in sweep_rows], pa.int64()),
+            "rank": pa.array([r[4] for r in sweep_rows], pa.int32()),
+        }
+    ),
+    "tools/golden/ivf_probe_sweep.parquet",
+)
 print("wrote tools/golden/{simhash_pairs,minhash_est_pairs[16],"
-      "minhash_bucket_hist,ivf_topk,diversity_sample}.parquet")
+      "minhash_bucket_hist,ivf_topk,ivf_probe_sweep,diversity_sample}.parquet")
