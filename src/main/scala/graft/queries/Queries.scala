@@ -2234,6 +2234,20 @@ object Queries {
     // eval every ANN deployment gates on. Integer (hits, k) per
     // query; the IVF side replays the committed corpus-keyed golden,
     // the exact side is the same brute-force rank SQL as x_knn_graph.
+    // IVF cell-population histogram: the partition-balance read
+    // before a `partitionBy(cell)` index layout (a giant cell defeats
+    // probe pruning; many empty cells waste list overhead) — the IVF
+    // counterpart of x_minhash_bucket_hist. Verified against the
+    // kernel-replay golden.
+    "x_ivf_cell_hist" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val idx = graft.operators.Ivf.buildIndex(emb, "vec_id", "embedding",
+        nlist = 64)
+      graft.operators.Ivf.assign(emb, "embedding", idx)
+        .groupBy(col("cell")).agg(count(lit(1)).as("cell_size"))
+        .groupBy(col("cell_size")).agg(count(lit(1)).as("n_cells"))
+    }),
+
     // ANN tuning curve: recall@10 at nProbe 2/4/8 against the live
     // exact top-k — the probes-vs-recall trade a 100 TB deployment
     // reads before fixing nProbe (each probe level scans
@@ -5448,6 +5462,12 @@ object Queries {
       """WITH ck AS (SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 281474976710656) AS BIGINT)) AS BIGINT) AS k FROM embeddings)
         |SELECT cell, pos, id
         |FROM read_parquet('/root/repo/tools/golden/diversity_sample.parquet') g, ck
+        |WHERE g.corpus_key = ck.k""".stripMargin,
+
+    "x_ivf_cell_hist" ->
+      """WITH ck AS (SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 281474976710656) AS BIGINT)) AS BIGINT) AS k FROM embeddings)
+        |SELECT cell_size, n_cells
+        |FROM read_parquet('/root/repo/tools/golden/ivf_cell_hist.parquet') g, ck
         |WHERE g.corpus_key = ck.k""".stripMargin,
 
     // IVF side per probe level = the corpus-keyed sweep golden; exact

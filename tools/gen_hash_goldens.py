@@ -343,6 +343,23 @@ def ivf_topk(vecs, k=10, nlist=64, n_probe=8):
 
 # ---------------------------------------------------------------------
 
+def ivf_cell_hist(vecs, nlist=64):
+    """Replay of Ivf.assign cell populations: cell_size -> n_cells."""
+    by_hash = sorted(
+        (vid for vid, v in vecs.items() if v),
+        key=lambda vid: signed64(xxh64_long(vid, 42)),
+    )
+    centroids = [vecs[vid] for vid in by_hash[:nlist]]
+    sizes = {}
+    for v in vecs.values():
+        c = nearest_centroids(v, centroids, 1)[0]
+        sizes[c] = sizes.get(c, 0) + 1
+    hist = {}
+    for sz in sizes.values():
+        hist[sz] = hist.get(sz, 0) + 1
+    return sorted(hist.items())
+
+
 def diversity_sample(vecs, nlist=64, per_cell=3):
     """Replay of Ivf.diversitySample: hash-sampled centroids (same as
     ivf_topk), nearest-cell assignment, per-cell keep of the per_cell
@@ -366,7 +383,7 @@ def diversity_sample(vecs, nlist=64, per_cell=3):
 
 
 sim_rows, ivf_rows, div_rows, mh_rows, mh16_rows, mhh_rows = [], [], [], [], [], []
-sweep_rows = []
+sweep_rows, cell_rows = [], []
 for sf in SFS:
     docs = dict(
         duckdb.sql(
@@ -397,6 +414,7 @@ for sf in SFS:
                    for p, q, i, r in ivf_probe_sweep(vecs)]
     div = diversity_sample(vecs)
     div_rows += [(emb_key, c, p, i) for c, p, i in div]
+    cell_rows += [(emb_key, sz, nc) for sz, nc in ivf_cell_hist(vecs)]
     print(f"sf{sf}: doc_key={doc_key} ({len(pairs)} simhash pairs, "
           f"{len(mh)} minhash est pairs), "
           f"emb_key={emb_key} ({len(topk)} ivf rows, {len(div)} diversity rows)")
@@ -478,5 +496,16 @@ pq.write_table(
     ),
     "tools/golden/ivf_probe_sweep.parquet",
 )
+pq.write_table(
+    pa.table(
+        {
+            "corpus_key": pa.array([r[0] for r in cell_rows], pa.int64()),
+            "cell_size": pa.array([r[1] for r in cell_rows], pa.int64()),
+            "n_cells": pa.array([r[2] for r in cell_rows], pa.int64()),
+        }
+    ),
+    "tools/golden/ivf_cell_hist.parquet",
+)
 print("wrote tools/golden/{simhash_pairs,minhash_est_pairs[16],"
-      "minhash_bucket_hist,ivf_topk,ivf_probe_sweep,diversity_sample}.parquet")
+      "minhash_bucket_hist,ivf_topk,ivf_probe_sweep,ivf_cell_hist,"
+      "diversity_sample}.parquet")
