@@ -927,6 +927,25 @@ object Queries {
     // over a user-partitioned window — state bounded per user).
     "x_sessionize" -> ((s, d) => sessionFrame(s, d)),
 
+    // Sessions-per-user histogram off the shared sessionized frame —
+    // the cadence view next to x_session_stats' one-row summary.
+    "x_sessions_per_user_hist" -> ((s, d) =>
+      sessionFrame(s, d)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_sessions"))
+        .groupBy(col("n_sessions")).agg(count(lit(1)).as("n_users"))),
+
+    // Null/NaN incidence per event type: the column-health profile a
+    // pipeline owner reads before trusting `value` aggregates (NaN
+    // poisons sums silently; the exact-stats family here filters both
+    // explicitly — this entry quantifies what those filters drop).
+    "x_null_rates" -> ((s, d) =>
+      events(s, d).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null_value"),
+          sum(when(col("value").isNotNull && isnan(col("value")), 1L)
+            .otherwise(0L)).as("n_nan_value"),
+          sum(when(col("props").isNull, 1L).otherwise(0L)).as("n_null_props"))),
+
     // One-row session summary off the same sessionized frame; the p50
     // session length is the exact order statistic via the narrowing
     // selector (|sessions| input, bounded driver state).
@@ -6657,6 +6676,32 @@ object Queries {
         |SELECT CAST(count(*) AS BIGINT) AS n_shared,
         |  CAST(200 - count(*) AS BIGINT) AS n_union
         |FROM va JOIN vb USING (token)""".stripMargin,
+
+    // session starts = gap null/>30min; sessions per user → histogram
+    "x_sessions_per_user_hist" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) -
+        |      lag(epoch_us(CAST(ts AS TIMESTAMP)))
+        |        OVER (PARTITION BY user_id ORDER BY ts) AS gap
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
+        |      AS n_sessions
+        |  FROM g GROUP BY 1)
+        |SELECT CAST(n_sessions AS BIGINT) AS n_sessions, count(*) AS n_users
+        |FROM c GROUP BY 1""".stripMargin,
+
+    "x_null_rates" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null_value,
+        |  CAST(sum(CASE WHEN value IS NOT NULL AND isnan(value)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_nan_value,
+        |  CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null_props
+        |FROM events GROUP BY 1""".stripMargin,
 
     "x_churn" ->
       """WITH uw AS (
