@@ -1330,6 +1330,14 @@ object Queries {
       graft.operators.Upsert.stateIntervals(
         events(s, d), "user_id", "ts_utc", "event_type", "event_id")),
 
+    // Current-state snapshot off the SCD2 history — the most common
+    // SCD2 read (WHERE valid_to IS OPEN), rolled up per state.
+    "x_scd2_current" -> ((s, d) =>
+      graft.operators.Upsert.stateIntervals(
+          events(s, d), "user_id", "ts_utc", "event_type", "event_id")
+        .filter(col("valid_to_us") === -1L)
+        .groupBy(col("state")).agg(count(lit(1)).as("n_users"))),
+
     // RFM segmentation: per-user recency/frequency/monetary + exact
     // rank-bucket quintile scores (rank*5 div n + 1 over the
     // deterministic (metric, key) order — never an ntile window).
@@ -4870,6 +4878,26 @@ object Queries {
         |  coalesce(lead(t) OVER (
         |    PARTITION BY user_id ORDER BY t, event_id), -1) AS valid_to_us
         |FROM chg""".stripMargin,
+
+    // open intervals only (no lead), per state
+    "x_scd2_current" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_id
+        |  FROM events),
+        |c AS (
+        |  SELECT *, lag(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY t, event_id) AS prev
+        |  FROM e),
+        |chg AS (
+        |  SELECT user_id, event_type, t, event_id FROM c
+        |  WHERE prev IS NULL OR prev <> event_type),
+        |iv AS (
+        |  SELECT user_id, event_type AS state,
+        |    lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS nxt
+        |  FROM chg)
+        |SELECT state, count(*) AS n_users
+        |FROM iv WHERE nxt IS NULL GROUP BY 1""".stripMargin,
 
     // dense 6-hour bucket grid via generate_series over the corpus
     // span, left-joined onto the counts; gaps are explicit zeros
