@@ -742,6 +742,84 @@ object Queries {
             .cast(DoubleType).as("revenue"),
           count(lit(1)).as("n_lines"))),
 
+    // TPC-H Q10 shape: returned-item revenue — top-20 customers by
+    // lost revenue across a 3-table join. The 2-dec × 2-dec product
+    // is fully represented at DECIMAL scale 4 (the q6 idiom), so the
+    // per-customer sum is order-independent; top-k is a TakeOrdered
+    // over the |customers|-bounded aggregate, and the 20-row winner
+    // frame broadcasts back for the name column.
+    "q10_returns" -> ((s, d) => {
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val rev = t(s, d, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(
+          dec4(sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))))
+            .as("__rev"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("__rev").desc, col("o_custkey").asc)
+        .limit(20)
+      t(s, d, "customer").select(col("c_custkey"), col("c_name"))
+        .join(broadcast(rev), col("c_custkey") === col("o_custkey"))
+        .select(col("c_custkey"), col("c_name"),
+          col("__rev").cast(DoubleType).as("revenue"), col("n_lines"))
+    }),
+
+    // TPC-H Q18 shape: large-volume orders — HAVING over the fact
+    // aggregate, then a join back to order detail. The quantity
+    // filter runs on the |orders|-bounded aggregate BEFORE any join,
+    // so the join input is the ~0.1% qualifying set, never the fact.
+    "q18_big_orders" -> ((s, d) => {
+      val big = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(dec(sum(dec(col("l_quantity")))).as("__q"))
+        .filter(col("__q") > 300)
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("__q").cast(DoubleType).as("sum_qty"))
+    }),
+
+    // Order-to-ship latency histogram: whole WEEKS between the order
+    // date and each line's ship date, per order priority — the SLA
+    // distribution over the orders⋈lineitem join. Pure integer day
+    // arithmetic (synthetic ship dates are uncorrelated with order
+    // dates, so the spread is wide — the week grain keeps the output
+    // priority × ~700 rows). Fact joins on the order key once.
+    "x_ship_latency" -> ((s, d) => {
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"),
+        expr("datediff(to_date(o_orderdate), date '1970-01-01')").as("__od"))
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"),
+          expr("datediff(to_date(l_shipdate), date '1970-01-01')").as("__sd"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          floor((col("__sd") - col("__od")) / lit(7.0)).cast(LongType)
+            .as("lat_weeks"))
+        .groupBy(col("o_orderpriority"), col("lat_weeks"))
+        .agg(count(lit(1)).as("n_lines"))
+    }),
+
+    // Exact correlation moments of (extendedprice, quantity) per
+    // return flag: n, Σx, Σy, Σxy as scaled integers (cents ×
+    // hundredths) — Pearson's numerator n·Σxy − Σx·Σy is computable
+    // downstream with zero float drift (Σxy ≤ 5e10/row · 6e5 rows,
+    // comfortably inside BIGINT). One map-side-combined agg.
+    "x_price_qty_moments" -> ((s, d) => {
+      val x = (dec(col("l_extendedprice")) * 100).cast(LongType)
+      val y = (dec(col("l_quantity")) * 100).cast(LongType)
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"), x.as("__x"), y.as("__y"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("__x")).as("sum_price_cents"),
+          sum(col("__y")).as("sum_qty_hundredths"),
+          sum(col("__x") * col("__y")).as("sum_xy"))
+    }),
+
     // Weekly active/new user growth: distinct (user, week) pairs, each
     // user's first week from an algebraic min, then one count per
     // week — the audience-growth view next to x_retention's cohort
@@ -1437,6 +1515,43 @@ object Queries {
         .agg(countDistinct(col("user_id")).as("wau"))
         .select(col("rday").as("day"), col("wau"))
     }),
+
+    // DAU and 28-day MAU per day — the two exact integer legs of the
+    // stickiness ratio (DAU/MAU), the engagement KPI read next to
+    // x_rolling_wau's weekly grain. Same in-row sequence-explode
+    // idiom (bounded 28× expansion of the distinct (user, day)
+    // frame); no range join, no 28-day rescans.
+    "x_stickiness" -> ((s, d) => {
+      val ud = events(s, d)
+        .select(col("user_id"),
+          expr("datediff(to_date(ts_utc), date '1970-01-01')")
+            .cast(LongType).as("day"))
+        .distinct()
+      val days = ud.select(col("day")).distinct()
+      val dau = ud.groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+      val mau = ud.select(col("user_id"),
+          explode(expr("sequence(day, day + 27)")).as("rday"))
+        .join(broadcast(days.select(col("day").as("rday"))), "rday")
+        .groupBy(col("rday"))
+        .agg(countDistinct(col("user_id")).as("mau28"))
+      dau.join(mau, col("day") === col("rday"))
+        .select(col("day"), col("dau"), col("mau28"))
+    }),
+
+    // Weekly-rhythm heatmap at the HOURLY grain: (epoch-day mod 7,
+    // UTC hour) event counts — x_dow_profile's finer companion for
+    // load shaping and batch-window placement. The hour comes from
+    // pure epoch-µs arithmetic, so there are no session-timezone
+    // semantics to replay in the oracle. One shuffle; ≤ 7×24 rows.
+    "x_hour_heatmap" -> ((s, d) =>
+      events(s, d)
+        .groupBy(
+          expr("datediff(to_date(ts_utc), date '1970-01-01') % 7")
+            .cast(LongType).as("dow_idx"),
+          expr("(unix_micros(ts_utc) div 3600000000) % 24")
+            .cast(LongType).as("hour_utc"))
+        .agg(count(lit(1)).as("n_events"))),
 
     // Activity distribution: events-per-user histogram — the state-
     // sizing view for every per-user stateful operator (sessionize,
@@ -3752,6 +3867,52 @@ object Queries {
         |WHERE CAST(l_shipdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01'
         |  AND CAST(l_shipdate AS TIMESTAMP) < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q10_returns" ->
+      """WITH r AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+        |      AS DECIMAL(18,4)) AS rev,
+        |    count(*) AS n_lines
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |  GROUP BY 1 ORDER BY rev DESC, o_custkey ASC LIMIT 20)
+        |SELECT c.c_custkey, c.c_name, CAST(r.rev AS DOUBLE) AS revenue,
+        |  CAST(r.n_lines AS BIGINT) AS n_lines
+        |FROM customer c JOIN r ON c.c_custkey = r.o_custkey""".stripMargin,
+
+    "q18_big_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS q
+        |  FROM lineitem GROUP BY 1
+        |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) > 300)
+        |SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CAST(q AS DOUBLE) AS sum_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey""".stripMargin,
+
+    "x_ship_latency" ->
+      """SELECT o_orderpriority,
+        |  CAST(floor((datediff('day', DATE '1970-01-01',
+        |      CAST(CAST(l_shipdate AS TIMESTAMP) AS DATE))
+        |    - datediff('day', DATE '1970-01-01',
+        |      CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE))) / 7.0) AS BIGINT)
+        |    AS lat_weeks,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "x_price_qty_moments" ->
+      """WITH v AS (
+        |  SELECT l_returnflag,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        |  FROM lineitem)
+        |SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sum_price_cents,
+        |  CAST(sum(y) AS BIGINT) AS sum_qty_hundredths,
+        |  CAST(sum(x * y) AS BIGINT) AS sum_xy
+        |FROM v GROUP BY 1""".stripMargin,
 
     "x_user_growth" ->
       """WITH uw AS (
@@ -6772,6 +6933,32 @@ object Queries {
         |SELECT CAST(rday AS BIGINT) AS day,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS wau
         |FROM c GROUP BY 1""".stripMargin,
+
+    "x_stickiness" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |    datediff('day', DATE '1970-01-01',
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day
+        |  FROM events),
+        |days AS (SELECT DISTINCT day FROM ud),
+        |dau AS (
+        |  SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1),
+        |mau AS (
+        |  SELECT d2.day AS rday, count(DISTINCT ud.user_id) AS mau28
+        |  FROM ud JOIN days d2 ON d2.day BETWEEN ud.day AND ud.day + 27
+        |  GROUP BY 1)
+        |SELECT CAST(dau.day AS BIGINT) AS day, CAST(dau.dau AS BIGINT) AS dau,
+        |  CAST(mau.mau28 AS BIGINT) AS mau28
+        |FROM dau JOIN mau ON dau.day = mau.rday""".stripMargin,
+
+    "x_hour_heatmap" ->
+      """SELECT
+        |  CAST(datediff('day', DATE '1970-01-01',
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE)) % 7 AS BIGINT) AS dow_idx,
+        |  CAST((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS BIGINT)
+        |    AS hour_utc,
+        |  count(*) AS n_events
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     // same exact-KS construction as x_ks_drift, over document lengths
     // split by even/odd source index

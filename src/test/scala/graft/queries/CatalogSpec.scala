@@ -34,4 +34,35 @@ class CatalogSpec extends SparkTestBase {
     assert(sweep30(30L) == sessions,
       s"closed form ${sweep30(30L)} != sessionized $sessions")
   }
+
+  test("stickiness legs nest: dau <= wau <= mau28 on every report day") {
+    // three independent rolling-distinct computations over the same
+    // (user, day) frame must nest set-theoretically
+    val wau = SparkEntry.queries("x_rolling_wau")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val st = SparkEntry.queries("x_stickiness")(spark, sfDir).collect()
+    assert(st.nonEmpty)
+    st.foreach { r =>
+      val (day, dau, mau) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(dau <= wau(day), s"day $day: dau $dau > wau ${wau(day)}")
+      assert(wau(day) <= mau, s"day $day: wau ${wau(day)} > mau28 $mau")
+    }
+  }
+
+  test("hourly heatmap and ship-latency histogram conserve row counts") {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet").count()
+    val heat = SparkEntry.queries("x_hour_heatmap")(spark, sfDir)
+      .collect()
+    assert(heat.map(_.getLong(2)).sum == ev)
+    assert(heat.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 7
+      && r.getLong(1) >= 0 && r.getLong(1) < 24))
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    val lat = SparkEntry.queries("x_ship_latency")(spark, sfDir).collect()
+    assert(lat.map(_.getLong(2)).sum == li)
+  }
+
+  test("q18 returns only orders above the quantity threshold") {
+    val rows = SparkEntry.queries("q18_big_orders")(spark, sfDir).collect()
+    assert(rows.forall(_.getDouble(3) > 300.0))
+  }
 }
