@@ -1294,6 +1294,48 @@ object Queries {
         events(s, d), "ts_utc", "user_id",
         cohortFilter = col("event_type") === "signup")),
 
+    // Day-k retention curve (k = 1, 7, 28): of all users, how many
+    // were active again EXACTLY k days after their first-ever day —
+    // x_retention's cohort matrix collapsed to the three canonical
+    // checkpoints. First day per user is an algebraic min; the three
+    // probes are one semi-join of (user, first+k) against the
+    // distinct-activity frame — never a per-k rescan of the stream.
+    "x_retention_curve" -> ((s, d) => {
+      val ud = events(s, d)
+        .select(col("user_id"),
+          expr("datediff(to_date(ts_utc), date '1970-01-01')")
+            .cast(LongType).as("day"))
+        .distinct()
+      val first = ud.groupBy(col("user_id")).agg(min(col("day")).as("f"))
+      val nUsers = first.count()
+      first.select(col("user_id"),
+          explode(expr("array(1L, 7L, 28L)")).as("k"), col("f"))
+        .select(col("user_id"), col("k"), (col("f") + col("k")).as("day"))
+        .join(ud, Seq("user_id", "day"), "left_semi")
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_retained"))
+        .select(col("k"), lit(nUsers).as("n_users"), col("n_retained"))
+    }),
+
+    // Near-zero-variance screen over event values: per event type,
+    // row count, distinct values, and the modal value with its count
+    // (null/NaN measurements excluded — the incidence entry profiles
+    // those). A feature whose top value carries almost all the mass
+    // is dropped before any model sees it. Two map-side-combined
+    // aggs + one max-struct; no window anywhere.
+    "x_near_zero_variance" -> ((s, d) => {
+      val v = events(s, d)
+        .filter(col("value").isNotNull && !isnan(col("value")))
+        .groupBy(col("event_type"), col("value"))
+        .agg(count(lit(1)).as("n"))
+      v.groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n_rows"),
+          count(lit(1)).as("n_distinct"),
+          max(struct(col("n"), (-col("value")).as("nv"))).as("m"))
+        .select(col("event_type"), col("n_rows"), col("n_distinct"),
+          (-col("m.nv")).as("top_value"), col("m.n").as("top_n"))
+    }),
+
     // Conversion funnel view→click→purchase with a 24h completion
     // window: greedy-earliest strict chain per user, pure integer-µs
     // comparisons. 14/150 users convert at sf0.01 — the flag is
@@ -2390,6 +2432,28 @@ object Queries {
         .groupBy(col("cell_size")).agg(count(lit(1)).as("n_cells"))
     }),
 
+    // Index-vs-label alignment audit: per IVF cell, total vectors and
+    // the majority label with its count — how well the coarse
+    // quantizer's geometry lines up with the supervised labels (low
+    // purity = cells mix classes; fine for ANN recall, a red flag if
+    // cells were about to be reused as cheap pseudo-labels).
+    // Max-struct majority (ties to the smaller label); everything
+    // after the assign kernel is bounded by nlist × |labels|.
+    "x_ivf_label_purity" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val idx = graft.operators.Ivf.buildIndex(emb, "vec_id", "embedding",
+        nlist = 64)
+      graft.operators.Ivf.assign(emb, "embedding", idx)
+        .groupBy(col("cell").cast(LongType).as("cell"),
+          col("label").cast(LongType).as("label"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("cell"))
+        .agg(sum(col("n")).as("n_vecs"),
+          max(struct(col("n"), (-col("label")).as("nl"))).as("m"))
+        .select(col("cell"), col("n_vecs"),
+          (-col("m.nl")).as("top_label"), col("m.n").as("top_label_n"))
+    }),
+
     // ANN tuning curve: recall@10 at nProbe 2/4/8 against the live
     // exact top-k — the probes-vs-recall trade a 100 TB deployment
     // reads before fixing nProbe (each probe level scans
@@ -2597,6 +2661,18 @@ object Queries {
         TextAnalysis.markerHits(TextAnalysis.tokens(lower(col("text"))),
           TextAnalysis.stopwordsEn).as("n_stopwords"))
     }),
+
+    // Token budget table per source: docs and whitespace tokens — the
+    // first table of any mixture plan (how many tokens each source can
+    // contribute before it starts repeating). Null-text docs count as
+    // docs but contribute no tokens on either side. One map-side-
+    // combined agg over the codegen'd token-count kernel.
+    "x_tokens_per_source" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast(LongType))
+            .as("n_tokens"))),
 
     // Vocabulary building: top-100 corpus tokens by frequency with a
     // deterministic tie-break — map-side-combined hash agg plus a
@@ -5678,6 +5754,23 @@ object Queries {
         |FROM read_parquet('/root/repo/tools/golden/ivf_cell_hist.parquet') g, ck
         |WHERE g.corpus_key = ck.k""".stripMargin,
 
+    "x_ivf_label_purity" ->
+      """WITH ck AS (SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 281474976710656) AS BIGINT)) AS BIGINT) AS k FROM embeddings),
+        |a AS (
+        |  SELECT g.cell, e.label
+        |  FROM read_parquet('/root/repo/tools/golden/ivf_cells.parquet') g, ck,
+        |    embeddings e
+        |  WHERE g.corpus_key = ck.k AND g.vec_id = e.vec_id),
+        |c AS (SELECT cell, label, count(*) AS n FROM a GROUP BY 1, 2),
+        |r AS (SELECT cell, label, n,
+        |        row_number() OVER (PARTITION BY cell ORDER BY n DESC, label ASC)
+        |          AS rn,
+        |        sum(n) OVER (PARTITION BY cell) AS tot
+        |      FROM c)
+        |SELECT CAST(cell AS BIGINT) AS cell, CAST(tot AS BIGINT) AS n_vecs,
+        |  CAST(label AS BIGINT) AS top_label, CAST(n AS BIGINT) AS top_label_n
+        |FROM r WHERE rn = 1""".stripMargin,
+
     // IVF side per probe level = the corpus-keyed sweep golden; exact
     // side = the live brute-force rank SQL (as x_ann_recall)
     "x_ann_probe_sweep" ->
@@ -6434,6 +6527,13 @@ object Queries {
         |  AS n_stopwords
         |FROM documents""".stripMargin,
 
+    "x_tokens_per_source" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN trim(text) = '' THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT)
+        |    AS n_tokens
+        |FROM documents GROUP BY 1""".stripMargin,
+
     // chunk count = 1 + ceil(max(0, m-size)/stride) in INTEGER math
     // (the kernel's emission rule: last chunk is the one reaching the
     // final token); DuckDB list slices are 1-based inclusive
@@ -6950,6 +7050,41 @@ object Queries {
         |SELECT CAST(dau.day AS BIGINT) AS day, CAST(dau.dau AS BIGINT) AS dau,
         |  CAST(mau.mau28 AS BIGINT) AS mau28
         |FROM dau JOIN mau ON dau.day = mau.rday""".stripMargin,
+
+    "x_retention_curve" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |    datediff('day', DATE '1970-01-01',
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day
+        |  FROM events),
+        |f AS (SELECT user_id, min(day) AS f FROM ud GROUP BY 1),
+        |n AS (SELECT count(*) AS n_users FROM f),
+        |ks AS (SELECT unnest([1, 7, 28]) AS k),
+        |p AS (SELECT f.user_id, ks.k, f.f + ks.k AS day FROM f CROSS JOIN ks),
+        |r AS (
+        |  SELECT p.k, count(*) AS n_retained FROM p
+        |  WHERE EXISTS (SELECT 1 FROM ud
+        |                WHERE ud.user_id = p.user_id AND ud.day = p.day)
+        |  GROUP BY 1)
+        |SELECT CAST(r.k AS BIGINT) AS k, CAST(n.n_users AS BIGINT) AS n_users,
+        |  CAST(r.n_retained AS BIGINT) AS n_retained
+        |FROM r, n""".stripMargin,
+
+    "x_near_zero_variance" ->
+      """WITH v AS (
+        |  SELECT event_type, value, count(*) AS n FROM events
+        |  WHERE value IS NOT NULL AND NOT isnan(value)
+        |  GROUP BY 1, 2),
+        |r AS (SELECT event_type, value, n,
+        |        row_number() OVER (PARTITION BY event_type
+        |          ORDER BY n DESC, value ASC) AS rn,
+        |        sum(n) OVER (PARTITION BY event_type) AS n_rows,
+        |        count(*) OVER (PARTITION BY event_type) AS n_distinct
+        |      FROM v)
+        |SELECT event_type, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_distinct AS BIGINT) AS n_distinct,
+        |  value AS top_value, CAST(n AS BIGINT) AS top_n
+        |FROM r WHERE rn = 1""".stripMargin,
 
     "x_hour_heatmap" ->
       """SELECT

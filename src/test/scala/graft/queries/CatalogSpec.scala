@@ -65,4 +65,25 @@ class CatalogSpec extends SparkTestBase {
     val rows = SparkEntry.queries("q18_big_orders")(spark, sfDir).collect()
     assert(rows.forall(_.getDouble(3) > 300.0))
   }
+
+  test("IVF label purity conserves vectors and bounds the majority") {
+    val nVecs = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    val rows = SparkEntry.queries("x_ivf_label_purity")(spark, sfDir).collect()
+    assert(rows.map(_.getLong(1)).sum == nVecs)
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= r.getLong(1),
+        s"cell ${r.getLong(0)}: majority ${r.getLong(3)} outside [1, ${r.getLong(1)}]")
+    }
+  }
+
+  test("retention curve and token budget table are internally consistent") {
+    val rc = SparkEntry.queries("x_retention_curve")(spark, sfDir).collect()
+    assert(rc.forall(r => r.getLong(2) <= r.getLong(1)))
+    val perSource = SparkEntry.queries("x_tokens_per_source")(spark, sfDir)
+      .collect().map(_.getLong(2)).sum
+    val perDoc = SparkEntry.queries("x_text_tokens")(spark, sfDir)
+      .collect().map(r => if (r.isNullAt(1)) 0L else r.getLong(1)).sum
+    assert(perSource == perDoc,
+      s"per-source token total $perSource != per-doc total $perDoc")
+  }
 }

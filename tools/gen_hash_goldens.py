@@ -383,7 +383,7 @@ def diversity_sample(vecs, nlist=64, per_cell=3):
 
 
 sim_rows, ivf_rows, div_rows, mh_rows, mh16_rows, mhh_rows = [], [], [], [], [], []
-sweep_rows, cell_rows = [], []
+sweep_rows, cell_rows, vcell_rows = [], [], []
 for sf in SFS:
     docs = dict(
         duckdb.sql(
@@ -415,6 +415,11 @@ for sf in SFS:
     div = diversity_sample(vecs)
     div_rows += [(emb_key, c, p, i) for c, p, i in div]
     cell_rows += [(emb_key, sz, nc) for sz, nc in ivf_cell_hist(vecs)]
+    by_hash = sorted((vid for vid, v in vecs.items() if v),
+                     key=lambda vid: signed64(xxh64_long(vid, 42)))
+    cents = [vecs[vid] for vid in by_hash[:64]]
+    vcell_rows += [(emb_key, vid, nearest_centroids(v, cents, 1)[0])
+                   for vid, v in vecs.items()]
     print(f"sf{sf}: doc_key={doc_key} ({len(pairs)} simhash pairs, "
           f"{len(mh)} minhash est pairs), "
           f"emb_key={emb_key} ({len(topk)} ivf rows, {len(div)} diversity rows)")
@@ -505,6 +510,16 @@ pq.write_table(
         }
     ),
     "tools/golden/ivf_cell_hist.parquet",
+)
+pq.write_table(
+    pa.table(
+        {
+            "corpus_key": pa.array([r[0] for r in vcell_rows], pa.int64()),
+            "vec_id": pa.array([r[1] for r in vcell_rows], pa.int64()),
+            "cell": pa.array([r[2] for r in vcell_rows], pa.int64()),
+        }
+    ),
+    "tools/golden/ivf_cells.parquet",
 )
 print("wrote tools/golden/{simhash_pairs,minhash_est_pairs[16],"
       "minhash_bucket_hist,ivf_topk,ivf_probe_sweep,ivf_cell_hist,"
