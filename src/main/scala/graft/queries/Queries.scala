@@ -838,6 +838,56 @@ object Queries {
             .as("n_new"))
     }),
 
+    // Cumulative distinct users over time (the total-audience curve):
+    // per-user first day (algebraic min) → per-day new-user counts —
+    // a CALENDAR-bounded frame regardless of corpus size — then the
+    // running total via the x_coverage_curve sorted-array fold (one
+    // collected ≤|days|-row array, O(days²) inside a single row).
+    // No unpartitioned data-proportional window anywhere. Rows appear
+    // on the days the count increases.
+    "x_cumulative_users" -> ((s, d) => {
+      val ud = events(s, d)
+        .select(col("user_id"),
+          expr("datediff(to_date(ts_utc), date '1970-01-01')")
+            .cast(LongType).as("day"))
+        .distinct()
+      ud.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+        .agg(sort_array(collect_list(struct(col("day"), col("n_new"))))
+          .as("xs"))
+        .select(explode(expr(
+          """transform(xs, (x, i) -> named_struct(
+            |  'day', x.day,
+            |  'cum', aggregate(slice(xs, 1, i + 1), 0L, (a, y) -> a + y.n_new)))"""
+            .stripMargin)).as("r"))
+        .select(col("r.day").as("day"), col("r.cum").as("cum_users"))
+    }),
+
+    // Engagement mobility matrix: users bucketed into within-week
+    // activity QUINTILES (exact rank formula (rn−1)·5 div n, ties by
+    // id — never ntile), then week-over-week (from, to) transition
+    // counts. High diagonal mass = stable engagement strata; heavy
+    // off-diagonal churn = volatile usage. The rank window is
+    // week-partitioned over the per-(user, week) aggregate.
+    "x_mobility_matrix" -> ((s, d) => {
+      val wk = expr("datediff(to_date(ts_utc), date '1970-01-01') div 7")
+      val uw = events(s, d)
+        .groupBy(col("user_id"), wk.cast(LongType).as("week"))
+        .agg(count(lit(1)).as("n"))
+      val tw = uw.groupBy(col("week")).agg(count(lit(1)).as("nw"))
+      val w = Window.partitionBy(col("week"))
+        .orderBy(col("n").desc, col("user_id").asc)
+      val b = uw.withColumn("rn", row_number().over(w).cast(LongType))
+        .join(tw, "week")
+        .select(col("user_id"), col("week"),
+          expr("(rn - 1) * 5 div nw + 1").as("bucket"))
+      val prev = b.select(col("user_id"), (col("week") + 1L).as("week"),
+        col("bucket").as("from_bucket"))
+      b.join(prev, Seq("user_id", "week"))
+        .groupBy(col("from_bucket"), col("bucket").as("to_bucket"))
+        .agg(count(lit(1)).as("n_transitions"))
+    }),
+
     // Customer reorder-cadence histogram: whole days between
     // consecutive orders per customer (capped at 180) — the purchase
     // analogue of x_gap_hist. Fully deterministic lag order
@@ -3030,6 +3080,57 @@ object Queries {
         minTokens = 50, maxTokens = 100000,
         minMeanTokLen = 4.0, maxMeanTokLen = 10.0,
         maxTop2Frac = 0.08, maxDupLineFrac = 0.2, minStopHits = 2)
+    }),
+
+    // Filter-bias audit: Gopher rule pass/fail counts PER LANGUAGE —
+    // the table a curator reads before shipping an English-tuned
+    // filter against a multilingual corpus (stopword and word-length
+    // rules systematically fail non-English text; this quantifies the
+    // skew instead of discovering it post-training). Same rule kernel
+    // and thresholds as x_gopher_rules; one |langs|-bounded agg on top.
+    "x_quality_by_lang" -> ((s, d) => {
+      val nn = t(s, d, "documents").filter(col("text").isNotNull)
+      val g = TextAnalysis.gopherRules(nn, "doc_id", "text",
+        minTokens = 50, maxTokens = 100000,
+        minMeanTokLen = 4.0, maxMeanTokLen = 10.0,
+        maxTop2Frac = 0.08, maxDupLineFrac = 0.2, minStopHits = 2)
+      nn.select(col("doc_id"), col("lang")).join(g, "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("keep").cast(LongType)).as("n_keep"),
+          sum(lit(1L) - col("r_token_count")).as("n_fail_tokens"),
+          sum(lit(1L) - col("r_word_len")).as("n_fail_wordlen"),
+          sum(lit(1L) - col("r_repetition")).as("n_fail_rep"),
+          sum(lit(1L) - col("r_boilerplate")).as("n_fail_boiler"),
+          sum(lit(1L) - col("r_stopwords")).as("n_fail_stop"))
+    }),
+
+    // Pipeline attrition funnel: how many docs survive each curation
+    // stage — all → non-null text → ≥50 tokens → full Gopher keep →
+    // exact-dedup survivor among keepers. The one-row capacity
+    // planning view (what fraction of raw crawl becomes training
+    // text) a 100 TB run prints before committing the mixture. Flag
+    // sums ride the same rule kernel; the dedup leg is a text-keyed
+    // min-id agg over the ALREADY-FILTERED keep set.
+    "x_filter_funnel" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val nn = docs.filter(col("text").isNotNull)
+      val g = TextAnalysis.gopherRules(nn, "doc_id", "text",
+        minTokens = 50, maxTokens = 100000,
+        minMeanTokLen = 4.0, maxMeanTokLen = 10.0,
+        maxTop2Frac = 0.08, maxDupLineFrac = 0.2, minStopHits = 2)
+        .select(col("doc_id"), col("n_tokens"), col("keep"))
+      val flags = nn.select(col("doc_id"), col("text")).join(g, "doc_id")
+      val uniq = flags.filter(col("keep") === 1)
+        .groupBy(col("text")).agg(min(col("doc_id")).as("__sid"))
+      flags.agg(
+          count(lit(1)).as("n_nonnull"),
+          sum(when(col("n_tokens") >= 50, 1L).otherwise(0L)).as("n_min_tokens"),
+          sum(col("keep").cast(LongType)).as("n_quality"))
+        .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+        .crossJoin(broadcast(uniq.agg(count(lit(1)).as("n_unique"))))
+        .select(col("n_docs"), col("n_nonnull"), col("n_min_tokens"),
+          col("n_quality"), col("n_unique"))
     }),
 
     // BPE merge-pair statistics: top adjacent character pairs weighted
@@ -7765,6 +7866,133 @@ object Queries {
         |  FROM sig)
         |SELECT *, r_token_count * r_word_len * r_repetition
         |          * r_boilerplate * r_stopwords AS keep
-        |FROM rules""".stripMargin
+        |FROM rules""".stripMargin,
+
+    // same Gopher sig/rules construction, no boilerplate augment,
+    // aggregated per language
+    "x_quality_by_lang" ->
+      """WITH nn AS (SELECT doc_id, lang, text FROM documents
+        |  WHERE text IS NOT NULL),
+        |toks AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        |         ELSE string_split_regex(trim(text), '\s+') END AS t,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM nn),
+        |base AS (
+        |  SELECT doc_id, lang, t, len(t) AS nt, len(lines) AS nl,
+        |         len(list_distinct(lines)) AS ndl,
+        |         list_transform(t, x -> lower(x)) AS tl,
+        |         CASE WHEN len(t) >= 2 THEN list_transform(generate_series(1, len(t)-1),
+        |           i -> t[i] || ' ' || t[i+1]) ELSE []::VARCHAR[] END AS g2
+        |  FROM toks),
+        |sig AS (
+        |  SELECT doc_id, lang, nt,
+        |    CASE WHEN nt = 0 THEN 0.0
+        |         ELSE list_sum(list_transform(t, x -> len(x)))::DOUBLE / nt END AS mtl,
+        |    CASE WHEN len(g2) = 0 THEN 0.0 ELSE
+        |      (SELECT max(c)::DOUBLE FROM (SELECT count(*) AS c FROM unnest(g2) AS u(x) GROUP BY x)) / len(g2)
+        |    END AS t2f,
+        |    (nl - ndl)::DOUBLE / nl AS dlf,
+        |    len(list_filter(['the','a','an','and','or','of','to','in','is','are','was',
+        |                     'for','on','with','as','at','by','it','be','this','that'],
+        |        s -> list_contains(tl, s))) AS sh
+        |  FROM base),
+        |r AS (
+        |  SELECT lang,
+        |    CASE WHEN nt BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS rt,
+        |    CASE WHEN mtl BETWEEN 4.0 AND 10.0 THEN 1 ELSE 0 END AS rw,
+        |    CASE WHEN t2f <= 0.08 THEN 1 ELSE 0 END AS rr,
+        |    CASE WHEN dlf <= 0.2 THEN 1 ELSE 0 END AS rb,
+        |    CASE WHEN sh >= 2 THEN 1 ELSE 0 END AS rs
+        |  FROM sig)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(rt * rw * rr * rb * rs) AS BIGINT) AS n_keep,
+        |  CAST(sum(1 - rt) AS BIGINT) AS n_fail_tokens,
+        |  CAST(sum(1 - rw) AS BIGINT) AS n_fail_wordlen,
+        |  CAST(sum(1 - rr) AS BIGINT) AS n_fail_rep,
+        |  CAST(sum(1 - rb) AS BIGINT) AS n_fail_boiler,
+        |  CAST(sum(1 - rs) AS BIGINT) AS n_fail_stop
+        |FROM r GROUP BY 1""".stripMargin,
+
+    // same rule kernel again, collapsed to the staged attrition counts
+    "x_filter_funnel" ->
+      """WITH nn AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |toks AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        |         ELSE string_split_regex(trim(text), '\s+') END AS t,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM nn),
+        |base AS (
+        |  SELECT doc_id, text, t, len(t) AS nt, len(lines) AS nl,
+        |         len(list_distinct(lines)) AS ndl,
+        |         list_transform(t, x -> lower(x)) AS tl,
+        |         CASE WHEN len(t) >= 2 THEN list_transform(generate_series(1, len(t)-1),
+        |           i -> t[i] || ' ' || t[i+1]) ELSE []::VARCHAR[] END AS g2
+        |  FROM toks),
+        |sig AS (
+        |  SELECT doc_id, text, nt,
+        |    CASE WHEN nt = 0 THEN 0.0
+        |         ELSE list_sum(list_transform(t, x -> len(x)))::DOUBLE / nt END AS mtl,
+        |    CASE WHEN len(g2) = 0 THEN 0.0 ELSE
+        |      (SELECT max(c)::DOUBLE FROM (SELECT count(*) AS c FROM unnest(g2) AS u(x) GROUP BY x)) / len(g2)
+        |    END AS t2f,
+        |    (nl - ndl)::DOUBLE / nl AS dlf,
+        |    len(list_filter(['the','a','an','and','or','of','to','in','is','are','was',
+        |                     'for','on','with','as','at','by','it','be','this','that'],
+        |        s -> list_contains(tl, s))) AS sh
+        |  FROM base),
+        |k AS (
+        |  SELECT doc_id, text, nt,
+        |    CASE WHEN nt BETWEEN 50 AND 100000 AND mtl BETWEEN 4.0 AND 10.0
+        |      AND t2f <= 0.08 AND dlf <= 0.2 AND sh >= 2 THEN 1 ELSE 0 END AS keep
+        |  FROM sig),
+        |u AS (SELECT count(*) AS n_unique FROM
+        |  (SELECT min(doc_id) FROM k WHERE keep = 1 GROUP BY text)),
+        |c AS (SELECT count(*) AS n_nonnull,
+        |    sum(CASE WHEN nt >= 50 THEN 1 ELSE 0 END) AS n_min_tokens,
+        |    sum(keep) AS n_quality FROM k),
+        |a AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT CAST(a.n_docs AS BIGINT) AS n_docs,
+        |  CAST(c.n_nonnull AS BIGINT) AS n_nonnull,
+        |  CAST(c.n_min_tokens AS BIGINT) AS n_min_tokens,
+        |  CAST(c.n_quality AS BIGINT) AS n_quality,
+        |  CAST(u.n_unique AS BIGINT) AS n_unique
+        |FROM a, c, u""".stripMargin,
+
+    "x_cumulative_users" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |    datediff('day', DATE '1970-01-01',
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day
+        |  FROM events),
+        |f AS (SELECT user_id, min(day) AS day FROM ud GROUP BY 1),
+        |nb AS (SELECT day, count(*) AS n_new FROM f GROUP BY 1)
+        |SELECT CAST(day AS BIGINT) AS day,
+        |  CAST(sum(n_new) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM nb""".stripMargin,
+
+    "x_mobility_matrix" ->
+      """WITH uw AS (
+        |  SELECT user_id,
+        |    datediff('day', DATE '1970-01-01',
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) // 7 AS week,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |tw AS (SELECT week, count(*) AS nw FROM uw GROUP BY 1),
+        |b AS (
+        |  SELECT uw.user_id, uw.week,
+        |    ((row_number() OVER (PARTITION BY uw.week
+        |        ORDER BY uw.n DESC, uw.user_id ASC) - 1) * 5) // tw.nw + 1
+        |      AS bucket
+        |  FROM uw JOIN tw ON uw.week = tw.week)
+        |SELECT CAST(p.bucket AS BIGINT) AS from_bucket,
+        |  CAST(c.bucket AS BIGINT) AS to_bucket,
+        |  count(*) AS n_transitions
+        |FROM b p JOIN b c ON p.user_id = c.user_id AND c.week = p.week + 1
+        |GROUP BY 1, 2""".stripMargin
   )
 }

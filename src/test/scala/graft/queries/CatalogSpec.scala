@@ -86,4 +86,34 @@ class CatalogSpec extends SparkTestBase {
     assert(perSource == perDoc,
       s"per-source token total $perSource != per-doc total $perDoc")
   }
+
+  test("filter funnel attrition is monotone and quality-by-lang conserves docs") {
+    val f = SparkEntry.queries("x_filter_funnel")(spark, sfDir).collect().head
+    val stages = (0 to 4).map(f.getLong)
+    assert(stages.zip(stages.tail).forall { case (a, b) => a >= b },
+      s"funnel not monotone: ${stages.mkString(" >= ")}")
+    val byLang = SparkEntry.queries("x_quality_by_lang")(spark, sfDir).collect()
+    assert(byLang.map(_.getLong(1)).sum == stages(1),
+      "per-lang doc counts != non-null doc count")
+    byLang.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+  }
+
+  test("cumulative-users curve is strictly increasing and ends at the user total") {
+    val rows = SparkEntry.queries("x_cumulative_users")(spark, sfDir)
+      .collect().sortBy(_.getLong(0))
+    val curve = rows.map(_.getLong(1))
+    assert(curve.zip(curve.tail).forall { case (a, b) => a < b })
+    val users = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("user_id").distinct().count()
+    assert(curve.last == users)
+  }
+
+  test("mobility matrix buckets stay in the quintile range") {
+    val rows = SparkEntry.queries("x_mobility_matrix")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 1 && r.getLong(0) <= 5)
+      assert(r.getLong(1) >= 1 && r.getLong(1) <= 5)
+    }
+  }
 }
