@@ -2143,6 +2143,37 @@ object Queries {
         .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
     }),
 
+    // Cross-source spread of duplicate clusters: per cluster, how
+    // many distinct sources its members span, as a histogram —
+    // clusters confined to one source are re-crawls (dedup freely);
+    // multi-source clusters are syndication/mirroring, where the
+    // survivor policy decides which source's metadata wins. Rides
+    // the session-shared component frame; everything pair-bounded.
+    "x_dup_cluster_sources" -> ((s, d) => {
+      ngramPairGraph(s, d)._2
+        .select(col("id").as("doc_id"), col("component"))
+        .join(t(s, d, "documents").select(col("doc_id"), col("source")),
+          "doc_id")
+        .groupBy(col("component"))
+        .agg(countDistinct(col("source")).as("n_sources"))
+        .groupBy(col("n_sources")).agg(count(lit(1)).as("n_clusters"))
+    }),
+
+    // Join-explosion guard: the self-join cardinality of lineitem on
+    // l_partkey ESTIMATED from the key histogram alone (Σ n_k² — the
+    // exact output size, no join executed), plus the skew ceiling
+    // (hottest key and its row count). The pre-flight a 100 TB
+    // pipeline runs before any many-to-many join it didn't design.
+    "x_join_explosion_est" -> ((s, d) => {
+      val per = t(s, d, "lineitem").groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n"))
+      per.agg(count(lit(1)).as("n_keys"),
+          sum(col("n") * col("n")).as("est_self_join_rows"),
+          max(struct(col("n"), (-col("l_partkey")).as("nk"))).as("m"))
+        .select(col("n_keys"), col("est_self_join_rows"),
+          col("m.n").as("max_rows_per_key"), (-col("m.nk")).as("top_key"))
+    }),
+
     // Triad census of the near-dup graph (vertices/edges/wedges/
     // triangles): distinguishes chained near-duplication (transitive
     // clustering over-merges) from clique-like mirror groups. Exact
@@ -2440,6 +2471,23 @@ object Queries {
         t(s, d, "embeddings"), "vec_id", "embedding", k = 5)
       Similarity.recallAtK(ann, exactKnnGraph(s, d))
         .select(col("query_id"), col("n_hits"), col("k"))
+    }),
+
+    // Hubness audit of the production kNN graph: in-degree histogram
+    // including never-retrieved vectors (in-degree 0 via the left
+    // join) — a handful of hub vectors absorbing most edges is the
+    // classic high-dimensional ANN pathology (they dominate every
+    // candidate list and crowd out true neighbors), and orphans mark
+    // corpus regions the index cannot surface at all. One count agg
+    // over the edge list, one key join against the id column.
+    "x_ann_degree_hist" -> ((s, d) => {
+      val deg = Similarity.knnGraphApprox(
+          t(s, d, "embeddings"), "vec_id", "embedding", k = 5)
+        .groupBy(col("id")).agg(count(lit(1)).as("in_degree"))
+      t(s, d, "embeddings").select(col("vec_id").as("id"))
+        .join(deg, Seq("id"), "left")
+        .select(coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+        .groupBy(col("in_degree")).agg(count(lit(1)).as("n_vecs"))
     }),
 
     // IVF-cell ANN — the cell-probing scale path (corpus partitioned by
@@ -3928,6 +3976,19 @@ object Queries {
         TextAnalysis.tokenCount(col("text")).cast(LongType).as("n_ws_tokens"))
     }),
 
+    // Tokenizer-fertility audit per language: BPE tokens and raw
+    // chars per lang — tokens/char is the fertility a tokenizer-bias
+    // review reads (a language whose text costs 2× the tokens gets
+    // half the effective context window; the ratio decides whether
+    // the vocab needs rebalancing before a multilingual run). Exact
+    // integer legs; null-text docs count as docs, contribute neither.
+    "x_bpe_fertility" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.bpeTokenCount(col("text"))).as("n_bpe_tokens"),
+          sum(col("n_chars")).as("n_chars"))),
+
     // Document fingerprints (rolling hash). The hash VALUES are
     // engine-specific, but the equality PARTITION they induce is not:
     // equal fingerprints ⇔ equal whitespace-token sequences (mod
@@ -4456,6 +4517,40 @@ object Queries {
         |  SELECT e.u, l.comp FROM edges e JOIN lbl l ON e.v = l.id
         |)
         |SELECT id AS doc_id, min(comp) AS cluster_id FROM lbl GROUP BY id""".stripMargin,
+
+    // same recursive component construction, rolled up to the
+    // distinct-source spread per cluster
+    "x_dup_cluster_sources" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(ts)-2),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+        |  FROM toks WHERE len(ts) >= 3
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+        |), edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION
+        |  SELECT id_b AS u, id_a AS v FROM pairs
+        |), lbl(id, comp) AS (
+        |  SELECT u, least(u, min(v)) FROM edges GROUP BY u
+        |  UNION
+        |  SELECT e.u, l.comp FROM edges e JOIN lbl l ON e.v = l.id
+        |), comp AS (
+        |  SELECT id AS doc_id, min(comp) AS cluster_id FROM lbl GROUP BY id
+        |), spread AS (
+        |  SELECT c.cluster_id, count(DISTINCT d.source) AS n_sources
+        |  FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+        |  GROUP BY 1)
+        |SELECT CAST(n_sources AS BIGINT) AS n_sources,
+        |  count(*) AS n_clusters
+        |FROM spread GROUP BY 1""".stripMargin,
 
     // same pair SQL + closure, rolled up per source
     "x_dup_rate_by_source" ->
@@ -6618,6 +6713,38 @@ object Queries {
         |FROM documents d
         |LEFT JOIN read_parquet('/root/repo/tools/golden/bpe_counts.parquet') g
         |  ON md5(d.text) = g.text_md5""".stripMargin,
+
+    "x_bpe_fertility" ->
+      """SELECT d.lang, count(*) AS n_docs,
+        |  CAST(sum(g.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(sum(d.n_chars) AS BIGINT) AS n_chars
+        |FROM documents d
+        |LEFT JOIN read_parquet('/root/repo/tools/golden/bpe_counts.parquet') g
+        |  ON md5(d.text) = g.text_md5
+        |GROUP BY 1""".stripMargin,
+
+    "x_ann_degree_hist" ->
+      """WITH ck AS (SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 281474976710656) AS BIGINT)) AS BIGINT) AS k FROM embeddings),
+        |g AS (
+        |  SELECT id FROM
+        |    read_parquet('/root/repo/tools/golden/knn_graph_ann.parquet') x, ck
+        |  WHERE x.corpus_key = ck.k),
+        |deg AS (
+        |  SELECT e.vec_id, count(g.id) AS in_degree
+        |  FROM embeddings e LEFT JOIN g ON g.id = e.vec_id
+        |  GROUP BY 1)
+        |SELECT CAST(in_degree AS BIGINT) AS in_degree, count(*) AS n_vecs
+        |FROM deg GROUP BY 1""".stripMargin,
+
+    "x_join_explosion_est" ->
+      """WITH p AS (SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY 1),
+        |m AS (SELECT l_partkey, n,
+        |        row_number() OVER (ORDER BY n DESC, l_partkey ASC) AS rn
+        |      FROM p)
+        |SELECT (SELECT count(*) FROM p) AS n_keys,
+        |  CAST((SELECT sum(n * n) FROM p) AS BIGINT) AS est_self_join_rows,
+        |  CAST(m.n AS BIGINT) AS max_rows_per_key, m.l_partkey AS top_key
+        |FROM m WHERE rn = 1""".stripMargin,
 
     "x_text_tokens" ->
       """SELECT doc_id,

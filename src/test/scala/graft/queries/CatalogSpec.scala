@@ -108,6 +108,30 @@ class CatalogSpec extends SparkTestBase {
     assert(curve.last == users)
   }
 
+  test("ANN degree histogram conserves vectors and edges") {
+    val nVecs = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    val nEdges = SparkEntry.queries("x_knn_graph_ann")(spark, sfDir).count()
+    val hist = SparkEntry.queries("x_ann_degree_hist")(spark, sfDir).collect()
+    assert(hist.map(_.getLong(1)).sum == nVecs)
+    assert(hist.map(r => r.getLong(0) * r.getLong(1)).sum == nEdges)
+  }
+
+  test("join-explosion estimate bounds and fertility/cluster-source conservation") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    val est = SparkEntry.queries("x_join_explosion_est")(spark, sfDir)
+      .collect().head
+    assert(est.getLong(1) >= li, "self-join estimate below the identity floor")
+    assert(est.getLong(2) * est.getLong(2) <= est.getLong(1))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val fert = SparkEntry.queries("x_bpe_fertility")(spark, sfDir).collect()
+    assert(fert.map(_.getLong(1)).sum == docs)
+    val nComponents = SparkEntry.queries("x_dedup_clusters")(spark, sfDir)
+      .select("cluster_id").distinct().count()
+    val spread = SparkEntry.queries("x_dup_cluster_sources")(spark, sfDir)
+      .collect()
+    assert(spread.map(_.getLong(1)).sum == nComponents)
+  }
+
   test("mobility matrix buckets stay in the quintile range") {
     val rows = SparkEntry.queries("x_mobility_matrix")(spark, sfDir).collect()
     assert(rows.nonEmpty)
