@@ -2748,6 +2748,16 @@ object Queries {
           count(lit(1)).as("n_events"))
     }),
 
+    // Semi-structured key census: occurrence count of every top-level
+    // JSON key in the props column — the schema-discovery pass run
+    // before promoting ad-hoc JSON fields to real columns (a key
+    // present on 100% of rows is a column; one at 0.1% is an
+    // extension). Explode of the per-row key array, one count agg.
+    "x_props_keys_hist" -> ((s, d) =>
+      events(s, d)
+        .select(explode(json_object_keys(col("props"))).as("key"))
+        .groupBy(col("key")).agg(count(lit(1)).as("n_events"))),
+
     // Text analysis: integer token stats per document (SQL-safe subset of
     // TextAnalysis.documentFeatures; float features asserted in tests).
     "x_text_tokens" -> ((s, d) => {
@@ -2853,6 +2863,34 @@ object Queries {
     "x_group_median" -> ((s, d) =>
       graft.operators.Quantiles.groupedExactQuantile(
         events(s, d), "event_type", "value", q = 0.5)),
+
+    // Account-balance quartiles per market segment — the grouped
+    // exact-quantile operator exercised on a second table at three
+    // simultaneous q's (union of three histogram-narrowing passes,
+    // each ≤ B-row driver state; no per-segment sort anywhere). All
+    // three q's are dyadic, so rank arithmetic is float-exact.
+    "x_acctbal_quartiles" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      Seq(0.25, 0.5, 0.75)
+        .map(q => graft.operators.Quantiles.groupedExactQuantile(
+          cust, "c_mktsegment", "c_acctbal", q = q))
+        .reduce(_.unionAll(_))
+    }),
+
+    // Repeat-purchase rate per market segment: customers, buyers
+    // (≥1 order), repeaters (≥2) — the loyalty read over the
+    // customer⋈orders relationship, zero-order customers included
+    // via the left join. Fact collapses to per-customer counts first.
+    "x_repeat_rate" -> ((s, d) => {
+      val per = t(s, d, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"))
+      t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment"))
+        .join(per, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(when(col("n") >= 1, 1L).otherwise(0L)).as("n_buyers"),
+          sum(when(col("n") >= 2, 1L).otherwise(0L)).as("n_repeat"))
+    }),
 
     // Half-life-decayed per-user activity: every term count·2^-offset
     // is a dyadic rational, so the double sum is exact and
@@ -3656,6 +3694,33 @@ object Queries {
       graft.operators.Pii.piiStats(augmented, "doc_id", "text2")
         .select(col("doc_id"), col("n_emails"), col("n_ipv4"),
           col("n_phones"), col("redacted"))
+    }),
+
+    // PII incidence per source (same deterministic augment as
+    // x_pii_redact so the counts are non-vacuous): docs, docs with
+    // ANY hit, and total emails / IPs / phones — the governance
+    // table that decides which sources need redaction in the path
+    // vs a skip. Same regexp_count kernels, one |sources|-row agg.
+    "x_pii_incidence" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val augmented = docs.withColumn("text2", concat(
+        col("text"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit(" contact user"), col("doc_id").cast(StringType),
+            lit("@example.com"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          concat(lit(" from 10.0."),
+            pmod(col("doc_id"), lit(256)).cast(StringType),
+            lit(".7"))).otherwise(lit(""))))
+      graft.operators.Pii.piiStats(augmented, "doc_id", "text2")
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_emails") + col("n_ipv4") + col("n_phones") > 0, 1L)
+            .otherwise(0L)).as("n_docs_with_pii"),
+          sum(col("n_emails").cast(LongType)).as("n_emails"),
+          sum(col("n_ipv4").cast(LongType)).as("n_ipv4"),
+          sum(col("n_phones").cast(LongType)).as("n_phones"))
     }),
 
     // Sequence packing (concatenate-and-chunk): per-(lang, bin) doc and
@@ -6095,6 +6160,38 @@ object Queries {
         |count(*) AS n_events
         |FROM events GROUP BY event_type""".stripMargin,
 
+    "x_props_keys_hist" ->
+      """SELECT k AS key, count(*) AS n_events
+        |FROM (SELECT unnest(json_keys(props)) AS k FROM events)
+        |GROUP BY 1""".stripMargin,
+
+    "x_acctbal_quartiles" ->
+      """WITH v AS (
+        |  SELECT c_mktsegment AS k, c_acctbal AS v FROM customer
+        |  WHERE c_acctbal IS NOT NULL AND NOT isnan(c_acctbal)),
+        |n AS (SELECT k, count(*) AS n FROM v GROUP BY 1),
+        |s AS (SELECT k, v, row_number() OVER (PARTITION BY k ORDER BY v) AS rn
+        |      FROM v),
+        |qs AS (SELECT unnest([0.25, 0.5, 0.75]) AS q)
+        |SELECT s.k AS c_mktsegment, CAST(qs.q AS DOUBLE) AS q,
+        |  CAST(greatest(1, CAST(ceil(CAST(qs.q AS DOUBLE) * n.n) AS BIGINT))
+        |    AS BIGINT) AS rank,
+        |  s.v AS value
+        |FROM qs CROSS JOIN n
+        |JOIN s ON s.k = n.k
+        |  AND s.rn = greatest(1, CAST(ceil(CAST(qs.q AS DOUBLE) * n.n) AS BIGINT))""".stripMargin,
+
+    "x_repeat_rate" ->
+      """WITH per AS (
+        |  SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1)
+        |SELECT c_mktsegment, count(*) AS n_customers,
+        |  CAST(sum(CASE WHEN per.n >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_buyers,
+        |  CAST(sum(CASE WHEN per.n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_repeat
+        |FROM customer c LEFT JOIN per ON c.c_custkey = per.o_custkey
+        |GROUP BY 1""".stripMargin,
+
     // the full corpus-prep composition, stage by stage: exact shingle
     // jaccard replaces the LSH candidate stage (set-equivalent on this
     // corpus — every true pair sits at j>=0.9, see x_dedup_minhash),
@@ -6373,6 +6470,29 @@ object Queries {
         |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
         |    '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g') AS redacted
         |FROM aug""".stripMargin,
+
+    "x_pii_incidence" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END
+        |    AS text2
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ne,
+        |    len(regexp_extract_all(text2, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS ni,
+        |    len(regexp_extract_all(text2, '\+?[0-9][0-9()\- ]{6,}[0-9]')) AS np
+        |  FROM aug)
+        |SELECT d.source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN c.ne + c.ni + c.np > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_docs_with_pii,
+        |  CAST(sum(c.ne) AS BIGINT) AS n_emails,
+        |  CAST(sum(c.ni) AS BIGINT) AS n_ipv4,
+        |  CAST(sum(c.np) AS BIGINT) AS n_phones
+        |FROM c JOIN documents d ON c.doc_id = d.doc_id
+        |GROUP BY 1""".stripMargin,
 
     // exact kept-set SQL — valid for the bloom entry because fpp=1e-9
     // keeps the expected FP count ~1e-3 at ~1e6 distinct probes (zero

@@ -132,6 +132,28 @@ class CatalogSpec extends SparkTestBase {
     assert(spread.map(_.getLong(1)).sum == nComponents)
   }
 
+  test("segment quartiles nest and repeat rates are bounded") {
+    val q = SparkEntry.queries("x_acctbal_quartiles")(spark, sfDir)
+      .collect().groupBy(_.getString(0))
+    q.values.foreach { rows =>
+      val byQ = rows.map(r => r.getDouble(1) -> r.getDouble(3)).toMap
+      assert(byQ(0.25) <= byQ(0.5) && byQ(0.5) <= byQ(0.75),
+        "quartile values not monotone")
+    }
+    val rr = SparkEntry.queries("x_repeat_rate")(spark, sfDir).collect()
+    rr.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2) && r.getLong(2) <= r.getLong(1))
+    }
+  }
+
+  test("PII incidence totals match the per-doc stats entry") {
+    val perDoc = SparkEntry.queries("x_pii_redact")(spark, sfDir).collect()
+    val expected = perDoc.map(r => r.getLong(1) + r.getLong(2) + r.getLong(3)).sum
+    val bySource = SparkEntry.queries("x_pii_incidence")(spark, sfDir).collect()
+    val total = bySource.map(r => r.getLong(3) + r.getLong(4) + r.getLong(5)).sum
+    assert(total == expected, s"per-source PII total $total != per-doc $expected")
+  }
+
   test("mobility matrix buckets stay in the quintile range") {
     val rows = SparkEntry.queries("x_mobility_matrix")(spark, sfDir).collect()
     assert(rows.nonEmpty)
