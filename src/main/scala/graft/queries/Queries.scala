@@ -1074,6 +1074,26 @@ object Queries {
             .otherwise(0L)).as("n_nan_value"),
           sum(when(col("props").isNull, 1L).otherwise(0L)).as("n_null_props"))),
 
+    // Primary-key integrity audit across the three fact tables: row
+    // count vs distinct ids (duplicates), id range vs cardinality
+    // (holes) — the two silent ingestion failures (double-load,
+    // dropped batch) that surface as wrong JOIN results much later.
+    // One agg per table, unioned; n_gaps > 0 means ids were skipped.
+    "x_id_integrity" -> ((s, d) => {
+      def audit(name: String, df: DataFrame, idc: String): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"),
+            countDistinct(col(idc)).as("n_distinct_ids"),
+            min(col(idc)).cast(LongType).as("min_id"),
+            max(col(idc)).cast(LongType).as("max_id"))
+          .select(lit(name).as("table_name"), col("n_rows"),
+            col("n_distinct_ids"), col("min_id"), col("max_id"),
+            (col("max_id") - col("min_id") + 1L - col("n_distinct_ids"))
+              .as("n_gaps"))
+      audit("documents", t(s, d, "documents"), "doc_id")
+        .unionAll(audit("events", events(s, d), "event_id"))
+        .unionAll(audit("orders", t(s, d, "orders"), "o_orderkey"))
+    }),
+
     // One-row session summary off the same sessionized frame; the p50
     // session length is the exact order statistic via the narrowing
     // selector (|sessions| input, bounded driver state).
@@ -1606,6 +1626,63 @@ object Queries {
         .groupBy(col("rday"))
         .agg(countDistinct(col("user_id")).as("wau"))
         .select(col("rday").as("day"), col("wau"))
+    }),
+
+    // Shuffle-partition balance audit: events and distinct users per
+    // hash partition (the repo's portable 2-round LCG mod 32, the
+    // same family every split/sample entry replays in SQL) — the
+    // pre-flight that shows whether a keyed shuffle of this stream
+    // would land balanced or hot-spotted. One count agg; 32 rows.
+    "x_hash_balance" -> ((s, d) =>
+      events(s, d)
+        .groupBy(pmod(graft.operators.Sampling.hashRank(col("user_id")),
+          lit(32L)).as("partition_id"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))),
+
+    // Audience overlap between event types: for every type pair,
+    // user-set sizes and intersection (Jaccard derivable exactly) —
+    // which behaviors share an audience vs split it. The self-join
+    // runs on the distinct (type, user) frame, so the expansion is
+    // bounded by |types|² per user, never events².
+    "x_user_overlap_types" -> ((s, d) => {
+      val tu = events(s, d)
+        .select(col("event_type"), col("user_id")).distinct()
+      val sizes = tu.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      tu.as("a").join(tu.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_both"))
+        .join(broadcast(sizes.select(col("event_type").as("type_a"),
+          col("n").as("n_a"))), "type_a")
+        .join(broadcast(sizes.select(col("event_type").as("type_b"),
+          col("n").as("n_b"))), "type_b")
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+          col("n_both"))
+    }),
+
+    // New-vs-returning mix per day: events and distinct users split
+    // by whether the day is the user's first-ever — the acquisition/
+    // retention composition of daily traffic. First day is an
+    // algebraic min joined back on the key.
+    "x_new_vs_returning" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"),
+        expr("datediff(to_date(ts_utc), date '1970-01-01')")
+          .cast(LongType).as("day"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("f"))
+      ev.join(first, "user_id")
+        .groupBy(col("day"))
+        .agg(
+          sum(when(col("day") === col("f"), 1L).otherwise(0L))
+            .as("n_new_user_events"),
+          sum(when(col("day") =!= col("f"), 1L).otherwise(0L))
+            .as("n_returning_events"),
+          countDistinct(when(col("day") === col("f"), col("user_id")))
+            .as("n_new_users"),
+          countDistinct(when(col("day") =!= col("f"), col("user_id")))
+            .as("n_returning_users"))
     }),
 
     // DAU and 28-day MAU per day — the two exact integer legs of the
@@ -7381,6 +7458,69 @@ object Queries {
         |SELECT CAST(rday AS BIGINT) AS day,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS wau
         |FROM c GROUP BY 1""".stripMargin,
+
+    "x_hash_balance" ->
+      """SELECT
+        |  (((((user_id % 2147483647) + 0) * 1103515245) % 2147483647)
+        |    * 784588716) % 2147483647 % 32 AS partition_id,
+        |  count(*) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "x_user_overlap_types" ->
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+        |s AS (SELECT event_type, count(*) AS n FROM tu GROUP BY 1),
+        |i AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    count(*) AS n_both
+        |  FROM tu a JOIN tu b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT i.type_a, i.type_b, CAST(sa.n AS BIGINT) AS n_a,
+        |  CAST(sb.n AS BIGINT) AS n_b, CAST(i.n_both AS BIGINT) AS n_both
+        |FROM i
+        |JOIN s sa ON sa.event_type = i.type_a
+        |JOIN s sb ON sb.event_type = i.type_b""".stripMargin,
+
+    "x_new_vs_returning" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    datediff('day', DATE '1970-01-01',
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day
+        |  FROM events),
+        |f AS (SELECT user_id, min(day) AS f FROM ev GROUP BY 1)
+        |SELECT CAST(ev.day AS BIGINT) AS day,
+        |  CAST(sum(CASE WHEN ev.day = f.f THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_new_user_events,
+        |  CAST(sum(CASE WHEN ev.day <> f.f THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_returning_events,
+        |  CAST(count(DISTINCT CASE WHEN ev.day = f.f THEN ev.user_id END)
+        |    AS BIGINT) AS n_new_users,
+        |  CAST(count(DISTINCT CASE WHEN ev.day <> f.f THEN ev.user_id END)
+        |    AS BIGINT) AS n_returning_users
+        |FROM ev JOIN f ON ev.user_id = f.user_id
+        |GROUP BY 1""".stripMargin,
+
+    "x_id_integrity" ->
+      """SELECT 'documents' AS table_name, count(*) AS n_rows,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct_ids,
+        |  CAST(min(doc_id) AS BIGINT) AS min_id,
+        |  CAST(max(doc_id) AS BIGINT) AS max_id,
+        |  CAST(max(doc_id) - min(doc_id) + 1 - count(DISTINCT doc_id)
+        |    AS BIGINT) AS n_gaps
+        |FROM documents
+        |UNION ALL
+        |SELECT 'events', count(*), CAST(count(DISTINCT event_id) AS BIGINT),
+        |  CAST(min(event_id) AS BIGINT), CAST(max(event_id) AS BIGINT),
+        |  CAST(max(event_id) - min(event_id) + 1 - count(DISTINCT event_id)
+        |    AS BIGINT)
+        |FROM events
+        |UNION ALL
+        |SELECT 'orders', count(*), CAST(count(DISTINCT o_orderkey) AS BIGINT),
+        |  CAST(min(o_orderkey) AS BIGINT), CAST(max(o_orderkey) AS BIGINT),
+        |  CAST(max(o_orderkey) - min(o_orderkey) + 1
+        |    - count(DISTINCT o_orderkey) AS BIGINT)
+        |FROM orders""".stripMargin,
 
     "x_stickiness" ->
       """WITH ud AS (

@@ -154,6 +154,27 @@ class CatalogSpec extends SparkTestBase {
     assert(total == expected, s"per-source PII total $total != per-doc $expected")
   }
 
+  test("hash balance, type overlap, and new/returning mix conserve events") {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet").count()
+    val bal = SparkEntry.queries("x_hash_balance")(spark, sfDir).collect()
+    assert(bal.map(_.getLong(1)).sum == ev)
+    assert(bal.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 32))
+    val mix = SparkEntry.queries("x_new_vs_returning")(spark, sfDir).collect()
+    assert(mix.map(r => r.getLong(1) + r.getLong(2)).sum == ev)
+    val ov = SparkEntry.queries("x_user_overlap_types")(spark, sfDir).collect()
+    ov.foreach(r => assert(r.getLong(4) <= math.min(r.getLong(2), r.getLong(3))))
+  }
+
+  test("id integrity audit finds clean synthetic keys") {
+    val rows = SparkEntry.queries("x_id_integrity")(spark, sfDir).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"${r.getString(0)}: duplicate primary keys")
+      assert(r.getLong(5) == 0, s"${r.getString(0)}: id holes")
+    }
+  }
+
   test("mobility matrix buckets stay in the quintile range") {
     val rows = SparkEntry.queries("x_mobility_matrix")(spark, sfDir).collect()
     assert(rows.nonEmpty)
