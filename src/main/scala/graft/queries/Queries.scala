@@ -1663,6 +1663,46 @@ object Queries {
           col("n_both"))
     }),
 
+    // Week-0 cohort behavior: per event type, events inside each
+    // user's FIRST 7 days vs after — what new users actually do
+    // before habits settle (onboarding design reads this table).
+    // First day is an algebraic min joined back on the key.
+    "x_first_week_behavior" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"), col("event_type"),
+        expr("datediff(to_date(ts_utc), date '1970-01-01')")
+          .cast(LongType).as("day"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("f"))
+      ev.join(first, "user_id")
+        .groupBy(col("event_type"))
+        .agg(
+          sum(when(col("day") < col("f") + 7L, 1L).otherwise(0L))
+            .as("n_week0"),
+          sum(when(col("day") >= col("f") + 7L, 1L).otherwise(0L))
+            .as("n_later"))
+    }),
+
+    // Median dwell time per event-type transition: the lag gap on the
+    // (ts, event_id)-ordered per-user stream keyed by "from>to", then
+    // the grouped exact-quantile selector (|transitions|² groups,
+    // ≤ B-row driver state each; no per-group sort). The funnel-
+    // diagnosis companion to x_event_transitions' count matrix.
+    "x_step_latency" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("__t"), col("event_id"))
+      val gaps = events(s, d)
+        .filter(col("event_type").isNotNull)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts_utc")).as("__t"))
+        .withColumn("__from", lag(col("event_type"), 1).over(w))
+        .withColumn("__gap", (col("__t") - lag(col("__t"), 1).over(w))
+          .cast(DoubleType))
+        .filter(col("__from").isNotNull)
+        .select(concat_ws(">", col("__from"), col("event_type"))
+          .as("transition"), col("__gap"))
+      graft.operators.Quantiles.groupedExactQuantile(
+        gaps, "transition", "__gap", q = 0.5)
+    }),
+
     // New-vs-returning mix per day: events and distinct users split
     // by whether the day is the user's first-ever — the acquisition/
     // retention composition of daily traffic. First day is an
@@ -3638,6 +3678,36 @@ object Queries {
         Map("en" -> 500, "de" -> 200))
         .select(col("doc_id"), col("lang"))
     }),
+
+    // Sampler-fairness audit: achieved vs target per-mill rate for
+    // the stratified sample, per language — the uniformity check on
+    // the deterministic LCG bucketing (a biased hash would over- or
+    // under-fill a stratum systematically, skewing every downstream
+    // eval built on the sample). Two bounded aggs joined on lang.
+    "x_sample_bias_audit" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val sampled = graft.operators.Sampling.stratifiedSample(
+          docs, "doc_id", "lang", Map("en" -> 500, "de" -> 200))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+      docs.groupBy(col("lang")).agg(count(lit(1)).as("n_corpus"))
+        .join(sampled, Seq("lang"), "left")
+        .select(col("lang"), col("n_corpus"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+          when(col("lang") === "en", 500L)
+            .when(col("lang") === "de", 200L)
+            .otherwise(0L).as("target_permille"))
+    }),
+
+    // Exact-content redundancy per source: docs vs distinct text
+    // payloads — the byte-level re-crawl factor next to
+    // x_dup_rate_by_source's NEAR-dup view (a source can be exact-
+    // clean yet near-dup-heavy, and the dedup strategy differs).
+    // One agg; countDistinct shuffles hashed texts, never pairs.
+    "x_redundancy_by_source" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("text")).as("n_distinct_texts"))),
 
     // Per-source capped sample (≤ 25 docs per source in hash order):
     // the rank filter rides a WindowGroupLimit — map-side top-k per
@@ -6784,6 +6854,24 @@ object Queries {
         |WHERE (((((doc_id % 2147483647) + 1) * 1103515245) % 2147483647) * 784588716) % 2147483647 % 1000
         |  < CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 200 ELSE 0 END""".stripMargin,
 
+    "x_sample_bias_audit" ->
+      """WITH sampled AS (
+        |  SELECT lang, count(*) AS n_sampled FROM documents
+        |  WHERE (((((doc_id % 2147483647) + 1) * 1103515245) % 2147483647) * 784588716) % 2147483647 % 1000
+        |    < CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 200 ELSE 0 END
+        |  GROUP BY 1)
+        |SELECT d.lang, count(*) AS n_corpus,
+        |  CAST(coalesce(any_value(s.n_sampled), 0) AS BIGINT) AS n_sampled,
+        |  CAST(CASE d.lang WHEN 'en' THEN 500 WHEN 'de' THEN 200 ELSE 0 END
+        |    AS BIGINT) AS target_permille
+        |FROM documents d LEFT JOIN sampled s ON d.lang = s.lang
+        |GROUP BY d.lang""".stripMargin,
+
+    "x_redundancy_by_source" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts
+        |FROM documents GROUP BY 1""".stripMargin,
+
     // w = floor(sqrt(tot)) is integer-exact below 2^45; the rate is
     // pure BIGINT floor division (// in DuckDB, div in Spark); the keep
     // hash is the salt-3 variant of the portable per-mill bucket
@@ -7481,6 +7569,43 @@ object Queries {
         |FROM i
         |JOIN s sa ON sa.event_type = i.type_a
         |JOIN s sb ON sb.event_type = i.type_b""".stripMargin,
+
+    "x_first_week_behavior" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |    datediff('day', DATE '1970-01-01',
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day
+        |  FROM events),
+        |f AS (SELECT user_id, min(day) AS f FROM ev GROUP BY 1)
+        |SELECT ev.event_type,
+        |  CAST(sum(CASE WHEN ev.day < f.f + 7 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_week0,
+        |  CAST(sum(CASE WHEN ev.day >= f.f + 7 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_later
+        |FROM ev JOIN f ON ev.user_id = f.user_id
+        |GROUP BY 1""".stripMargin,
+
+    "x_step_latency" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS t
+        |  FROM events WHERE event_type IS NOT NULL),
+        |g AS (
+        |  SELECT user_id,
+        |    lag(event_type) OVER w AS f, event_type AS tt,
+        |    t - lag(t) OVER w AS gap
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |v AS (SELECT f || '>' || tt AS transition, CAST(gap AS DOUBLE) AS v
+        |      FROM g WHERE f IS NOT NULL),
+        |n AS (SELECT transition, count(*) AS n FROM v GROUP BY 1),
+        |s AS (SELECT transition, v,
+        |        row_number() OVER (PARTITION BY transition ORDER BY v) AS rn
+        |      FROM v)
+        |SELECT s.transition, CAST(0.5 AS DOUBLE) AS q,
+        |  CAST(greatest(1, CAST(ceil(0.5 * n.n) AS BIGINT)) AS BIGINT) AS rank,
+        |  s.v AS value
+        |FROM n JOIN s ON s.transition = n.transition
+        |  AND s.rn = greatest(1, CAST(ceil(0.5 * n.n) AS BIGINT))""".stripMargin,
 
     "x_new_vs_returning" ->
       """WITH ev AS (

@@ -165,6 +165,27 @@ class CatalogSpec extends SparkTestBase {
     ov.foreach(r => assert(r.getLong(4) <= math.min(r.getLong(2), r.getLong(3))))
   }
 
+  test("sampler fairness, redundancy, and first-week entries conserve totals") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val bias = SparkEntry.queries("x_sample_bias_audit")(spark, sfDir).collect()
+    assert(bias.map(_.getLong(1)).sum == docs)
+    bias.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+    val red = SparkEntry.queries("x_redundancy_by_source")(spark, sfDir).collect()
+    red.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+    val ev = spark.read.parquet(s"$sfDir/events.parquet").count()
+    val fw = SparkEntry.queries("x_first_week_behavior")(spark, sfDir).collect()
+    assert(fw.map(r => r.getLong(1) + r.getLong(2)).sum == ev)
+  }
+
+  test("step latency medians are non-negative and keyed by real transitions") {
+    val rows = SparkEntry.queries("x_step_latency")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0).contains(">"))
+      assert(r.getDouble(3) >= 0.0)
+    }
+  }
+
   test("id integrity audit finds clean synthetic keys") {
     val rows = SparkEntry.queries("x_id_integrity")(spark, sfDir).collect()
     assert(rows.length == 3)
