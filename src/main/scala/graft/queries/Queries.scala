@@ -1854,6 +1854,33 @@ object Queries {
         .groupBy(col("max_streak")).agg(count(lit(1)).as("n_users"))
     }),
 
+    // Monetary weekly rhythm: decimal value sums per (epoch-day mod
+    // 7, type) — the revenue-weighted companion to x_dow_profile's
+    // count view (traffic and value peak on different days when
+    // purchase behavior is weekend-skewed). Null/NaN measurements
+    // drop explicitly; DECIMAL routing keeps the sum order-free.
+    "x_value_by_dow" -> ((s, d) =>
+      events(s, d)
+        .filter(col("value").isNotNull && !isnan(col("value")))
+        .groupBy(
+          expr("datediff(to_date(ts_utc), date '1970-01-01') % 7")
+            .cast(LongType).as("dow_idx"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          dec(sum(dec(col("value")))).cast(DoubleType).as("sum_value"))),
+
+    // Discount-band effect: line count, quantity, and revenue per
+    // discount level — the elasticity read (does a deeper discount
+    // move more units?). 11 distinct discount values → an 11-row
+    // agg; all money stays in DECIMAL until emission.
+    "x_discount_effect" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_discount"))
+        .agg(count(lit(1)).as("n_lines"),
+          dec(sum(dec(col("l_quantity")))).cast(DoubleType).as("sum_qty"),
+          dec4(sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))))
+            .cast(DoubleType).as("revenue"))),
+
     // Day-of-week seasonality profile: (epoch-day mod 7, type) event
     // and distinct-user counts — the weekly-rhythm view next to
     // x_weekly_deltas' trend view. dow_idx 0 = Thursday (1970-01-01).
@@ -3420,6 +3447,28 @@ object Queries {
           col("keep").cast(IntegerType).as("keep_flag"))
     }),
 
+    // Length-bias audit of the quality filter: Gopher keep/fail
+    // counts per document-length decile (exact equal-frequency cut on
+    // n_chars) — a filter that mostly kills short or long docs is
+    // reshaping the length distribution, which shows up directly in
+    // downstream context-length utilization. Joins the two existing
+    // kernels; everything after them is a 10-row agg.
+    "x_length_vs_quality" -> ((s, d) => {
+      val nn = t(s, d, "documents").filter(col("text").isNotNull)
+      val g = TextAnalysis.gopherRules(nn, "doc_id", "text",
+        minTokens = 50, maxTokens = 100000,
+        minMeanTokLen = 4.0, maxMeanTokLen = 10.0,
+        maxTop2Frac = 0.08, maxDupLineFrac = 0.2, minStopHits = 2)
+        .select(col("doc_id"), col("keep"))
+      graft.operators.Quantiles.withQuantileBuckets(
+          nn, "n_chars", nBuckets = 10, outCol = "len_decile")
+        .select(col("doc_id"), col("len_decile"))
+        .join(g, "doc_id")
+        .groupBy(col("len_decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("keep").cast(LongType)).as("n_keep"))
+    }),
+
     // Deterministic resampling WITH replacement: n draws from n docs
     // via the portable LCG rank on the DRAW index, then the
     // times-drawn histogram. Zero RNG state — any engine replays the
@@ -3716,6 +3765,26 @@ object Queries {
       graft.operators.Sampling.perKeySample(
         t(s, d, "documents"), "doc_id", "source", k = 25)
         .select(col("doc_id"), col("source"), col("rn"))),
+
+    // Token-weighted sample (Efraimidis–Spirakis shape, derandomized):
+    // 100 docs with the smallest hashRank(id)/n_tokens priority —
+    // heavier docs proportionally more likely, replayable because the
+    // "randomness" is the portable LCG rank and the priority is ONE
+    // IEEE division of two integers (bit-identical in the oracle).
+    // TakeOrdered top-k; zero-token docs are unsampleable by
+    // construction and filtered.
+    "x_weighted_sample" -> ((s, d) => {
+      val toks = TextAnalysis.tokenCount(col("text")).cast(LongType)
+      t(s, d, "documents")
+        .select(col("doc_id"), toks.as("n_tokens"),
+          graft.operators.Sampling.hashRank(col("doc_id")).as("__r"))
+        .filter(col("n_tokens") > 0)
+        .select(col("doc_id"), col("n_tokens"),
+          (col("__r").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+            .as("priority"))
+        .orderBy(col("priority").asc, col("doc_id").asc)
+        .limit(100)
+    }),
 
     // Epoch-2 deterministic shuffle: global pseudo-random training
     // order via range-partitioned sort on the 31-bit hash rank +
@@ -6872,6 +6941,38 @@ object Queries {
         |  CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts
         |FROM documents GROUP BY 1""".stripMargin,
 
+    "x_weighted_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        |    (((((doc_id % 2147483647) + 0) * 1103515245) % 2147483647)
+        |      * 784588716) % 2147483647 AS r
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(r AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS priority
+        |FROM w WHERE n_tokens > 0
+        |ORDER BY priority ASC, doc_id ASC LIMIT 100""".stripMargin,
+
+    "x_value_by_dow" ->
+      """SELECT
+        |  CAST(datediff('day', DATE '1970-01-01',
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE)) % 7 AS BIGINT) AS dow_idx,
+        |  event_type, count(*) AS n_events,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |    AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE value IS NOT NULL AND NOT isnan(value)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "x_discount_effect" ->
+      """SELECT l_discount, count(*) AS n_lines,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |    AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
     // w = floor(sqrt(tot)) is integer-exact below 2^45; the rate is
     // pure BIGINT floor division (// in DuckDB, div in Spark); the keep
     // hash is the salt-3 variant of the portable per-mill bucket
@@ -8472,6 +8573,62 @@ object Queries {
         |  CAST(c.n_quality AS BIGINT) AS n_quality,
         |  CAST(u.n_unique AS BIGINT) AS n_unique
         |FROM a, c, u""".stripMargin,
+
+    // deciles via the x_value_deciles boundary replay on n_chars,
+    // keep via the same Gopher sig/rules construction
+    "x_length_vs_quality" ->
+      """WITH nn AS (SELECT doc_id, n_chars, text FROM documents
+        |  WHERE text IS NOT NULL),
+        |v AS (SELECT n_chars FROM nn WHERE n_chars IS NOT NULL),
+        |nv AS (SELECT count(*) AS n FROM v),
+        |sv AS (SELECT n_chars, row_number() OVER (ORDER BY n_chars) AS rn
+        |       FROM v),
+        |b AS (
+        |  SELECT sv.n_chars AS bv
+        |  FROM generate_series(1, 9) g(k)
+        |  CROSS JOIN nv
+        |  JOIN sv ON sv.rn = greatest(1,
+        |    CAST(ceil((CAST(g.k AS DOUBLE) / 10) * nv.n) AS BIGINT))),
+        |toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        |         ELSE string_split_regex(trim(text), '\s+') END AS t,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM nn),
+        |base AS (
+        |  SELECT doc_id, t, len(t) AS nt, len(lines) AS nl,
+        |         len(list_distinct(lines)) AS ndl,
+        |         list_transform(t, x -> lower(x)) AS tl,
+        |         CASE WHEN len(t) >= 2 THEN list_transform(generate_series(1, len(t)-1),
+        |           i -> t[i] || ' ' || t[i+1]) ELSE []::VARCHAR[] END AS g2
+        |  FROM toks),
+        |sig AS (
+        |  SELECT doc_id, nt,
+        |    CASE WHEN nt = 0 THEN 0.0
+        |         ELSE list_sum(list_transform(t, x -> len(x)))::DOUBLE / nt END AS mtl,
+        |    CASE WHEN len(g2) = 0 THEN 0.0 ELSE
+        |      (SELECT max(c)::DOUBLE FROM (SELECT count(*) AS c FROM unnest(g2) AS u(x) GROUP BY x)) / len(g2)
+        |    END AS t2f,
+        |    (nl - ndl)::DOUBLE / nl AS dlf,
+        |    len(list_filter(['the','a','an','and','or','of','to','in','is','are','was',
+        |                     'for','on','with','as','at','by','it','be','this','that'],
+        |        s -> list_contains(tl, s))) AS sh
+        |  FROM base),
+        |k AS (
+        |  SELECT doc_id,
+        |    CASE WHEN nt BETWEEN 50 AND 100000 AND mtl BETWEEN 4.0 AND 10.0
+        |      AND t2f <= 0.08 AND dlf <= 0.2 AND sh >= 2 THEN 1 ELSE 0 END AS keep
+        |  FROM sig),
+        |dec AS (
+        |  SELECT nn.doc_id,
+        |    CASE WHEN nn.n_chars IS NULL THEN NULL
+        |         ELSE 1 + (SELECT count(*) FROM b WHERE nn.n_chars > b.bv)
+        |    END AS len_decile
+        |  FROM nn)
+        |SELECT CAST(dec.len_decile AS BIGINT) AS len_decile,
+        |  count(*) AS n_docs, CAST(sum(k.keep) AS BIGINT) AS n_keep
+        |FROM dec JOIN k ON dec.doc_id = k.doc_id
+        |GROUP BY 1""".stripMargin,
 
     "x_cumulative_users" ->
       """WITH ud AS (

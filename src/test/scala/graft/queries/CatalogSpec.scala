@@ -186,6 +186,21 @@ class CatalogSpec extends SparkTestBase {
     }
   }
 
+  test("weighted sample favors heavy docs and length-vs-quality conserves docs") {
+    val ws = SparkEntry.queries("x_weighted_sample")(spark, sfDir).collect()
+    assert(ws.length <= 100 && ws.nonEmpty)
+    val sampledMean = ws.map(_.getLong(1)).sum.toDouble / ws.length
+    val corpusMean = SparkEntry.queries("x_text_tokens")(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.avg("n_tokens")).collect()(0).getDouble(0)
+    assert(sampledMean > corpusMean,
+      s"token-weighted sample mean $sampledMean not above corpus mean $corpusMean")
+    val lq = SparkEntry.queries("x_length_vs_quality")(spark, sfDir).collect()
+    val nn = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter("text IS NOT NULL").count()
+    assert(lq.map(_.getLong(1)).sum == nn)
+    lq.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+  }
+
   test("id integrity audit finds clean synthetic keys") {
     val rows = SparkEntry.queries("x_id_integrity")(spark, sfDir).collect()
     assert(rows.length == 3)
