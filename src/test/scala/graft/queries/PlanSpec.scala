@@ -79,6 +79,27 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q10 returned-revenue top-k is a TakeOrdered + broadcast join-back") {
+    val p = plan("q10_returns")
+    assert(p.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"winner frame not broadcast:\n$p")
+  }
+
+  test("weighted sample is a TakeOrdered top-k, not a global sort") {
+    val p = plan("x_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"global sort leaked in:\n$p")
+  }
+
+  test("wave-4 relational/profile entries stay free of cartesian products") {
+    for (n <- Seq("q18_big_orders", "x_user_overlap_types",
+        "x_mobility_matrix", "x_step_latency", "x_repeat_rate",
+        "x_pii_incidence", "x_ann_degree_hist", "x_ivf_label_purity"))
+      assert(!plan(n).contains("CartesianProduct"),
+        s"$n has a cartesian product")
+  }
+
   test("batch/ANN top-k windows pre-reduce map-side (partial WindowGroupLimit)") {
     // the row_number <= k filter must rewrite into a PARTIAL group
     // limit BEFORE the exchange — each map task then ships <= k rows
