@@ -2453,6 +2453,18 @@ object Queries {
           sum(when(col("__m").isNull, 1L).otherwise(0L)).as("n_exact_only"))
     }),
 
+    // Estimated-similarity histogram over the MinHash candidate
+    // pairs: n_agree (of 64) → pair count — the resolution curve of
+    // the signature estimator near the 0.5 threshold (a spike at the
+    // minimum agreement means the cutoff sits inside a dense
+    // similarity band and verification is load-bearing). One tiny
+    // agg over the already-bounded candidate pair frame.
+    "x_minhash_est_hist" -> ((s, d) =>
+      Dedup.minHashEstimatedPairs(t(s, d, "documents"), "doc_id", "text",
+          threshold = 0.5, metricName = Some("graft_minhash_est_hist"))
+        .groupBy(col("n_agree").cast(LongType).as("n_agree"))
+        .agg(count(lit(1)).as("n_pairs"))),
+
     // Signature-width sweep: the x_minhash_vs_exact audit at 64 AND
     // 16 hashes (bands 16/4, same rows-per-band) — what narrowing the
     // signature 4× costs in estimator fidelity, as two integer rows.
@@ -2615,6 +2627,23 @@ object Queries {
         t(s, d, "embeddings"), "vec_id", "embedding", k = 5)
       Similarity.recallAtK(ann, exactKnnGraph(s, d))
         .select(col("query_id"), col("n_hits"), col("k"))
+    }),
+
+    // Recall fairness across labels: the kNN-graph recall@5 audit
+    // split by the query's class — an index whose recall skews by
+    // label silently under-retrieves whole classes (cells/bands built
+    // from the majority class's geometry). The n² leg is the exact
+    // oracle graph, session-shared; everything after is ≤|labels| rows.
+    "x_recall_by_label" -> ((s, d) => {
+      val ann = Similarity.knnGraphApprox(
+        t(s, d, "embeddings"), "vec_id", "embedding", k = 5)
+      Similarity.recallAtK(ann, exactKnnGraph(s, d))
+        .join(t(s, d, "embeddings").select(col("vec_id").as("query_id"),
+          col("label").cast(LongType).as("label")), "query_id")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(col("n_hits")).as("n_hits"),
+          sum(col("k")).as("n_possible"))
     }),
 
     // Hubness audit of the production kNN graph: in-degree histogram
@@ -3019,6 +3048,25 @@ object Queries {
         .map(q => graft.operators.Quantiles.groupedExactQuantile(
           cust, "c_mktsegment", "c_acctbal", q = q))
         .reduce(_.unionAll(_))
+    }),
+
+    // Cohort-LTV triangle: revenue by (acquisition month, months
+    // since acquisition) over 30-day months — the value-weighted
+    // companion to x_retention's count matrix (finance reads this
+    // one). Cohort month is an algebraic min joined back; all money
+    // stays DECIMAL until emission.
+    "x_cohort_ltv" -> ((s, d) => {
+      val o = t(s, d, "orders").select(col("o_custkey"),
+        expr("datediff(to_date(o_orderdate), date '1970-01-01') div 30")
+          .cast(LongType).as("m"),
+        col("o_totalprice"))
+      val first = o.groupBy(col("o_custkey"))
+        .agg(min(col("m")).as("cohort_month"))
+      o.join(first, "o_custkey")
+        .groupBy(col("cohort_month"),
+          (col("m") - col("cohort_month")).as("age_months"))
+        .agg(count(lit(1)).as("n_orders"),
+          dec(sum(dec(col("o_totalprice")))).cast(DoubleType).as("revenue"))
     }),
 
     // Repeat-purchase rate per market segment: customers, buyers
@@ -6397,6 +6445,22 @@ object Queries {
         |JOIN s ON s.k = n.k
         |  AND s.rn = greatest(1, CAST(ceil(CAST(qs.q AS DOUBLE) * n.n) AS BIGINT))""".stripMargin,
 
+    "x_cohort_ltv" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |    datediff('day', DATE '1970-01-01',
+        |      CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE)) // 30 AS m,
+        |    o_totalprice
+        |  FROM orders),
+        |f AS (SELECT o_custkey, min(m) AS cohort_month FROM o GROUP BY 1)
+        |SELECT CAST(f.cohort_month AS BIGINT) AS cohort_month,
+        |  CAST(o.m - f.cohort_month AS BIGINT) AS age_months,
+        |  count(*) AS n_orders,
+        |  CAST(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2)))
+        |    AS DECIMAL(18,2)) AS DOUBLE) AS revenue
+        |FROM o JOIN f ON o.o_custkey = f.o_custkey
+        |GROUP BY 1, 2""".stripMargin,
+
     "x_repeat_rate" ->
       """WITH per AS (
         |  SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1)
@@ -7107,6 +7171,48 @@ object Queries {
         |FROM documents d
         |LEFT JOIN read_parquet('/root/repo/tools/golden/bpe_counts.parquet') g
         |  ON md5(d.text) = g.text_md5
+        |GROUP BY 1""".stripMargin,
+
+    "x_minhash_est_hist" ->
+      """WITH ck AS (SELECT CAST(sum((doc_id+1)*length(text)) AS BIGINT) AS k FROM documents WHERE text IS NOT NULL)
+        |SELECT CAST(n_agree AS BIGINT) AS n_agree, count(*) AS n_pairs
+        |FROM read_parquet('/root/repo/tools/golden/minhash_est_pairs.parquet') g, ck
+        |WHERE g.corpus_key = ck.k
+        |GROUP BY 1""".stripMargin,
+
+    // the x_knn_graph_recall construction joined to labels and
+    // aggregated per class
+    "x_recall_by_label" ->
+      """WITH ck AS (SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 281474976710656) AS BIGINT)) AS BIGINT) AS k FROM embeddings),
+        |g AS (
+        |  SELECT query_id, id
+        |  FROM read_parquet('/root/repo/tools/golden/knn_graph_ann.parquet') gg, ck
+        |  WHERE gg.corpus_key = ck.k),
+        |nz AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  WHERE list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0.0),
+        |pairs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS id,
+        |         list_cosine_similarity(c.embedding, q.embedding) AS cos
+        |  FROM nz c JOIN nz q ON c.vec_id <> q.vec_id),
+        |exact AS (
+        |  SELECT query_id, id FROM (
+        |    SELECT query_id, id, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, id ASC) AS rank
+        |    FROM pairs) WHERE rank <= 5),
+        |hits AS (
+        |  SELECT e.query_id, count(*) AS n_hits
+        |  FROM exact e JOIN g ON e.query_id = g.query_id AND e.id = g.id
+        |  GROUP BY e.query_id),
+        |per AS (
+        |  SELECT ex.query_id, coalesce(h.n_hits, 0) AS n_hits, ex.k
+        |  FROM (SELECT query_id, count(*) AS k FROM exact GROUP BY query_id) ex
+        |  LEFT JOIN hits h ON ex.query_id = h.query_id)
+        |SELECT CAST(e.label AS BIGINT) AS label, count(*) AS n_queries,
+        |  CAST(sum(per.n_hits) AS BIGINT) AS n_hits,
+        |  CAST(sum(per.k) AS BIGINT) AS n_possible
+        |FROM per JOIN embeddings e ON per.query_id = e.vec_id
         |GROUP BY 1""".stripMargin,
 
     "x_ann_degree_hist" ->

@@ -201,6 +201,21 @@ class CatalogSpec extends SparkTestBase {
     lq.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
   }
 
+  test("recall-by-label bounds, LTV conservation, and est-hist agreement range") {
+    val rbl = SparkEntry.queries("x_recall_by_label")(spark, sfDir).collect()
+    assert(rbl.nonEmpty)
+    rbl.foreach(r => assert(r.getLong(2) <= r.getLong(3)))
+    val totalQueries = SparkEntry.queries("x_knn_graph_recall")(spark, sfDir).count()
+    assert(rbl.map(_.getLong(1)).sum == totalQueries)
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet").count()
+    val ltv = SparkEntry.queries("x_cohort_ltv")(spark, sfDir).collect()
+    assert(ltv.map(_.getLong(2)).sum == orders)
+    ltv.foreach(r => assert(r.getLong(1) >= 0))
+    val hist = SparkEntry.queries("x_minhash_est_hist")(spark, sfDir).collect()
+    hist.foreach(r => assert(r.getLong(0) >= 32 && r.getLong(0) <= 64,
+      s"n_agree ${r.getLong(0)} outside the threshold..signature range"))
+  }
+
   test("id integrity audit finds clean synthetic keys") {
     val rows = SparkEntry.queries("x_id_integrity")(spark, sfDir).collect()
     assert(rows.length == 3)
