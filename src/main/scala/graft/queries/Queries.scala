@@ -3795,6 +3795,53 @@ object Queries {
             .otherwise(0L).as("target_permille"))
     }),
 
+    // Vocabulary overlap between source pairs: distinct-token set
+    // sizes and intersections (lexical Jaccard derivable exactly) —
+    // two sources with near-identical vocabularies add volume, not
+    // diversity, to a mixture. The self-join runs on the distinct
+    // (source, token) frame: per token the expansion is ≤ |sources|²,
+    // never corpus².
+    "x_vocab_overlap_sources" -> ((s, d) => {
+      val st = t(s, d, "documents")
+        .select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+        .distinct()
+      val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      st.as("a").join(st.as("b"),
+          col("a.token") === col("b.token") &&
+            col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"),
+          col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_both"))
+        .join(broadcast(sizes.select(col("source").as("source_a"),
+          col("n").as("n_a"))), "source_a")
+        .join(broadcast(sizes.select(col("source").as("source_b"),
+          col("n").as("n_b"))), "source_b")
+        .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+          col("n_both"))
+    }),
+
+    // Fingerprint group-size histogram: how large the normalized-
+    // exact duplicate groups run (whitespace-normalized rolling-hash
+    // identity, the x_fingerprint contract) — the size-2 mass is
+    // mirror pairs, a heavy tail means template spam. Two aggs.
+    "x_fingerprint_groups" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(TextAnalysis.fingerprint(col("text")).as("fp"))
+        .groupBy(col("fp")).agg(count(lit(1)).as("group_size"))
+        .groupBy(col("group_size")).agg(count(lit(1)).as("n_groups"))),
+
+    // Supplier part-coverage histogram: distinct parts each supplier
+    // ships → supplier count per coverage level — the last
+    // relationship profile of the schema (supplier↔part via the
+    // fact table). countDistinct shuffles keys, never pairs.
+    "x_supplier_coverage" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"))
+        .groupBy(col("n_parts")).agg(count(lit(1)).as("n_suppliers"))),
+
     // Exact-content redundancy per source: docs vs distinct text
     // payloads — the byte-level re-crawl factor next to
     // x_dup_rate_by_source's NEAR-dup view (a source can be exact-
@@ -7004,6 +7051,40 @@ object Queries {
       """SELECT source, count(*) AS n_docs,
         |  CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "x_vocab_overlap_sources" ->
+      """WITH st AS (
+        |  SELECT DISTINCT source, t AS token
+        |  FROM (SELECT source, unnest(list_filter(
+        |      string_split_regex(trim(text), '\s+'), x -> x <> '')) AS t
+        |    FROM documents WHERE text IS NOT NULL)),
+        |s AS (SELECT source, count(*) AS n FROM st GROUP BY 1),
+        |i AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    count(*) AS n_both
+        |  FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT i.source_a, i.source_b, CAST(sa.n AS BIGINT) AS n_a,
+        |  CAST(sb.n AS BIGINT) AS n_b, CAST(i.n_both AS BIGINT) AS n_both
+        |FROM i
+        |JOIN s sa ON sa.source = i.source_a
+        |JOIN s sb ON sb.source = i.source_b""".stripMargin,
+
+    "x_fingerprint_groups" ->
+      """WITH g AS (
+        |  SELECT regexp_replace(trim(text), '\s+', ' ', 'g') AS fp,
+        |    count(*) AS group_size
+        |  FROM documents GROUP BY 1)
+        |SELECT group_size, count(*) AS n_groups
+        |FROM g GROUP BY 1""".stripMargin,
+
+    "x_supplier_coverage" ->
+      """WITH per AS (
+        |  SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CAST(n_parts AS BIGINT) AS n_parts,
+        |  count(*) AS n_suppliers
+        |FROM per GROUP BY 1""".stripMargin,
 
     "x_weighted_sample" ->
       """WITH w AS (

@@ -216,6 +216,19 @@ class CatalogSpec extends SparkTestBase {
       s"n_agree ${r.getLong(0)} outside the threshold..signature range"))
   }
 
+  test("vocab overlap, fingerprint groups, and supplier coverage are consistent") {
+    val ov = SparkEntry.queries("x_vocab_overlap_sources")(spark, sfDir).collect()
+    assert(ov.nonEmpty)
+    ov.foreach(r => assert(r.getLong(4) <= math.min(r.getLong(2), r.getLong(3))))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val fp = SparkEntry.queries("x_fingerprint_groups")(spark, sfDir).collect()
+    assert(fp.map(r => r.getLong(0) * r.getLong(1)).sum == docs)
+    val supp = SparkEntry.queries("x_supplier_coverage")(spark, sfDir).collect()
+    val liSupp = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_suppkey").distinct().count()
+    assert(supp.map(_.getLong(1)).sum == liSupp)
+  }
+
   test("id integrity audit finds clean synthetic keys") {
     val rows = SparkEntry.queries("x_id_integrity")(spark, sfDir).collect()
     assert(rows.length == 3)
