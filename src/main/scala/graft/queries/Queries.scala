@@ -108,13 +108,20 @@ object Queries {
 
   private def memoPerDir[T <: AnyRef](
       cache: java.util.concurrent.ConcurrentHashMap[String, (SparkSession, T)],
-      s: SparkSession, d: String, label: String = "other")(
+      s: SparkSession, d: String, label: String = "other",
+      // an external spark.catalog.clearCache() (or a cascading
+      // unpersist) silently strips a memoized frame's cache entry;
+      // without this re-check the memo would keep handing out the
+      // now-unpersisted frame and every consumer would re-run the
+      // corpus-wide build it exists to share. Sites pass a
+      // storageLevel probe; stale entries are released and rebuilt.
+      stillValid: T => Boolean = (_: T) => true)(
       build: => T)(release: T => Unit): T = {
     val hit = cache.get(d)
-    if (hit != null && (hit._1 eq s)) hit._2
+    if (hit != null && (hit._1 eq s) && stillValid(hit._2)) hit._2
     else cache.synchronized {
       val again = cache.get(d)
-      if (again != null && (again._1 eq s)) again._2
+      if (again != null && (again._1 eq s) && stillValid(again._2)) again._2
       else {
         if (again != null || cache.size() >= dirMemoMax) {
           val stale =
@@ -181,7 +188,8 @@ object Queries {
   }
 
   private def fuzzyMultipassPairs(s: SparkSession, d: String): DataFrame =
-    memoPerDir(fuzzyPairCache, s, d, "fuzzy_pairs") {
+    memoPerDir(fuzzyPairCache, s, d, "fuzzy_pairs",
+      stillValid = (p: DataFrame) => p.storageLevel != StorageLevel.NONE) {
       val all = fuzzyTitles(s, d)
       // PASS PROVENANCE (r11 verdict #7): each pass tags its pairs, the
       // shared frame carries per-pass membership flags — so the single-
@@ -221,7 +229,8 @@ object Queries {
     String, (SparkSession, DataFrame)]()
 
   private def docShingles(s: SparkSession, d: String): DataFrame =
-    memoPerDir(shingleCache, s, d, "doc_shingles") {
+    memoPerDir(shingleCache, s, d, "doc_shingles",
+      stillValid = (p: DataFrame) => p.storageLevel != StorageLevel.NONE) {
       val sh = Dedup.shingleProjection(t(s, d, "documents"), "doc_id", "text", 3)
         .persist(StorageLevel.MEMORY_AND_DISK)
       sh.count() // materialize inside the timed artifact build
@@ -229,7 +238,9 @@ object Queries {
     } { _.unpersist(blocking = false) }
 
   private def ngramPairGraph(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    memoPerDir(pairGraphCache, s, d, "ngram_pair_graph") {
+    memoPerDir(pairGraphCache, s, d, "ngram_pair_graph",
+      stillValid = (g: (DataFrame, DataFrame)) =>
+        g._1.storageLevel != StorageLevel.NONE) {
       val pairs = Dedup.ngramJaccardFromShingles(
         docShingles(s, d), threshold = 0.5, maxPostings = 1000,
         metric = "graft_ngram_postings_doc_id_text")
@@ -252,7 +263,8 @@ object Queries {
     String, (SparkSession, DataFrame)]()
 
   private def passageSpans(s: SparkSession, d: String): DataFrame =
-    memoPerDir(passageSpanCache, s, d, "passage_spans") {
+    memoPerDir(passageSpanCache, s, d, "passage_spans",
+      stillValid = (p: DataFrame) => p.storageLevel != StorageLevel.NONE) {
       val spans = Dedup.duplicatePassageSpans(
         t(s, d, "documents"), "doc_id", "text", n = 8)
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -270,7 +282,8 @@ object Queries {
     String, (SparkSession, DataFrame)]()
 
   private def exactKnnGraph(s: SparkSession, d: String): DataFrame =
-    memoPerDir(exactKnnCache, s, d, "exact_knn_graph") {
+    memoPerDir(exactKnnCache, s, d, "exact_knn_graph",
+      stillValid = (p: DataFrame) => p.storageLevel != StorageLevel.NONE) {
       val g = graft.operators.Similarity.knnGraph(
         t(s, d, "embeddings"), "vec_id", "embedding", k = 5)
         .persist(StorageLevel.MEMORY_AND_DISK)

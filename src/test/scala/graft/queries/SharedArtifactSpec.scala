@@ -153,4 +153,18 @@ class SharedArtifactSpec extends SparkTestBase {
     assert(cc.exists(_ eq builder),
       "containment does not read the memoized shingle projection")
   }
+
+  test("memo self-heals after an external clearCache (stale frames rebuilt)") {
+    // an external spark.catalog.clearCache() — test harnesses do it,
+    // and a long-lived production session legitimately can — strips
+    // every memoized artifact's cache entry. The memo must detect the
+    // stale (now-unpersisted) frame and rebuild instead of handing it
+    // out, or every consumer silently re-runs the corpus-wide pass.
+    val before = rows(SparkEntry.queries("x_dedup_ngram")(spark, sfDir))
+    spark.sharedState.cacheManager.clearCache()
+    val after = SparkEntry.queries("x_dedup_ngram")(spark, sfDir)
+    assert(after.storageLevel != StorageLevel.NONE,
+      "memo returned a stale unpersisted frame after clearCache")
+    assert(rows(after) == before, "self-healed rebuild changed the answer")
+  }
 }
