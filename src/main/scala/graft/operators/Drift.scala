@@ -34,9 +34,10 @@ object Drift {
     * DISTINCT-VALUE cardinality: for measured/quantized columns
     * (prices, counts, scores) that is ≪ rows; for a continuous
     * full-precision column it approaches the row count, and the exact
-    * ECDF inherently needs those values ordered — at that extreme,
-    * pre-quantize the value column (KS on a quantized grid bounds the
-    * true D within one grid cell) or accept the per-group sort.
+    * ECDF inherently needs those values ordered — at that extreme use
+    * [[ksStatisticOnGrid]] (KS on a fixed dyadic grid bounds the true
+    * D within one grid cell and bounds the window input by a domain
+    * constant) rather than accepting the per-group sort.
     * Counts are longs; products stay within long for any
     * n_a·cnt ≤ 9.2e18 — i.e. samples up to ~3e9 rows per group.
     */
@@ -61,6 +62,42 @@ object Drift {
       .agg(max(abs(col("__f0") * col("n_b") - col("__f1") * col("n_a")))
         .as("ks_num"))
       .select(col(groupCol), col("n_a"), col("n_b"), col("ks_num"))
+  }
+
+  /** [[ksStatistic]] over a FIXED dyadic grid — the production shape
+    * for continuous full-precision value columns, where the exact
+    * ECDF's per-group window input would otherwise approach the
+    * group's row count (the scale hazard [[ksStatistic]]'s scaladoc
+    * warns about). Each value is quantized to
+    * `floor(value · cellsPerUnit)` before the ECDF, so the window's
+    * per-group input is bounded by `range(value) · cellsPerUnit`
+    * CELLS — a domain constant, independent of corpus size (the
+    * events table's [0, 561) domain at 16 cells/unit is ≤ 8 976 cells
+    * per group at ANY scale). KS on the grid bounds the true D within
+    * one cell's probability mass, the standard binned-KS trade.
+    *
+    * `cellsPerUnit` must be a power of two: the scaling multiply is
+    * then exact in IEEE doubles (dyadic), so the cell assignment —
+    * and therefore the whole statistic — is bit-identical across
+    * engines. `floor` on a double column yields LongType, so
+    * downstream arithmetic is pure integer. Null/NaN values are
+    * excluded BEFORE quantizing (Spark's `floor` would fold NaN into
+    * cell 0 after the long cast).
+    *
+    * Columns with an inherently bounded distinct-value domain
+    * (integer lengths, 2-decimal prices) don't need this — the exact
+    * [[ksStatistic]] is already grid-bounded there (`x_chars_drift`).
+    */
+  def ksStatisticOnGrid(
+      df: DataFrame, groupCol: String, valueCol: String, sampleCol: String,
+      cellsPerUnit: Int = 16
+  ): DataFrame = {
+    require(cellsPerUnit > 0 && Integer.bitCount(cellsPerUnit) == 1,
+      s"cellsPerUnit must be a positive power of two, got $cellsPerUnit")
+    val clean = df.filter(col(valueCol).isNotNull && !isnan(col(valueCol)))
+    val cells = clean.withColumn("__cell",
+      floor(col(valueCol) * lit(cellsPerUnit.toDouble)))
+    ksStatistic(cells, groupCol, "__cell", sampleCol)
   }
 
   /** Binned drift counts — the 100 TB-scale drift path. Where

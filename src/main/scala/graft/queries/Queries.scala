@@ -291,6 +291,53 @@ object Queries {
       g
     } { _.unpersist(blocking = false) }
 
+  /** Shared per-corpus trigram LM model (the CCNet-style quality
+    * prior) — the corpus-wide n-gram count aggregation in
+    * [[NgramLm.trainModel]] runs once per dir per session, consumed by
+    * both `x_lm_score` and `x_quality_bands` (the r12 verdict's
+    * recomputed-artifact item). ≤ |langs|·500 rows, persisted; both
+    * consumers also hand `NgramLm.score` the SAME canonicalized model
+    * plan, so its driver-side model collect happens once too.
+    */
+  private val lmModelCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (SparkSession, DataFrame)]()
+
+  private def lmModel(s: SparkSession, d: String): DataFrame =
+    memoPerDir(lmModelCache, s, d, "lm_model",
+      stillValid = (p: DataFrame) => p.storageLevel != StorageLevel.NONE) {
+      val m = NgramLm.trainModel(
+          t(s, d, "documents"), "lang", "text", n = 3, vocab = 500)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      m.count() // materialize inside the timed artifact build
+      m
+    } { _.unpersist(blocking = false) }
+
+  /** Shared Gopher-rule signal frame over the PLAIN corpus text (the
+    * standard thresholds every audit entry uses) — the five-signal
+    * kernel pass runs once per dir per session, consumed by
+    * `x_quality_by_lang`, `x_filter_funnel`, `x_length_vs_quality` and
+    * `x_quality_agreement` (the r12 verdict's recomputed-artifact
+    * item). `x_gopher_rules` itself stays standalone: its input is the
+    * boilerplate-INJECTED text2 column, a different frame by design.
+    * One row per non-null-text doc (corpus-bounded, ~7 int columns).
+    */
+  private val gopherCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (SparkSession, DataFrame)]()
+
+  private def gopherSignals(s: SparkSession, d: String): DataFrame =
+    memoPerDir(gopherCache, s, d, "gopher_signals",
+      stillValid = (p: DataFrame) => p.storageLevel != StorageLevel.NONE) {
+      val g = TextAnalysis.gopherRules(
+          t(s, d, "documents").filter(col("text").isNotNull),
+          "doc_id", "text",
+          minTokens = 50, maxTokens = 100000,
+          minMeanTokLen = 4.0, maxMeanTokLen = 10.0,
+          maxTop2Frac = 0.08, maxDupLineFrac = 0.2, minStopHits = 2)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      g.count() // materialize inside the timed artifact build
+      g
+    } { _.unpersist(blocking = false) }
+
   /** events.parquet currently carries a MICROSECOND timestamp
     * (isAdjustedToUTC=false), which Spark reads natively; with the
     * session timezone pinned to UTC, `unix_micros(ts_utc)` equals the
@@ -1908,10 +1955,16 @@ object Queries {
           countDistinct(col("user_id")).as("n_users"))),
 
     // Two-sample KS drift, early-vs-late halves of the event stream
-    // (split at the epoch-µs midpoint), per event_type: did the value
-    // distribution move within the window? ks_num is the exact integer
-    // KS numerator (D = ks_num / (n_a·n_b)) — no float division, so
-    // the statistic is hash-stable. The midpoint is a 1-row broadcast.
+    // (split at the epoch-µs midpoint), per event_type — on a FIXED
+    // 1/16-unit dyadic grid: value is a continuous double, so the
+    // exact ECDF's per-type window input would equal the type's
+    // distinct-value count (≈ row count — a per-type single-task sort
+    // at scale, the r12 verdict's one flagged shape). Quantizing
+    // bounds the window input at range·16 ≤ 8 976 CELLS per type at
+    // any corpus size, and bounds true D within one cell's mass.
+    // ks_num stays the exact integer numerator (D = ks_num/(n_a·n_b))
+    // — floor yields longs, no float division, hash-stable. The
+    // midpoint is a 1-row broadcast.
     "x_ks_drift" -> ((s, d) => {
       val ev = events(s, d)
       val mid = ev.agg(
@@ -1920,7 +1973,8 @@ object Queries {
       val tagged = ev.crossJoin(broadcast(mid))
         .withColumn("__s",
           (unix_micros(col("ts_utc")) >= col("__mid")).cast(IntegerType))
-      Drift.ksStatistic(tagged, "event_type", "value", "__s")
+      Drift.ksStatisticOnGrid(tagged, "event_type", "value", "__s",
+        cellsPerUnit = 16)
     }),
 
     // Binned drift contingency table — the 100 TB-scale drift path
@@ -3129,8 +3183,7 @@ object Queries {
     // hash-match the oracle; see NgramLm scaladoc).
     "x_lm_score" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val model = NgramLm.trainModel(docs, "lang", "text", n = 3, vocab = 500)
-      NgramLm.score(docs, "doc_id", "lang", "text", model, n = 3)
+      NgramLm.score(docs, "doc_id", "lang", "text", lmModel(s, d), n = 3)
     }),
 
     // CCNet head/middle/tail banding: per-lang score TERCILES cut the
@@ -3139,8 +3192,8 @@ object Queries {
     // both engines (type-7 interpolation).
     "x_quality_bands" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val model = NgramLm.trainModel(docs, "lang", "text", n = 3, vocab = 500)
-      NgramLm.qualityBuckets(docs, "doc_id", "lang", "text", model, n = 3)
+      NgramLm.qualityBuckets(docs, "doc_id", "lang", "text", lmModel(s, d),
+        n = 3)
     }),
 
     // Fixed-size token windows with stride (16-token chunks every 12 —
@@ -3378,13 +3431,12 @@ object Queries {
     // filter against a multilingual corpus (stopword and word-length
     // rules systematically fail non-English text; this quantifies the
     // skew instead of discovering it post-training). Same rule kernel
-    // and thresholds as x_gopher_rules; one |langs|-bounded agg on top.
+    // and thresholds as x_gopher_rules, via the shared gopherSignals
+    // artifact (one kernel pass per corpus per session); one
+    // |langs|-bounded agg on top.
     "x_quality_by_lang" -> ((s, d) => {
       val nn = t(s, d, "documents").filter(col("text").isNotNull)
-      val g = TextAnalysis.gopherRules(nn, "doc_id", "text",
-        minTokens = 50, maxTokens = 100000,
-        minMeanTokLen = 4.0, maxMeanTokLen = 10.0,
-        maxTop2Frac = 0.08, maxDupLineFrac = 0.2, minStopHits = 2)
+      val g = gopherSignals(s, d)
       nn.select(col("doc_id"), col("lang")).join(g, "doc_id")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
@@ -3406,10 +3458,7 @@ object Queries {
     "x_filter_funnel" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val nn = docs.filter(col("text").isNotNull)
-      val g = TextAnalysis.gopherRules(nn, "doc_id", "text",
-        minTokens = 50, maxTokens = 100000,
-        minMeanTokLen = 4.0, maxMeanTokLen = 10.0,
-        maxTop2Frac = 0.08, maxDupLineFrac = 0.2, minStopHits = 2)
+      val g = gopherSignals(s, d)
         .select(col("doc_id"), col("n_tokens"), col("keep"))
       val flags = nn.select(col("doc_id"), col("text")).join(g, "doc_id")
       val uniq = flags.filter(col("keep") === 1)
@@ -3516,10 +3565,7 @@ object Queries {
     // kernels; everything after them is a 10-row agg.
     "x_length_vs_quality" -> ((s, d) => {
       val nn = t(s, d, "documents").filter(col("text").isNotNull)
-      val g = TextAnalysis.gopherRules(nn, "doc_id", "text",
-        minTokens = 50, maxTokens = 100000,
-        minMeanTokLen = 4.0, maxMeanTokLen = 10.0,
-        maxTop2Frac = 0.08, maxDupLineFrac = 0.2, minStopHits = 2)
+      val g = gopherSignals(s, d)
         .select(col("doc_id"), col("keep"))
       graft.operators.Quantiles.withQuantileBuckets(
           nn, "n_chars", nBuckets = 10, outCol = "len_decile")
@@ -3624,12 +3670,12 @@ object Queries {
     // owner reads before swapping one cheap filter for the other (or
     // chaining them). Both signals are codegen'd projections; one
     // count shuffle.
+    // Reads the shared gopherSignals artifact (filtered to non-null
+    // text — no such docs exist in the corpus at any SF, and excluding
+    // a text-less doc from a text-quality matrix is the right frame).
     "x_quality_agreement" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val g = TextAnalysis.gopherRules(docs, "doc_id", "text",
-          minTokens = 50, maxTokens = 100000,
-          minMeanTokLen = 4.0, maxMeanTokLen = 10.0,
-          maxTop2Frac = 0.08, maxDupLineFrac = 0.2, minStopHits = 2)
+      val g = gopherSignals(s, d)
         .select(col("doc_id"), col("keep").as("keep_gopher"))
       val c = QualityClassifier.score(docs, "text")
         .select(col("doc_id"), col("keep").cast(IntegerType).as("keep_clf"))
@@ -5233,28 +5279,30 @@ object Queries {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY 1, 2""".stripMargin,
 
-    // exact integer KS numerator: same midpoint split, same distinct-
-    // value cumulative counts; RANGE vs ROWS frames agree because the
-    // window runs over per-(type,value) DISTINCT rows
+    // exact integer KS numerator on the 1/16 dyadic grid: same
+    // midpoint split; value*16.0 is an exact dyadic scaling in IEEE
+    // doubles, so floor + BIGINT cast lands every row in the same
+    // cell as Spark's LongType floor. RANGE vs ROWS frames agree
+    // because the window runs over per-(type,cell) DISTINCT rows
     "x_ks_drift" ->
       """WITH m AS (
         |  SELECT (min(epoch_us(CAST(ts AS TIMESTAMP))) +
         |          max(epoch_us(CAST(ts AS TIMESTAMP)))) // 2 AS mid
         |  FROM events),
         |e AS (
-        |  SELECT event_type, value,
+        |  SELECT event_type, CAST(floor(value * 16.0) AS BIGINT) AS cell,
         |    CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) >= (SELECT mid FROM m)
         |      THEN 1 ELSE 0 END AS s
         |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
         |c AS (
-        |  SELECT event_type, value,
+        |  SELECT event_type, cell,
         |    sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS c0,
         |    sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS c1
         |  FROM e GROUP BY 1, 2),
         |cum AS (
         |  SELECT event_type,
-        |    sum(c0) OVER (PARTITION BY event_type ORDER BY value) AS f0,
-        |    sum(c1) OVER (PARTITION BY event_type ORDER BY value) AS f1
+        |    sum(c0) OVER (PARTITION BY event_type ORDER BY cell) AS f0,
+        |    sum(c1) OVER (PARTITION BY event_type ORDER BY cell) AS f1
         |  FROM c),
         |tot AS (SELECT event_type, sum(c0) AS n_a, sum(c1) AS n_b
         |        FROM c GROUP BY 1)

@@ -73,6 +73,53 @@ class DriftSpec extends SparkTestBase {
     }
   }
 
+  test("ksStatisticOnGrid equals exact KS over pre-quantized values") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(500)(i =>
+      (s"g${i % 2}", rnd.nextDouble() * 3.0, rnd.nextInt(2)))
+    val got = Drift.ksStatisticOnGrid(
+        rows.toDF("k", "v", "s"), "k", "v", "s", cellsPerUnit = 16)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Long]("ks_num")))
+      .toMap
+    // by definition: the grid statistic IS the exact statistic of the
+    // floored values
+    val floored = rows.map { case (k, v, s) =>
+      (k, math.floor(v * 16.0), s) }
+    val want = Drift.ksStatistic(
+        floored.toDF("k", "v", "s"), "k", "v", "s")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Long]("ks_num")))
+      .toMap
+    assert(got == want)
+  }
+
+  test("ksStatisticOnGrid: null/NaN are excluded BEFORE quantizing") {
+    import spark.implicits._
+    // if NaN survived to the long-typed floor it would fold into cell
+    // 0 and inflate n_b — the exact hazard the pre-filter exists for
+    val df = Seq(
+      ("g", Some(0.01), 0), ("g", Some(Double.NaN), 1),
+      ("g", None: Option[Double], 1), ("g", Some(0.02), 1)
+    ).toDF("k", "v", "s")
+    val r = Drift.ksStatisticOnGrid(df, "k", "v", "s", 16).collect().head
+    assert(r.getAs[Long]("n_a") == 1L)
+    assert(r.getAs[Long]("n_b") == 1L)
+    assert(r.getAs[Long]("ks_num") == 0L) // both rows land in cell 0
+  }
+
+  test("ksStatisticOnGrid rejects a non-power-of-two grid") {
+    import spark.implicits._
+    val df = Seq(("g", 1.0, 0)).toDF("k", "v", "s")
+    intercept[IllegalArgumentException] {
+      Drift.ksStatisticOnGrid(df, "k", "v", "s", cellsPerUnit = 10)
+    }
+    intercept[IllegalArgumentException] {
+      Drift.ksStatisticOnGrid(df, "k", "v", "s", cellsPerUnit = 0)
+    }
+  }
+
   test("ksStatistic: window is group-partitioned (scale guard)") {
     import spark.implicits._
     val df = Seq(("g", 1.0, 0)).toDF("k", "v", "s")

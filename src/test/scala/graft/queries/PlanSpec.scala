@@ -164,6 +164,61 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("ks drift runs on the fixed dyadic grid, group-partitioned") {
+    val p = plan("x_ks_drift")
+    // the quantize must be IN the plan (a refactor dropping it would
+    // silently restore the per-type distinct-value window of r12)
+    assert(p.contains("FLOOR"), s"no grid quantize in plan:\n$p")
+    val winLines = p.linesIterator
+      .filter(l => l.contains("Window") && !l.contains("WindowGroupLimit"))
+      .toSeq
+    assert(winLines.nonEmpty, s"expected the cumulative-ECDF window:\n$p")
+    assert(winLines.forall(_.contains("event_type")),
+      s"ECDF window must be partitioned by the group column:\n$p")
+    // the window rides a hash exchange on the group column (the 1-row
+    // midpoint min/max upstream legitimately uses SinglePartition)
+    assert(p.contains("Exchange hashpartitioning(event_type"),
+      s"ECDF window not hash-partitioned by group:\n$p")
+  }
+
+  test("binned drift is pure aggregation: no join, no window, no explode") {
+    val p = plan("x_bin_drift")
+    // edges are collected driver-side (9 rows, bounded) and compiled
+    // into a comparison chain — nothing else is allowed to appear
+    assert(!p.contains("Window"), s"window leaked into binned drift:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"shuffle join leaked into binned drift:\n$p")
+    assert(!p.contains("Generate"), s"explode leaked into binned drift:\n$p")
+  }
+
+  test("mode-per-group is a two-level agg, never a per-group window") {
+    val p = plan("x_mode_per_group")
+    assert(!p.contains("Window"),
+      s"mode regressed to a per-group window (one task per group):\n$p")
+  }
+
+  test("open-orders sweep uses exactly one partitioned window over deltas") {
+    val p = plan("x_open_orders")
+    val winLines = p.linesIterator
+      .filter(l => l.contains("Window") && !l.contains("WindowGroupLimit"))
+      .toSeq
+    assert(winLines.size == 1,
+      s"expected exactly the priority-partitioned cumulative sum:\n$p")
+    assert(winLines.head.contains("prio"),
+      s"sweep window must partition by priority:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"sweep window serialized through one task:\n$p")
+  }
+
+  test("rolling WAU joins the day spine hash-broadcast, never range-BNLJ") {
+    val p = plan("x_rolling_wau")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"rolling window regressed to a per-row range probe:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in rolling WAU:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"day spine should broadcast as an equi-join:\n$p")
+  }
+
   test("snapshot diff joins on (key, hash) projections") {
     val p = plan("x_snapshot_diff")
     // full-outer join on the key over xxhash64-projected sides — the

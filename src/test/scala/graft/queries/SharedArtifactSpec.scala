@@ -167,4 +167,62 @@ class SharedArtifactSpec extends SparkTestBase {
       "memo returned a stale unpersisted frame after clearCache")
     assert(rows(after) == before, "self-healed rebuild changed the answer")
   }
+
+  test("gopher signal frame: one kernel pass shared by all four consumers, invisibly") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextAnalysis
+    val a = SparkEntry.queries("x_quality_by_lang")(spark, sfDir)
+    val ca = cacheBuilders(a)
+    assert(ca.nonEmpty,
+      "x_quality_by_lang does not read a persisted shared signal frame")
+    for (n <- Seq("x_filter_funnel", "x_length_vs_quality",
+        "x_quality_agreement")) {
+      val cb = cacheBuilders(SparkEntry.queries(n)(spark, sfDir))
+      assert(cb.nonEmpty && cb.forall(c => ca.exists(_ eq c)),
+        s"$n does not ride the shared gopher signal frame")
+    }
+    // invisible: the per-lang audit equals the direct un-memoized
+    // composition (same kernel, same thresholds, no cache involved)
+    val nn = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("text").isNotNull)
+    val g = TextAnalysis.gopherRules(nn, "doc_id", "text",
+      minTokens = 50, maxTokens = 100000,
+      minMeanTokLen = 4.0, maxMeanTokLen = 10.0,
+      maxTop2Frac = 0.08, maxDupLineFrac = 0.2, minStopHits = 2)
+    val direct = nn.select(col("doc_id"), col("lang")).join(g, "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep").cast("long")).as("n_keep"),
+        sum(lit(1L) - col("r_token_count")).as("n_fail_tokens"),
+        sum(lit(1L) - col("r_word_len")).as("n_fail_wordlen"),
+        sum(lit(1L) - col("r_repetition")).as("n_fail_rep"),
+        sum(lit(1L) - col("r_boilerplate")).as("n_fail_boiler"),
+        sum(lit(1L) - col("r_stopwords")).as("n_fail_stop"))
+    assert(rows(a) == rows(direct))
+  }
+
+  test("lm model: trained and collected once, shared by score and bands, invisibly") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.NgramLm
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val a = SparkEntry.queries("x_lm_score")(spark, sfDir)
+    val sizeAfterFirst = NgramLm.modelCacheSize
+    val b = SparkEntry.queries("x_quality_bands")(spark, sfDir)
+    // the score kernel collects one model per distinct canonicalized
+    // model plan — a second DISTINCT training would add a cache entry
+    assert(NgramLm.modelCacheSize == sizeAfterFirst,
+      "x_quality_bands trained/collected a second lm model")
+    // the shared model frame is session-cached under the trainModel
+    // plan (CacheManager canonical-plan lookup, the shingle precedent)
+    val direct = NgramLm.trainModel(docs, "lang", "text", n = 3, vocab = 500)
+    val hit = spark.sharedState.cacheManager.lookupCachedData(
+      direct.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
+    assert(hit.isDefined, "lm model is not session-cached")
+    // invisible: entry rows equal the direct un-memoized composition
+    assert(rows(a) ==
+      rows(NgramLm.score(docs, "doc_id", "lang", "text", direct, n = 3)))
+    assert(rows(b) ==
+      rows(NgramLm.qualityBuckets(docs, "doc_id", "lang", "text", direct,
+        n = 3)))
+  }
 }
