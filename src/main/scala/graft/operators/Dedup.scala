@@ -922,10 +922,11 @@ object Dedup {
       tables: Int = 4,
       maxBucket: Int = 1000,
       storage: StorageLevel = StorageLevel.NONE,
+      targetBucket: Int = 32,
       metricName: Option[String] = None
   ): DataFrame =
     embeddingNearDupsResult(df, idCol, vecCol, threshold, planes, tables,
-      maxBucket, storage, metricName).pairs
+      maxBucket, storage, targetBucket, metricName).pairs
 
   /** [[embeddingNearDups]] with a [[NearDupResult]] handle (caller-owned
     * cache lifecycle + stable metric name).
@@ -939,6 +940,7 @@ object Dedup {
       tables: Int = 4,
       maxBucket: Int = 1000,
       storage: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+      targetBucket: Int = 32,
       metricName: Option[String] = None
   ): NearDupResult = {
     val metric = metricName.getOrElse(s"graft_dedup_buckets_embedding_${idCol}_$vecCol")
@@ -950,8 +952,17 @@ object Dedup {
     val projected = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     val base =
       if (storage == StorageLevel.NONE) projected else projected.persist(storage)
+    // plane count grows with the corpus (Similarity.adaptivePlanes —
+    // the r13 scale-probe fix): mean bucket occupancy stays
+    // ~targetBucket at any n, so candidate volume is linear, not
+    // quadratic; `planes` is the floor and pins the test-SF goldens
+    // (n <= 2048 at floor 6 / target 32, n <= 4096 at floor 12).
+    // df.count() (not base): a metadata-foldable count of the raw
+    // input — an upper bound on n is all plane sizing needs
+    val planesEff = Similarity.adaptivePlanes(
+      df.count(), targetBucket, floor = planes)
     val banded = base.select(col("id"), posexplode(
-        VectorFunctions.signBuckets(col("v"), planes, tables, baseSeed = 17L)))
+        VectorFunctions.signBuckets(col("v"), planesEff, tables, baseSeed = 17L)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val pairs = candidatePairs(banded, maxBucket, metric)
     val verified = verifyPairs(pairs, base.select(col("id"), col("v").as("payload")),
@@ -995,10 +1006,12 @@ object Dedup {
       tables: Int = 4,
       maxBucket: Int = 1000,
       storage: StorageLevel = StorageLevel.NONE,
+      targetBucket: Int = 32,
       metricName: Option[String] = None
   ): DataFrame = {
     val pairs = embeddingNearDups(
-      df, idCol, vecCol, threshold, planes, tables, maxBucket, storage, metricName)
+      df, idCol, vecCol, threshold, planes, tables, maxBucket, storage,
+      targetBucket, metricName)
     Clusters.dedupClusters(df, idCol, Clusters.connectedComponents(pairs))
   }
 

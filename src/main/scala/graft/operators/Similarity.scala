@@ -45,6 +45,43 @@ object Similarity {
   /** Cosine similarity of two vectors (one-pass kernel; 0.0 on zero norm). */
   def cosine(a: Column, b: Column): Column = VectorFunctions.cosine(a, b)
 
+  /** Hyperplane count that keeps the MEAN LSH bucket occupancy at or
+    * under `targetBucket` for an `n`-vector corpus: the scaladoc
+    * prescription `planes ≈ log₂(n / targetBucket)` made executable —
+    * `max(floor, ⌈log₂⌈n / targetBucket⌉⌉)`, in pure integer
+    * arithmetic (no float log), so the choice is bit-deterministic on
+    * every platform.
+    *
+    * This is what makes the banded-LSH families SCALE-INVARIANT in
+    * shape: with a FIXED plane count the bucket count is a constant,
+    * mean occupancy grows ∝ n, and the candidate volume Σ|B|²/2 grows
+    * ∝ n² — the r13 10× scale probe measured exactly that (79× at 10×
+    * data for the fixed-plane kNN graph). With planes from this
+    * function, bucket count grows ∝ n, occupancy stays ~targetBucket,
+    * and candidates stay ∝ n·targetBucket — linear.
+    *
+    * The floor pins behavior at small corpora: for `floor = 6,
+    * targetBucket = 32` every corpus up to 4096·32 = 2048 vectors gets
+    * exactly `floor` planes, so the committed corpus-keyed goldens at
+    * the test SFs (≤ 2000 vectors) are unchanged by adaptivity.
+    *
+    * Recall trade: each extra plane multiplies per-band collision
+    * probability by p (= 1 − θ/π for angle θ), so recall at a grown
+    * plane count is held by growing `tables` (miss probability
+    * (1 − p^planes)^tables). Callers that scale planes without scaling
+    * tables trade recall for the bounded candidate volume — the
+    * standing [[recallAtK]] audit quantifies what that costs.
+    */
+  def adaptivePlanes(n: Long, targetBucket: Int, floor: Int): Int = {
+    require(targetBucket > 0, s"targetBucket must be positive, got $targetBucket")
+    require(floor > 0 && floor <= 62, s"floor out of range: $floor")
+    val buckets = math.max(1L, (n + targetBucket - 1) / targetBucket)
+    val ceilLog2 =
+      if (buckets <= 1L) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)
+    math.min(62, math.max(floor, ceilLog2))
+  }
+
   /** Symmetric int8 scalar quantization — the standard 4× compression
     * for embedding stores feeding ANN search. Returns a struct
     * (`max_abs`, `q`): `q(i) = floor(x(i) * 127 / max|x|)` ∈
@@ -182,13 +219,21 @@ object Similarity {
     * vectors are excluded on both sides, same contract as [[knnGraph]].
     *
     * Cost is candidate-proportional: |pairs| ≈ Σ_buckets |B|²/2
-    * bounded by `maxBucket`, NEVER n². At 100 TB scale `planes` grows
-    * with the corpus (target mean bucket size stays O(candidate
-    * budget): planes ≈ log₂(n / targetBucket)) and `tables` buys
-    * recall linearly in cost. Missing a true neighbor requires ALL
-    * `tables` buckets to disagree — recall per neighbor at angular
-    * similarity p = 1 − (1 − p^planes)^tables. The exact [[knnGraph]]
-    * on a sampled slice is the standing recall audit
+    * bounded by `maxBucket`, NEVER n². The plane count GROWS WITH THE
+    * CORPUS via [[adaptivePlanes]] (one metadata-cheap count, then
+    * planes_eff = max(planes, ⌈log₂⌈n/targetBucket⌉⌉)) so mean bucket
+    * occupancy — and with it the candidate volume per vector — stays
+    * ~targetBucket at ANY corpus size; with the former FIXED plane
+    * count the r13 10× probe measured 79× cost at 10× data (bucket
+    * count constant → occupancy ∝ n → Σ|B|² ∝ n²), adaptively
+    * re-measured linear. `planes` acts as the floor, which pins
+    * behavior (and the committed goldens) at the test SFs: n ≤ 2048
+    * keeps planes_eff = 6. `tables` buys recall linearly in cost —
+    * missing a true neighbor requires ALL `tables` buckets to
+    * disagree: recall per neighbor at angular similarity p =
+    * 1 − (1 − p^planes)^tables, so a deployment that lets planes grow
+    * should grow tables alongside to hold recall. The exact
+    * [[knnGraph]] on a sampled slice is the standing recall audit
     * ([[recallAtK]]).
     *
     * Returns (query_id, id, cosine, rank) for every query with ≥ 1
@@ -199,15 +244,21 @@ object Similarity {
   def knnGraphApprox(
       df: DataFrame, idCol: String, vecCol: String, k: Int,
       planes: Int = 6, tables: Int = 8, maxBucket: Int = 1000,
+      targetBucket: Int = 32,
       metricName: Option[String] = None
   ): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val metric = metricName.getOrElse(s"graft_knn_graph_buckets_${idCol}_$vecCol")
     val base = df.filter(dot(col(vecCol), col(vecCol)) > 0.0)
       .select(col(idCol).as("id"), col(vecCol).as("v"))
+    // raw input count, NOT base.count(): sizing needs only an upper
+    // bound on n, and df.count() folds to a parquet metadata count
+    // while counting the zero-norm-filtered projection would evaluate
+    // the dot kernel over the whole corpus — an extra corpus pass.
+    val planesEff = adaptivePlanes(df.count(), targetBucket, floor = planes)
     val banded = base.select(col("id"), posexplode(
         graft.functions.VectorFunctions.signBuckets(
-          col("v"), planes, tables, baseSeed = 17L)))
+          col("v"), planesEff, tables, baseSeed = 17L)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val undirected = Dedup.candidatePairs(banded, maxBucket, metric)
     val scored = Dedup.verifyPairs(undirected,

@@ -1,0 +1,150 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Seed-stable N× scale-up of a testdata dir — the empirical leg of
+  * the 100 TB argument. The plan-shape claims ("bounded window input",
+  * "capped buckets", "no n² pair expansion") are verified analytically
+  * in scaladocs and PlanSpec; this tool lets a bench run CONFIRM them
+  * by deriving a ~10× dataset (sf0.1 → sf~1: 6M lineitem rows) and
+  * re-timing the riskiest catalog entries against it (ratios recorded
+  * in BASELINE.md's scale-probe table).
+  *
+  * Derivation (deterministic, no RNG): each table is cross-joined with
+  * an N-row replica spine; replica r offsets every key column by
+  * r·2^40 so joins stay consistent WITHIN a replica and keys never
+  * collide ACROSS replicas. Dims (`region`, `nation`) stay fixed, as
+  * in TPC-H scaling. Two perturbations keep workload *character*
+  * scale-invariant rather than degenerate:
+  *
+  *  - `documents.text` (r>0): every 5th word gets a `~r` suffix, so
+  *    any shingle window of ≥2 words straddles a mutated word with
+  *    probability ≥ ~2/5 and 5-word shingles are all killed — replicas
+  *    are NOT near-dups of each other, and the corpus dup RATE (the
+  *    generator's intra-corpus near-dup pairs, replicated per replica)
+  *    stays constant with scale instead of exploding to 90%+ as a
+  *    verbatim 10× copy would (which would inflate every LSH bucket
+  *    10× and make pair counts quadratic BY INPUT CONSTRUCTION,
+  *    masking what the probe measures: the plan's scaling).
+  *  - `embeddings.embedding` (r>0): per-(vec_id, r, dim) hash jitter
+  *    of amplitude 0.5 decorrelates replicas (cosine near-dup pairs
+  *    don't multiply across replicas; label structure is preserved).
+  *
+  * Timestamps are kept verbatim — 10× events in the same wall-clock
+  * window is a RATE increase, the realistic scale axis for the
+  * sessionize/rolling-window entries.
+  *
+  * Usage: ScaleUp <inDir> <outDir> [replicas=10]. Output dir carries
+  * the same `<table>.parquet` layout, so SPARK_GRAFT_SF_DIR can point
+  * at it directly.
+  */
+object ScaleUp {
+
+  private val Stride = 1L << 40
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: ScaleUp <inDir> <outDir> [replicas]")
+    val inDir = args(0)
+    val outDir = args(1)
+    val n = if (args.length > 2) args(2).toInt else 10
+    require(n >= 1 && n <= 1000, s"replicas out of range: $n")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def in(name: String): DataFrame =
+      spark.read.parquet(s"$inDir/$name.parquet")
+
+    def write(df: DataFrame, name: String, parts: Int): Unit =
+      df.repartition(parts).write.mode("overwrite")
+        .parquet(s"$outDir/$name.parquet")
+
+    // replica spine: broadcast 10 rows, each input row fans out N ways
+    val reps = broadcast(
+      spark.range(n).select(col("id").cast("int").as("__r")))
+
+    val r = col("__r")
+    def off(c: String): Column = col(c) + r.cast("long") * lit(Stride)
+    def tag(c: String): Column =
+      when(r === 0, col(c)).otherwise(concat(col(c), lit("#r"), r))
+
+    def scale(name: String, parts: Int)(cols: DataFrame => Seq[Column]): Unit = {
+      val src = in(name)
+      val order = src.columns
+      val out = src.crossJoin(reps)
+      write(out.select(cols(src): _*).toDF(order: _*), name, parts)
+    }
+
+    // fixed dims: copy verbatim
+    for (dim <- Seq("region", "nation"))
+      in(dim).write.mode("overwrite").parquet(s"$outDir/$dim.parquet")
+
+    scale("customer", 4)(_ => Seq(
+      off("c_custkey"), tag("c_name"), col("c_nationkey"),
+      col("c_acctbal"), col("c_mktsegment")))
+
+    scale("supplier", 1)(_ => Seq(
+      off("s_suppkey"), tag("s_name"), col("s_nationkey"), col("s_acctbal")))
+
+    scale("part", 2)(_ => Seq(
+      off("p_partkey"), tag("p_name"), col("p_brand"), col("p_type"),
+      col("p_size"), col("p_retailprice")))
+
+    scale("orders", 8)(_ => Seq(
+      off("o_orderkey"), off("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), col("o_orderdate"), col("o_orderpriority")))
+
+    scale("lineitem", 32)(_ => Seq(
+      off("l_orderkey"), off("l_partkey"), off("l_suppkey"),
+      col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+      col("l_discount"), col("l_tax"), col("l_returnflag"),
+      col("l_linestatus"), col("l_shipdate")))
+
+    scale("events", 16)(_ => Seq(
+      off("event_id"), col("ts"), off("user_id"), col("event_type"),
+      col("value"), col("props")))
+
+    // documents: replica 0 verbatim; r>0 mutates every 5th word so
+    // cross-replica shingle overlap collapses (see object scaladoc)
+    locally {
+      val words = split(col("text"), " ")
+      val mutated = array_join(
+        zip_with(words, sequence(lit(0), size(words) - 1),
+          (w, i) => when(pmod(i, lit(5)) === 4,
+            concat(w, lit("~"), r)).otherwise(w)),
+        " ")
+      val newText = when(r === 0 || col("text").isNull, col("text"))
+        .otherwise(mutated)
+      scale("documents", 8)(_ => Seq(
+        off("doc_id"), newText.as("text"), col("lang"), col("source"),
+        when(r === 0, col("n_chars"))
+          .otherwise(coalesce(length(newText).cast("long"), col("n_chars")))
+          .as("n_chars")))
+    }
+
+    // embeddings: replica 0 verbatim; r>0 adds per-(id, r, dim) hash
+    // jitter in [-0.5, 0.5) so replicas decorrelate
+    locally {
+      val jittered = zip_with(
+        col("embedding"),
+        sequence(lit(0), size(col("embedding")) - 1),
+        (x, i) => x + (pmod(xxhash64(col("vec_id"), r, i), lit(1000L))
+          .cast("double") / lit(1000.0) - lit(0.5))
+      ).cast("array<float>")
+      scale("embeddings", 4)(_ => Seq(
+        off("vec_id"),
+        when(r === 0, col("embedding")).otherwise(jittered).as("embedding"),
+        col("label")))
+    }
+
+    println(s"[scaleup] wrote ${n}x of $inDir to $outDir")
+    spark.stop()
+  }
+}

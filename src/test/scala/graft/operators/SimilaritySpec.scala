@@ -234,4 +234,43 @@ class SimilaritySpec extends SparkTestBase {
       assert(hits >= 1L && hits <= k, s"query ${r.getLong(0)}: $hits/$k")
     }
   }
+
+  test("adaptivePlanes: floor pins the test SFs, log2 growth beyond") {
+    // every corpus the harness tests with stays at the floor — the
+    // committed corpus-keyed goldens are invariant to adaptivity
+    for (n <- Seq(0L, 20L, 200L, 2000L, 2048L))
+      assert(Similarity.adaptivePlanes(n, targetBucket = 32, floor = 6) == 6,
+        s"n=$n must sit on the floor")
+    // beyond the floor: mean occupancy n / 2^planes stays <= target
+    assert(Similarity.adaptivePlanes(2049L, 32, 6) == 7)
+    assert(Similarity.adaptivePlanes(20000L, 32, 6) == 10)
+    assert(Similarity.adaptivePlanes(20000000L, 32, 6) == 20)
+    for (n <- Seq(2049L, 20000L, 999999L, 20000000L)) {
+      val p = Similarity.adaptivePlanes(n, 32, 6)
+      assert(n.toDouble / math.pow(2, p) <= 32.0, s"occupancy breached at n=$n")
+      // and not overshooting: one fewer plane would breach the target
+      assert(n.toDouble / math.pow(2, p - 1) > 32.0, s"overshot at n=$n")
+    }
+    // embedding-dedup parameterization (floor 12): test SFs unchanged
+    for (n <- Seq(200L, 2000L, 4096L))
+      assert(Similarity.adaptivePlanes(n, 32, 12) == 12)
+    intercept[IllegalArgumentException](Similarity.adaptivePlanes(10L, 0, 6))
+    intercept[IllegalArgumentException](Similarity.adaptivePlanes(10L, 32, 0))
+  }
+
+  test("knnGraphApprox at test scale is invariant to plane adaptivity") {
+    // n = 2000 <= 2048 -> planesEff == floor == 6: the production graph
+    // must be bit-identical to the pre-adaptivity shape the committed
+    // golden pins (the adaptive count only engages beyond the test SFs)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val a = Similarity.knnGraphApprox(emb, "vec_id", "embedding", k = 5)
+      .select("query_id", "id", "rank")
+    val b = Similarity.knnGraphApprox(emb, "vec_id", "embedding", k = 5,
+        targetBucket = Int.MaxValue) // occupancy target never binds
+      .select("query_id", "id", "rank")
+    assert(a.collect().toSeq.sorted(RowOrd) == b.collect().toSeq.sorted(RowOrd))
+  }
+
+  private val RowOrd: Ordering[org.apache.spark.sql.Row] =
+    Ordering.by(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
 }
