@@ -527,18 +527,57 @@ object Queries {
     */
   private val lastSink = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Memory-backed checkpoint root when the platform offers one
+    * (`/dev/shm`, the Linux tmpfs): every micro-batch commits offsets,
+    * a commit log, the file-source log, and per-partition state
+    * deltas through the checkpoint FS. Measured (r13, idle local
+    * disk): moving this to tmpfs is timing-NEUTRAL — the replay
+    * floor is the shuffle + state-machine work itself (e.g. the
+    * alerts/counts replays key on `l_returnflag`, cardinality 3, so
+    * their stateful stage parallelism is 3 whatever the partition
+    * count), not checkpoint fsyncs. Retained anyway: it bounds disk
+    * churn under a loaded disk, and the explicit per-replay subdir +
+    * guaranteed post-stop delete beats relying on Spark's
+    * temp-checkpoint cleanup. Production streaming checkpoints are
+    * durable BY REQUIREMENT (exactly-once restart) — this applies
+    * only to the harness's bounded replays, whose checkpoints are
+    * dead the moment the replay drains.
+    */
+  private val ckptRoot: java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val base = if (java.nio.file.Files.isDirectory(shm) &&
+        java.nio.file.Files.isWritable(shm)) shm
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    base.resolve("graft_stream_ckpt")
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder()).iterator().asScala
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
+
   private def replayToMemory(
       s: SparkSession, prefix: String, frame: DataFrame, mode: String,
       statePartitions: Int = 4): String = {
     Option(lastSink.get(prefix)).foreach(s.catalog.dropTempView(_))
     val name = s"${prefix}_${streamRun.incrementAndGet()}"
+    val ckpt = ckptRoot.resolve(name)
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     try {
       val q = frame.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt.toString)
         .outputMode(mode).trigger(Trigger.AvailableNow()).start()
       try q.awaitTermination() finally q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      try deleteRecursively(ckpt)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
     // A stopped replay's state-store providers stay cached in the
     // executor's loadedProviders map (each replay uses a fresh
     // checkpoint, so nothing ever re-uses them) until the maintenance
