@@ -313,4 +313,40 @@ object Similarity {
       .orderBy(col("cosine").desc, col("id").asc)
     candidates.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** One-hop majority-vote label propagation over a kNN graph — the
+    * standard semi-supervised labeling step (Zhu & Ghahramani 2002's
+    * one-iteration special case): each query vertex takes the most
+    * common label among its graph neighbors, ties broken by the
+    * SMALLEST label (deterministic, so the output is hash-exact given
+    * an exact graph). Used to extend a small labeled seed set across
+    * an embedding corpus, and — run against vertices whose labels are
+    * KNOWN — as the kNN-classifier consistency audit (agreement rate =
+    * leave-one-out kNN accuracy, since [[knnGraphApprox]] never emits
+    * self-edges).
+    *
+    * Plan shape: both inputs are vertex/edge-bounded (the graph is
+    * ≤ |queries|·k rows); one equi-join on the neighbor id, one
+    * (query, label) agg, one max-struct per query — no window, no
+    * corpus rescan. The max-struct tie-break compares (count, −label)
+    * field-by-field, so the winner is max-count-then-min-label in a
+    * single agg.
+    *
+    * Returns (queryCol, label_pred, n_votes), both outputs LongType.
+    */
+  def propagateLabels(
+      graph: DataFrame, labels: DataFrame,
+      queryCol: String = "query_id", idCol: String = "id",
+      labelCol: String = "label"
+  ): DataFrame =
+    graph.select(col(queryCol), col(idCol))
+      .join(labels.select(col(idCol), col(labelCol).cast(LongType).as("__l")),
+        idCol)
+      .groupBy(col(queryCol), col("__l"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col(queryCol))
+      .agg(max(struct(col("__n"), (-col("__l")).as("__negl"))).as("__w"))
+      .select(col(queryCol),
+        (-col("__w.__negl")).as("label_pred"),
+        col("__w.__n").as("n_votes"))
 }
