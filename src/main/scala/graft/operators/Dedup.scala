@@ -956,7 +956,8 @@ object Dedup {
     // the r13 scale-probe fix): mean bucket occupancy stays
     // ~targetBucket at any n, so candidate volume is linear, not
     // quadratic; `planes` is the floor and pins the test-SF goldens
-    // (n <= 2048 at floor 6 / target 32, n <= 4096 at floor 12).
+    // (pin bound n <= 2^floor·targetBucket: 2048 at floor 6 /
+    // target 32, 131072 at floor 12).
     // df.count() (not base): a metadata-foldable count of the raw
     // input — an upper bound on n is all plane sizing needs
     val planesEff = Similarity.adaptivePlanes(

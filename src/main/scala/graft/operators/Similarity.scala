@@ -60,10 +60,11 @@ object Similarity {
     * function, bucket count grows ∝ n, occupancy stays ~targetBucket,
     * and candidates stay ∝ n·targetBucket — linear.
     *
-    * The floor pins behavior at small corpora: for `floor = 6,
-    * targetBucket = 32` every corpus up to 4096·32 = 2048 vectors gets
-    * exactly `floor` planes, so the committed corpus-keyed goldens at
-    * the test SFs (≤ 2000 vectors) are unchanged by adaptivity.
+    * The floor pins behavior at small corpora: every corpus up to
+    * 2^floor · targetBucket vectors gets exactly `floor` planes (for
+    * `floor = 6, targetBucket = 32` that is 2^6·32 = 2048 vectors), so
+    * the committed corpus-keyed goldens at the test SFs (≤ 2000
+    * vectors) are unchanged by adaptivity.
     *
     * Recall trade: each extra plane multiplies per-band collision
     * probability by p (= 1 − θ/π for angle θ), so recall at a grown

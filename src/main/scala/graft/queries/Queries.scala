@@ -543,12 +543,30 @@ object Queries {
     * only to the harness's bounded replays, whose checkpoints are
     * dead the moment the replay drains.
     */
+  /** Root is UNIQUE PER JVM (pid + JVM start nanos): the counter-based
+    * replay subdirs restart from 0 in every process, so a shared root
+    * could hand a fresh replay a leftover checkpoint from a crashed or
+    * concurrent JVM (kill -9 skips the post-stop delete; bench and sbt
+    * test can overlap). A resumed AvailableNow checkpoint has its
+    * offsets already committed — the replay would drain zero rows and
+    * the memory sink would be silently empty. Per-JVM roots make that
+    * impossible; a shutdown hook (plus the delete-before-start guard in
+    * replayToMemory) keeps crashed-JVM debris from accumulating in
+    * tmpfs. `SPARK_GRAFT_STREAM_CKPT=tmp` forces java.io.tmpdir for
+    * A/B timing against the tmpfs default (`shm`).
+    */
   private val ckptRoot: java.nio.file.Path = {
     val shm = java.nio.file.Paths.get("/dev/shm")
-    val base = if (java.nio.file.Files.isDirectory(shm) &&
+    val wantShm = sys.env.getOrElse("SPARK_GRAFT_STREAM_CKPT", "shm") != "tmp"
+    val base = if (wantShm && java.nio.file.Files.isDirectory(shm) &&
         java.nio.file.Files.isWritable(shm)) shm
       else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-    base.resolve("graft_stream_ckpt")
+    val root = base.resolve(
+      s"graft_stream_ckpt_${ProcessHandle.current().pid()}_${System.nanoTime()}")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try deleteRecursively(root)
+      catch { case scala.util.control.NonFatal(_) => () }))
+    root
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =
@@ -566,6 +584,12 @@ object Queries {
     Option(lastSink.get(prefix)).foreach(s.catalog.dropTempView(_))
     val name = s"${prefix}_${streamRun.incrementAndGet()}"
     val ckpt = ckptRoot.resolve(name)
+    // Belt-and-braces vs silent checkpoint resume: the root is per-JVM
+    // unique so this should never find anything, but a pre-existing
+    // checkpoint here would make AvailableNow replay NOTHING (offsets
+    // already committed) — never start over one.
+    try deleteRecursively(ckpt)
+    catch { case scala.util.control.NonFatal(_) => () }
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     try {
@@ -2393,6 +2417,17 @@ object Queries {
         .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
     }),
 
+    // Hub centrality of the near-dup structure: integer fixed-point
+    // PageRank (5 rounds, damping 85/100, scale 10^6) over the shared
+    // pair graph — ranks the template/boilerplate sources many
+    // distinct documents partially copy above one-off mirror pairs.
+    // All-integer `div` arithmetic makes the fixed point bit-identical
+    // on any engine and any summation order; each round shuffles only
+    // the id-only edge list (∝ near-dup pairs, structurally ≪ corpus).
+    "x_pair_pagerank" -> ((s, d) =>
+      Clusters.pageRankInt(ngramPairGraph(s, d)._1)
+        .select(col("id").as("doc_id"), col("pr"))),
+
     // Cross-source spread of duplicate clusters: per cluster, how
     // many distinct sources its members span, as a histogram —
     // clusters confined to one source are re-crawls (dedup freely);
@@ -2734,6 +2769,19 @@ object Queries {
       Similarity.recallAtK(ann, exactKnnGraph(s, d))
         .select(col("query_id"), col("n_hits"), col("k"))
     }),
+
+    // Semi-supervised label spread: one-hop majority vote over the
+    // shared exact kNN graph (ties → smallest label) — extends a
+    // labeled seed set across the embedding corpus, and doubles as the
+    // leave-one-out kNN-classifier audit since the graph never emits
+    // self-edges. Graph- and vertex-bounded joins/aggs only; the n²
+    // graph build is the session-shared oracle artifact, not this
+    // entry's cost.
+    "x_label_propagation" -> ((s, d) =>
+      Similarity.propagateLabels(
+        exactKnnGraph(s, d),
+        t(s, d, "embeddings").select(col("vec_id").as("id"), col("label")))
+        .select(col("query_id"), col("label_pred"), col("n_votes"))),
 
     // Recall fairness across labels: the kNN-graph recall@5 audit
     // split by the query's class — an index whose recall skews by
@@ -4992,6 +5040,50 @@ object Queries {
         |)
         |SELECT id AS doc_id, min(comp) AS cluster_id FROM lbl GROUP BY id""".stripMargin,
 
+    // same pair CTE as x_dedup_ngram, then the 5-round integer
+    // PageRank fixed point unrolled as chained CTEs — all-integer //
+    // division (positive operands, so DuckDB floor == Spark trunc
+    // `div`) reproduces the engine's result bit-exactly
+    "x_pair_pagerank" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(ts)-2),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+        |  FROM toks WHERE len(ts) >= 3
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT id_b AS src, id_a AS dst FROM pairs
+        |), deg AS (
+        |  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src
+        |), s0 AS (
+        |  SELECT src AS id, CAST(1000000 AS BIGINT) AS pr FROM deg
+        |), s1 AS (
+        |  SELECT e.dst AS id, CAST(150000 + (85 * sum(s.pr // d.deg)) // 100 AS BIGINT) AS pr
+        |  FROM edges e JOIN deg d ON e.src = d.src JOIN s0 s ON e.src = s.id GROUP BY e.dst
+        |), s2 AS (
+        |  SELECT e.dst AS id, CAST(150000 + (85 * sum(s.pr // d.deg)) // 100 AS BIGINT) AS pr
+        |  FROM edges e JOIN deg d ON e.src = d.src JOIN s1 s ON e.src = s.id GROUP BY e.dst
+        |), s3 AS (
+        |  SELECT e.dst AS id, CAST(150000 + (85 * sum(s.pr // d.deg)) // 100 AS BIGINT) AS pr
+        |  FROM edges e JOIN deg d ON e.src = d.src JOIN s2 s ON e.src = s.id GROUP BY e.dst
+        |), s4 AS (
+        |  SELECT e.dst AS id, CAST(150000 + (85 * sum(s.pr // d.deg)) // 100 AS BIGINT) AS pr
+        |  FROM edges e JOIN deg d ON e.src = d.src JOIN s3 s ON e.src = s.id GROUP BY e.dst
+        |), s5 AS (
+        |  SELECT e.dst AS id, CAST(150000 + (85 * sum(s.pr // d.deg)) // 100 AS BIGINT) AS pr
+        |  FROM edges e JOIN deg d ON e.src = d.src JOIN s4 s ON e.src = s.id GROUP BY e.dst
+        |)
+        |SELECT id AS doc_id, pr FROM s5""".stripMargin,
+
     // same recursive component construction, rolled up to the
     // distinct-source spread per cluster
     "x_dup_cluster_sources" ->
@@ -6280,6 +6372,34 @@ object Queries {
         |       ex.k
         |FROM (SELECT query_id, count(*) AS k FROM exact GROUP BY query_id) ex
         |LEFT JOIN hits h ON ex.query_id = h.query_id""".stripMargin,
+
+    // exact-kNN brute-force rank SQL (same as x_knn_graph) + one-hop
+    // majority vote; arg-max tie-break = smallest label, mirrored by
+    // the ORDER BY n DESC, l ASC row_number filter
+    "x_label_propagation" ->
+      """WITH nz AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  WHERE list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0.0),
+        |pairs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS id,
+        |         list_cosine_similarity(c.embedding, q.embedding) AS cos
+        |  FROM nz c JOIN nz q ON c.vec_id <> q.vec_id),
+        |knn AS (
+        |  SELECT query_id, id FROM (
+        |    SELECT query_id, id, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, id ASC) AS rank
+        |    FROM pairs) WHERE rank <= 5),
+        |votes AS (
+        |  SELECT k.query_id, CAST(e.label AS BIGINT) AS l, count(*) AS n
+        |  FROM knn k JOIN embeddings e ON k.id = e.vec_id
+        |  GROUP BY 1, 2),
+        |win AS (
+        |  SELECT query_id, l, n, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY n DESC, l ASC) AS rn
+        |  FROM votes)
+        |SELECT query_id, l AS label_pred, CAST(n AS BIGINT) AS n_votes
+        |FROM win WHERE rn = 1""".stripMargin,
 
     "x_ann_lsh" ->
       """WITH ck AS (SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 281474976710656) AS BIGINT)) AS BIGINT) AS k FROM embeddings)
@@ -8363,13 +8483,16 @@ object Queries {
 
     // Gopher keep (x_gopher_rules formulas on PLAIN text) × classifier
     // keep (x_quality_classifier formulas on PLAIN text), composed
+    // text IS NOT NULL mirrors the shared gopher frame's input filter
+    // (the Spark side inner-joins against it): a future generator
+    // emitting a null-text doc diverges loudly here, not silently
     "x_quality_agreement" ->
       """WITH toks AS (
         |  SELECT doc_id,
         |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
         |         ELSE string_split_regex(trim(text), '\s+') END AS t,
         |    string_split(text, chr(10)) AS lines
-        |  FROM documents),
+        |  FROM documents WHERE text IS NOT NULL),
         |base AS (
         |  SELECT doc_id, t, len(t) AS nt, len(lines) AS nl,
         |         len(list_distinct(lines)) AS ndl,

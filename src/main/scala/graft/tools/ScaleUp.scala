@@ -71,15 +71,22 @@ object ScaleUp {
       spark.range(n).select(col("id").cast("int").as("__r")))
 
     val r = col("__r")
-    def off(c: String): Column = col(c) + r.cast("long") * lit(Stride)
+    // every derived column carries its source name as an explicit
+    // alias — the projection below asserts name-for-name equality with
+    // the parquet schema, so a column-order drift in a regenerated
+    // testdata file fails loudly instead of silently mislabeling
+    // (the old positional .toDF(src.columns) rename)
+    def off(c: String): Column = (col(c) + r.cast("long") * lit(Stride)).as(c)
     def tag(c: String): Column =
-      when(r === 0, col(c)).otherwise(concat(col(c), lit("#r"), r))
+      when(r === 0, col(c)).otherwise(concat(col(c), lit("#r"), r)).as(c)
 
     def scale(name: String, parts: Int)(cols: DataFrame => Seq[Column]): Unit = {
       val src = in(name)
-      val order = src.columns
-      val out = src.crossJoin(reps)
-      write(out.select(cols(src): _*).toDF(order: _*), name, parts)
+      val out = src.crossJoin(reps).select(cols(src): _*)
+      require(out.columns.sameElements(src.columns),
+        s"$name projection ${out.columns.mkString(",")} != parquet schema " +
+          src.columns.mkString(","))
+      write(out, name, parts)
     }
 
     // fixed dims: copy verbatim

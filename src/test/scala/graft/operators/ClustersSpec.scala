@@ -215,4 +215,58 @@ class ClustersSpec extends SparkTestBase {
       assert(r.getAs[Long]("n_triangles") == tris.toLong, s"seed $seed")
     }
   }
+
+  /** Driver replay of the integer PageRank fixed point — same
+    * all-integer arithmetic, sequential, independent of Spark.
+    */
+  private def brutePageRank(
+      edges: Seq[(Long, Long)], iters: Int,
+      scale: Long = 1000000L, dn: Long = 85L, dd: Long = 100L): Map[Long, Long] = {
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = adj.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val base = (scale * (dd - dn)) / dd
+    var pr = deg.keys.map(_ -> scale).toMap
+    for (_ <- 1 to iters)
+      pr = adj.groupBy(_._2).map { case (dst, es) =>
+        dst -> (base + (dn * es.map { case (src, _) => pr(src) / deg(src) }.sum) / dd)
+      }
+    pr
+  }
+
+  test("pageRankInt matches the driver integer replay on seeded random graphs") {
+    for (seed <- 1 to 3; density <- Seq(0.5, 2.0)) {
+      val rnd = new scala.util.Random(seed * 77 + (density * 10).toInt)
+      val n = 60
+      val raw = Seq.fill((n * density).toInt)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val got = Clusters.pageRankInt(raw.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == brutePageRank(raw, 5), s"seed=$seed density=$density")
+    }
+  }
+
+  test("pageRankInt ranks the hub of a star above its leaves") {
+    val star = (1L to 8L).map(i => (0L, i))
+    val pr = Clusters.pageRankInt(star.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr.size == 9)
+    assert((1L to 8L).forall(i => pr(0L) > pr(i)))
+    // leaves are symmetric -> identical fixed-point scores
+    assert((1L to 8L).map(pr).distinct.size == 1)
+  }
+
+  test("pageRankInt is invariant to edge order and rejects bad parameters") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 4L), (4L, 5L))
+    val a = Clusters.pageRankInt(edges.toDF("id_a", "id_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Clusters.pageRankInt(edges.reverse.toDF("id_a", "id_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    intercept[IllegalArgumentException](
+      Clusters.pageRankInt(edges.toDF("id_a", "id_b"), iterations = 0))
+    intercept[IllegalArgumentException](
+      Clusters.pageRankInt(edges.toDF("id_a", "id_b"), dampNum = 101L))
+  }
 }

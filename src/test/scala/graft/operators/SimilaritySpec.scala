@@ -273,4 +273,41 @@ class SimilaritySpec extends SparkTestBase {
 
   private val RowOrd: Ordering[org.apache.spark.sql.Row] =
     Ordering.by(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+
+  test("propagateLabels: majority vote, min-label tie-break, unlabeled-only queries drop") {
+    val graph = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L),   // labels 7,7,8 -> 7 by majority
+      (2L, 10L), (2L, 13L),              // labels 7,8   -> tie, min label 7
+      (3L, 14L)                          // neighbor unlabeled -> no row
+    ).toDF("query_id", "id")
+    val labels = Seq((10L, 7), (11L, 7), (12L, 8), (13L, 8)).toDF("id", "label")
+    val got = Similarity.propagateLabels(graph, labels)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((7L, 2L)), 2L -> ((7L, 1L))))
+  }
+
+  test("propagateLabels agreement audit: known labels vs one-hop vote on the kNN graph") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val graph = Similarity.knnGraph(emb, "vec_id", "embedding", k = 5)
+    val labels = emb.select(col("vec_id").as("id"), col("label"))
+    val pred = Similarity.propagateLabels(graph, labels)
+    // every query vertex has >= 1 labeled neighbor (all vectors carry
+    // a label), so the output covers exactly the graph's query set
+    val nq = graph.select("query_id").distinct().count()
+    assert(pred.count() == nq)
+    // votes are bounded by k and positive
+    val mm = pred.agg(min(col("n_votes")), max(col("n_votes"))).head()
+    assert(mm.getLong(0) >= 1L && mm.getLong(1) <= 5L)
+    // exact driver replay of the vote over the collected graph
+    val lbl = labels.collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val expected = graph.select("query_id", "id").collect()
+      .map(r => r.getLong(0) -> lbl(r.getLong(1)))
+      .groupBy(_._1).view.mapValues { vs =>
+        val counts = vs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+        counts.toSeq.minBy { case (l, n) => (-n, l) }
+      }.toMap
+    val got = pred.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected.map { case (q, (l, n)) => q -> ((l, n)) })
+  }
 }

@@ -225,4 +225,24 @@ class SharedArtifactSpec extends SparkTestBase {
       rows(NgramLm.qualityBuckets(docs, "doc_id", "lang", "text", direct,
         n = 3)))
   }
+
+  test("x_pair_pagerank matches the direct composition off un-memoized pairs") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val directPairs = Dedup.ngramJaccardNearDups(
+      docs, "doc_id", "text", shingleSize = 3, threshold = 0.5)
+    val direct = Clusters.pageRankInt(directPairs)
+      .withColumnRenamed("id", "doc_id")
+    assert(rows(SparkEntry.queries("x_pair_pagerank")(spark, sfDir))
+      == rows(direct))
+  }
+
+  test("x_label_propagation matches the direct vote off an un-memoized exact graph") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val direct = graft.operators.Similarity.propagateLabels(
+      graft.operators.Similarity.knnGraph(emb, "vec_id", "embedding", k = 5),
+      emb.select(org.apache.spark.sql.functions.col("vec_id").as("id"),
+        org.apache.spark.sql.functions.col("label")))
+    assert(rows(SparkEntry.queries("x_label_propagation")(spark, sfDir))
+      == rows(direct))
+  }
 }

@@ -1,0 +1,156 @@
+#!/usr/bin/env python3
+"""10x scale probe: measure how catalog entries scale from sf0.1 to a
+derived ~10x dataset, and flag super-linear entries.
+
+One command reproduces the r13+ per-round ritual:
+
+    python3 tools/scale_probe.py               # probe the risk list
+    python3 tools/scale_probe.py --regen       # rebuild sfx10 first
+    python3 tools/scale_probe.py --entries a,b # probe a custom subset
+
+Steps:
+  1. (--regen, or when missing) derive the ~10x dataset from sf0.1 via
+     `graft.tools.ScaleUp` into /tmp/graft_scale/sfx10 — seed-stable,
+     workload-character-preserving (see ScaleUp scaladoc).
+  2. run graft.Bench twice with SPARK_GRAFT_BENCH_ONLY=<entries>
+     (sf0.1 then sfx10; same session shape: 16 cpus, 2 reps each).
+  3. print per-entry and per-artifact ratio tables (sfx10 median /
+     sf0.1 median; linear = 10x) and flag anything over the bar
+     (13x = the r12 verdict's 1.3x criterion). Exit 1 on a flag, so
+     the probe can gate.
+
+The default list is the 29 risk entries from the r13 probe (windows,
+dedup families, quantile selectors, CC, ANN) plus entries added since;
+the three declared n^2-oracle audits (x_knn_graph, x_knn_graph_recall,
+x_recall_by_label) and the exact-graph consumers that would force the
+deliberately-n^2 exact-kNN artifact at 10x (x_label_propagation) stay
+excluded by design — at scale those run on sampled slices.
+
+Timings are noise-sensitive: run on a quiet machine (no concurrent
+sbt test / verify), like every bench ritual.
+"""
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF01 = "/root/testdata/sf0.1"
+SFX10 = "/tmp/graft_scale/sfx10"
+BAR = 13.0  # 1.3x the linear 10x
+
+# r13 risk list + r14 additions (x_pair_pagerank rides the pair graph).
+DEFAULT_ENTRIES = [
+    "x_dedup_exact", "x_dedup_minhash", "x_dedup_ngram",
+    "x_dedup_containment", "x_dedup_clusters", "x_cluster_safe_split",
+    "x_fuzzy_match", "x_semantic_dedup", "x_dedup_lines",
+    "x_dup_passages", "x_khop_reach", "x_knn_graph_ann", "x_ann_lsh",
+    "x_ann_ivf", "x_cosine_topk", "x_open_orders", "x_rolling_wau",
+    "x_sessionize", "x_ks_drift", "x_bin_drift", "x_mode_per_group",
+    "x_exact_quantiles", "x_value_deciles", "x_quality_bands",
+    "x_lm_score", "x_epoch_shuffle", "x_pack_bins", "x_tfidf_topk",
+    "x_dedup_embedding", "x_pair_pagerank",
+]
+# artifacts whose builds are n^2 BY DESIGN (ground-truth oracles,
+# sampled-slice at scale) — reported but never flagged
+N2_BY_DESIGN_ARTIFACTS = {"exact_knn_graph"}
+
+
+def run(cmd, env=None, **kw):
+    e = dict(os.environ)
+    if env:
+        e.update(env)
+    print(f"[probe] $ {cmd}", flush=True)
+    return subprocess.run(cmd, shell=True, cwd=REPO, env=e, **kw)
+
+
+def bench(sf_dir, entries, out_json, cpus, reps):
+    env = {
+        "SPARK_GRAFT_SF_DIR": sf_dir,
+        "SPARK_GRAFT_CPUS": str(cpus),
+        "SPARK_GRAFT_BENCH_REPS": str(reps),
+        "SPARK_GRAFT_BENCH_ONLY": ",".join(entries),
+        "SPARK_GRAFT_BENCH_MEDIANS_FILE": out_json,
+    }
+    r = run('sbt -batch "runMain graft.Bench"', env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    if r.returncode != 0:
+        sys.stderr.write(r.stdout[-4000:])
+        raise SystemExit(f"bench failed at {sf_dir}")
+    with open(os.path.join(REPO, out_json) if not os.path.isabs(out_json)
+              else out_json) as f:
+        return json.load(f)
+
+
+def ratio_table(title, base, x10, flag_exempt=frozenset()):
+    rows, flagged = [], []
+    for k in sorted(set(base) | set(x10)):
+        b, x = base.get(k), x10.get(k)
+        if b is None or x is None:
+            rows.append((k, b, x, None))
+            continue
+        r = x / b if b > 0 else float("inf")
+        rows.append((k, b, x, r))
+        if r > BAR and k not in flag_exempt:
+            flagged.append((k, r))
+    rows.sort(key=lambda t: -(t[3] or 0))
+    print(f"\n## {title} (sfx10 / sf0.1; linear = 10x, bar = {BAR}x)\n")
+    print("| name | sf0.1 s | sfx10 s | ratio |")
+    print("|---|---|---|---|")
+    for k, b, x, r in rows:
+        fb = f"{b:.2f}" if b is not None else "-"
+        fx = f"{x:.2f}" if x is not None else "-"
+        fr = f"{r:.1f}x" if r is not None else "-"
+        mark = " **OVER BAR**" if r is not None and r > BAR and k not in flag_exempt else ""
+        note = " (n2-by-design)" if k in flag_exempt else ""
+        print(f"| {k}{note} | {fb} | {fx} | {fr}{mark} |")
+    return flagged
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--regen", action="store_true",
+                    help="rebuild the sfx10 derivation before probing")
+    ap.add_argument("--entries", default=None,
+                    help="comma-separated catalog entries (default: risk list)")
+    ap.add_argument("--cpus", type=int, default=16)
+    ap.add_argument("--reps", type=int, default=2)
+    args = ap.parse_args()
+
+    entries = ([e.strip() for e in args.entries.split(",") if e.strip()]
+               if args.entries else DEFAULT_ENTRIES)
+
+    if args.regen or not os.path.isdir(SFX10):
+        r = run(f'sbt -batch "runMain graft.tools.ScaleUp {SF01} {SFX10} 10"')
+        if r.returncode != 0:
+            raise SystemExit("ScaleUp failed")
+
+    base = bench(SF01, entries, "/tmp/probe_sf01.json", args.cpus, args.reps)
+    x10 = bench(SFX10, entries, "/tmp/probe_sfx10.json", args.cpus, args.reps)
+
+    flagged = ratio_table("entries", base.get("queries", {}),
+                          x10.get("queries", {}))
+    flagged += ratio_table(
+        "shared-artifact builds",
+        base.get("artifact_breakdown", {}) or {},
+        x10.get("artifact_breakdown", {}) or {},
+        flag_exempt=N2_BY_DESIGN_ARTIFACTS)
+
+    a_b = base.get("artifact_sec")
+    a_x = x10.get("artifact_sec")
+    if a_b and a_x:
+        print(f"\nartifact_sec total: {a_b:.1f} -> {a_x:.1f} "
+              f"({a_x / a_b:.1f}x)")
+
+    if flagged:
+        print("\nFLAGGED (super-linear):")
+        for k, r in flagged:
+            print(f"  {k}: {r:.1f}x")
+        return 1
+    print("\nAll probed names at or below the bar.")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
