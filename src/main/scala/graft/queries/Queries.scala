@@ -3066,6 +3066,50 @@ object Queries {
           max(col("invalid")).as("invalid_rows"))
     }),
 
+    // Salted stateful streaming (THE per-key hot-state pattern at
+    // 100 TB): x_stream_counts keys its mapGroupsWithState on
+    // l_returnflag — cardinality 3, so however many state-store
+    // partitions the query gets, at most 3 tasks ever carry state and
+    // one hot flag bottlenecks the stateful stage. This entry applies
+    // the batch x_salted_count idiom to streaming state: the state key
+    // is (flag, salt) with salt = (l_orderkey*2654435761 +
+    // l_linenumber) mod 8 — a deterministic, oracle-portable spread
+    // (Knuth multiplicative constant; NOT rand(), so replays and both
+    // engines agree) — giving 24 live state keys across 8 state
+    // partitions (parallelism 8 > cardinality 3). The per-salt
+    // counters stay monotone, so max() per salted key over the update
+    // sink is that sub-key's final state, and the post-agg merge
+    // (sum over salts, count of live salts) is oracle-exact per-flag
+    // totals. n_salts = 8 per flag in the output is the spread made
+    // visible. The flag itself is single-char (R/A/N), so the '#'
+    // separator can never collide with key content.
+    "x_stream_salted_counts" -> ((s, d) => {
+      import s.implicits._
+      val schema = t(s, d, "lineitem").schema
+      val salted = s.readStream.schema(schema).parquet(lineitemStreamDir(d))
+        .withColumn("errors", RuleCompiler.compileRow(lineitemRules))
+        .select(
+          concat_ws("#",
+            coalesce(col("l_returnflag"), lit("")),
+            pmod(col("l_orderkey") * lit(2654435761L) + col("l_linenumber"),
+              lit(8L)).cast(StringType)).as("k"),
+          (size(col("errors")) > 0).as("inv"))
+        .as[(String, Boolean)]
+      val counts = graft.streaming.StreamingValidation.runningCounts(s, salted)
+      val name = replayToMemory(s, "x_stream_salted_counts", counts.toDF(),
+        "update", statePartitions = 8)
+      s.table(name)
+        .groupBy(col("key"))
+        .agg(max(col("total")).as("t"), max(col("invalid")).as("i"))
+        .withColumn("flag", substring_index(col("key"), "#", 1))
+        .groupBy(col("flag"))
+        .agg(sum(col("t")).as("total_rows"),
+          sum(col("i")).as("invalid_rows"),
+          count(lit(1)).as("n_salts"))
+        .select(col("flag").as("key"), col("total_rows"),
+          col("invalid_rows"), col("n_salts"))
+    }),
+
     // JSON/multimodal props extraction (events.props is a JSON string).
     "x_json_extract" -> ((s, d) => {
       events(s, d)
@@ -4894,6 +4938,20 @@ object Queries {
         |  FROM lineitem)
         |SELECT key, CAST(count(*) AS BIGINT) AS total_rows,
         |  CAST(sum(CASE WHEN n_err > 0 THEN 1 ELSE 0 END) AS BIGINT) AS invalid_rows
+        |FROM flags GROUP BY key""".stripMargin,
+
+    // the salted sub-counters merge back to exact per-flag totals; the
+    // salt arithmetic is engine-portable (int64, no overflow at these
+    // SFs) and n_salts counts the live (flag, salt) state keys
+    "x_stream_salted_counts" ->
+      s"""WITH flags AS (
+        |  SELECT COALESCE(l_returnflag, '') AS key,
+        |    (l_orderkey * 2654435761 + l_linenumber) % 8 AS salt,
+        |    $lineitemFlagTermsSql AS n_err
+        |  FROM lineitem)
+        |SELECT key, CAST(count(*) AS BIGINT) AS total_rows,
+        |  CAST(sum(CASE WHEN n_err > 0 THEN 1 ELSE 0 END) AS BIGINT) AS invalid_rows,
+        |  CAST(count(DISTINCT salt) AS BIGINT) AS n_salts
         |FROM flags GROUP BY key""".stripMargin,
 
     "p2_required_check" ->

@@ -426,4 +426,29 @@ class StreamingSpec extends SparkTestBase {
     assert(last(1L) == ((T(1), T(2), T(3), 3, 1)), s"user 1: ${last(1L)}")
     assert(last(2L) == ((T(4), -1L, -1L, 1, 0)), s"user 2: ${last(2L)}")
   }
+
+  test("salted streaming state merges to the unsalted totals with a wider key space") {
+    // the salted entry's merged per-flag totals must equal the
+    // unsalted x_stream_counts entry's — salting may only change HOW
+    // the state is spread, never what it sums to
+    val unsalted = graft.SparkEntry.queries("x_stream_counts")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val salted = graft.SparkEntry.queries("x_stream_salted_counts")(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(salted.keySet == unsalted.keySet)
+    unsalted.foreach { case (k, (total, invalid)) =>
+      val (st, si, nSalts) = salted(k)
+      assert((st, si) == ((total, invalid)),
+        s"merged salted counters diverge for key '$k'")
+      // the stateful stage's live key space: every flag spread over all
+      // 8 salts -> 24 state keys across 8 state partitions, vs the
+      // unsalted entry's 3 keys (parallelism capped at key cardinality)
+      assert(nSalts == 8L, s"key '$k' spread over $nSalts salts, want 8")
+    }
+    // 3 flags x 8 salts = 24 live state keys > the 3 natural keys:
+    // the stateful stage can now use all 8 state partitions
+    assert(salted.size == 3 && salted.size * 8 > salted.size)
+  }
 }
