@@ -104,6 +104,10 @@ object GraftExtensions {
       info("graft_top_ngram_fraction", "frequency share of the most common token n-gram"),
       arity("graft_top_ngram_fraction", 2)(args =>
         TopNgramFractionExpr(args(0), intArg(args(1), "n")))),
+    ("graft_dup_ngram_fraction",
+      info("graft_dup_ngram_fraction", "fraction of token n-gram occurrences that repeat"),
+      arity("graft_dup_ngram_fraction", 2)(args =>
+        DupNgramFractionExpr(args(0), intArg(args(1), "n")))),
     ("graft_char_ngrams",
       info("graft_char_ngrams", "sliding character n-grams of lower(text)"),
       arity("graft_char_ngrams", 2)(args =>

@@ -93,6 +93,41 @@ object Kernels {
     best.toDouble / grams
   }
 
+  /** Fraction of n-gram OCCURRENCES that repeat an earlier one —
+    * `(grams − distinct grams) / grams`, 0 when the document has fewer
+    * than n tokens. The occurrence form of the Gopher duplicate-n-gram
+    * repetition signals (Rae et al. 2021, appendix A1.1): where
+    * [[topNgramFraction]] asks "how dominant is the WORST n-gram",
+    * this asks "how much of the text is n-gram-level repeat at all" —
+    * looping generations and templated text score high on both, but
+    * long-period repetition (a paragraph pasted twice) only moves this
+    * one. Both values are int/int IEEE divisions — bit-exact across
+    * engines.
+    *
+    * Same injectivity precondition as [[topNgramFraction]]: tokens come
+    * from a whitespace split, so the space-joined gram key is unique
+    * per distinct gram.
+    */
+  def dupNgramFraction(tokens: ArrayData, n: Int): Double = {
+    val total = tokens.numElements()
+    val grams = total - n + 1
+    if (grams <= 0) return 0.0
+    val seen = new java.util.HashSet[String](grams * 2)
+    var i = 0
+    while (i < grams) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        if (!tokens.isNullAt(i + j)) sb.append(tokens.getUTF8String(i + j).toString)
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    (grams - seen.size).toDouble / grams
+  }
+
   /** Order-sensitive polynomial rolling fingerprint over token hashes —
     * bit-identical to the previous HOF formulation
     * `aggregate(toks, 1125899906842597L, acc*31 + xxhash64(t))` (Spark's
@@ -864,6 +899,20 @@ case class TopNgramFractionExpr(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+case class DupNgramFractionExpr(child: Expression, n: Int)
+    extends UnaryExpression with ArrayElemTypes {
+  require(n > 0, s"n-gram size must be positive, got $n")
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkStringArray(child, "tokens")
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.dupNgramFraction(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.dupNgramFraction($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class Fingerprint64Expr(child: Expression) extends UnaryExpression with ArrayElemTypes {
   override def dataType: DataType = LongType
   override def checkInputDataTypes(): TypeCheckResult =
@@ -1000,6 +1049,8 @@ object VectorFunctions {
   def fingerprint64(tokens: Column): Column = c(Fingerprint64Expr(e(tokens)))
   def topNgramFraction(tokens: Column, n: Int): Column =
     c(TopNgramFractionExpr(e(tokens), n))
+  def dupNgramFraction(tokens: Column, n: Int): Column =
+    c(DupNgramFractionExpr(e(tokens), n))
   def dot(a: Column, b: Column): Column = c(DotProductExpr(e(a), e(b)))
   def cosine(a: Column, b: Column): Column = c(CosineSimilarityExpr(e(a), e(b)))
   def signBucket(vec: Column, planes: Int, seed: Long): Column =

@@ -301,44 +301,6 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
-  /** [[candidatePairs]] carrying each id's SET SIZE (`sz` column on
-    * `banded`) through the bucket expansion, so pairs whose size ratio
-    * `min(|A|,|B|) / max(|A|,|B|) < minRatio` are pruned BEFORE the
-    * global pair-dedup shuffle. For set-Jaccard callers this is an
-    * EXACT bound, not a heuristic: |A∩B| ≤ min and |A∪B| ≥ max, so
-    * J(A,B) ≤ min/max — a pruned pair could never pass a
-    * `jaccard >= minRatio` verification (and IEEE division is monotone,
-    * so the float comparisons agree too). Same single-scan capped
-    * -collect hot-bucket cap and observation contract as
-    * [[candidatePairs]]; per-bucket memory is maxBucket (id, sz)
-    * structs instead of bare ids.
-    */
-  private def candidatePairsSized(
-      banded: DataFrame, maxBucket: Int, metric: String, minRatio: Double): DataFrame = {
-    val bsz = col("cc.cnt")
-    // struct sort order is field-by-field; id is unique, so this is the
-    // same id-ascending order candidatePairs uses
-    val sorted = array_sort(col("cc.vals"))
-    banded
-      .groupBy(col("band"), col("bucket"))
-      .agg(graft.functions.CappedCollect.cappedCollect(
-        struct(col("id"), col("sz")), maxBucket).as("cc"))
-      .observe(metric,
-        sum(when(bsz > maxBucket, 1L).otherwise(0L)).as("overflow_buckets"),
-        sum(when(bsz > maxBucket, bsz).otherwise(0L)).as("overflow_rows"),
-        coalesce(max(bsz), lit(0L)).cast(IntegerType).as("max_bucket_size"))
-      .filter(bsz.between(2, maxBucket))
-      .select(explode(
-        flatten(transform(sorted, (a, i) =>
-          transform(slice(sorted, i + 2, size(sorted)), b =>
-            struct(a.getField("id").as("a"), b.getField("id").as("b"),
-              a.getField("sz").as("sz_a"), b.getField("sz").as("sz_b")))))).as("p"))
-      .filter(least(col("p.sz_a"), col("p.sz_b")).cast(DoubleType)
-        / greatest(col("p.sz_a"), col("p.sz_b")) >= minRatio)
-      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
-  }
-
   /** Re-attach payloads to id pairs and compute a verification measure.
     * Two hash joins keyed on id; AQE picks broadcast vs shuffle by the
     * actual pair/payload sizes.
@@ -357,33 +319,99 @@ object Dedup {
   // Exact n-gram Jaccard
   // ---------------------------------------------------------------------
 
-  /** EXACT n-gram Jaccard near-dup pairs — no LSH approximation.
-    * Candidate generation is an inverted shingle index: docs sharing
-    * any (non-capped) shingle become a candidate pair, via the same
-    * one-shuffle id-pair expansion the LSH family uses
-    * ([[candidatePairsSized]] with the shingle itself as the bucket
-    * key), with an exact length-ratio prune — J(A,B) ≤ min/max of the
-    * set sizes, so sub-threshold-ratio pairs drop before the dedup
-    * shuffle and verify joins without any recall change.
-    * Every candidate is then verified with the exact-Jaccard kernel
-    * over the full shingle sets, so the EMITTED jaccard is always exact
-    * — `maxPostings` (a stop-shingle cap, same contract as the LSH
-    * bucket cap) affects only RECALL: a pair is missed only when every
-    * shingle it shares overflows. The loss is observable via the
-    * [[NearDupResult.bucketMetric]] observation. The cap is a
-    * single-scan capped collect (see [[candidatePairs]]): a hot
-    * shingle's posting buffer stops growing at `maxPostings` ids while
-    * its exact count keeps accumulating, so the corpus' hottest
-    * shingle cannot OOM a reducer.
+  /** COUNTING co-occurrence candidate filter shared by the exact
+    * set-similarity joins (Jaccard + containment — the group-join form
+    * of Bayardo WWW'07 / Vernica SIGMOD'10): bucket docs by each
+    * shingle's 64-bit hash, expand each bucket's ordered (size, id)
+    * pairs ONCE (capped collect — one shuffle, no self-join), and
+    * count buckets per pair. That count IS |A∩B| (a hash collision can
+    * only inflate it, never lose a pair), so any overlap-threshold
+    * predicate becomes computable from the 8-byte bucket stream alone
+    * — no payload attach for the 99%+ of candidates that share only a
+    * shingle or two, and map-side partial counts kill those before the
+    * pair shuffle. Callers pass the predicate as `keep(ov, sz_s, sz_l)`
+    * (`sz_s` ≤ `sz_l` — the struct sort emits the smaller side first)
+    * and string-verify the survivors, which stay ~the true pair set.
     *
-    * Candidate count is Σ |posting|² over kept PREFIX shingles, far
-    * above the banded-LSH collision rate — at 100 TB use
+    * A prefix-filter route was measured first and rejected: it admits
+    * every pair sharing ONE prefix shingle, and on a 500k-doc probe
+    * 9.1M one-shingle candidates survived to the verify join, which
+    * then dragged two full shingle-string arrays per pair through a
+    * shuffle — 127 of the operator's 142 seconds.
+    *
+    * Shingles whose posting list exceeds `maxPostings` are capped with
+    * the observe-metric contract (`overflow_buckets == 0` ⇒ the result
+    * is complete; specs and catalog parameters keep it 0). Under
+    * overflow a pair's count misses its capped buckets, so overflow
+    * here can UNDERCOUNT borderline pairs rather than just add work —
+    * which is why the metric must stay observed.
+    *
+    * Returns one row per unordered candidate pair: (id_a, id_b),
+    * id_a < id_b.
+    */
+  private def countingCandidatePairs(
+      projected: DataFrame, // (id, sh)
+      maxPostings: Int,
+      metric: String,
+      keep: (Column, Column, Column) => Column
+  ): DataFrame = {
+    val occ = projected.select(
+      size(col("sh")).as("sz"), col("id"),
+      explode(transform(col("sh"), sh => xxhash64(sh))).as("bucket"))
+    val bsz = col("cc.cnt")
+    // (sz, id) struct sort ⇒ pair expansion emits the SMALLER side
+    // first, ties broken by id, each unordered pair at most once per
+    // bucket — so the per-pair bucket count below is exactly |A∩B|
+    // (modulo hash collisions, inflation-only)
+    val sorted = array_sort(col("cc.vals"))
+    occ
+      .groupBy(col("bucket"))
+      .agg(graft.functions.CappedCollect.cappedCollect(
+        struct(col("sz"), col("id")), maxPostings).as("cc"))
+      .observe(metric,
+        sum(when(bsz > maxPostings, 1L).otherwise(0L)).as("overflow_buckets"),
+        sum(when(bsz > maxPostings, bsz).otherwise(0L)).as("overflow_rows"),
+        coalesce(max(bsz), lit(0L)).cast(IntegerType).as("max_bucket_size"))
+      .filter(bsz.between(2, maxPostings))
+      .select(explode(
+        flatten(transform(sorted, (a, i) =>
+          transform(slice(sorted, i + 2, size(sorted)), b =>
+            struct(a.getField("id").as("id_s"), b.getField("id").as("id_l"),
+              a.getField("sz").as("sz_s"), b.getField("sz").as("sz_l")))))).as("p"))
+      .groupBy(col("p.id_s").as("id_s"), col("p.id_l").as("id_l"),
+        col("p.sz_s").as("sz_s"), col("p.sz_l").as("sz_l"))
+      .agg(count(lit(1)).as("ov"))
+      .filter(keep(col("ov"), col("sz_s"), col("sz_l")))
+      .select(least(col("id_s"), col("id_l")).as("id_a"),
+        greatest(col("id_s"), col("id_l")).as("id_b"))
+  }
+
+  /** EXACT n-gram Jaccard near-dup pairs — no LSH approximation.
+    * Candidate generation is the counting co-occurrence join
+    * ([[countingCandidatePairs]]): the per-pair shared-shingle count
+    * decides candidacy (`ov >= t·(|A|+|B|)/(1+t)`) on 8-byte keys
+    * before any payload attaches. Every candidate is then verified
+    * with the exact-Jaccard kernel over the full shingle sets, so the
+    * EMITTED jaccard is always exact — `maxPostings` (a stop-shingle
+    * cap, same contract as the LSH bucket cap) affects only RECALL: a
+    * pair is missed only when enough of its shared shingles overflow
+    * to push the observed count under the bound. The loss is
+    * observable via the [[NearDupResult.bucketMetric]] observation
+    * (`overflow_buckets == 0` ⇒ complete). The cap is a single-scan
+    * capped collect (see [[candidatePairs]]): a hot shingle's posting
+    * buffer stops growing at `maxPostings` ids while its exact count
+    * keeps accumulating, so the corpus' hottest shingle cannot OOM a
+    * reducer.
+    *
+    * Bucket-expansion volume is Σ |posting|² in skinny (sz, id) structs
+    * (map-side-combined before the pair shuffle), far above the
+    * banded-LSH collision rate — at 100 TB use
     * [[minHashNearDupsResult]]; this is the exact family for bounded
-    * corpora or candidate re-checks. (Measured at sf0.1: 5000 docs ×
-    * 52 avg shingles yield just 256 verified pairs — at that scale the
-    * entry's wall time is Spark stage overhead, not candidate volume;
-    * the prefix/ratio prunes are for the corpus sizes where volume
-    * dominates.)
+    * corpora or candidate re-checks. (Measured: the 10× probe had the
+    * prefix-filter formulation at 30× for 10× data — the admitted
+    * one-shingle candidates dragged full shingle arrays through the
+    * verify join; the counting filter is ~linear because verify runs
+    * on ~the true pair set.)
     *
     * Returns (id_a, id_b, jaccard), id_a < id_b, jaccard >= threshold.
     */
@@ -446,38 +474,19 @@ object Dedup {
       maxPostings: Int,
       metric: String
   ): DataFrame = {
-    // Prefix filter (Bayardo et al., WWW 2007; Vernica et al., SIGMOD
-    // 2010 — the standard exact set-similarity join): under ANY global
-    // total order on shingles, two sets with J >= t MUST share one of
-    // each other's first n - ceil(t*n) + 1 shingles, so only that
-    // prefix is indexed — candidate volume drops from sum(|posting|^2)
-    // over ALL shingles to the prefix postings, with zero recall
-    // change. Order = (xxhash64, shingle): deterministic, global, and
-    // frequency-agnostic. The 1e-9 slack makes the float ceil round
-    // toward a LONGER prefix, never a shorter (missed-pair) one.
-    //
-    // The bucket KEY is the shingle's 64-bit hash, not the string —
-    // the candidate shuffle carries 8-byte longs instead of n-gram
-    // text (the dominant shuffle-volume term at corpus scale), and
-    // the hash is already computed for the prefix order. A hash
-    // collision between two different shingles can only ADD a
-    // candidate pair (killed by the exact-Jaccard verify) or, in the
-    // astronomically unlikely case of a merged bucket crossing
-    // maxPostings, surface in the observed overflow metric — never
-    // silently lose a pair on its own.
-    val ordered = array_sort(
-      transform(col("sh"), sh => struct(xxhash64(sh).as("h"), sh.as("s"))))
-    val pfxLen = (size(col("sh"))
-      - ceil(lit(threshold) * size(col("sh")) - lit(1e-9)) + 1).cast(IntegerType)
-    val asBuckets = withShingles
-      .select(col("id"), size(col("sh")).as("sz"),
-        explode(transform(slice(ordered, lit(1), pfxLen),
-          e => e.getField("h"))).as("bucket"))
-      .withColumn("band", lit(0))
-    // length-ratio prune: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so pairs
-    // under the threshold ratio are dropped before the pair-dedup
-    // shuffle and the payload verify joins — exact, zero recall change
-    val pairs = candidatePairsSized(asBuckets, maxPostings, metric, threshold)
+    // Counting co-occurrence filter (see [[countingCandidatePairs]]):
+    // J(A,B) >= t  ⟺  |A∩B| >= t·(|A|+|B|)/(1+t), so the per-pair
+    // bucket count alone decides candidacy. This subsumes BOTH classic
+    // prunes exactly: the prefix filter (any pair passing shares far
+    // more than one shingle) and the length-ratio prune (|A∩B| ≤ |A|,
+    // and t·(|A|+|B|)/(1+t) > |A| whenever |A|/|B| < t — algebraically
+    // identical). The 1e-9 slack rounds the required overlap DOWN
+    // (keeps a borderline pair, never drops one); the exact-Jaccard
+    // kernel over the full shingle sets remains the final word on
+    // every emitted pair.
+    val pairs = countingCandidatePairs(withShingles, maxPostings, metric,
+      (ov, szS, szL) =>
+        ov >= ceil(lit(threshold / (1.0 + threshold)) * (szS + szL) - lit(1e-9)))
     verifyPairs(pairs,
       withShingles.select(col("id"), col("sh").as("payload")),
       jaccard(col("payload_a"), col("payload_b")).as("jaccard"))
@@ -495,30 +504,14 @@ object Dedup {
     * Returns (id_a, id_b, containment), id_a < id_b; the containment
     * value is one int/int IEEE division — hash-exact.
     *
-    * Candidate generation is a COUNTING co-occurrence join (the
-    * group-join form of the exact set-similarity joins of Bayardo
-    * WWW'07 / Vernica SIGMOD'10): bucket docs by each shingle's
-    * 64-bit hash, expand each bucket's ordered pairs ONCE (capped
-    * collect — one shuffle, no self-join), and count buckets per pair:
-    * that count IS |A∩B| (hash collisions can only inflate it), so
-    * `count >= ceil(t·|A|)` filters to near-final candidates using
-    * 8-byte keys only. A prefix-filter route was measured first and
-    * rejected: it admits every pair sharing ONE prefix shingle, and on
-    * a 500k-doc probe 9.1M one-shingle candidates survived to the
-    * verify join, which then dragged two full shingle-string arrays
-    * per pair through a shuffle — 127 of the operator's 142 seconds.
-    * The counting filter leaves ~the true pair set (2560 on the same
-    * probe) before any payload is attached; the exact string-array
-    * verify then runs on thousands, not millions, and remains the
-    * final word on every emitted pair (bit-identical results).
-    * The Jaccard length-ratio prune stays off — containment admits
-    * arbitrarily size-mismatched pairs (that is its point). Shingles
-    * whose posting list exceeds `maxPostings` are capped with the same
-    * observe-metric contract as the Jaccard family (overflow_buckets
-    * == 0 ⇒ the result is complete; the spec and catalog parameters
-    * keep it 0 — under overflow, a pair's count misses its capped
-    * buckets, so overflow here can UNDERCOUNT borderline pairs rather
-    * than just add work, which is why the metric must stay observed).
+    * Candidate generation is the counting co-occurrence join
+    * ([[countingCandidatePairs]] — measurement history and the
+    * rejected prefix-filter route documented there): the per-pair
+    * shared-shingle count decides candidacy via
+    * `count >= ceil(t·|A|)` (A the smaller side) on 8-byte keys; the
+    * exact string-array verify remains the final word on every
+    * emitted pair. The counting filter left ~the true pair set (2560
+    * on the 500k-doc probe) where the prefix filter passed 9.1M.
     * At 100 TB the same shape holds — or route candidate generation
     * through LSH on the smaller-side signature and keep this as the
     * verify stage.
@@ -549,47 +542,15 @@ object Dedup {
   ): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
-    // occurrence stream: (sz, id) per distinct shingle, bucketed by
-    // the shingle's 64-bit hash (8-byte keys, same rationale as
-    // ngramJaccardFromShingles; a collision can only inflate a pair's
-    // bucket count — never lose a pair — and the survivors are
-    // string-verified below)
-    val occ = projected.select(
-      size(col("sh")).as("sz"), col("id"),
-      explode(transform(col("sh"), sh => xxhash64(sh))).as("bucket"))
-    val bsz = col("cc.cnt")
-    // (sz, id) struct sort ⇒ pair expansion emits the CONTAINED
-    // (smaller) side first, ties broken by id, each unordered pair at
-    // most once per bucket — so the per-pair bucket count below is
-    // exactly |A∩B| (modulo hash collisions, inflation-only)
-    val sorted = array_sort(col("cc.vals"))
-    val ov = occ
-      .groupBy(col("bucket"))
-      .agg(graft.functions.CappedCollect.cappedCollect(
-        struct(col("sz"), col("id")), maxPostings).as("cc"))
-      .observe(metric,
-        sum(when(bsz > maxPostings, 1L).otherwise(0L)).as("overflow_buckets"),
-        sum(when(bsz > maxPostings, bsz).otherwise(0L)).as("overflow_rows"),
-        coalesce(max(bsz), lit(0L)).cast(IntegerType).as("max_bucket_size"))
-      .filter(bsz.between(2, maxPostings))
-      .select(explode(
-        flatten(transform(sorted, (a, i) =>
-          transform(slice(sorted, i + 2, size(sorted)), b =>
-            struct(a.getField("id").as("id_s"), b.getField("id").as("id_l"),
-              a.getField("sz").as("sz_s")))))).as("p"))
-      // the counting filter: a pair needs |A∩B| >= ceil(t·|A|) common
-      // shingles, and this count is computable from the 8-byte bucket
-      // stream alone — no payload attach for the 99%+ of candidates
-      // that share only a shingle or two. Map-side partial count kills
-      // those before the pair shuffle. Slack rounds the required
-      // overlap DOWN (keeps a borderline pair, never drops one).
-      .groupBy(col("p.id_s").as("id_s"), col("p.id_l").as("id_l"),
-        col("p.sz_s").as("sz_s"))
-      .agg(count(lit(1)).as("ov"))
-      .filter(col("ov") >= ceil(lit(threshold) * col("sz_s") - lit(1e-9)))
-    val pairs = ov.select(
-      least(col("id_s"), col("id_l")).as("id_a"),
-      greatest(col("id_s"), col("id_l")).as("id_b"))
+    // counting filter (see [[countingCandidatePairs]]): a pair needs
+    // |A∩B| >= ceil(t·|A|) common shingles, A the SMALLER side (the
+    // struct sort guarantees sz_s is min) — decidable from the 8-byte
+    // bucket stream alone. Slack rounds the required overlap DOWN
+    // (keeps a borderline pair, never drops one). The Jaccard
+    // length-ratio prune stays structurally absent — containment
+    // admits arbitrarily size-mismatched pairs (that is its point).
+    val pairs = countingCandidatePairs(projected, maxPostings, metric,
+      (ov, szS, _) => ov >= ceil(lit(threshold) * szS - lit(1e-9)))
     val containment =
       size(array_intersect(col("payload_a"), col("payload_b"))).cast(DoubleType) /
         least(size(col("payload_a")), size(col("payload_b"))).cast(DoubleType)

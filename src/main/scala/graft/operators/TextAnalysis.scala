@@ -101,6 +101,15 @@ object TextAnalysis {
   def topNgramFraction(text: Column, n: Int): Column =
     coalesce(VectorFunctions.topNgramFraction(tokens(text), n), lit(0.0))
 
+  /** Fraction of token n-gram occurrences that repeat an earlier one
+    * (Gopher's duplicate-n-gram family; 0 when the document has fewer
+    * than n tokens). Complements [[topNgramFraction]]: a paragraph
+    * pasted twice barely moves the top-gram share but doubles up every
+    * n-gram it contains. Native kernel — one fused loop per row.
+    */
+  def duplicateNgramFraction(text: Column, n: Int): Column =
+    coalesce(VectorFunctions.dupNgramFraction(tokens(text), n), lit(0.0))
+
   /** Punctuation character ratio. */
   def punctRatio(text: Column): Column = {
     val len = length(text).cast(DoubleType)

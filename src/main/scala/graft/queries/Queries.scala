@@ -3539,6 +3539,18 @@ object Queries {
         TextAnalysis.topNgramFraction(col("text2"), 3).as("top3_frac"))
     }),
 
+    // The OTHER Gopher repetition axis: fraction of n-gram occurrences
+    // that repeat, n = 2,3,4 — a pasted paragraph barely moves the
+    // top-gram share (x_repetition_stats) but doubles up every n-gram
+    // it contains. Three fused kernel loops in one codegen'd
+    // projection; zero shuffle. (grams−distinct)/grams is one int/int
+    // IEEE division — bit-exact vs the DuckDB re-derivation.
+    "x_dup_ngram_frac" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.duplicateNgramFraction(col("text"), 2).as("dup2_frac"),
+        TextAnalysis.duplicateNgramFraction(col("text"), 3).as("dup3_frac"),
+        TextAnalysis.duplicateNgramFraction(col("text"), 4).as("dup4_frac"))),
+
     // Gopher-rule quality audit (Rae et al. 2021): per-doc signals +
     // one 0/1 flag per rule + the conjunction. Same boilerplate
     // injection as x_repetition_stats so the duplicate-line rule is
@@ -3916,6 +3928,7 @@ object Queries {
         docs, "doc_id", ngramPairGraph(s, d)._2)
         .select(col("doc_id"), col("cluster_id"), col("split"))
     }),
+
 
     // Deterministic 80/10/10 train/val/test split: ROW-LEVEL label per
     // doc, so the oracle verifies exact membership, not just counts.
@@ -7305,6 +7318,7 @@ object Queries {
         |       ELSE 'test' END AS split
         |FROM b""".stripMargin,
 
+
     // salt 1 (stratifiedSample's default — decisions with distinct
     // salts are independent)
     "x_stratified_sample" ->
@@ -8674,6 +8688,33 @@ object Queries {
         |  CASE WHEN len(g3) = 0 THEN 0.0 ELSE
         |    (SELECT max(c)::DOUBLE FROM (SELECT count(*) AS c FROM unnest(g3) AS u(x) GROUP BY x)) / len(g3)
         |  END AS top3_frac
+        |FROM grams""".stripMargin,
+
+    // (grams − distinct)/grams per n — same n-gram construction as
+    // x_repetition_stats' top-gram oracle, distinct-count instead of
+    // max-count
+    "x_dup_ngram_frac" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        |         ELSE string_split_regex(trim(text), '\s+') END AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) >= 2 THEN list_transform(generate_series(1, len(t)-1),
+        |      i -> t[i] || ' ' || t[i+1]) ELSE []::VARCHAR[] END AS g2,
+        |    CASE WHEN len(t) >= 3 THEN list_transform(generate_series(1, len(t)-2),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) ELSE []::VARCHAR[] END AS g3,
+        |    CASE WHEN len(t) >= 4 THEN list_transform(generate_series(1, len(t)-3),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]) ELSE []::VARCHAR[] END AS g4
+        |  FROM toks)
+        |SELECT doc_id,
+        |  CASE WHEN len(g2) = 0 THEN 0.0
+        |       ELSE (len(g2) - len(list_distinct(g2)))::DOUBLE / len(g2) END AS dup2_frac,
+        |  CASE WHEN len(g3) = 0 THEN 0.0
+        |       ELSE (len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3) END AS dup3_frac,
+        |  CASE WHEN len(g4) = 0 THEN 0.0
+        |       ELSE (len(g4) - len(list_distinct(g4)))::DOUBLE / len(g4) END AS dup4_frac
         |FROM grams""".stripMargin,
 
     // distinct words + frequencies, then char-pair explode over the

@@ -125,6 +125,35 @@ class TextAnalysisSpec extends SparkTestBase {
     }
   }
 
+  test("duplicateNgramFraction: goldens and kernel-vs-brute-force on real docs") {
+    // goldens: hand-computed (grams - distinct)/grams
+    val rows = Seq(
+      "a b a b a b",     // bigrams: "a b"x3,"b a"x2 -> (5-2)/5; trigrams (4-2)/4
+      "one two three",   // all unique -> 0, 0
+      "solo",            // <2 tokens -> 0
+      "")                // empty -> 0
+      .toDF("t").select(
+        TextAnalysis.duplicateNgramFraction(col("t"), 2).as("d2"),
+        TextAnalysis.duplicateNgramFraction(col("t"), 3).as("d3"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(rows.toSeq == Seq((3.0 / 5, 2.0 / 4), (0.0, 0.0), (0.0, 0.0), (0.0, 0.0)))
+
+    // kernel agrees with a naive Scala recomputation over the corpus
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("text"), TextAnalysis.duplicateNgramFraction(col("text"), 3).as("d3"))
+      .collect()
+    docs.foreach { r =>
+      val toks = r.getString(0).trim.split("\\s+").toSeq
+      val expect =
+        if (toks.length < 3) 0.0
+        else {
+          val grams = toks.sliding(3).map(_.mkString(" ")).toSeq
+          (grams.size - grams.distinct.size).toDouble / grams.size
+        }
+      assert(r.getDouble(1) == expect)
+    }
+  }
+
   test("vocabulary: frequency order, token tie-break, empty-token filter, k cut") {
     import spark.implicits._
     val docs = Seq(

@@ -245,4 +245,16 @@ class SharedArtifactSpec extends SparkTestBase {
     assert(rows(SparkEntry.queries("x_label_propagation")(spark, sfDir))
       == rows(direct))
   }
+
+  test("x_split_leakage: cluster-safe scheme leaks zero pairs; audit covers the full graph") {
+    val r = SparkEntry.queries("x_split_leakage")(spark, sfDir).collect()
+    assert(r.length == 1)
+    val (nPairs, leakedPlain, leakedSafe) =
+      (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2))
+    // the audit sees every pair of the shared graph
+    assert(nPairs == SparkEntry.queries("x_dedup_ngram")(spark, sfDir).count())
+    // the cluster-safe guarantee: zero cross-split pairs, BY CONSTRUCTION
+    assert(leakedSafe == 0L)
+    assert(leakedPlain >= 0L && leakedPlain <= nPairs)
+  }
 }
