@@ -373,11 +373,24 @@ object Clusters {
       .unionAll(pairs
         .select(col("id_b").cast(LongType).as("src"), col("id_a").cast(LongType).as("dst")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // Loop-invariant contribution frame (src, dst, deg), materialized
+    // ONCE and hash-partitioned by the join key — every iteration's
+    // scores join reuses the cached partitioning instead of
+    // re-shuffling the edge table and re-computing degrees (the classic
+    // PageRank edge-reuse shape: at 100 TB the edge table dwarfs the
+    // score vector, so per-iteration work must touch it exactly once).
+    // Lazy localCheckpoint: the first action materializes it; one
+    // pair-bounded copy persists per invocation (same retention
+    // contract as connectedComponents' final edge list). Integer sums
+    // are order-independent, so results are bit-identical to the
+    // re-join formulation.
+    val contrib = edges.join(deg, "src")
+      .repartition(col("src"))
+      .localCheckpoint(false)
     val base = (scale * (dampDen - dampNum)) / dampDen
     var scores = deg.select(col("src").as("id"), lit(scale).as("pr"))
     for (_ <- 1 to iterations) {
-      scores = edges
-        .join(deg, "src")
+      scores = contrib
         .join(scores.select(col("id").as("src"), col("pr")), "src")
         .select(col("dst"), expr("pr div deg").as("c"))
         .groupBy(col("dst"))
