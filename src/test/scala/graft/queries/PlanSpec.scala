@@ -226,4 +226,35 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("FullOuter"), p)
     assert(p.contains("xxhash64"), p)
   }
+
+  test("exact set-similarity joins run the counting filter: no cartesian, " +
+      "pair agg partially combined map-side") {
+    for (n <- Seq("x_dedup_ngram", "x_dedup_containment")) {
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"), s"$n has a cartesian product:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$n probes per-row:\n$p")
+      // the counting filter's per-pair overlap agg must pre-reduce
+      // before its shuffle — the property that kills one-shingle
+      // candidates without moving them
+      assert(p.contains("partial_count") || p.contains("HashAggregate"),
+        s"$n lost the map-side partial pair count:\n$p")
+    }
+  }
+
+  test("dup-ngram fractions are one kernel projection: no shuffle at all") {
+    val p = plan("x_dup_ngram_frac")
+    assert(!p.contains("Exchange"), s"per-row repetition signal shuffles:\n$p")
+    assert(p.contains("dupngramfraction") || p.contains("DupNgramFraction"),
+      s"kernel expression missing from the plan:\n$p")
+  }
+
+  test("pagerank iterations reuse the materialized contribution frame") {
+    val p = plan("x_pair_pagerank")
+    assert(!p.contains("CartesianProduct"), p)
+    // the loop-invariant (src, dst, deg) frame is a checkpointed scan,
+    // so no iteration re-derives edges from the corpus: the executed
+    // plan must read it as an ExistingRDD/LogicalRDD scan
+    assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD"),
+      s"contribution frame is re-derived per iteration:\n$p")
+  }
 }

@@ -50,7 +50,8 @@ DEFAULT_ENTRIES = [
     "x_sessionize", "x_ks_drift", "x_bin_drift", "x_mode_per_group",
     "x_exact_quantiles", "x_value_deciles", "x_quality_bands",
     "x_lm_score", "x_epoch_shuffle", "x_pack_bins", "x_tfidf_topk",
-    "x_dedup_embedding", "x_pair_pagerank",
+    "x_dedup_embedding", "x_pair_pagerank", "x_dup_ngram_frac",
+    "x_split_leakage",
 ]
 # artifacts whose builds are n^2 BY DESIGN (ground-truth oracles,
 # sampled-slice at scale) — reported but never flagged
