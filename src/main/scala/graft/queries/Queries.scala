@@ -459,6 +459,87 @@ object Queries {
 
   private def lineitemStreamDir(d: String): String = tableStreamDir(d, "lineitem")
 
+  /** Staged FOUR-FILE stream dir for the late-data replay
+    * (`x_stream_late_drops`): purchases split into week files f1..f4
+    * (by day offset from the corpus min), with three deterministic
+    * plants —
+    *   f2 += copies of f1's last-36-hours rows (ids +2·10⁹): late on
+    *         arrival but INSIDE the 48 h watermark delay → kept;
+    *   f3 += copies of f1's first-3-days rows (ids +10⁹): beyond the
+    *         delay by ≥ 9 days → dropped by the watermark;
+    *   f4 += copies of f3's last-36-hours rows (same ids): on time but
+    *         duplicate within the delay → dropped by dedup state.
+    * Files get strictly ascending modification times AND ascending
+    * names, so the file source's oldest-first order is deterministic
+    * whichever tiebreak it uses, and `maxFilesPerTrigger=1` turns the
+    * replay into four deterministic micro-batches — which makes the
+    * watermark's advance (max event time of completed batches − delay)
+    * and therefore every drop REPLAYABLE in the DuckDB oracle. Every
+    * plant sits ≥ 12 h from its watermark boundary, so the engines'
+    * strict-vs-inclusive boundary choice cannot matter.
+    *
+    * Built once per dir per session (timed artifact); two 1-row
+    * aggregates (corpus min; per-prefix maxes) are the only driver
+    * materializations.
+    */
+  private val lateStreamCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, String)]()
+
+  private def lateStreamDir(s: SparkSession, d: String): String =
+    memoPerDir(lateStreamCache, s, d, "late_stream") {
+      val root = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_late_stream_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      try deleteRecursively(root)
+      catch { case scala.util.control.NonFatal(_) => () }
+      java.nio.file.Files.createDirectories(root)
+      val dayUs = 86400000000L
+      val h36 = 36L * 3600000000L
+      val p = events(s, d).filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts_utc").as("ts"))
+      val tsmin = p.agg(min(unix_micros(col("ts")))).head().getLong(0)
+      val b = p.withColumn("dayoff",
+        expr(s"(unix_micros(ts) - ${tsmin}L) div ${dayUs}L"))
+      val maxes = b.agg(
+        max(when(col("dayoff") < 7, unix_micros(col("ts")))).as("m1"),
+        max(when(col("dayoff") < 21, unix_micros(col("ts")))).as("m123")).head()
+      val (m1, m123) = (maxes.getLong(0), maxes.getLong(1))
+      def part(lo: Int, hi: Int) =
+        b.filter(col("dayoff") >= lo && col("dayoff") < hi)
+          .select(col("event_id"), col("ts"))
+      val plantsKept = part(0, 7).filter(unix_micros(col("ts")) > m1 - h36)
+        .select((col("event_id") + lit(2000000000L)).as("event_id"), col("ts"))
+      val plantsLate = b.filter(col("dayoff") < 3)
+        .select((col("event_id") + lit(1000000000L)).as("event_id"), col("ts"))
+      val plantsDup = part(14, 21).filter(unix_micros(col("ts")) > m123 - h36)
+      val files = Seq(
+        "f1" -> part(0, 7),
+        "f2" -> part(7, 14).unionAll(plantsKept),
+        "f3" -> part(14, 21).unionAll(plantsLate),
+        "f4" -> part(21, Int.MaxValue).unionAll(plantsDup))
+      val baseMs = System.currentTimeMillis()
+      files.zipWithIndex.foreach { case ((name, df), i) =>
+        val tmp = root.resolve(s"__stage_$name")
+        df.withColumn("src_file", lit(name))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val walk = java.nio.file.Files.list(tmp)
+        val partFile =
+          try {
+            import scala.jdk.CollectionConverters._
+            walk.iterator().asScala
+              .find(_.getFileName.toString.endsWith(".parquet"))
+              .getOrElse(sys.error(s"no parquet part written under $tmp"))
+          } finally walk.close()
+        val dest = root.resolve(s"$name.parquet")
+        java.nio.file.Files.move(partFile, dest,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(baseMs + i * 2000L))
+        deleteRecursively(tmp)
+      }
+      root.toString
+    } { _ => () }
+
   /** DuckDB n_err terms mirroring [[RuleCompiler]] over [[lineitemRules]],
     * shared by the three streaming oracles (error_rate / alerts /
     * counts) so a rule change edits ONE string. Each field's CASE
@@ -3110,6 +3191,34 @@ object Queries {
           col("invalid_rows"), col("n_salts"))
     }),
 
+    // LATE-DATA accounting replay: four deterministic micro-batches
+    // (staged week files, maxFilesPerTrigger=1 — see lateStreamDir)
+    // through a 48 h-watermark streaming dedup. The three planted
+    // outcomes — late-but-within-delay KEPT, beyond-delay DROPPED by
+    // the watermark, duplicate-within-delay DROPPED by dedup state —
+    // are the semantics a 100 TB streaming ingest lives or dies by,
+    // and every drop is replayed row-exactly by the batch oracle
+    // (watermark = per-batch prefix max − delay; plants sit ≥ 12 h
+    // from every boundary so strict-vs-inclusive cannot matter).
+    // Output: per source file, survivors + an exact integer id
+    // checksum.
+    "x_stream_late_drops" -> ((s, d) => {
+      val dir = lateStreamDir(s, d)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("ts", TimestampType),
+        StructField("src_file", StringType)))
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      val kept = graft.streaming.StreamingValidation.dedupStream(
+        stream, Seq("event_id"), "ts", watermark = "48 hours")
+      val name = replayToMemory(s, "x_stream_late_drops", kept, "append")
+      s.table(name)
+        .groupBy(col("src_file"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("event_id")).as("id_checksum"))
+    }),
+
     // JSON/multimodal props extraction (events.props is a JSON string).
     "x_json_extract" -> ((s, d) => {
       events(s, d)
@@ -4966,6 +5075,48 @@ object Queries {
         |  CAST(sum(CASE WHEN n_err > 0 THEN 1 ELSE 0 END) AS BIGINT) AS invalid_rows,
         |  CAST(count(DISTINCT salt) AS BIGINT) AS n_salts
         |FROM flags GROUP BY key""".stripMargin,
+
+    // row-exact replay of the four-batch watermark semantics: wm
+    // before batch i = max event time of batches < i − 48 h (µs),
+    // survivors dedup to the first arrival per id (batch order) —
+    // mirrors lateStreamDir's staging plants exactly
+    "x_stream_late_drops" ->
+      """WITH p AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |mn AS (SELECT min(epoch_us(ts)) AS tsmin FROM p),
+        |b AS (
+        |  SELECT event_id, epoch_us(ts) AS us,
+        |    (epoch_us(ts) - mn.tsmin) // 86400000000 AS dayoff
+        |  FROM p, mn),
+        |m AS (SELECT
+        |  max(CASE WHEN dayoff < 7 THEN us END) AS m1,
+        |  max(CASE WHEN dayoff < 14 THEN us END) AS m12,
+        |  max(CASE WHEN dayoff < 21 THEN us END) AS m123 FROM b),
+        |staged AS (
+        |  SELECT 'f1' AS src_file, 1 AS batch, event_id, us FROM b WHERE dayoff < 7
+        |  UNION ALL SELECT 'f2', 2, event_id, us FROM b WHERE dayoff >= 7 AND dayoff < 14
+        |  UNION ALL SELECT 'f2', 2, event_id + 2000000000, us FROM b, m
+        |    WHERE dayoff < 7 AND us > m.m1 - 129600000000
+        |  UNION ALL SELECT 'f3', 3, event_id, us FROM b WHERE dayoff >= 14 AND dayoff < 21
+        |  UNION ALL SELECT 'f3', 3, event_id + 1000000000, us FROM b WHERE dayoff < 3
+        |  UNION ALL SELECT 'f4', 4, event_id, us FROM b WHERE dayoff >= 21
+        |  UNION ALL SELECT 'f4', 4, event_id, us FROM b, m
+        |    WHERE dayoff >= 14 AND dayoff < 21 AND us > m.m123 - 129600000000),
+        |surv AS (
+        |  SELECT s.* FROM staged s, m
+        |  WHERE s.batch = 1
+        |     OR (s.batch = 2 AND s.us >= m.m1  - 172800000000)
+        |     OR (s.batch = 3 AND s.us >= m.m12 - 172800000000)
+        |     OR (s.batch = 4 AND s.us >= m.m123 - 172800000000)),
+        |first_arrival AS (
+        |  SELECT src_file, event_id,
+        |    row_number() OVER (PARTITION BY event_id ORDER BY batch) AS rn
+        |  FROM surv)
+        |SELECT src_file, count(*) AS n_kept,
+        |  CAST(sum(event_id) AS BIGINT) AS id_checksum
+        |FROM first_arrival WHERE rn = 1
+        |GROUP BY src_file""".stripMargin,
 
     "p2_required_check" ->
       """SELECT o_orderkey,

@@ -451,4 +451,42 @@ class StreamingSpec extends SparkTestBase {
     // the stateful stage can now use all 8 state partitions
     assert(salted.size == 3 && salted.size * 8 > salted.size)
   }
+
+  test("x_stream_late_drops: planted outcomes match a batch replay of the watermark") {
+    val got = graft.queries.Queries.queries("x_stream_late_drops")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == Set("f1", "f2", "f3", "f4"))
+
+    // the staged dir the entry just built: replay its four batches in
+    // batch Scala and compare survivor counts + checksums
+    val slug = "graft_late_stream_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val staged = spark.read.parquet(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), slug).toString)
+      .select(col("src_file"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+
+    // structural: all three plant families are non-empty at every SF
+    assert(staged.exists(r => r._1 == "f2" && r._2 >= 2000000000L), "kept-plants missing")
+    assert(staged.exists(r => r._1 == "f3" && r._2 >= 1000000000L && r._2 < 2000000000L),
+      "late-plants missing")
+    val f3Ids = staged.collect { case ("f3", id, _) => id }.toSet
+    assert(staged.exists(r => r._1 == "f4" && f3Ids.contains(r._2)), "dup-plants missing")
+
+    val delay = 48L * 3600000000L
+    def prefixMax(files: Set[String]) =
+      staged.filter(r => files(r._1) && r._2 < 1000000000L).map(_._3).max
+    val wm = Map( // watermark in force for each batch
+      "f1" -> Long.MinValue,
+      "f2" -> (prefixMax(Set("f1")) - delay),
+      "f3" -> (prefixMax(Set("f1", "f2")) - delay),
+      "f4" -> (prefixMax(Set("f1", "f2", "f3")) - delay))
+    val surv = staged.filter(r => r._3 >= wm(r._1))
+    val firstArrival = surv.groupBy(_._2).map(_._2.minBy(_._1)).toSeq
+    val expect = firstArrival.groupBy(_._1)
+      .map { case (f, rs) => f -> ((rs.size.toLong, rs.map(_._2).sum)) }
+    assert(got == expect, s"got $got\nexpect $expect")
+    // the late plants were all dropped; the dup plants were all deduped
+    assert(!firstArrival.exists(r => r._2 >= 1000000000L && r._2 < 2000000000L))
+    assert(firstArrival.count(r => f3Ids.contains(r._2) && r._1 == "f4") == 0)
+  }
 }
