@@ -188,11 +188,27 @@ object NgramLm {
       model: DataFrame,
       n: Int = 3
   ): DataFrame = {
+    // Score ONCE: the trigram-scoring kernel pass feeds both the cut
+    // computation and the banded output — lazily localCheckpoint the
+    // 3-column projection so the selector's narrowing passes and the
+    // final join read a materialized frame instead of re-running the
+    // kernel over the corpus (one pair-bounded copy persists per call,
+    // the pageRankInt retention contract).
     val scored = score(docs, idCol, langCol, textCol, model, n, keep = Seq(langCol))
-    val cuts = scored.groupBy(col(langCol)).agg(
-      expr("percentile(lm_score, CAST(2 AS DOUBLE)/3)").as("__q_hi"),
-      expr("percentile(lm_score, CAST(1 AS DOUBLE)/3)").as("__q_lo"))
-    scored.join(broadcast(cuts), langCol)
+      .localCheckpoint(false)
+    // Tercile cuts as TRUE ORDER STATISTICS (rank ceil(q·n) per lang)
+    // via the histogram-narrowing selector: ≤ buckets-row driver state
+    // per pass — never a per-group value buffer. The previous
+    // percentile() aggregate held EVERY group's values in executor
+    // memory at once (interpolation needs the sorted array), the
+    // unbounded-state pattern that OOMs a hot language at corpus
+    // scale; the order-statistic cut is an equally valid tercile and
+    // stays bounded.
+    def cut(q: Double, as: String) = broadcast(
+      Quantiles.groupedExactQuantile(scored, langCol, "lm_score", q)
+        .select(col(langCol), col("value").as(as)))
+    scored.join(cut(2.0 / 3, "__q_hi"), langCol)
+      .join(cut(1.0 / 3, "__q_lo"), langCol)
       .withColumn("quality_band",
         when(col("lm_score") >= col("__q_hi"), "head")
           .when(col("lm_score") >= col("__q_lo"), "middle")

@@ -8077,11 +8077,21 @@ object Queries {
         |scored AS (
         |  SELECT d.doc_id, d.lang, COALESCE(p.lm_score, 0.0) AS lm_score
         |  FROM documents d LEFT JOIN per_doc p USING (doc_id)),
+        |ranked AS (
+        |  SELECT lang, lm_score,
+        |    row_number() OVER (PARTITION BY lang ORDER BY lm_score) AS rnk,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM scored),
         |cuts AS (
+        |  -- order-statistic terciles, rank ceil(q*n), mirrors
+        |  -- Quantiles.groupedExactQuantile's rank convention (the
+        |  -- value at a rank is tie-order-independent)
         |  SELECT lang,
-        |    quantile_cont(lm_score, CAST(2 AS DOUBLE)/3) AS q_hi,
-        |    quantile_cont(lm_score, CAST(1 AS DOUBLE)/3) AS q_lo
-        |  FROM scored GROUP BY lang)
+        |    max(CASE WHEN rnk = greatest(1, CAST(ceil((2.0/3) * n) AS BIGINT))
+        |             THEN lm_score END) AS q_hi,
+        |    max(CASE WHEN rnk = greatest(1, CAST(ceil((1.0/3) * n) AS BIGINT))
+        |             THEN lm_score END) AS q_lo
+        |  FROM ranked GROUP BY lang)
         |SELECT s.doc_id, s.lang, s.lm_score,
         |  CASE WHEN s.lm_score >= c.q_hi THEN 'head'
         |       WHEN s.lm_score >= c.q_lo THEN 'middle'
