@@ -1545,20 +1545,33 @@ object Queries {
         events(s, d), "ts_utc", "user_id", windowDays = 7)
     }),
 
-    // Funnel completion-latency distribution: exact type-7 percentiles
-    // (Spark percentile == DuckDB quantile_cont, the x_quality_bands
-    // precedent) over integer-µs view→purchase gaps of completers.
+    // Funnel completion-latency distribution: exact ORDER-STATISTIC
+    // p50/p90 (rank ceil(q·n) — the x_temporal_split convention) over
+    // integer-µs view→purchase gaps of completers, via the
+    // histogram-narrowing selector (≤ 512-row driver state; the
+    // interpolating percentile() it replaces buffered the whole gap
+    // array in one aggregation state). The gap frame is checkpointed:
+    // the funnel's per-user windows run once, not once per narrowing
+    // pass.
     "x_conversion_latency" -> ((s, d) => {
       val f = graft.operators.EventFeatures.funnel(
         events(s, d), "ts_utc", "user_id", "event_type",
         steps = Seq("view", "click", "purchase"),
         windowMicros = 86400000000L)
-      f.filter(col("t3_us") >= 0)
+      val gaps = f.filter(col("t3_us") >= 0)
         .select((col("t3_us") - col("t1_us")).as("gap"))
-        .agg(count(lit(1)).as("n_completed"),
-          expr("percentile(gap, CAST(5 AS DOUBLE)/10)").as("p50_us"),
-          expr("percentile(gap, CAST(9 AS DOUBLE)/10)").as("p90_us"),
-          max(col("gap")).as("max_us"))
+        .localCheckpoint(false)
+      val cuts = graft.operators.Quantiles.exactQuantiles(
+          gaps.withColumn("__v", col("gap").cast(DoubleType)), "__v",
+          Seq(0.5, 0.9))
+        .agg(max(when(col("q") === 0.5, col("value"))).as("__p50"),
+          max(when(col("q") === 0.9, col("value"))).as("__p90"))
+      gaps.agg(count(lit(1)).as("n_completed"), max(col("gap")).as("max_us"))
+        .crossJoin(broadcast(cuts))
+        .select(col("n_completed"),
+          col("__p50").cast(LongType).as("p50_us"),
+          col("__p90").cast(LongType).as("p90_us"),
+          col("max_us"))
     }),
 
     // Weekly retention matrix: cohort = epoch-week of first signup,
@@ -6029,12 +6042,15 @@ object Queries {
         |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id),
         |comp AS (
         |  SELECT epoch_us(t3) - epoch_us(t1) AS gap
-        |  FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id))
-        |SELECT CAST(count(*) AS BIGINT) AS n_completed,
-        |  quantile_cont(gap, CAST(5 AS DOUBLE)/10) AS p50_us,
-        |  quantile_cont(gap, CAST(9 AS DOUBLE)/10) AS p90_us,
-        |  CAST(max(gap) AS BIGINT) AS max_us
-        |FROM comp""".stripMargin,
+        |  FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)),
+        |n AS (SELECT count(*) AS n FROM comp),
+        |r AS (SELECT gap, row_number() OVER (ORDER BY gap) AS rn FROM comp)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM comp) AS n_completed,
+        |  (SELECT CAST(gap AS BIGINT) FROM r, n
+        |   WHERE rn = greatest(1, CAST(ceil(0.5 * n.n) AS BIGINT))) AS p50_us,
+        |  (SELECT CAST(gap AS BIGINT) FROM r, n
+        |   WHERE rn = greatest(1, CAST(ceil(0.9 * n.n) AS BIGINT))) AS p90_us,
+        |  (SELECT CAST(max(gap) AS BIGINT) FROM comp) AS max_us""".stripMargin,
 
     // degree = pair-endpoint multiplicity; histogram over the
     // pair-bounded frame
