@@ -104,6 +104,9 @@ object GraftExtensions {
       info("graft_top_ngram_fraction", "frequency share of the most common token n-gram"),
       arity("graft_top_ngram_fraction", 2)(args =>
         TopNgramFractionExpr(args(0), intArg(args(1), "n")))),
+    ("graft_dot_long",
+      info("graft_dot_long", "exact integer dot product of two bigint arrays"),
+      arity("graft_dot_long", 2)(args => DotLongExpr(args(0), args(1)))),
     ("graft_dup_ngram_fraction",
       info("graft_dup_ngram_fraction", "fraction of token n-gram occurrences that repeat"),
       arity("graft_dup_ngram_fraction", 2)(args =>

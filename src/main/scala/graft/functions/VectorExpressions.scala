@@ -350,6 +350,23 @@ object Kernels {
     acc
   }
 
+  /** Integer dot product of two int8-code arrays (stored as longs) —
+    * the quantized-retrieval scan over a compressed embedding store.
+    * Exact 64-bit arithmetic end to end (|q| ≤ 127 ⇒ a term ≤ 2^14, so
+    * overflow needs ~2^49 dimensions): the one ANN scoring path whose
+    * scores are bit-identical across engines with no replay goldens.
+    */
+  def dotLong(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i)) acc += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
   /** Cosine similarity in one pass; 0.0 when either norm is zero. */
   def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
     val n = math.min(a.numElements(), b.numElements())
@@ -580,6 +597,12 @@ private[functions] trait ArrayElemTypes { self: Expression =>
       case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
         s"$side must be array<string>, got ${other.catalogString}")
+    }
+  protected def checkLongArray(e: Expression, side: String): TypeCheckResult =
+    e.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$side must be array<bigint>, got ${other.catalogString}")
     }
 }
 
@@ -925,6 +948,23 @@ case class Fingerprint64Expr(child: Expression) extends UnaryExpression with Arr
     copy(child = newChild)
 }
 
+case class DotLongExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ArrayElemTypes {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkLongArray(left, "left") match {
+      case TypeCheckResult.TypeCheckSuccess => checkLongArray(right, "right")
+      case f => f
+    }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.dotLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.dotLong($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 case class DotProductExpr(left: Expression, right: Expression)
     extends BinaryExpression with ArrayElemTypes {
   override def dataType: DataType = DoubleType
@@ -1052,6 +1092,7 @@ object VectorFunctions {
   def dupNgramFraction(tokens: Column, n: Int): Column =
     c(DupNgramFractionExpr(e(tokens), n))
   def dot(a: Column, b: Column): Column = c(DotProductExpr(e(a), e(b)))
+  def dotLong(a: Column, b: Column): Column = c(DotLongExpr(e(a), e(b)))
   def cosine(a: Column, b: Column): Column = c(CosineSimilarityExpr(e(a), e(b)))
   def signBucket(vec: Column, planes: Int, seed: Long): Column =
     c(SignBucketExpr(e(vec), planes, seed))

@@ -100,6 +100,38 @@ object Similarity {
     struct(mx.as("max_abs"), q.as("q"))
   }
 
+  /** Exact top-k by INT8-QUANTIZED inner product for many queries —
+    * the serving scan of a compressed embedding store
+    * ([[int8Quantize]] is the 4× compression step). Scores are
+    * Σ q_c[i]·q_q[i] in exact 64-bit integers, so the ranking
+    * (int_dot desc, id asc) is bit-deterministic across engines: the
+    * one ANN scoring path that needs NO replay goldens — the DuckDB
+    * oracle recomputes the codes and the integer dot directly. Note
+    * the score is the quantized DOT, not cosine (codes are per-vector
+    * scaled by max_abs/127); [[recallAtK]] against a float
+    * inner-product [[batchTopK]]-shaped exact pass quantifies what
+    * the compression costs (`x_int8_recall`).
+    *
+    * Plan shape: one corpus scan projecting codes through the fused
+    * quantize transform, queries broadcast, the integer-dot kernel per
+    * pair, per-query partial WindowGroupLimit — the batchTopK idiom.
+    */
+  def int8TopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int
+  ): DataFrame = {
+    val scored = corpus
+      .select(col(idCol).as("id"), int8Quantize(col(vecCol)).getField("q").as("cq"))
+      .crossJoin(broadcast(queries.select(col(qidCol).as("query_id"),
+        int8Quantize(col(qvecCol)).getField("q").as("qq"))))
+      .select(col("query_id"), col("id"),
+        graft.functions.VectorFunctions.dotLong(col("cq"), col("qq")).as("int_dot"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("int_dot").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Exact top-k by cosine against one literal query vector.
     * Plan: scan → project(cosine) → TakeOrderedAndProject(k) — per-
     * partition heaps then a single k-row reduce; nothing shuffles.

@@ -3004,6 +3004,44 @@ object Queries {
         .select(col("query_id"), col("n_hits"), col("k"))
     }),
 
+    // INT8-quantized retrieval scan (the serving path of a 4×-
+    // compressed embedding store): per-query top-10 by the exact
+    // integer dot of int8 codes. Every score is 64-bit-integer-exact,
+    // so unlike every other ANN entry this one is DuckDB-verifiable
+    // end to end with NO replay goldens — the oracle recomputes codes
+    // and integer dots directly. One corpus scan, queries broadcast,
+    // partial WindowGroupLimit per query.
+    "x_ann_int8" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.int8TopK(emb, "vec_id", "embedding", queries, "qid", "qv",
+          k = 10)
+        .select(col("query_id"), col("id").as("vec_id"), col("rank"),
+          col("int_dot"))
+    }),
+
+    // What the 4× compression costs: recall@10 of the int8 scan
+    // against the exact float inner-product top-10 (both sides MIPS,
+    // so the comparison isolates QUANTIZATION loss — not the
+    // dot-vs-cosine objective gap). Integers only in the output.
+    "x_int8_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val q8 = Similarity.int8TopK(emb, "vec_id", "embedding",
+        queries, "qid", "qv", k = 10)
+      val scored = emb.crossJoin(broadcast(queries))
+        .select(col("qid").as("query_id"), col("vec_id").as("id"),
+          graft.functions.VectorFunctions.dot(col("embedding"), col("qv")).as("ip"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("ip").desc, col("id").asc)
+      val exact = scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+      Similarity.recallAtK(q8, exact)
+        .select(col("query_id"), col("n_hits"), col("k"))
+    }),
+
     // Structured Streaming surface, driver-visible: the windowed
     // error-rate summary over a file-source micro-batch stream of
     // lineitem, annotated by the SAME compiled rule set the batch
@@ -6853,6 +6891,66 @@ object Queries {
         |  count(*) AS k
         |FROM ex LEFT JOIN g ON g.query_id = ex.qid AND g.id = ex.id
         |GROUP BY ex.qid""".stripMargin,
+
+    // codes + integer dots recomputed directly (the x_embed_quantize
+    // replay recipe); COALESCE guards a zero-length vector to the
+    // kernel's 0
+    "x_ann_int8" ->
+      """WITH codes AS (
+        |  SELECT vec_id,
+        |    CASE WHEN mx = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) * 127 / mx) AS BIGINT)) END AS q
+        |  FROM (SELECT vec_id, embedding,
+        |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |        FROM embeddings)),
+        |qs AS (SELECT vec_id AS query_id, q AS qq FROM codes WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT qs.query_id, c.vec_id,
+        |    COALESCE(CAST(list_sum(list_transform(generate_series(1, len(c.q)),
+        |      i -> c.q[i] * qs.qq[i])) AS BIGINT), 0) AS int_dot
+        |  FROM codes c CROSS JOIN qs)
+        |SELECT query_id, vec_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY int_dot DESC, vec_id ASC) AS INTEGER) AS rank,
+        |  int_dot
+        |FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY query_id
+        |  ORDER BY int_dot DESC, vec_id ASC) <= 10""".stripMargin,
+
+    // exact side forced through the kernel's arithmetic: widen each
+    // float to double, multiply, sum in index order
+    "x_int8_recall" ->
+      """WITH codes AS (
+        |  SELECT vec_id,
+        |    CASE WHEN mx = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) * 127 / mx) AS BIGINT)) END AS q
+        |  FROM (SELECT vec_id, embedding,
+        |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |        FROM embeddings)),
+        |qs AS (SELECT vec_id AS query_id, q AS qq FROM codes WHERE vec_id < 5),
+        |q8 AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT qs.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY qs.query_id ORDER BY
+        |        COALESCE(CAST(list_sum(list_transform(generate_series(1, len(c.q)),
+        |          i -> c.q[i] * qs.qq[i])) AS BIGINT), 0) DESC, c.vec_id ASC) AS rn
+        |    FROM codes c CROSS JOIN qs) WHERE rn <= 10),
+        |fq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |fex AS (
+        |  SELECT query_id, id FROM (
+        |    SELECT fq.query_id, e.vec_id AS id,
+        |      row_number() OVER (PARTITION BY fq.query_id ORDER BY
+        |        COALESCE(list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(fq.qv[i] AS DOUBLE))), 0.0)
+        |        DESC, e.vec_id ASC) AS rn
+        |    FROM embeddings e CROSS JOIN fq) WHERE rn <= 10)
+        |SELECT fex.query_id,
+        |  CAST(count(q8.vec_id) AS BIGINT) AS n_hits,
+        |  count(*) AS k
+        |FROM fex LEFT JOIN q8 ON q8.query_id = fex.query_id AND q8.vec_id = fex.id
+        |GROUP BY fex.query_id""".stripMargin,
 
     "x_dedup_embedding" ->
       """WITH ck AS (SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 281474976710656) AS BIGINT)) AS BIGINT) AS k FROM embeddings)

@@ -198,6 +198,42 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("int8TopK: ranking matches a Scala integer-dot replay; scores exact") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(300).cache()
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val got = Similarity.int8TopK(emb, "vec_id", "embedding",
+        queries, "qid", "qv", k = 5)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        ((r.getAs[Long]("id"), r.getAs[Long]("int_dot")))).toMap
+
+    // replay: quantize + integer dot in plain Scala, same arithmetic
+    def codes(v: Seq[Float]): Array[Long] = {
+      val mx = v.map(x => math.abs(x.toDouble)).max
+      if (mx == 0.0) Array.fill(v.length)(0L)
+      else v.map(x => math.floor(x.toDouble * 127.0 / mx).toLong).toArray
+    }
+    val all = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> codes(r.getSeq[Float](1)))
+    val qs = all.filter(_._1 < 3)
+    for ((qid, qc) <- qs) {
+      val scored = all.map { case (id, c) =>
+        (id, c.zip(qc).map { case (a, b) => a * b }.sum)
+      }
+      val top = scored.sortBy { case (id, d) => (-d, id) }.take(5)
+      top.zipWithIndex.foreach { case ((id, d), i) =>
+        assert(got((qid, i + 1)) == ((id, d)),
+          s"query $qid rank ${i + 1}: got ${got((qid, i + 1))}, want ($id, $d)")
+      }
+    }
+    // plan: queries broadcast; per-query cut pre-reduces map-side
+    val plan = Similarity.int8TopK(emb, "vec_id", "embedding",
+      queries, "qid", "qv", k = 5).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no partial top-k cut:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("recallAtK: overlap counts, explicit zero rows, k from the exact side") {
     import spark.implicits._
     val exact = Seq(
