@@ -112,6 +112,47 @@ object Ivf {
     rankProbes(assigned, queries, qidCol, qvecCol, index, k, nProbe)
   }
 
+  /** IVF routing + INT8 scoring — the composed serving shape of a
+    * large ANN deployment: the coarse quantizer narrows each query to
+    * `nProbe` cells (candidate volume ∝ probed-cell occupancy, never
+    * corpus), then candidates rank by the EXACT 64-bit integer dot of
+    * int8 codes ([[Similarity.int8Quantize]] +
+    * [[graft.functions.Kernels.dotLong]]) instead of float cosine —
+    * at 100 TB the scan reads 4×-compressed codes and touches raw
+    * floats never. A corpus vector lives in exactly one cell, so a
+    * (query, id) candidate appears at most once even probing many
+    * cells — no dedup stage. Scores are bit-deterministic; the
+    * routing replays via the committed kernel goldens, which makes
+    * the whole composition verifiable (`x_ann_ivf_int8`).
+    */
+  def ivfInt8TopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, nlist: Int = 64, nProbe: Int = 8
+  ): DataFrame = {
+    val index = buildIndex(corpus, idCol, vecCol, nlist)
+    val assigned = assign(
+        corpus.select(col(idCol).as("id"), col(vecCol).as("v")), "v", index)
+      .select(col("id"), col("cell"),
+        Similarity.int8Quantize(col("v")).getField("q").as("cq"))
+    // two-step select: the analyzer's generator extraction re-resolves
+    // sibling expressions against an un-aliased struct (FIELD_NOT_FOUND
+    // col1/col2), so the quantized codes are named BEFORE the explode
+    val probes = queries
+      .select(col(qidCol).as("query_id"),
+        Similarity.int8Quantize(col(qvecCol)).getField("q").as("qq"),
+        VectorFunctions.nearestCentroids(
+          col(qvecCol), index.centroids, index.dim, nProbe).as("__cells"))
+      .select(col("query_id"), col("qq"), explode(col("__cells")).as("cell"))
+    val candidates = assigned
+      .join(broadcast(probes), Seq("cell"))
+      .select(col("query_id"), col("id"),
+        graft.functions.VectorFunctions.dotLong(col("cq"), col("qq")).as("int_dot"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("int_dot").desc, col("id").asc)
+    candidates.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Embedding-space DIVERSITY SAMPLE: at most `perCell` vectors from
     * every IVF cell — the stratified curation step that keeps semantic
     * COVERAGE while cutting volume (a uniform sample over-represents

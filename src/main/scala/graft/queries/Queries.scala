@@ -3042,6 +3042,25 @@ object Queries {
         .select(col("query_id"), col("n_hits"), col("k"))
     }),
 
+    // The COMPOSED serving path — IVF routing (coarse quantizer
+    // narrows each query to 8 of 64 cells) + int8 integer-dot scoring
+    // over the candidates: what an ANN deployment actually runs at
+    // 100 TB (read compressed codes of probed cells only; raw floats
+    // never leave the index build). Candidate volume ∝ probed-cell
+    // occupancy; one (query,id) row per candidate by construction (a
+    // vector lives in exactly one cell). Verified against the
+    // committed kernel-replay golden (routing) with bit-exact integer
+    // scores.
+    "x_ann_ivf_int8" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      graft.operators.Ivf.ivfInt8TopK(emb, "vec_id", "embedding",
+          queries, "qid", "qv", k = 10, nlist = 64, nProbe = 8)
+        .select(col("query_id"), col("id").as("vec_id"), col("rank"),
+          col("int_dot"))
+    }),
+
     // Structured Streaming surface, driver-visible: the windowed
     // error-rate summary over a file-source micro-batch stream of
     // lineitem, annotated by the SAME compiled rule set the batch
@@ -6951,6 +6970,14 @@ object Queries {
         |  count(*) AS k
         |FROM fex LEFT JOIN q8 ON q8.query_id = fex.query_id AND q8.vec_id = fex.id
         |GROUP BY fex.query_id""".stripMargin,
+
+    // kernel-replay golden keyed by the corpus checksum (the
+    // x_ann_recall pattern); rank/int_dot stored in the golden itself
+    "x_ann_ivf_int8" ->
+      """WITH ck AS (SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 281474976710656) AS BIGINT)) AS BIGINT) AS k FROM embeddings)
+        |SELECT query_id, id AS vec_id, CAST(rank AS INTEGER) AS rank, int_dot
+        |FROM read_parquet('/root/repo/tools/golden/ivf_int8_topk.parquet') g, ck
+        |WHERE g.corpus_key = ck.k""".stripMargin,
 
     "x_dedup_embedding" ->
       """WITH ck AS (SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 281474976710656) AS BIGINT)) AS BIGINT) AS k FROM embeddings)

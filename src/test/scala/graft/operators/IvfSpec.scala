@@ -207,4 +207,41 @@ class IvfSpec extends SparkTestBase {
     // comparisons than brute force
     assert(approx.count() <= 50)
   }
+
+  test("ivfInt8TopK equals int8TopK restricted to the probed cells") {
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val composed = Ivf.ivfInt8TopK(emb, "vec_id", "embedding",
+        queries, "qid", "qv", k = 10, nlist = 64, nProbe = 8)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        ((r.getAs[Long]("id"), r.getAs[Long]("int_dot")))).toMap
+
+    // replay the routing (assign + probes), then rank via the full
+    // int8 scan filtered to the candidate set — same integer scores
+    val index = Ivf.buildIndex(emb, "vec_id", "embedding", 64)
+    val cells = Ivf.assign(
+        emb.select(col("vec_id").as("id"), col("embedding").as("v")), "v", index)
+      .select("id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val full = Similarity.int8TopK(emb, "vec_id", "embedding",
+        queries, "qid", "qv", k = Int.MaxValue - 1)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("id"),
+        r.getAs[Long]("int_dot")))
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id"), graft.functions.VectorFunctions.nearestCentroids(
+        col("embedding"), index.centroids, index.dim, 8).as("cs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSet).toMap
+    val expect = full
+      .filter { case (q, id, _) => probes(q).contains(cells(id)) }
+      .groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+        rows.sortBy { case (_, id, d) => (-d, id) }.take(10).zipWithIndex
+          .map { case ((_, id, d), i) => (q, i + 1) -> ((id, d)) }
+      }.toMap
+    assert(composed == expect)
+    // plan: probes broadcast, per-query cut pre-reduced, no cartesian
+    val plan = Ivf.ivfInt8TopK(emb, "vec_id", "embedding",
+      queries, "qid", "qv", k = 10).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }

@@ -343,6 +343,38 @@ def ivf_topk(vecs, k=10, nlist=64, n_probe=8):
 
 # ---------------------------------------------------------------------
 
+def int8_codes(v):
+    """Kernel replay of Similarity.int8Quantize: floor(x*127/max|x|)."""
+    if not v:
+        return []
+    mx = max(abs(float(x)) for x in v)
+    if mx == 0.0:
+        return [0] * len(v)
+    return [math.floor(float(x) * 127.0 / mx) for x in v]
+
+
+def ivf_int8_topk(vecs, k=10, nlist=64, n_probe=8):
+    """Ivf.ivfInt8TopK replay: IVF routing + exact int8 integer dot."""
+    by_hash = sorted(
+        (vid for vid, v in vecs.items() if v),
+        key=lambda vid: signed64(xxh64_long(vid, 42)),
+    )
+    centroids = [vecs[vid] for vid in by_hash[:nlist]]
+    cell = {vid: nearest_centroids(v, centroids, 1)[0] for vid, v in vecs.items()}
+    codes = {vid: int8_codes(v) for vid, v in vecs.items()}
+    out = []
+    for qid in sorted(v for v in vecs if v < 5):
+        probes = set(nearest_centroids(vecs[qid], centroids, n_probe))
+        qc = codes[qid]
+        cands = [vid for vid, c in cell.items() if c in probes]
+        scored = sorted(
+            ((sum(a * b for a, b in zip(codes[c], qc)), c) for c in cands),
+            key=lambda t: (-t[0], t[1]))
+        for rank, (d, vid) in enumerate(scored[:k], start=1):
+            out.append((qid, vid, rank, d))
+    return out
+
+
 def ivf_cell_hist(vecs, nlist=64):
     """Replay of Ivf.assign cell populations: cell_size -> n_cells."""
     by_hash = sorted(
@@ -383,7 +415,7 @@ def diversity_sample(vecs, nlist=64, per_cell=3):
 
 
 sim_rows, ivf_rows, div_rows, mh_rows, mh16_rows, mhh_rows = [], [], [], [], [], []
-sweep_rows, cell_rows, vcell_rows = [], [], []
+sweep_rows, cell_rows, vcell_rows, i8_rows = [], [], [], []
 for sf in SFS:
     docs = dict(
         duckdb.sql(
@@ -410,6 +442,7 @@ for sf in SFS:
     emb_key = sum(math.floor(v[0] * float(1 << 48)) for v in vecs.values())
     topk = ivf_topk(vecs)
     ivf_rows += [(emb_key, q, i, r) for q, i, r in topk]
+    i8_rows += [(emb_key, q, i, r, d) for q, i, r, d in ivf_int8_topk(vecs)]
     sweep_rows += [(emb_key, p, q, i, r)
                    for p, q, i, r in ivf_probe_sweep(vecs)]
     div = diversity_sample(vecs)
@@ -520,6 +553,18 @@ pq.write_table(
         }
     ),
     "tools/golden/ivf_cells.parquet",
+)
+pq.write_table(
+    pa.table(
+        {
+            "corpus_key": pa.array([r[0] for r in i8_rows], pa.int64()),
+            "query_id": pa.array([r[1] for r in i8_rows], pa.int64()),
+            "id": pa.array([r[2] for r in i8_rows], pa.int64()),
+            "rank": pa.array([r[3] for r in i8_rows], pa.int32()),
+            "int_dot": pa.array([r[4] for r in i8_rows], pa.int64()),
+        }
+    ),
+    "tools/golden/ivf_int8_topk.parquet",
 )
 print("wrote tools/golden/{simhash_pairs,minhash_est_pairs[16],"
       "minhash_bucket_hist,ivf_topk,ivf_probe_sweep,ivf_cell_hist,"

@@ -51,7 +51,7 @@ DEFAULT_ENTRIES = [
     "x_exact_quantiles", "x_value_deciles", "x_quality_bands",
     "x_lm_score", "x_epoch_shuffle", "x_pack_bins", "x_tfidf_topk",
     "x_dedup_embedding", "x_pair_pagerank", "x_dup_ngram_frac",
-    "x_split_leakage",
+    "x_split_leakage", "x_ann_int8", "x_int8_recall", "x_ann_ivf_int8",
 ]
 # artifacts whose builds are n^2 BY DESIGN (ground-truth oracles,
 # sampled-slice at scale) — reported but never flagged
