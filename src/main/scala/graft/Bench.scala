@@ -130,7 +130,7 @@ object Bench {
       // (see scaladoc) — weighted like io so the budget stays honest
       "x_stream_dedup", "x_stream_error_rate", "x_stream_join",
       "x_stream_sessionize", "x_stream_alerts", "x_stream_counts",
-      "x_stream_funnel")
+      "x_stream_funnel", "x_stream_salted_counts", "x_stream_late_drops")
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names =>
