@@ -246,6 +246,25 @@ class SharedArtifactSpec extends SparkTestBase {
       == rows(direct))
   }
 
+  test("annotated-lineitem entries share one persisted frame and match the direct rules") {
+    import org.apache.spark.sql.functions._
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .withColumn("errors",
+        graft.rules.RuleCompiler.compileRow(Queries.lineitemRules))
+    val directFanout = li.filter(size(col("errors")) > 0)
+      .select(col("l_orderkey"), col("l_linenumber"), explode(col("errors")).as("e"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("e.FieldName").as("field_name"), col("e.ErrorType").as("error_type"))
+    assert(rows(SparkEntry.queries("p9_error_fanout")(spark, sfDir))
+      == rows(directFanout))
+    // sharing is real: two consumers see the same cached plan fragment
+    val a = SparkEntry.queries("p9_error_fanout")(spark, sfDir)
+    val cached = a.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }
+    assert(cached.nonEmpty, "p9 does not read the shared annotated frame")
+  }
+
   test("x_split_leakage: cluster-safe scheme leaks zero pairs; audit covers the full graph") {
     val r = SparkEntry.queries("x_split_leakage")(spark, sfDir).collect()
     assert(r.length == 1)
