@@ -448,12 +448,12 @@ class DedupSpec extends SparkTestBase {
   }
 
   test("property: pruned ngram join equals brute-force all-pairs at several thresholds") {
-    // The r8 prefix filter and length-ratio prune claim EXACTNESS: no
-    // pair with J >= t may be lost. Adversarial check on randomized
-    // corpora with planted near-dups (mutated copies of earlier docs),
-    // at thresholds whose prefix lengths n - ceil(t*n) + 1 round
-    // differently — a float-rounding bug in the prefix arithmetic or a
-    // wrong ratio bound shows up as a missing pair here.
+    // The counting co-occurrence filter claims EXACTNESS: no pair with
+    // J >= t may be lost by the ov >= t*(|A|+|B|)/(1+t) candidacy
+    // bound. Adversarial check on randomized corpora with planted
+    // near-dups (mutated copies of earlier docs), at thresholds whose
+    // required overlaps round differently — a float-rounding bug in
+    // the ceil/slack arithmetic shows up as a missing pair here.
     val rnd = new scala.util.Random(0x5eed)
     val pool = (0 until 30).map(i => s"w$i")
     val base = (0 until 40).map { id =>
@@ -664,7 +664,7 @@ class DedupSpec extends SparkTestBase {
     assert(jac.count() == 0, "Jaccard at 0.5 misses the size-mismatched pair")
   }
 
-  test("ngramContainmentNearDups: prefix filter loses no pair vs brute force") {
+  test("ngramContainmentNearDups: counting filter loses no pair vs brute force") {
     // varied-size docs built from a tiny token pool so shingle sets
     // overlap heavily in all size combinations
     val pool = Vector("a", "b", "c", "d", "e", "f", "g", "h")
