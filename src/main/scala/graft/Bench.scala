@@ -26,7 +26,15 @@ import org.apache.spark.sql.SparkSession
   * >1 s, to exempt sub-second jitter) is listed under `rep_outliers`
   * in both side files and counted as `n_rep_outliers` on the summary
   * line, so a single-entry JIT excursion inside an otherwise-healthy
-  * session is machine-visible instead of narrative-only. The default budget is
+  * session is machine-visible instead of narrative-only. MACHINE
+  * CONTENTION (round 15 — three rounds were burned overlapping a
+  * probe/verify session with the official bench) is likewise recorded,
+  * not inferred: /proc/loadavg is sampled after every timed rep,
+  * per-query samples land in the reps side file (`rep_loads`), session
+  * stats in both side files (`load`) and the summary line
+  * (`load_median`, `load_hot`), and a median load beyond ~1.5×cpus+2
+  * emits a one-line CONTENDED note — so a `sick:true` artifact carries
+  * its own cause. The default budget is
   * DERIVED FROM THE CATALOG — 0.9 s per query plus 4 s per io-query —
   * so growing the catalog cannot silently erode the headroom the way a
   * flat constant did (a 45 s flat budget calibrated for 47 queries
@@ -167,10 +175,28 @@ object Bench {
     // file so the JIT/checkpoint cost stays visible even though it no
     // longer pollutes the medians
     val warmupTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // MACHINE CONTENTION is recorded, not inferred (r14: the driver's
+    // official session was sick:true purely from probe-session CPU
+    // overlap, attributable only by forensic rep-pattern analysis):
+    // /proc/loadavg's 1-min average is sampled after every timed rep.
+    // A healthy bench's own load is ~the local[cpus] thread count, so
+    // anything well above cpus is OTHER work sharing the box — the
+    // session-level median against `loadHotThreshold` makes a
+    // contended run self-describing in the artifact.
+    def loadAvg(): Double =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val repLoads = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
     def runPass(warm: Boolean): Seq[(String, Seq[Double])] =
       ordered.map { case (name, fn) =>
         if (warm) warmupTimes(name) = timeOnce(name, fn)
-        name -> (1 to reps).map(_ => timeOnce(name, fn))
+        name -> (1 to reps).map { _ =>
+          val t = timeOnce(name, fn)
+          repLoads(name) = repLoads.getOrElse(name, Vector.empty) :+ loadAvg()
+          t
+        }
       }
     // ANY failed rep keeps the failure sentinel: an intermittently
     // failing query must not report its lone success as a healthy time
@@ -256,8 +282,30 @@ object Bench {
     }.mkString("{", ",", "}")
     val warmupJson = warmupTimes.map { case (k, v) => s"\"" + k + "\":" + jNum(v) }
       .mkString("{", ",", "}")
+    // per-rep 1-min loadavg samples (parallel to each query's reps
+    // array) + session stats: a contended session is attributable from
+    // the artifact alone instead of by rep-pattern forensics
+    val loadSamples = repLoads.values.flatten.filter(_ >= 0).toSeq.sorted
+    val (loadMin, loadMedian, loadMax) =
+      if (loadSamples.isEmpty) (-1.0, -1.0, -1.0)
+      else (loadSamples.head, loadSamples(loadSamples.size / 2), loadSamples.last)
+    // the bench's own steady load is ~cpus runnable threads; a median
+    // well past that means other work shared the box for most of the run
+    val loadHotThreshold = cpus.toDouble * 1.5 + 2.0
+    val loadHot = loadMedian > loadHotThreshold
+    if (loadHot) System.err.println(
+      f"[bench] session CONTENDED: median 1-min loadavg $loadMedian%.1f over " +
+        f"${loadSamples.size} reps exceeds $loadHotThreshold%.1f " +
+        f"(local[$cpus] bench alone sits near $cpus) — timings in this " +
+        "artifact reflect a shared machine, not the code")
+    val loadStatsJson =
+      s"""{"cpus":$cpus,"min":${jNum(loadMin)},"median":${jNum(loadMedian)},""" +
+        s""""max":${jNum(loadMax)},"hot_threshold":${jNum(loadHotThreshold)},"hot":$loadHot}"""
+    val repLoadsJson = repLoads.map { case (k, ls) =>
+      s"\"" + k + "\":[" + ls.map(jNum).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val repsRef = writeSide("SPARK_GRAFT_BENCH_REPS_FILE", "target/bench_reps.json",
-      s"""{"sf":"$sfDir","passes":$passes,"sick":$sick,"only":$onlyJson,"rep_outliers":$repOutliersJson,"warmup":$warmupJson,"reps":$repsJson}""")
+      s"""{"sf":"$sfDir","passes":$passes,"sick":$sick,"only":$onlyJson,"rep_outliers":$repOutliersJson,"load":$loadStatsJson,"rep_loads":$repLoadsJson,"warmup":$warmupJson,"reps":$repsJson}""")
     val qs = medians.map { case (k, v) => s"\"" + k + "\":" + jNum(v) }
       .mkString("{", ",", "}")
     val ioJson = ioQueries.filter(selected.contains).map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -272,7 +320,7 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + jNum(v) }
       .mkString("{", ",", "}")
     val mediansBody =
-      s"""{"metric":"total","value":${total(medians)},"unit":"sec","sf":"$sfDir","passes":$passes,"sick":$sick,"n_failed":$nFailed,"only":$onlyJson,"rep_outliers":$repOutliersJson,"io_sec":$ioSec,"artifact_sec":${jNum(artifactSec)},"artifact_breakdown":$artifactBreakdown,"io_queries":$ioJson,"queries":$qs}"""
+      s"""{"metric":"total","value":${total(medians)},"unit":"sec","sf":"$sfDir","passes":$passes,"sick":$sick,"n_failed":$nFailed,"only":$onlyJson,"rep_outliers":$repOutliersJson,"load":$loadStatsJson,"io_sec":$ioSec,"artifact_sec":${jNum(artifactSec)},"artifact_breakdown":$artifactBreakdown,"io_queries":$ioJson,"queries":$qs}"""
     val mediansRef = writeSide("SPARK_GRAFT_BENCH_MEDIANS_FILE", "target/bench_medians.json",
       mediansBody)
     // committed per-round provenance (r11 verdict #2): full-catalog runs
@@ -294,6 +342,7 @@ object Bench {
         s""""io_sec":$ioSec,"io_n":${ioQueries.count(selected.contains)},""" +
         s""""artifact_sec":${jNum(artifactSec)},""" +
         s""""n_rep_outliers":${repOutliers.size},""" +
+        s""""load_median":${jNum(loadMedian)},"load_hot":$loadHot,""" +
         s""""medians_file":$mediansJ,"reps_file":$repsJ}"""
     // the line must fit the driver's ~2 KB stdout tail window; it is
     // scalars + two paths by design, so overflow can only come from

@@ -351,10 +351,18 @@ object Clusters {
     * edge list against the (vertex-bounded) score frame and one
     * hash agg — each round shuffles the id-only edge list (16
     * bytes/edge, ∝ near-dup pairs, structurally ≪ corpus), never the
-    * corpus. `iterations` is a fixed constant (default 5), so the
-    * composed plan depth is bounded; production jobs iterating to
-    * numeric convergence should checkpoint rounds like
-    * [[connectedComponents]] does.
+    * corpus. Plan depth is bounded regardless of `iterations`: every
+    * [[checkpointEvery]] rounds the (vertex-bounded) score frame is
+    * cut from its lineage with a lazy localCheckpoint (the
+    * [[connectedComponents]] retention pattern — the next round's
+    * first action materializes it), so a 50-iteration convergence run
+    * plans at most [[checkpointEvery]] joined rounds at a time instead
+    * of a 50-deep self-join tower. At most ⌈iterations /
+    * checkpointEvery⌉ vertex-bounded score copies persist per
+    * invocation (plus the one edge-contribution frame below) — the
+    * same bounded retention contract as connectedComponents' final
+    * edge list. Checkpointing never changes values: integer arithmetic
+    * is replayed bit-identically from the materialized rows.
     *
     * Requires canonical pairs (id_a < id_b, no self-loops, no
     * duplicate edges) — the standing [[graft.operators.Dedup]] pair
@@ -389,7 +397,7 @@ object Clusters {
       .localCheckpoint(false)
     val base = (scale * (dampDen - dampNum)) / dampDen
     var scores = deg.select(col("src").as("id"), lit(scale).as("pr"))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       scores = contrib
         .join(scores.select(col("id").as("src"), col("pr")), "src")
         .select(col("dst"), expr("pr div deg").as("c"))
@@ -397,7 +405,19 @@ object Clusters {
         .agg(sum(col("c")).as("in_sum"))
         .select(col("dst").as("id"),
           (lit(base) + expr(s"($dampNum * in_sum) div $dampDen")).as("pr"))
+      // bound plan depth for long convergence runs (see scaladoc):
+      // cut lineage every checkpointEvery rounds; the final round's
+      // frame stays lazy so a caller's one action materializes it
+      if (i % checkpointEvery == 0 && i < iterations)
+        scores = scores.localCheckpoint(eager = false)
     }
     scores
   }
+
+  /** Lineage-cut cadence of [[pageRankInt]]'s iteration loop: small
+    * enough that the accepted `iterations <= 50` range never plans
+    * more than this many self-joined rounds at once, large enough
+    * that short default runs (5 rounds) pay zero checkpoints.
+    */
+  private val checkpointEvery = 8
 }

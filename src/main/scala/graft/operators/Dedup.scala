@@ -395,9 +395,17 @@ object Dedup {
     * EMITTED jaccard is always exact — `maxPostings` (a stop-shingle
     * cap, same contract as the LSH bucket cap) affects only RECALL: a
     * pair is missed only when enough of its shared shingles overflow
-    * to push the observed count under the bound. The loss is
-    * observable via the [[NearDupResult.bucketMetric]] observation
-    * (`overflow_buckets == 0` ⇒ complete). The cap is a single-scan
+    * to push the observed count under the bound. Note this contract is
+    * STRICTLY about `overflow_buckets == 0` ⇒ complete: under nonzero
+    * overflow EVERY capped shingle silently subtracts from every
+    * affected pair's count, so a borderline pair can be lost when only
+    * SOME of its shared shingles are hot (the former prefix filter
+    * lost a pair only if ALL its shared shingles overflowed — the
+    * counting filter trades that slack for its ~linear scaling). Treat
+    * any nonzero `overflow_buckets` as an incomplete result and raise
+    * `maxPostings` (or pre-drop the hot stop-shingles) rather than
+    * reasoning about partial recall. The loss is always observable via
+    * the [[NearDupResult.bucketMetric]] observation. The cap is a single-scan
     * capped collect (see [[candidatePairs]]): a hot shingle's posting
     * buffer stops growing at `maxPostings` ids while its exact count
     * keeps accumulating, so the corpus' hottest shingle cannot OOM a

@@ -257,6 +257,21 @@ class ClustersSpec extends SparkTestBase {
     assert((1L to 8L).map(pr).distinct.size == 1)
   }
 
+  test("pageRankInt stays healthy and exact over a long (>=20-iteration) run") {
+    // exercises the every-k lineage checkpoint: 21 rounds cross the
+    // cadence twice; values must still match the sequential driver
+    // replay bit-for-bit (checkpointing replays materialized rows,
+    // never changes arithmetic)
+    val rnd = new scala.util.Random(4242)
+    val n = 40
+    val raw = Seq.fill(n * 2)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val got = Clusters.pageRankInt(raw.toDF("id_a", "id_b"), iterations = 21)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == brutePageRank(raw, 21))
+  }
+
   test("pageRankInt is invariant to edge order and rejects bad parameters") {
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 4L), (4L, 5L))
     val a = Clusters.pageRankInt(edges.toDF("id_a", "id_b")).collect()
