@@ -203,12 +203,21 @@ object NgramLm {
     // memory at once (interpolation needs the sorted array), the
     // unbounded-state pattern that OOMs a hot language at corpus
     // scale; the order-statistic cut is an equally valid tercile and
-    // stays bounded.
-    def cut(q: Double, as: String) = broadcast(
-      Quantiles.groupedExactQuantile(scored, langCol, "lm_score", q)
-        .select(col(langCol), col("value").as(as)))
-    scored.join(cut(2.0 / 3, "__q_hi"), langCol)
-      .join(cut(1.0 / 3, "__q_lo"), langCol)
+    // stays bounded. BOTH cuts narrow in the same selector loop
+    // (groupedExactQuantiles' multi-q simultaneity) — one set of
+    // passes over the scored frame, not one per tercile — then pivot
+    // to a |langs|-row (lo, hi) cut table.
+    val cuts = broadcast(
+      Quantiles.groupedExactQuantiles(
+          scored, langCol, "lm_score", Seq(1.0 / 3, 2.0 / 3))
+        .groupBy(col(langCol))
+        .agg(max(when(col("q") === 2.0 / 3, col("value"))).as("__q_hi"),
+          max(when(col("q") === 1.0 / 3, col("value"))).as("__q_lo")))
+    // LEFT join: a language whose scores are all null/NaN has no cut
+    // rows; its documents must still band (null cuts fail both >=
+    // comparisons and fall through to 'tail', the pre-selector
+    // keep-all-rows behavior) rather than silently drop.
+    scored.join(cuts, Seq(langCol), "left")
       .withColumn("quality_band",
         when(col("lm_score") >= col("__q_hi"), "head")
           .when(col("lm_score") >= col("__q_lo"), "middle")

@@ -152,32 +152,51 @@ object Quantiles {
       spark.sparkContext.parallelize(rows, 1), outSchema)
   }
 
-  /** Exact per-group type-1 quantile — "the true median latency PER
-    * endpoint" — with ALL groups narrowed simultaneously: each pass is
-    * ONE aggregate over the corpus (rows joined to their group's
-    * current bracket via a broadcast |active groups|-row table), so
-    * the pass count stays O(log_B max-group-size) regardless of how
-    * many groups there are, instead of |groups| independent selection
-    * loops. Output: keyCol, `q`, `rank`, `value`.
-    *
-    * Driver state is the bracket table: ≤ `maxGroups` entries
-    * (enforced loudly up front), each pass collecting ≤ active·B
-    * histogram rows and the endgame collecting ≤ `collectThreshold`
-    * values per unresolved group (gathered in ONE batched pass via the
-    * same broadcast-bracket join + a per-key sorted gather, never a
-    * per-group driver loop). Groups whose chosen bucket is a point
-    * mass resolve without collecting anything. For group cardinalities
-    * beyond `maxGroups`, this is the wrong tool — use the windowed
-    * rank form and accept the per-group sort shuffle. Group keys are
-    * compared and emitted as strings (the driver's bracket table is
-    * key-typed-erased); numeric keys round-trip losslessly.
+  /** Exact per-group type-1 quantile — single-`q` convenience form of
+    * [[groupedExactQuantiles]]; see there for the algorithm, bounds,
+    * and output contract.
     */
   def groupedExactQuantile(
       df: DataFrame, keyCol: String, valueCol: String, q: Double,
       buckets: Int = 128, collectThreshold: Int = 4096,
       maxGroups: Int = 4096, maxPasses: Int = 64
+  ): DataFrame =
+    groupedExactQuantiles(df, keyCol, valueCol, Seq(q), buckets,
+      collectThreshold, maxGroups, maxPasses)
+
+  /** Exact per-group type-1 quantiles — "the true median latency PER
+    * endpoint" — with ALL groups AND all requested `qs` narrowed
+    * simultaneously: each pass is ONE aggregate over the corpus (rows
+    * joined to their group's current brackets via a broadcast
+    * |active (group, q) pairs|-row table), so the pass count stays
+    * O(log_B max-group-size) regardless of how many groups or
+    * quantiles there are, instead of |groups|·|qs| independent
+    * selection loops (the [[exactQuantiles]] simultaneity, per group —
+    * asking every group for terciles costs the same 2-3 column scans
+    * as asking for its median). Output: keyCol, `q`, `rank`, `value` —
+    * one row per (group, q).
+    *
+    * Driver state is the bracket table: ≤ `maxGroups`·|qs| entries
+    * (group count enforced loudly up front), each pass collecting
+    * ≤ active·B histogram rows and the endgame collecting
+    * ≤ `collectThreshold` values per unresolved (group, q) (gathered
+    * in ONE batched pass via the same broadcast-bracket join + a
+    * per-bracket sorted gather, never a per-group driver loop).
+    * Brackets whose chosen bucket is a point mass resolve without
+    * collecting anything. For group cardinalities beyond `maxGroups`,
+    * this is the wrong tool — use the windowed rank form and accept
+    * the per-group sort shuffle. Group keys are compared and emitted
+    * as strings (the driver's bracket table is key-typed-erased);
+    * numeric keys round-trip losslessly.
+    */
+  def groupedExactQuantiles(
+      df: DataFrame, keyCol: String, valueCol: String, qs: Seq[Double],
+      buckets: Int = 128, collectThreshold: Int = 4096,
+      maxGroups: Int = 4096, maxPasses: Int = 64
   ): DataFrame = {
-    require(q > 0.0 && q <= 1.0, s"q must be in (0, 1], got $q")
+    require(qs.nonEmpty, "need at least one quantile")
+    require(qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must be in (0, 1], got $qs")
     require(buckets >= 2 && collectThreshold >= 1 && maxPasses >= 1,
       "degenerate narrowing parameters")
     val spark = df.sparkSession
@@ -192,55 +211,64 @@ object Quantiles {
     require(heads.length <= maxGroups,
       s"more than $maxGroups groups — use a windowed rank instead")
 
-    // mutable bracket per unresolved group
+    // mutable bracket per unresolved (group, q-index)
     final case class Bracket(rank: Long, var lo: Double, var hi: Double,
       var below: Long)
-    val ranks = heads.map { r =>
-      r.getString(0) -> math.max(1L, math.ceil(q * r.getLong(1)).toLong)
-    }.toMap
-    val brackets = scala.collection.mutable.Map[String, Bracket]()
-    val resolved = scala.collection.mutable.Map[String, (Long, Double)]()
+    val ranks = (for (r <- heads; qi <- qs.indices) yield
+      (r.getString(0), qi) ->
+        math.max(1L, math.ceil(qs(qi) * r.getLong(1)).toLong)).toMap
+    val brackets = scala.collection.mutable.Map[(String, Int), Bracket]()
+    val resolved = scala.collection.mutable.Map[(String, Int), (Long, Double)]()
     heads.foreach { r =>
       val k = r.getString(0)
-      if (r.getDouble(2) == r.getDouble(3)) resolved(k) = (ranks(k), r.getDouble(2))
-      else brackets(k) = Bracket(ranks(k), r.getDouble(2), r.getDouble(3), 0L)
+      qs.indices.foreach { qi =>
+        if (r.getDouble(2) == r.getDouble(3))
+          resolved((k, qi)) = (ranks((k, qi)), r.getDouble(2))
+        else brackets((k, qi)) =
+          Bracket(ranks((k, qi)), r.getDouble(2), r.getDouble(3), 0L)
+      }
     }
-    // (key -> (lo, hi, position within the gathered bucket))
-    val finals = scala.collection.mutable.Map[String, (Double, Double, Long)]()
+    // ((key, qi) -> (lo, hi, position within the gathered bucket))
+    val finals = scala.collection.mutable.Map[(String, Int), (Double, Double, Long)]()
 
     var pass = 0
     while (brackets.nonEmpty && pass < maxPasses) {
       pass += 1
+      // rows join their group's brackets on the key and are range-
+      // filtered per bracket — a row lands in one histogram per
+      // OVERLAPPING bracket of its group (≤ |qs|), so multi-q costs
+      // duplicated histogram input only where brackets still overlap
       val btab = broadcast(brackets.toSeq
-        .map { case (k, b) => (k, b.lo, b.hi) }.toDF("k", "__lo", "__hi"))
+        .map { case ((k, qi), b) => (k, qi, b.lo, b.hi) }
+        .toDF("k", "rid", "__lo", "__hi"))
       val width = (col("__hi") - col("__lo")) / buckets
       val idx = least(lit(buckets - 1),
         floor((col("v") - col("__lo")) / width).cast(IntegerType))
       val hist = vals.join(btab, "k")
         .filter(col("v") >= col("__lo") && col("v") <= col("__hi"))
-        .groupBy(col("k"), idx.as("b"))
+        .groupBy(col("k"), col("rid"), idx.as("b"))
         .agg(count(lit(1)).as("c"), min(col("v")).as("bmin"),
           max(col("v")).as("bmax"))
         .collect() // ≤ active·buckets rows
-        .groupBy(_.getString(0))
-      hist.foreach { case (k, rows) =>
-        val b = brackets(k)
-        val sorted = rows.sortBy(_.getInt(1))
+        .groupBy(r => (r.getString(0), r.getInt(1)))
+      hist.foreach { case (key, rows) =>
+        val b = brackets(key)
+        val sorted = rows.sortBy(_.getInt(2))
         var acc = 0L; var i = 0; var chosen: Row = null
         val residual = b.rank - b.below
         while (chosen == null && i < sorted.length) {
-          val c = sorted(i).getLong(2)
+          val c = sorted(i).getLong(3)
           if (acc + c >= residual) chosen = sorted(i) else { acc += c; i += 1 }
         }
-        require(chosen != null, s"group $k: rank fell outside its bracket")
-        val bmin = chosen.getDouble(3); val bmax = chosen.getDouble(4)
-        val bcount = chosen.getLong(2)
-        if (bmin == bmax) { resolved(k) = (b.rank, bmin); brackets.remove(k) }
+        require(chosen != null, s"group $key: rank fell outside its bracket")
+        val bmin = chosen.getDouble(4); val bmax = chosen.getDouble(5)
+        val bcount = chosen.getLong(3)
+        if (bmin == bmax) { resolved(key) = (b.rank, bmin); brackets.remove(key) }
         else if (bcount <= collectThreshold) {
-          finals(k) = (bmin, bmax, residual - acc); brackets.remove(k)
+          finals(key) = (bmin, bmax, residual - acc); brackets.remove(key)
         } else { b.below += acc; b.lo = bmin; b.hi = bmax }
       }
-      // a group still bracketed but absent from the histogram has lost
+      // a bracket still open but absent from the histogram has lost
       // its rows (float-edge filter bug) and would loop forever
       require(brackets.keys.forall(hist.contains),
         "bracket lost its rows mid-narrowing")
@@ -250,26 +278,27 @@ object Quantiles {
         s"${brackets.keys.take(5).mkString(",")}")
 
     if (finals.nonEmpty) {
-      // one batched endgame: gather each unresolved group's final
+      // one batched endgame: gather each unresolved bracket's final
       // bucket (≤ collectThreshold values each), pick the residual rank
       val ftab = broadcast(finals.toSeq
-        .map { case (k, (lo, hi, _)) => (k, lo, hi) }.toDF("k", "__lo", "__hi"))
+        .map { case ((k, qi), (lo, hi, _)) => (k, qi, lo, hi) }
+        .toDF("k", "rid", "__lo", "__hi"))
       val gathered = vals.join(ftab, "k")
         .filter(col("v") >= col("__lo") && col("v") <= col("__hi"))
-        .groupBy(col("k"))
+        .groupBy(col("k"), col("rid"))
         .agg(sort_array(collect_list(col("v"))).as("vs"))
         .collect()
       gathered.foreach { r =>
-        val k = r.getString(0)
-        val vs = r.getSeq[Double](1)
-        val (_, _, pos) = finals(k)
-        resolved(k) = (ranks(k), vs((pos - 1).toInt))
+        val key = (r.getString(0), r.getInt(1))
+        val vs = r.getSeq[Double](2)
+        val (_, _, pos) = finals(key)
+        resolved(key) = (ranks(key), vs((pos - 1).toInt))
       }
-      require(resolved.size == heads.length,
-        "a finalized group gathered no rows — float-edge filter bug")
+      require(resolved.size == heads.length.toLong * qs.size,
+        "a finalized bracket gathered no rows — float-edge filter bug")
     }
 
-    resolved.toSeq.map { case (k, (rank, v)) => (k, q, rank, v) }
+    resolved.toSeq.map { case ((k, qi), (rank, v)) => (k, qs(qi), rank, v) }
       .toDF(keyCol, "q", "rank", "value")
   }
 

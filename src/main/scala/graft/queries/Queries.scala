@@ -3433,16 +3433,16 @@ object Queries {
 
     // Account-balance quartiles per market segment — the grouped
     // exact-quantile operator exercised on a second table at three
-    // simultaneous q's (union of three histogram-narrowing passes,
-    // each ≤ B-row driver state; no per-segment sort anywhere). All
-    // three q's are dyadic, so rank arithmetic is float-exact.
-    "x_acctbal_quartiles" -> ((s, d) => {
-      val cust = t(s, d, "customer")
-      Seq(0.25, 0.5, 0.75)
-        .map(q => graft.operators.Quantiles.groupedExactQuantile(
-          cust, "c_mktsegment", "c_acctbal", q = q))
-        .reduce(_.unionAll(_))
-    }),
+    // simultaneous q's: ONE histogram-narrowing loop resolves all
+    // (segment, quartile) brackets together (≤ B-row driver state per
+    // pass; no per-segment sort anywhere — and no per-q re-scan, the
+    // r14 formulation's cost: three separate selector loops over the
+    // same column). All three q's are dyadic, so rank arithmetic is
+    // float-exact.
+    "x_acctbal_quartiles" -> ((s, d) =>
+      graft.operators.Quantiles.groupedExactQuantiles(
+        t(s, d, "customer"), "c_mktsegment", "c_acctbal",
+        Seq(0.25, 0.5, 0.75))),
 
     // Cohort-LTV triangle: revenue by (acquisition month, months
     // since acquisition) over 30-day months — the value-weighted

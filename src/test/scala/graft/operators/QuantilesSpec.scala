@@ -71,6 +71,36 @@ class QuantilesSpec extends SparkTestBase {
     }
   }
 
+  test("groupedExactQuantiles: several qs per group in one narrowing loop") {
+    val rows =
+      (1 to 900).map(i => ("spread", math.sin(i.toDouble) * 250.0)) ++
+      Seq.fill(40)(("mass", -7.5)) ++
+      Seq(("tiny", 9.0), ("tiny", -4.0), ("tiny", 2.0), ("tiny", 11.0))
+    val df = rows.toDF("k", "v")
+    val qs = Seq(0.25, 0.5, 0.75, 0.99)
+    val got = Quantiles.groupedExactQuantiles(df, "k", "v", qs,
+        buckets = 4, collectThreshold = 16)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    val byKey = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(got.size == byKey.size * qs.size, "one row per (group, q)")
+    for ((k, xs) <- byKey; q <- qs) {
+      val rank = math.max(1L, math.ceil(q * xs.size).toLong)
+      assert(got((k, q)) == ((rank, xs((rank - 1).toInt))), s"($k, $q)")
+    }
+    // multi-q output equals the union of single-q runs (the r14
+    // x_acctbal_quartiles formulation this replaces)
+    val single = qs.flatMap(q =>
+      Quantiles.groupedExactQuantile(df, "k", "v", q,
+        buckets = 4, collectThreshold = 16).collect()
+        .map(r => (r.getString(0), r.getDouble(1)) -> ((r.getLong(2), r.getDouble(3)))))
+      .toMap
+    assert(got == single)
+    assertThrows[IllegalArgumentException](
+      Quantiles.groupedExactQuantiles(df, "k", "v", Nil))
+  }
+
   test("madOutliers: robust threshold flags the outlier the outlier can't inflate") {
     // 1..100 plus one 1e6: med = 51, MAD = 25, thr = 3*1.4826*25 =
     // 111.195 -> only the 1e6 row flags. (A mean/sigma rule has its
