@@ -201,6 +201,60 @@ object Similarity {
       .select(col(queryCol), col("n_hits"), col("k"))
   }
 
+  /** The "sampled slices at scale" audit convention as CODE — the
+    * exact side of every recall audit ([[recallAtK]]'s ground truth),
+    * with the query set capped at `maxQueries` rows picked
+    * DETERMINISTICALLY (ascending `(xxhash64(qid), qid)`, the repo's
+    * hash-order sampling idiom: reproducible across runs and engines,
+    * unbiased w.r.t. any corpus ordering). At the test SFs every audit
+    * passes a cap at or above its query count, so the sample is the
+    * identity and results are bit-identical to the uncapped form; at
+    * 100 TB the SAME call is the declared scale route — the exact
+    * brute-force leg runs on maxQueries hash-picked queries instead of
+    * the corpus, bounding the audit at maxQueries × |corpus| scored
+    * pairs (one corpus scan; the sampled query batch broadcasts).
+    *
+    * `metric` picks the scoring kernel and the score column name:
+    * `"cosine"` (column `cosine`; zero-norm vectors are excluded on
+    * BOTH sides — no defined direction, the [[knnGraph]] contract) or
+    * `"dot"` (column `ip`, the MIPS objective of the int8 audits; zero
+    * vectors are legitimate and kept). `excludeSelf` drops id == qid
+    * pairs for corpus-as-queries graph audits. Returns (query_id, id,
+    * <score>, rank), ties by id; plan shape is the [[batchTopK]] idiom
+    * (query pick is one TakeOrdered bounded at maxQueries rows, then
+    * broadcast + partial WindowGroupLimit per query).
+    */
+  def exactTopKSample(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, maxQueries: Int,
+      metric: String = "cosine",
+      excludeSelf: Boolean = false
+  ): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(maxQueries >= 1, s"maxQueries must be >= 1, got $maxQueries")
+    val (scoreName, scoreFn) = metric match {
+      case "cosine" => ("cosine", (a: Column, b: Column) => cosine(a, b))
+      case "dot" => ("ip", (a: Column, b: Column) => dot(a, b))
+      case other => throw new IllegalArgumentException(
+        s"metric must be 'cosine' or 'dot', got '$other'")
+    }
+    def keepRanked(df: DataFrame, c: String): DataFrame =
+      if (metric == "cosine") df.filter(dot(col(c), col(c)) > 0.0) else df
+    val q = keepRanked(queries, qvecCol)
+      .select(col(qidCol).as("query_id"), col(qvecCol).as("__qv"))
+      .orderBy(xxhash64(col("query_id")), col("query_id"))
+      .limit(maxQueries)
+    val paired = keepRanked(corpus, vecCol).crossJoin(broadcast(q))
+    val scored =
+      (if (excludeSelf) paired.filter(col(idCol) =!= col("query_id")) else paired)
+        .select(col("query_id"), col(idCol).as("id"),
+          scoreFn(col(vecCol), col("__qv")).as(scoreName))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col(scoreName).desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Exact k-nearest-neighbor GRAPH over one embedding frame: for every
     * vector, its `k` most cosine-similar OTHER vectors — the precursor
     * artifact of semantic dedup, graph clustering, and diversity

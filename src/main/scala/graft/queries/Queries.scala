@@ -295,11 +295,25 @@ object Queries {
       spans
     } { _.unpersist(blocking = false) }
 
+  /** Query cap for every recall audit's exact brute-force leg
+    * ([[graft.operators.Similarity.exactTopKSample]]): at or above the
+    * corpus size at every test SF (2000 embeddings at sf0.1), so
+    * current results are bit-identical to the uncapped form — and at
+    * scale the SAME code path bounds each audit at 4096 hash-picked
+    * queries × |corpus| scored pairs, the declared sampled-slice
+    * design the audits previously only claimed in prose.
+    */
+  private val exactAuditMaxQueries = 4096
+
   /** Shared EXACT kNN graph (the ANN family's recall oracle) — the
-    * deliberate n² ground-truth pass runs once per dir per session,
-    * consumed by both `x_knn_graph` (the oracle entry itself) and
-    * `x_knn_graph_recall` (the production-graph audit). ≤ |corpus|·k
-    * rows, persisted MEMORY_AND_DISK.
+    * deliberate ground-truth pass runs once per dir per session,
+    * consumed by `x_knn_graph` (the oracle entry itself),
+    * `x_knn_graph_recall` / `x_recall_by_label` (the production-graph
+    * audits) and `x_label_propagation`. Built through
+    * [[graft.operators.Similarity.exactTopKSample]] with the
+    * [[exactAuditMaxQueries]] cap: identical to the full n² graph at
+    * every test SF, a bounded sampled slice beyond it. ≤ min(|corpus|,
+    * cap)·k rows, persisted MEMORY_AND_DISK.
     */
   private val exactKnnCache = new java.util.concurrent.ConcurrentHashMap[
     String, (SparkSession, DataFrame)]()
@@ -307,8 +321,11 @@ object Queries {
   private def exactKnnGraph(s: SparkSession, d: String): DataFrame =
     memoPerDir(exactKnnCache, s, d, "exact_knn_graph",
       stillValid = (p: DataFrame) => p.storageLevel != StorageLevel.NONE) {
-      val g = graft.operators.Similarity.knnGraph(
-        t(s, d, "embeddings"), "vec_id", "embedding", k = 5)
+      val emb = t(s, d, "embeddings")
+      val g = graft.operators.Similarity.exactTopKSample(
+        emb, "vec_id", "embedding", emb, "vec_id", "embedding",
+        k = 5, maxQueries = exactAuditMaxQueries,
+        metric = "cosine", excludeSelf = true)
         .persist(StorageLevel.MEMORY_AND_DISK)
       g.count() // materialize inside the timed artifact build
       g
@@ -3041,20 +3058,19 @@ object Queries {
     // What the 4× compression costs: recall@10 of the int8 scan
     // against the exact float inner-product top-10 (both sides MIPS,
     // so the comparison isolates QUANTIZATION loss — not the
-    // dot-vs-cosine objective gap). Integers only in the output.
+    // dot-vs-cosine objective gap). Integers only in the output. The
+    // exact leg rides exactTopKSample (metric="dot") under the
+    // standing audit cap — identity here, the bounded sampled slice
+    // at scale.
     "x_int8_recall" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       val q8 = Similarity.int8TopK(emb, "vec_id", "embedding",
         queries, "qid", "qv", k = 10)
-      val scored = emb.crossJoin(broadcast(queries))
-        .select(col("qid").as("query_id"), col("vec_id").as("id"),
-          graft.functions.VectorFunctions.dot(col("embedding"), col("qv")).as("ip"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id")).orderBy(col("ip").desc, col("id").asc)
-      val exact = scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
+      val exact = Similarity.exactTopKSample(emb, "vec_id", "embedding",
+        queries, "qid", "qv", k = 10, maxQueries = exactAuditMaxQueries,
+        metric = "dot")
       Similarity.recallAtK(q8, exact)
         .select(col("query_id"), col("n_hits"), col("k"))
     }),
@@ -6955,7 +6971,11 @@ object Queries {
         |  ORDER BY int_dot DESC, vec_id ASC) <= 10""".stripMargin,
 
     // exact side forced through the kernel's arithmetic: widen each
-    // float to double, multiply, sum in index order
+    // float to double, multiply, and accumulate via list_reduce — a
+    // left fold seeded at 0.0, SEQUENTIAL BY DEFINITION, so the
+    // ranking stays bit-identical to Spark's sequential dot kernel
+    // even if a future DuckDB reassociates list_sum (pairwise/simd
+    // summation could flip a near-tie at the rank-10 boundary)
     "x_int8_recall" ->
       """WITH codes AS (
         |  SELECT vec_id,
@@ -6978,8 +6998,10 @@ object Queries {
         |  SELECT query_id, id FROM (
         |    SELECT fq.query_id, e.vec_id AS id,
         |      row_number() OVER (PARTITION BY fq.query_id ORDER BY
-        |        COALESCE(list_sum(list_transform(generate_series(1, len(e.embedding)),
-        |          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(fq.qv[i] AS DOUBLE))), 0.0)
+        |        COALESCE(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |          list_transform(generate_series(1, len(e.embedding)),
+        |            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(fq.qv[i] AS DOUBLE))),
+        |          (a, b) -> a + b), 0.0)
         |        DESC, e.vec_id ASC) AS rn
         |    FROM embeddings e CROSS JOIN fq) WHERE rn <= 10)
         |SELECT fex.query_id,

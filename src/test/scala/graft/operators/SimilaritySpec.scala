@@ -78,6 +78,46 @@ class SimilaritySpec extends SparkTestBase {
     emb.unpersist()
   }
 
+  test("exactTopKSample: identity above the cap, deterministic hash slice below it") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(120).cache()
+    // cap >= query count => bit-identical to the uncapped exact graph
+    // (the current-SF contract every audit rides)
+    val full = Similarity.knnGraph(emb, "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val sampledAll = Similarity.exactTopKSample(
+      emb, "vec_id", "embedding", emb, "vec_id", "embedding",
+      k = 4, maxQueries = 100000, metric = "cosine", excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(sampledAll == full)
+    // cap < query count => exactly the maxQueries hash-smallest query
+    // ids survive, and each survivor keeps its full-run rows
+    val expectQ = emb.select(col("vec_id"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val sampled = Similarity.exactTopKSample(
+      emb, "vec_id", "embedding", emb, "vec_id", "embedding",
+      k = 4, maxQueries = 10, metric = "cosine", excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2)))
+    assert(sampled.map(_._1).toSet == expectQ)
+    assert(sampled.sortBy(t => (t._1, t._2)).toSeq ==
+      full.filter(t => expectQ(t._1)))
+    // metric="dot": matches a driver-side MIPS ranking, zero vectors kept
+    val tiny = Seq(
+      (1L, Seq(2.0f, 0.0f)), (2L, Seq(1.0f, 1.0f)),
+      (3L, Seq(0.0f, 0.0f)), (4L, Seq(-1.0f, 3.0f))).toDF("id", "v")
+    val q = Seq((9L, Seq(1.0f, 1.0f))).toDF("qid", "qv")
+    val dotTop = Similarity.exactTopKSample(tiny, "id", "v", q, "qid", "qv",
+      k = 4, maxQueries = 5, metric = "dot")
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(dotTop == Seq((1L, 2.0), (2L, 2.0), (4L, 2.0), (3L, 0.0)))
+    assertThrows[IllegalArgumentException](
+      Similarity.exactTopKSample(tiny, "id", "v", q, "qid", "qv",
+        k = 4, maxQueries = 5, metric = "euclid"))
+    emb.unpersist()
+  }
+
   test("knnGraphApprox: candidate-only subset of the exact graph, non-vacuous recall") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
     val exact = Similarity.knnGraph(emb, "vec_id", "embedding", k = 5)
