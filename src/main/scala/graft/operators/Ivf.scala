@@ -131,21 +131,47 @@ object Ivf {
       k: Int, nlist: Int = 64, nProbe: Int = 8
   ): DataFrame = {
     val index = buildIndex(corpus, idCol, vecCol, nlist)
-    val assigned = assign(
-        corpus.select(col(idCol).as("id"), col(vecCol).as("v")), "v", index)
+    rankInt8Probes(int8Assigned(corpus, idCol, vecCol, index),
+      queries, qidCol, qvecCol, index, k, nProbe)
+  }
+
+  /** The int8 serving frame: (id, cell, cq) — each vector's IVF cell
+    * and its int8 codes ([[Similarity.int8Quantize]]). The in-session
+    * ([[ivfInt8TopK]]) and persisted ([[writeInt8Index]]) paths both
+    * derive from this projection, so their scores are bit-identical
+    * by construction.
+    */
+  private def int8Assigned(
+      corpus: DataFrame, idCol: String, vecCol: String, index: IvfIndex
+  ): DataFrame =
+    assign(corpus.select(col(idCol).as("id"), col(vecCol).as("v")), "v", index)
       .select(col("id"), col("cell"),
         Similarity.int8Quantize(col("v")).getField("q").as("cq"))
+
+  /** Query-side probe frame: (query_id, qq, cell) — one row per
+    * (query, probed cell), codes quantized once per query.
+    */
+  private def int8Probes(
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      index: IvfIndex, nProbe: Int
+  ): DataFrame =
     // two-step select: the analyzer's generator extraction re-resolves
     // sibling expressions against an un-aliased struct (FIELD_NOT_FOUND
     // col1/col2), so the quantized codes are named BEFORE the explode
-    val probes = queries
+    queries
       .select(col(qidCol).as("query_id"),
         Similarity.int8Quantize(col(qvecCol)).getField("q").as("qq"),
         VectorFunctions.nearestCentroids(
           col(qvecCol), index.centroids, index.dim, nProbe).as("__cells"))
       .select(col("query_id"), col("qq"), explode(col("__cells")).as("cell"))
+
+  private def rankInt8Probes(
+      assigned: DataFrame, queries: DataFrame, qidCol: String, qvecCol: String,
+      index: IvfIndex, k: Int, nProbe: Int
+  ): DataFrame = {
     val candidates = assigned
-      .join(broadcast(probes), Seq("cell"))
+      .join(broadcast(int8Probes(queries, qidCol, qvecCol, index, nProbe)),
+        Seq("cell"))
       .select(col("query_id"), col("id"),
         graft.functions.VectorFunctions.dotLong(col("cq"), col("qq")).as("int_dot"))
     val w = Window.partitionBy(col("query_id"))
@@ -234,6 +260,195 @@ object Ivf {
     rank(corpus.join(broadcast(probeFrame), Seq("cell"))
       .select(col("query_id"), col("id"),
         Similarity.cosine(col("v"), col("qv")).as("cosine")), k)
+  }
+
+  // ---------------------------------------------------------------------
+  // Persisted int8 index — the build-once / probe-many serving split
+  // ---------------------------------------------------------------------
+
+  /** Index parameters persisted as `meta.txt` beside the data (the
+    * [[Dedup.writeMinHashIndex]] contract): key=value lines, no parser
+    * dependencies. A probe or append against mismatched parameters
+    * would score in a silently different space — both validate against
+    * this file and fail loudly instead.
+    */
+  private[operators] final case class Int8IndexMeta(nlist: Int, dim: Int)
+
+  private[operators] object Int8IndexMeta {
+    private def metaPath(path: String) =
+      new org.apache.hadoop.fs.Path(s"$path/meta.txt")
+
+    def write(spark: SparkSession, path: String, m: Int8IndexMeta): Unit = {
+      val p = metaPath(path)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val out = fs.create(p, true)
+      try out.write(
+        s"format=ivf_int8\nnlist=${m.nlist}\ndim=${m.dim}\n".getBytes("UTF-8"))
+      finally out.close()
+    }
+
+    def read(spark: SparkSession, path: String): Option[Int8IndexMeta] = {
+      val p = metaPath(path)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val text =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val kv = text.linesIterator.filter(_.contains("="))
+          .map { l => val Array(k, v) = l.split("=", 2); k -> v }.toMap
+        require(kv.get("format").contains("ivf_int8"),
+          s"$p is not an ivf_int8 index meta (format=${kv.get("format")})")
+        Some(Int8IndexMeta(kv("nlist").toInt, kv("dim").toInt))
+      }
+    }
+  }
+
+  /** Build (or grow) the PERSISTED int8 IVF index — the serving shape
+    * of a 100 TB ANN deployment, where the index is built once per
+    * corpus refresh and probed by many query batches that must never
+    * pay the build again ([[ivfInt8TopK]] recomputes centroids and
+    * codes per call; fine in-session, wrong across sessions). Layout
+    * under `path`:
+    *
+    *  - `cells/`: (id, cq) partitioned by `cell` — the int8 codes,
+    *    stored as `array<tinyint>` (the honest 4× compression: one
+    *    byte per element on disk; [[ivfInt8ProbeIndex]] widens back to
+    *    the kernel's long lanes losslessly, every value is in
+    *    [-127, 127] by construction). One directory per cell means a
+    *    probe's `cell IN (...)` predicate prunes the scan to
+    *    nProbe/nlist of the files.
+    *  - `centroids/`: (cell, c array<double>) — the coarse quantizer,
+    *    so a probe session reconstructs routing WITHOUT the corpus.
+    *  - `meta.txt`: nlist + dim ([[Int8IndexMeta]]).
+    *
+    * `mode="append"` is the corpus-growth workflow: the increment is
+    * assigned and quantized under the EXISTING centroids (read back
+    * from `centroids/` — appending under fresh centroids would route
+    * old and new vectors through different quantizers) and its code
+    * rows append to `cells/`; centroids and meta are untouched.
+    * Callers own id disjointness across increments, the
+    * [[Dedup.writeMinHashIndex]] contract. Codes come from THIS
+    * frame's projection, never a re-read of the index (the same
+    * quadratic-append hazard documented there).
+    *
+    * Returns the [[IvfIndex]] the codes were written under, so an
+    * in-session caller can probe without re-reading `centroids/`.
+    */
+  def writeInt8Index(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, nlist: Int = 64, mode: String = "error"
+  ): IvfIndex = {
+    val spark = corpus.sparkSession
+    val index =
+      if (mode == "append") {
+        val existing = readInt8Index(spark, path) // throws if absent/foreign
+        require(existing.nlist == nlist,
+          s"index at $path was built with nlist=${existing.nlist}; " +
+            s"cannot append with nlist=$nlist")
+        val incDim = corpus
+          .select(size(col(vecCol)).as("d")).filter(col("d") > 0).limit(1)
+          .collect() // one row — the increment's embedding dim
+        incDim.headOption.foreach { r =>
+          require(r.getInt(0) == existing.dim,
+            s"increment embedding dim ${r.getInt(0)} != index dim " +
+              s"${existing.dim} at $path — codes would route through a " +
+              "mismatched quantizer")
+        }
+        existing
+      } else buildIndex(corpus, idCol, vecCol, nlist)
+    // write centroids + meta only on a fresh build; append reuses them
+    if (mode != "append") {
+      import spark.implicits._
+      (0 until index.nlist).map { cell =>
+        (cell, index.centroids.slice(cell * index.dim, (cell + 1) * index.dim).toSeq)
+      }.toDF("cell", "c")
+        .coalesce(1)
+        .write.mode(mode).parquet(s"$path/centroids")
+    }
+    int8Assigned(corpus, idCol, vecCol, index)
+      .select(col("id"), col("cell"), col("cq").cast("array<tinyint>").as("cq"))
+      // co-locate cells before the partitioned write (the
+      // writeMinHashIndex discipline): without this every task splits
+      // into every cell — tasks × nlist small files at corpus scale
+      .repartition(col("cell"))
+      .write.mode(if (mode == "append") "append" else mode)
+      .partitionBy("cell").parquet(s"$path/cells")
+    if (mode != "append") Int8IndexMeta.write(spark, path,
+      Int8IndexMeta(index.nlist, index.dim))
+    index
+  }
+
+  /** Reconstruct the coarse quantizer of a [[writeInt8Index]] index
+    * from its `centroids/` + `meta.txt` — bounded at nlist × dim
+    * doubles, never touches `cells/`. Fails loudly on a missing or
+    * foreign meta file (a new format owes its readers strictness; the
+    * pre-meta trust grandfathered into the MinHash probe does not
+    * apply here).
+    */
+  def readInt8Index(spark: SparkSession, path: String): IvfIndex = {
+    val meta = Int8IndexMeta.read(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no meta.txt under $path — not a written ivf_int8 index"))
+    val rows = spark.read.parquet(s"$path/centroids")
+      .select(col("cell").cast("int"), col("c").cast("array<double>"))
+      .collect() // <= nlist rows by construction
+    require(rows.length == meta.nlist,
+      s"index at $path has ${rows.length} centroids, meta says ${meta.nlist}")
+    val flat = new Array[Double](meta.nlist * meta.dim)
+    rows.foreach { r =>
+      val cell = r.getInt(0)
+      val cvec = r.getSeq[Double](1)
+      require(cell >= 0 && cell < meta.nlist, s"centroid cell $cell out of range")
+      require(cvec.length == meta.dim,
+        s"centroid $cell has dim ${cvec.length}, meta says ${meta.dim}")
+      var j = 0
+      while (j < meta.dim) { flat(cell * meta.dim + j) = cvec(j); j += 1 }
+    }
+    IvfIndex(flat, meta.dim, meta.nlist)
+  }
+
+  /** ANN top-k over a [[writeInt8Index]] index: route each query to
+    * its nProbe cells with the PERSISTED centroids, scan ONLY those
+    * cells' code files, rank by the exact 64-bit integer dot — the
+    * steady-state serving read, bit-identical in scores and ranking to
+    * an in-session [[ivfInt8TopK]] over the same corpus and parameters
+    * (both derive from the same assignment + quantization projection;
+    * integer scoring has no accumulation-order freedom). Partition
+    * pruning follows the [[ivfTopKFromIndex]] protocol exactly —
+    * distinct probe cells (≤ nlist values) collect to the driver for
+    * the `cell IN (...)` predicate, the probe frame itself stays on
+    * the broadcast side, and a nondeterministic query frame falls back
+    * to an unpruned (correct, full-index) scan; see that scaladoc for
+    * the two-evaluation correctness argument.
+    */
+  def ivfInt8ProbeIndex(
+      spark: SparkSession, indexPath: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, nProbe: Int = 8
+  ): DataFrame = {
+    val index = readInt8Index(spark, indexPath)
+    require(nProbe >= 1 && nProbe <= index.nlist,
+      s"nProbe $nProbe out of range for nlist=${index.nlist}")
+    val probes = int8Probes(queries, qidCol, qvecCol, index, nProbe)
+    val deterministic = queries.queryExecution.analyzed
+      .find(_.expressions.exists(!_.deterministic)).isEmpty
+    val all = spark.read.parquet(s"$indexPath/cells")
+      .select(col("id"), col("cell"), col("cq").cast("array<bigint>").as("cq"))
+    val assigned =
+      if (deterministic) {
+        val cells = probes.select(col("cell")).distinct()
+          .collect().map(_.getInt(0)).toSeq // <= nlist values
+        all.filter(col("cell").isin(cells: _*))
+      } else all
+    val candidates = assigned
+      .join(broadcast(probes), Seq("cell"))
+      .select(col("query_id"), col("id"),
+        graft.functions.VectorFunctions.dotLong(col("cq"), col("qq")).as("int_dot"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("int_dot").desc, col("id").asc)
+    candidates.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
   private def probeCells(

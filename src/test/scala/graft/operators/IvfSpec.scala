@@ -208,6 +208,104 @@ class IvfSpec extends SparkTestBase {
     assert(approx.count() <= 50)
   }
 
+  test("persisted int8 index: probe is bit-identical to in-session, scan pruned to probed cells") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_int8_idx_").toString
+    Ivf.writeInt8Index(emb, "vec_id", "embedding", dir, nlist = 32,
+      mode = "overwrite")
+    // tinyint codes on disk — the honest 4x compression
+    val schema = spark.read.parquet(s"$dir/cells").schema("cq").dataType
+    assert(schema.simpleString == "array<tinyint>", schema.simpleString)
+
+    val nProbe = 4
+    val fromDisk = Ivf.ivfInt8ProbeIndex(spark, dir, queries, "qid", "qv",
+      k = 10, nProbe = nProbe)
+    val got = fromDisk.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        ((r.getAs[Long]("id"), r.getAs[Long]("int_dot")))).toMap
+    val inSession = Ivf.ivfInt8TopK(emb, "vec_id", "embedding",
+        queries, "qid", "qv", k = 10, nlist = 32, nProbe = nProbe)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        ((r.getAs[Long]("id"), r.getAs[Long]("int_dot")))).toMap
+    assert(got == inSession, "disk probe diverged from the in-session composition")
+
+    // the probe read ONLY the probed cells' code files (repartition by
+    // cell at write time => exactly one file per cell dir)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scansOf(p: SparkPlan): Seq[FileSourceScanExec] = {
+      val direct = p.collect { case f: FileSourceScanExec => f }
+      val nested = p.collect {
+        case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+        case q: QueryStageExec => scansOf(q.plan)
+      }.flatten
+      direct ++ nested
+    }
+    val oneQuery = Ivf.ivfInt8ProbeIndex(spark, dir, queries.limit(1),
+      "qid", "qv", k = 10, nProbe = nProbe)
+    oneQuery.collect()
+    val scans = scansOf(oneQuery.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("ivf_int8_idx_")))
+    assert(scans.nonEmpty, oneQuery.queryExecution.executedPlan.toString)
+    val filesRead = scans.map(_.metrics("numFiles").value).sum
+    assert(filesRead <= nProbe,
+      s"one-query probe read $filesRead files; expected <= $nProbe")
+  }
+
+  test("persisted int8 index: append routes increments through the frozen centroids") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_int8_grow_").toString
+    val embA = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val embB = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+    val idxA = Ivf.writeInt8Index(embA, "vec_id", "embedding", dir, nlist = 32)
+    val idxAfter = Ivf.writeInt8Index(embB, "vec_id", "embedding", dir,
+      nlist = 32, mode = "append")
+    // append never rebuilds the quantizer
+    assert(idxAfter.centroids.toSeq == idxA.centroids.toSeq)
+    assert(Ivf.readInt8Index(spark, dir).centroids.toSeq == idxA.centroids.toSeq)
+
+    // expected: the full int8 MIPS scan over A∪B, restricted to the
+    // cells each query probes UNDER A's CENTROIDS (the existing
+    // ivfInt8TopK spec pattern — independent of the probe-join and
+    // disk machinery)
+    val cells = Ivf.assign(
+        emb.select(col("vec_id").as("id"), col("embedding").as("v")), "v", idxA)
+      .select("id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id"), graft.functions.VectorFunctions.nearestCentroids(
+        col("embedding"), idxA.centroids, idxA.dim, 4).as("cs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSet).toMap
+    val full = Similarity.int8TopK(emb, "vec_id", "embedding",
+        queries, "qid", "qv", k = Int.MaxValue - 1)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("id"),
+        r.getAs[Long]("int_dot")))
+    val expect = full
+      .filter { case (q, id, _) => probes(q).contains(cells(id)) }
+      .groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+        rows.sortBy { case (_, id, d) => (-d, id) }.take(10).zipWithIndex
+          .map { case ((_, id, d), i) => (q, i + 1) -> ((id, d)) }
+      }.toMap
+    val got = Ivf.ivfInt8ProbeIndex(spark, dir, queries, "qid", "qv",
+        k = 10, nProbe = 4)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        ((r.getAs[Long]("id"), r.getAs[Long]("int_dot")))).toMap
+    assert(got == expect)
+    // both increments are retrievable (B's vectors probe their own cell)
+    val ids = got.values.map(_._1).toSet
+    assert(ids.exists(id => id % 5 == 0) && ids.exists(id => id % 5 != 0))
+
+    // meta guards fail loudly
+    intercept[IllegalArgumentException](
+      Ivf.writeInt8Index(embB, "vec_id", "embedding", dir, nlist = 16,
+        mode = "append"))
+    import spark.implicits._
+    val badDim = Seq((900001L, Seq(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException](
+      Ivf.writeInt8Index(badDim, "vec_id", "embedding", dir, nlist = 32,
+        mode = "append"))
+    val notAnIndex = java.nio.file.Files.createTempDirectory("not_idx_").toString
+    intercept[IllegalArgumentException](
+      Ivf.ivfInt8ProbeIndex(spark, notAnIndex, queries, "qid", "qv", k = 5))
+  }
+
   test("ivfInt8TopK equals int8TopK restricted to the probed cells") {
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
