@@ -18,15 +18,27 @@ import org.apache.spark.sql.functions._
   * in TPC-H scaling. Two perturbations keep workload *character*
   * scale-invariant rather than degenerate:
   *
-  *  - `documents.text` (r>0): every 5th word gets a `~r` suffix, so
-  *    any shingle window of ≥2 words straddles a mutated word with
-  *    probability ≥ ~2/5 and 5-word shingles are all killed — replicas
-  *    are NOT near-dups of each other, and the corpus dup RATE (the
-  *    generator's intra-corpus near-dup pairs, replicated per replica)
-  *    stays constant with scale instead of exploding to 90%+ as a
-  *    verbatim 10× copy would (which would inflate every LSH bucket
-  *    10× and make pair counts quadratic BY INPUT CONSTRUCTION,
-  *    masking what the probe measures: the plan's scaling).
+  *  - `documents.text` (r>0): every 3rd word gets a `~r` suffix, so
+  *    EVERY word window of ≥3 words straddles a mutated word — the
+  *    engine's shingle projection is word 3-grams (Queries.scala
+  *    docShingles), so replicas share ZERO shingles: they are not
+  *    near-dups of each other, and — just as important — no shingle's
+  *    posting list (document frequency) grows with the replica count.
+  *    The corpus dup RATE (the generator's intra-corpus near-dup
+  *    pairs, replicated per replica) stays constant with scale instead
+  *    of exploding to 90%+ as a verbatim copy would. The period
+  *    MATTERS at the second decade: the original period-5 mutation
+  *    left 2/5 of 3-gram shingles verbatim across ALL replicas, so
+  *    those postings grew ∝ replicas and the counting filter's
+  *    per-bucket Σcnt² pair expansion grew ∝ replicas² — at sfx100
+  *    that derivation artifact (NOT the operator's constant-df
+  *    behavior) produced >1 h straggler tasks in the pair-graph build.
+  *    A verbatim-copy input would do the same BY CONSTRUCTION, which
+  *    is exactly what this perturbation exists to avoid: the probe
+  *    measures the plan's scaling under constant workload character,
+  *    i.e. a df profile that does not degenerate as replicas are
+  *    added. (Residual: 2-word windows survive with prob 1/3; no
+  *    catalog family joins on word-2-gram postings.)
   *  - `embeddings.embedding` (r>0): per-(vec_id, r, dim) hash jitter
   *    of amplitude 0.5 decorrelates replicas (cosine near-dup pairs
   *    don't multiply across replicas; label structure is preserved).
@@ -62,8 +74,14 @@ object ScaleUp {
     def in(name: String): DataFrame =
       spark.read.parquet(s"$inDir/$name.parquet")
 
+    // `parts` below is calibrated for the 10-replica derivation; larger
+    // derivations (sfx100) scale it proportionally so per-file size —
+    // and hence scan parallelism per byte — stays constant across
+    // decades instead of collapsing 60M lineitem rows into 32 files
+    val partScale = math.max(1, n / 10)
+
     def write(df: DataFrame, name: String, parts: Int): Unit =
-      df.repartition(parts).write.mode("overwrite")
+      df.repartition(parts * partScale).write.mode("overwrite")
         .parquet(s"$outDir/$name.parquet")
 
     // replica spine: broadcast 10 rows, each input row fans out N ways
@@ -118,13 +136,14 @@ object ScaleUp {
       off("event_id"), col("ts"), off("user_id"), col("event_type"),
       col("value"), col("props")))
 
-    // documents: replica 0 verbatim; r>0 mutates every 5th word so
-    // cross-replica shingle overlap collapses (see object scaladoc)
+    // documents: replica 0 verbatim; r>0 mutates every 3rd word so
+    // every >=3-word window straddles a mutation — zero cross-replica
+    // 3-gram shingle overlap, constant posting df (see object scaladoc)
     locally {
       val words = split(col("text"), " ")
       val mutated = array_join(
         zip_with(words, sequence(lit(0), size(words) - 1),
-          (w, i) => when(pmod(i, lit(5)) === 4,
+          (w, i) => when(pmod(i, lit(3)) === 2,
             concat(w, lit("~"), r)).otherwise(w)),
         " ")
       val newText = when(r === 0 || col("text").isNull, col("text"))

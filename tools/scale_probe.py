@@ -7,6 +7,8 @@ One command reproduces the r13+ per-round ritual:
     python3 tools/scale_probe.py               # probe the risk list
     python3 tools/scale_probe.py --regen       # rebuild sfx10 first
     python3 tools/scale_probe.py --entries a,b # probe a custom subset
+    python3 tools/scale_probe.py --sfx100      # second decade: sfx100/sfx10
+                                               # on the top-risk list
 
 Steps:
   1. (--regen, or when missing) derive the ~10x dataset from sf0.1 via
@@ -38,6 +40,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF01 = "/root/testdata/sf0.1"
 SFX10 = "/tmp/graft_scale/sfx10"
+SFX100 = "/tmp/graft_scale/sfx100"
 BAR = 13.0  # 1.3x the linear 10x
 
 # r13 risk list + r14 additions (x_pair_pagerank rides the pair graph).
@@ -57,6 +60,26 @@ DEFAULT_ENTRIES = [
 # sampled-slice at scale) — reported but never flagged
 N2_BY_DESIGN_ARTIFACTS = {"exact_knn_graph"}
 
+# --sfx100 decade probe: the top-risk entries (worst measured 10x
+# ratios + the structural risks the 10x probe can hide: the counting
+# filter's sum(|posting|^2) term, capped-collect hot buckets, CC
+# rounds, quantile narrowing passes) PLUS one driver entry per shared
+# artifact so every artifact build except the by-design-n^2
+# exact_knn_graph gets a measured 100x/10x ratio. The n^2-oracle
+# consumers (x_knn_graph*, x_recall_by_label, x_label_propagation,
+# x_int8_recall and friends) stay out: they'd force the exact graph.
+DECADE_ENTRIES = [
+    # top-10 risk
+    "x_dedup_embedding", "x_semantic_dedup", "x_dedup_ngram",
+    "x_dedup_containment", "x_dedup_minhash", "x_dedup_clusters",
+    "x_knn_graph_ann", "x_ann_ivf_int8", "x_pair_pagerank",
+    "x_quality_bands",
+    # artifact coverage: fuzzy_pairs, passage_spans, lm_model,
+    # gopher_signals, annotated_lineitem, late_stream
+    "x_fuzzy_match", "x_dup_passages", "x_lm_score", "x_gopher_rules",
+    "p8_split_summary", "x_stream_late_drops",
+]
+
 
 def run(cmd, env=None, **kw):
     e = dict(os.environ)
@@ -66,7 +89,7 @@ def run(cmd, env=None, **kw):
     return subprocess.run(cmd, shell=True, cwd=REPO, env=e, **kw)
 
 
-def bench(sf_dir, entries, out_json, cpus, reps):
+def bench(sf_dir, entries, out_json, cpus, reps, driver_mem=None):
     env = {
         "SPARK_GRAFT_SF_DIR": sf_dir,
         "SPARK_GRAFT_CPUS": str(cpus),
@@ -74,6 +97,8 @@ def bench(sf_dir, entries, out_json, cpus, reps):
         "SPARK_GRAFT_BENCH_ONLY": ",".join(entries),
         "SPARK_GRAFT_BENCH_MEDIANS_FILE": out_json,
     }
+    if driver_mem:
+        env["SPARK_DRIVER_MEM"] = driver_mem
     r = run('sbt -batch "runMain graft.Bench"', env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
     if r.returncode != 0:
@@ -96,8 +121,8 @@ def ratio_table(title, base, x10, flag_exempt=frozenset()):
         if r > BAR and k not in flag_exempt:
             flagged.append((k, r))
     rows.sort(key=lambda t: -(t[3] or 0))
-    print(f"\n## {title} (sfx10 / sf0.1; linear = 10x, bar = {BAR}x)\n")
-    print("| name | sf0.1 s | sfx10 s | ratio |")
+    print(f"\n## {title} (linear = 10x, bar = {BAR}x)\n")
+    print("| name | base s | 10x-data s | ratio |")
     print("|---|---|---|---|")
     for k, b, x, r in rows:
         fb = f"{b:.2f}" if b is not None else "-"
@@ -117,29 +142,48 @@ def main():
                     help="comma-separated catalog entries (default: risk list)")
     ap.add_argument("--cpus", type=int, default=16)
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--sfx100", action="store_true",
+                    help="probe the second decade: sfx100/sfx10 ratios on "
+                         "the top-risk + artifact-coverage list (same 13x "
+                         "bar — 1.3x per decade)")
     args = ap.parse_args()
 
-    entries = ([e.strip() for e in args.entries.split(",") if e.strip()]
-               if args.entries else DEFAULT_ENTRIES)
+    if args.sfx100:
+        entries = ([e.strip() for e in args.entries.split(",") if e.strip()]
+                   if args.entries else DECADE_ENTRIES)
+        for tgt, n in ((SFX10, 10), (SFX100, 100)):
+            if args.regen or not os.path.isdir(tgt):
+                r = run(f'sbt -batch "runMain graft.tools.ScaleUp {SF01} {tgt} {n}"',
+                        env={"SPARK_GRAFT_CPUS": "16",
+                             "SPARK_DRIVER_MEM": "32g"})
+                if r.returncode != 0:
+                    raise SystemExit(f"ScaleUp {n}x failed")
+        base = bench(SFX10, entries, "/tmp/probe_sfx10d.json", args.cpus,
+                     args.reps, driver_mem="48g")
+        x = bench(SFX100, entries, "/tmp/probe_sfx100.json", args.cpus,
+                  args.reps, driver_mem="48g")
+        title_lo, title_hi = "sfx10", "sfx100"
+    else:
+        entries = ([e.strip() for e in args.entries.split(",") if e.strip()]
+                   if args.entries else DEFAULT_ENTRIES)
+        if args.regen or not os.path.isdir(SFX10):
+            r = run(f'sbt -batch "runMain graft.tools.ScaleUp {SF01} {SFX10} 10"')
+            if r.returncode != 0:
+                raise SystemExit("ScaleUp failed")
+        base = bench(SF01, entries, "/tmp/probe_sf01.json", args.cpus, args.reps)
+        x = bench(SFX10, entries, "/tmp/probe_sfx10.json", args.cpus, args.reps)
+        title_lo, title_hi = "sf0.1", "sfx10"
 
-    if args.regen or not os.path.isdir(SFX10):
-        r = run(f'sbt -batch "runMain graft.tools.ScaleUp {SF01} {SFX10} 10"')
-        if r.returncode != 0:
-            raise SystemExit("ScaleUp failed")
-
-    base = bench(SF01, entries, "/tmp/probe_sf01.json", args.cpus, args.reps)
-    x10 = bench(SFX10, entries, "/tmp/probe_sfx10.json", args.cpus, args.reps)
-
-    flagged = ratio_table("entries", base.get("queries", {}),
-                          x10.get("queries", {}))
+    flagged = ratio_table(f"entries ({title_hi}/{title_lo})",
+                          base.get("queries", {}), x.get("queries", {}))
     flagged += ratio_table(
-        "shared-artifact builds",
+        f"shared-artifact builds ({title_hi}/{title_lo})",
         base.get("artifact_breakdown", {}) or {},
-        x10.get("artifact_breakdown", {}) or {},
+        x.get("artifact_breakdown", {}) or {},
         flag_exempt=N2_BY_DESIGN_ARTIFACTS)
 
     a_b = base.get("artifact_sec")
-    a_x = x10.get("artifact_sec")
+    a_x = x.get("artifact_sec")
     if a_b and a_x:
         print(f"\nartifact_sec total: {a_b:.1f} -> {a_x:.1f} "
               f"({a_x / a_b:.1f}x)")
