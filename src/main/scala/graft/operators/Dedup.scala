@@ -1215,11 +1215,17 @@ object Dedup {
     val r = bounded.select(col("__blk"), col("__id").as("id_b"), col("__s").as("__sb"))
     l.join(r, Seq("__blk"))
       .filter(col("id_a") < col("id_b"))
+      // a pair whose lengths differ by more than maxDist cannot pass —
+      // prune with a codegen'd length compare before any DP runs
+      .filter(abs(length(col("__sa")) - length(col("__sb"))) <= maxDist)
       // project the distance BEFORE filtering on it so the dynamic-
       // programming kernel runs once per pair, not once in the filter
-      // and again in the output projection
+      // and again in the output projection. The threshold'd kernel is
+      // banded O(len·maxDist) instead of O(len²) and returns -1 when
+      // the distance exceeds maxDist — the between() keeps exactly the
+      // same pairs (and identical dist values) as the unbounded kernel.
       .select(col("id_a"), col("id_b"),
-        levenshtein(col("__sa"), col("__sb")).as("dist"))
-      .filter(col("dist") <= maxDist)
+        levenshtein(col("__sa"), col("__sb"), maxDist).as("dist"))
+      .filter(col("dist").between(0, maxDist))
   }
 }

@@ -253,8 +253,16 @@ object Queries {
   private def annotatedLineitem(s: SparkSession, d: String): DataFrame =
     memoPerDir(annotatedLineitemCache, s, d, "annotated_lineitem",
       stillValid = (f: DataFrame) => f.storageLevel != StorageLevel.NONE) {
+      // cache ONLY what the three consumers (P8 counts, P9 fanout, S6
+      // report) read: the row key + the computed errors array. Caching
+      // all 11 lineitem columns spilled the 60M-row sfx100 build out of
+      // the storage pool (19.3× for 10× data in the r15 probe); the
+      // pruned frame is ~6× narrower and scales linearly. Rule inputs
+      // (quantity/date/regex fields) are consumed by compileRow before
+      // the projection, so results are unchanged.
       val f = t(s, d, "lineitem")
         .withColumn("errors", RuleCompiler.compileRow(lineitemRules))
+        .select(col("l_orderkey"), col("l_linenumber"), col("errors"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       f.count() // materialize inside the timed artifact build
       f

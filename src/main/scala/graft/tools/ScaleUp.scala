@@ -38,7 +38,19 @@ import org.apache.spark.sql.functions._
   *    measures the plan's scaling under constant workload character,
   *    i.e. a df profile that does not degenerate as replicas are
   *    added. (Residual: 2-word windows survive with prob 1/3; no
-  *    catalog family joins on word-2-gram postings.)
+  *    catalog family joins on word-2-gram postings.) The FIRST word
+  *    additionally gets a `r~` PREFIX (r>0): suffix mutation cannot
+  *    change a document's leading characters, so title-prefix blocking
+  *    keys (x_fuzzy_match's substring(title,1,6) pass) would otherwise
+  *    be replica-invariant — the probe's sfx100 run measured exactly
+  *    that: the distinct prefix-block count stayed FIXED at 366 at
+  *    every decade while block sizes grew ∝ replicas, driving the
+  *    blocked edit-distance join's Σ|block|² quadratically until the
+  *    maxBlock cap dropped the hot blocks (19.9× for 10× data). Real
+  *    corpus growth mints new openings (Heaps' law) — block-size
+  *    profiles stay roughly constant while the block COUNT grows —
+  *    and the replica prefix restores that: each replica contributes
+  *    its own block family.
   *  - `embeddings.embedding` (r>0): per-(vec_id, r, dim) hash jitter
   *    of amplitude 0.5 decorrelates replicas (cosine near-dup pairs
   *    don't multiply across replicas; label structure is preserved).
@@ -143,8 +155,9 @@ object ScaleUp {
       val words = split(col("text"), " ")
       val mutated = array_join(
         zip_with(words, sequence(lit(0), size(words) - 1),
-          (w, i) => when(pmod(i, lit(3)) === 2,
-            concat(w, lit("~"), r)).otherwise(w)),
+          (w, i) => when(i === 0, concat(r, lit("~"), w))
+            .when(pmod(i, lit(3)) === 2, concat(w, lit("~"), r))
+            .otherwise(w)),
         " ")
       val newText = when(r === 0 || col("text").isNull, col("text"))
         .otherwise(mutated)

@@ -60,6 +60,19 @@ DEFAULT_ENTRIES = [
 # sampled-slice at scale) — reported but never flagged
 N2_BY_DESIGN_ARTIFACTS = {"exact_knn_graph"}
 
+# which single entry forces each shared artifact's build, for the
+# isolated re-measure of a flagged artifact name
+ARTIFACT_DRIVER = {
+    "ngram_pair_graph": "x_dedup_ngram",
+    "doc_shingles": "x_dedup_containment",
+    "annotated_lineitem": "p8_split_summary",
+    "fuzzy_pairs": "x_fuzzy_match",
+    "passage_spans": "x_dup_passages",
+    "lm_model": "x_lm_score",
+    "gopher_signals": "x_gopher_rules",
+    "late_stream": "x_stream_late_drops",
+}
+
 # --sfx100 decade probe: the top-risk entries (worst measured 10x
 # ratios + the structural risks the 10x probe can hide: the counting
 # filter's sum(|posting|^2) term, capped-collect hot buckets, CC
@@ -189,10 +202,52 @@ def main():
               f"({a_x / a_b:.1f}x)")
 
     if flagged:
-        print("\nFLAGGED (super-linear):")
+        # A shared-session probe leg runs ~16 entries and their cached
+        # artifacts in ONE JVM — cross-entry cache/GC pressure can
+        # inflate an individual number several-fold (r15: the sfx100
+        # leg timed x_dedup_containment at 29.8x in-session vs 9.6x
+        # isolated). Before believing a flag, re-measure that name
+        # ALONE in fresh sessions at both scales; only isolation-
+        # confirmed flags fail the probe.
+        lo_dir, hi_dir = (SFX10, SFX100) if args.sfx100 else (SF01, SFX10)
+        dm = "48g" if args.sfx100 else None
+        print("\nflagged in shared session; re-measuring isolated:")
+        survived = []
         for k, r in flagged:
-            print(f"  {k}: {r:.1f}x")
-        return 1
+            name = k if k in entries else next(
+                (e for e in entries if ARTIFACT_DRIVER.get(k) == e), None)
+            if name is None:
+                name = ARTIFACT_DRIVER.get(k)
+            if name is None:
+                print(f"  {k}: {r:.1f}x shared — no known driver entry, kept")
+                survived.append((k, r))
+                continue
+            b = bench(lo_dir, [name], f"/tmp/probe_iso_lo_{name}.json",
+                      args.cpus, args.reps, driver_mem=dm)
+            x = bench(hi_dir, [name], f"/tmp/probe_iso_hi_{name}.json",
+                      args.cpus, args.reps, driver_mem=dm)
+            src_b = b["queries"] if k in b.get("queries", {}) \
+                else (b.get("artifact_breakdown") or {})
+            src_x = x["queries"] if k in x.get("queries", {}) \
+                else (x.get("artifact_breakdown") or {})
+            bb, xx = src_b.get(k), src_x.get(k)
+            if bb and xx:
+                ir = xx / bb
+                verdict = "OVER BAR" if ir > BAR else "ok"
+                print(f"  {k}: {r:.1f}x shared -> {ir:.1f}x isolated "
+                      f"({bb:.2f} -> {xx:.2f} s) [{verdict}]")
+                if ir > BAR:
+                    survived.append((k, ir))
+            else:
+                print(f"  {k}: isolated run produced no number, kept")
+                survived.append((k, r))
+        if survived:
+            print("\nFLAGGED (super-linear, isolation-confirmed):")
+            for k, r in survived:
+                print(f"  {k}: {r:.1f}x")
+            return 1
+        print("\nAll flags dissolved under isolation; at or below the bar.")
+        return 0
     print("\nAll probed names at or below the bar.")
     return 0
 
