@@ -132,7 +132,7 @@ object Ivf {
   ): DataFrame = {
     val index = buildIndex(corpus, idCol, vecCol, nlist)
     rankInt8Probes(int8Assigned(corpus, idCol, vecCol, index),
-      queries, qidCol, qvecCol, index, k, nProbe)
+      int8Probes(queries, qidCol, qvecCol, index, nProbe), k)
   }
 
   /** The int8 serving frame: (id, cell, cq) — each vector's IVF cell
@@ -165,13 +165,18 @@ object Ivf {
           col(qvecCol), index.centroids, index.dim, nProbe).as("__cells"))
       .select(col("query_id"), col("qq"), explode(col("__cells")).as("cell"))
 
+  /** Candidate join + integer-dot scoring + per-query rank over a
+    * prebuilt [[int8Probes]] frame. BOTH int8 serving paths — the
+    * in-session [[ivfInt8TopK]] and the persisted-index
+    * [[ivfInt8ProbeIndex]] — rank through this one block, so their
+    * bit-identical-scores contract is held by construction, not by
+    * keeping two copies of the join textually in sync.
+    */
   private def rankInt8Probes(
-      assigned: DataFrame, queries: DataFrame, qidCol: String, qvecCol: String,
-      index: IvfIndex, k: Int, nProbe: Int
+      assigned: DataFrame, probes: DataFrame, k: Int
   ): DataFrame = {
     val candidates = assigned
-      .join(broadcast(int8Probes(queries, qidCol, qvecCol, index, nProbe)),
-        Seq("cell"))
+      .join(broadcast(probes), Seq("cell"))
       .select(col("query_id"), col("id"),
         graft.functions.VectorFunctions.dotLong(col("cq"), col("qq")).as("int_dot"))
     val w = Window.partitionBy(col("query_id"))
@@ -347,14 +352,19 @@ object Ivf {
         require(existing.nlist == nlist,
           s"index at $path was built with nlist=${existing.nlist}; " +
             s"cannot append with nlist=$nlist")
-        val incDim = corpus
-          .select(size(col(vecCol)).as("d")).filter(col("d") > 0).limit(1)
-          .collect() // one row — the increment's embedding dim
-        incDim.headOption.foreach { r =>
-          require(r.getInt(0) == existing.dim,
-            s"increment embedding dim ${r.getInt(0)} != index dim " +
-              s"${existing.dim} at $path — codes would route through a " +
-              "mismatched quantizer")
+        // EVERY row's dim must match — a one-row sample would admit a
+        // mixed-dim increment whose short vectors the kernels silently
+        // truncate-score (min(len, dim) loops), poisoning the persisted
+        // codes. One aggregate row, same single pass.
+        val dims = corpus
+          .select(size(col(vecCol)).as("d")).filter(col("d") > 0)
+          .agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+          .collect()(0)
+        if (!dims.isNullAt(0)) {
+          require(dims.getInt(0) == existing.dim && dims.getInt(1) == existing.dim,
+            s"increment embedding dims [${dims.getInt(0)}, ${dims.getInt(1)}] " +
+              s"!= index dim ${existing.dim} at $path — codes would route " +
+              "through a mismatched quantizer")
         }
         existing
       } else buildIndex(corpus, idCol, vecCol, nlist)
@@ -374,6 +384,11 @@ object Ivf {
       // into every cell — tasks × nlist small files at corpus scale
       .repartition(col("cell"))
       .write.mode(if (mode == "append") "append" else mode)
+      // a fresh build must REPLACE cells/ wholesale: under a session's
+      // partitionOverwriteMode=dynamic, cells empty in the new corpus
+      // would keep their old files and probes would silently merge
+      // stale ids scored under the new centroids
+      .option("partitionOverwriteMode", "static")
       .partitionBy("cell").parquet(s"$path/cells")
     if (mode != "append") Int8IndexMeta.write(spark, path,
       Int8IndexMeta(index.nlist, index.dim))
@@ -442,13 +457,7 @@ object Ivf {
           .collect().map(_.getInt(0)).toSeq // <= nlist values
         all.filter(col("cell").isin(cells: _*))
       } else all
-    val candidates = assigned
-      .join(broadcast(probes), Seq("cell"))
-      .select(col("query_id"), col("id"),
-        graft.functions.VectorFunctions.dotLong(col("cq"), col("qq")).as("int_dot"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("int_dot").desc, col("id").asc)
-    candidates.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    rankInt8Probes(assigned, probes, k)
   }
 
   private def probeCells(

@@ -67,6 +67,15 @@ object ScaleUp {
 
   private val Stride = 1L << 40
 
+  /** Derivation-scheme version, stamped into `<outDir>/_derivation.txt`
+    * so consumers (tools/scale_probe.py) can detect a dataset derived
+    * under an OLDER scheme and regenerate instead of silently comparing
+    * legs of different derivations (ratios would then measure
+    * derivation drift, not plan scaling). Bump on any change to the
+    * perturbation scheme.
+    */
+  val DerivationVersion = "v3-period3-word0prefix"
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: ScaleUp <inDir> <outDir> [replicas]")
     val inDir = args(0)
@@ -183,6 +192,10 @@ object ScaleUp {
         col("label")))
     }
 
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outDir, "_derivation.txt"),
+      s"$DerivationVersion replicas=$n src=$inDir\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"[scaleup] wrote ${n}x of $inDir to $outDir")
     spark.stop()
   }

@@ -301,6 +301,16 @@ class IvfSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Ivf.writeInt8Index(badDim, "vec_id", "embedding", dir, nlist = 32,
         mode = "append"))
+    // MIXED dims must also fail even when some rows match the index dim
+    // (the guard is an aggregate over every row, not a one-row sample —
+    // the kernels would silently truncate-score the short vectors)
+    val goodRow = embB.select(col("vec_id"), col("embedding")).limit(1)
+    val mixedDim = goodRow.unionByName(
+      goodRow.select(col("vec_id") + 900002L as "vec_id",
+        expr("slice(embedding, 1, 3)").as("embedding")))
+    intercept[IllegalArgumentException](
+      Ivf.writeInt8Index(mixedDim, "vec_id", "embedding", dir, nlist = 32,
+        mode = "append"))
     val notAnIndex = java.nio.file.Files.createTempDirectory("not_idx_").toString
     intercept[IllegalArgumentException](
       Ivf.ivfInt8ProbeIndex(spark, notAnIndex, queries, "qid", "qv", k = 5))

@@ -42,6 +42,18 @@ SF01 = "/root/testdata/sf0.1"
 SFX10 = "/tmp/graft_scale/sfx10"
 SFX100 = "/tmp/graft_scale/sfx100"
 BAR = 13.0  # 1.3x the linear 10x
+# must match graft.tools.ScaleUp.DerivationVersion — a derived dir
+# stamped with an older scheme (or never stamped) is regenerated, so
+# the two probe legs always come from the SAME derivation
+DERIVATION = "v3-period3-word0prefix"
+
+
+def derivation_ok(path):
+    try:
+        with open(os.path.join(path, "_derivation.txt")) as f:
+            return f.read().split()[0] == DERIVATION
+    except OSError:
+        return False
 
 # r13 risk list + r14 additions (x_pair_pagerank rides the pair graph).
 DEFAULT_ENTRIES = [
@@ -129,7 +141,16 @@ def ratio_table(title, base, x10, flag_exempt=frozenset()):
         if b is None or x is None:
             rows.append((k, b, x, None))
             continue
-        r = x / b if b > 0 else float("inf")
+        # Bench writes -1.0 as the failure sentinel — a leg that could
+        # not run at EITHER scale is the worst possible scaling result,
+        # never a pass (x=-1.0/b>0 would otherwise print a sub-bar
+        # negative ratio and dissolve silently)
+        if b <= 0 or x <= 0:
+            rows.append((k, b, x, float("inf")))
+            if k not in flag_exempt:
+                flagged.append((k, float("inf")))
+            continue
+        r = x / b
         rows.append((k, b, x, r))
         if r > BAR and k not in flag_exempt:
             flagged.append((k, r))
@@ -165,7 +186,7 @@ def main():
         entries = ([e.strip() for e in args.entries.split(",") if e.strip()]
                    if args.entries else DECADE_ENTRIES)
         for tgt, n in ((SFX10, 10), (SFX100, 100)):
-            if args.regen or not os.path.isdir(tgt):
+            if args.regen or not derivation_ok(tgt):
                 r = run(f'sbt -batch "runMain graft.tools.ScaleUp {SF01} {tgt} {n}"',
                         env={"SPARK_GRAFT_CPUS": "16",
                              "SPARK_DRIVER_MEM": "32g"})
@@ -179,7 +200,7 @@ def main():
     else:
         entries = ([e.strip() for e in args.entries.split(",") if e.strip()]
                    if args.entries else DEFAULT_ENTRIES)
-        if args.regen or not os.path.isdir(SFX10):
+        if args.regen or not derivation_ok(SFX10):
             r = run(f'sbt -batch "runMain graft.tools.ScaleUp {SF01} {SFX10} 10"')
             if r.returncode != 0:
                 raise SystemExit("ScaleUp failed")
@@ -231,7 +252,7 @@ def main():
             src_x = x["queries"] if k in x.get("queries", {}) \
                 else (x.get("artifact_breakdown") or {})
             bb, xx = src_b.get(k), src_x.get(k)
-            if bb and xx:
+            if bb is not None and xx is not None and bb > 0 and xx > 0:
                 ir = xx / bb
                 verdict = "OVER BAR" if ir > BAR else "ok"
                 print(f"  {k}: {r:.1f}x shared -> {ir:.1f}x isolated "
@@ -239,7 +260,10 @@ def main():
                 if ir > BAR:
                     survived.append((k, ir))
             else:
-                print(f"  {k}: isolated run produced no number, kept")
+                # missing or -1.0 failure-sentinel legs: a flag whose
+                # isolated re-run FAILED must survive, not dissolve
+                print(f"  {k}: isolated legs ({bb}, {xx}) failed or "
+                      "missing — flag kept")
                 survived.append((k, r))
         if survived:
             print("\nFLAGGED (super-linear, isolation-confirmed):")
