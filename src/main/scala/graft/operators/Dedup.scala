@@ -818,6 +818,60 @@ object Dedup {
       probePairs.select(col("batch_id").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
 
+  /** One step of a SEQUENTIAL dedup-ingest fold — the streaming face
+    * of the [[writeMinHashIndex]]/[[minHashProbeIndex]] family: probe
+    * `batch` against the index at `path`, compute the novel rows
+    * ([[keepNovel]]), then append the WHOLE batch to the index, and
+    * return the novel rows. Driving this from
+    * `foreachBatch` (micro-batches execute strictly in sequence) makes
+    * each arriving batch deduplicate against EVERYTHING previously
+    * seen — the base corpus plus every earlier increment — which a
+    * one-shot probe cannot express.
+    *
+    * Policy, stated not hidden: the index grows by the full batch, not
+    * just its novel rows. "Novel" therefore means "no near-dup among
+    * previously SEEN docs" — a deterministic, order-independent-
+    * within-batch predicate (and exactly re-derivable by an exact-
+    * Jaccard oracle over earlier-batch membership). Indexing only
+    * accepted rows would make batch-k novelty depend on which batch-j
+    * rows were themselves accepted — a recursive predicate whose
+    * outcome shifts with within-batch acceptance details — and would
+    * keep a near-dup of a REJECTED dup. Within-batch duplicates are
+    * both kept (the probe compares batch to index, never batch to
+    * itself); callers wanting intra-batch dedup compose
+    * [[minHashNearDups]] on the batch first.
+    *
+    * Caller persists `batch` if re-reading it is expensive — it is
+    * scanned by the probe, the anti-join, and the index append.
+    */
+  def ingestDedupBatch(
+      spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.7,
+      maxBucket: Int = 1000
+  ): DataFrame = {
+    val pairs = minHashProbeIndex(spark, batch, idCol, textCol, path,
+      shingleSize, numHashes, bands, threshold, maxBucket)
+    // MATERIALIZE novel before the append: the probe's plan reads the
+    // index from disk lazily, so a caller evaluating `novel` after the
+    // append would probe the MUTATED index — batch rows would match
+    // their own just-appended siblings and within-batch survivors
+    // would flip to dropped, nondeterministically with evaluation
+    // order. localCheckpoint (eager) truncates the lineage to
+    // materialized blocks, so the returned frame is immune to when the
+    // caller evaluates it.
+    val novel = keepNovel(batch, idCol, pairs).localCheckpoint()
+    writeMinHashIndex(batch, idCol, textCol, path,
+      shingleSize, numHashes, bands, mode = "append")
+    novel
+  }
+
   // ---------------------------------------------------------------------
   // SimHash
   // ---------------------------------------------------------------------

@@ -588,6 +588,59 @@ object Queries {
       root.toString
     } { _ => () }
 
+  /** Staged document increments for the streaming dedup-ingest fold
+    * (`x_stream_dedup_index`): three single-file parquets holding the
+    * docs with `doc_id % 4` = 1, 2, 3 (mod 0 seeds the base index), in
+    * strictly ascending name + modtime order so `maxFilesPerTrigger=1`
+    * replays them as three deterministic micro-batches — file k IS
+    * batch k, so "seen before batch k" is exactly `doc_id % 4 < k`,
+    * which the DuckDB oracle re-derives. Staging is a pure function of
+    * the corpus (memoized artifact); the mutable index is per-RUN
+    * state and lives with the entry, never here.
+    */
+  private val ingestStageCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, String)]()
+
+  private def ingestStageDir(s: SparkSession, d: String): String =
+    memoPerDir(ingestStageCache, s, d, "ingest_stage") {
+      val root = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_ingest_stage_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      try deleteRecursively(root)
+      catch { case scala.util.control.NonFatal(_) => () }
+      java.nio.file.Files.createDirectories(root)
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val baseMs = System.currentTimeMillis()
+      (1 to 3).foreach { k =>
+        val tmp = root.resolve(s"__stage_f$k")
+        docs.filter(pmod(col("doc_id"), lit(4)) === k)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val walk = java.nio.file.Files.list(tmp)
+        val partFile =
+          try {
+            import scala.jdk.CollectionConverters._
+            walk.iterator().asScala
+              .find(_.getFileName.toString.endsWith(".parquet"))
+              .getOrElse(sys.error(s"no parquet part written under $tmp"))
+          } finally walk.close()
+        val dest = root.resolve(s"f$k.parquet")
+        java.nio.file.Files.move(partFile, dest,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(baseMs + k * 2000L))
+        deleteRecursively(tmp)
+      }
+      root.toString
+    } { _ => () }
+
+  /** Previous run's scratch dir per streaming-ingest prefix — deleted
+    * when the next run starts (the `lastSink` discipline applied to
+    * disk): the returned frame reads the CURRENT run's novel/ parquet
+    * lazily, so the current dir must outlive the entry call.
+    */
+  private val lastIngestWork =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
   /** DuckDB n_err terms mirroring [[RuleCompiler]] over [[lineitemRules]],
     * shared by the three streaming oracles (error_rate / alerts /
     * counts) so a rule change edits ONE string. Each field's CASE
@@ -3354,6 +3407,60 @@ object Queries {
         .groupBy(col("src_file"))
         .agg(count(lit(1)).as("n_kept"),
           sum(col("event_id")).as("id_checksum"))
+    }),
+
+    // STREAMING dedup-ingest against a PERSISTED, GROWING index — the
+    // #1 production ingest shape this family was built for: each
+    // micro-batch probes the on-disk MinHash index
+    // ([[Dedup.minHashProbeIndex]]), keeps only docs with no near-dup
+    // among everything previously SEEN (base corpus + earlier
+    // batches), then appends itself to the index
+    // ([[Dedup.ingestDedupBatch]] — policy and the
+    // novelty-is-order-independent argument in its scaladoc).
+    // foreachBatch's strict micro-batch sequencing IS the fold; a
+    // one-shot batch probe (x_dedup_incremental) cannot express the
+    // index growing between increments. Deterministic replay: the
+    // staged files arrive as three fixed micro-batches
+    // (ingestStageDir), so "seen earlier" is exactly doc_id%4 < k and
+    // the DuckDB oracle re-derives every survivor by exact Jaccard.
+    // Output: the kept doc_ids across all three increments.
+    "x_stream_dedup_index" -> ((s, d) => {
+      val stageDir = ingestStageDir(s, d)
+      val runId = streamRun.incrementAndGet()
+      val work = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_ingest_run_${ProcessHandle.current().pid()}_$runId")
+      Option(lastIngestWork.put("x_stream_dedup_index", work)).foreach { prev =>
+        try deleteRecursively(prev)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+      java.nio.file.Files.createDirectories(work)
+      val idxPath = work.resolve("idx").toString
+      val outDir = work.resolve("novel").toString
+      Dedup.writeMinHashIndex(
+        t(s, d, "documents").select(col("doc_id"), col("text"))
+          .filter(pmod(col("doc_id"), lit(4)) === 0),
+        "doc_id", "text", idxPath, mode = "overwrite")
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stageDir)
+      val ckpt = ckptRoot.resolve(s"ingest_$runId")
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val batch = b.persist()
+          try
+            Dedup.ingestDedupBatch(batch.sparkSession, batch,
+                "doc_id", "text", idxPath, threshold = 0.5)
+              .select(col("doc_id"))
+              .write.mode("append").parquet(outDir)
+          finally { batch.unpersist(blocking = false); () }
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+      pruneDeadStreamingListenerBuses(s)
+      s.read.parquet(outDir).select(col("doc_id"))
     }),
 
     // JSON/multimodal props extraction (events.props is a JSON string).
@@ -6513,6 +6620,34 @@ object Queries {
         |FROM sh b JOIN sh a ON b.doc_id % 5 = 0 AND a.doc_id % 5 <> 0
         |WHERE CAST(len(list_intersect(b.s, a.s)) AS DOUBLE) /
         |    (len(b.s) + len(a.s) - len(list_intersect(b.s, a.s))) >= 0.5""".stripMargin,
+
+    // the sequential fold re-derived without recursion: file k IS
+    // micro-batch k and the index grows by the WHOLE batch, so doc x
+    // (x.doc_id % 4 = k, k in 1..3) survives iff no doc y seen in an
+    // earlier stage (y.doc_id % 4 < k: the base index or an earlier
+    // file) has exact Jaccard >= 0.5 with it. Docs without 3-gram
+    // shingles (< 3 tokens, empty or null text) can never match and
+    // are always kept — both engines exclude them from the pair side.
+    "x_stream_dedup_index" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(ts)-2),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+        |  FROM toks WHERE len(ts) >= 3
+        |), dropped AS (
+        |  SELECT DISTINCT x.doc_id
+        |  FROM sh x JOIN sh y
+        |    ON y.doc_id % 4 < x.doc_id % 4
+        |   AND CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+        |       (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= 0.5
+        |  WHERE x.doc_id % 4 <> 0
+        |)
+        |SELECT d.doc_id FROM documents d
+        |WHERE d.doc_id % 4 <> 0
+        |  AND d.doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin,
 
     // fingerprint-group invariant: equal rolling-hash fingerprints ⇔
     // equal whitespace-token sequences ⇔ equal whitespace-normalized

@@ -355,6 +355,60 @@ class DedupSpec extends SparkTestBase {
       -- got.map(_._1))
   }
 
+  test("ingestDedupBatch: the fold dedups against everything SEEN, and " +
+      "earlier batches' novel frames survive later appends") {
+    // base T seeds the index; batch1 = {A1 ~ T (drop), C1 novel (keep),
+    // C1' ~ C1 within-batch (keep — probe never compares batch to
+    // itself)}; batch2 = {A2 ~ A1 (drop: A1 was REJECTED but the whole
+    // batch was indexed — the append-all-seen policy pin), D2 ~ C1'
+    // (drop: accepted docs index too), E2 novel (keep)}
+    // Block construction (3-gram shingle Jaccard, computed in the
+    // comments): P = 20 words, Q/R/S = 3-word tails/heads.
+    //   T  = P ++ Q                      (base; 21 shingles)
+    //   A1 = P ++ R                      J(A1,T) = 18/24 = 0.75  -> drop
+    //   A2 = S ++ P[5..] ++ R            J(A2,A1) = 16/26 = 0.615 -> drop
+    //                                    J(A2,T)  = 13/29 = 0.448 -> NOT
+    //                                    a dup of anything ACCEPTED or of
+    //                                    the base: only the indexed-
+    //                                    though-rejected A1 catches it
+    val p = (0 until 20).map(i => s"p$i")
+    val t0 = (p ++ Seq("q0", "q1", "q2")).mkString(" ")
+    val a1 = (p ++ Seq("r0", "r1", "r2")).mkString(" ")
+    val a2 = (Seq("s0", "s1", "s2", "s3", "s4") ++ p.drop(5) ++
+      Seq("r0", "r1", "r2")).mkString(" ")
+    val c1 = "one two three four five six seven eight"
+    def lastTo(s: String, w: String) =
+      s.split(" ").dropRight(1).mkString(" ") + " " + w
+    val base = Seq((0L, t0)).toDF("doc_id", "text")
+    val batch1 = Seq(
+      (11L, a1),               // ~T: dropped, but still indexed
+      (12L, c1),               // novel: kept
+      (13L, lastTo(c1, "nine")) // ~C1 within batch: kept (probe never
+                               // compares a batch to itself)
+    ).toDF("doc_id", "text")
+    val batch2 = Seq(
+      (21L, a2),                // ~A1 only: append-all-seen drops it
+      (22L, lastTo(c1, "ten")), // ~C1 (accepted, indexed): dropped
+      (23L, "red orange yellow green blue indigo violet ultraviolet")
+    ).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_ingest_").toString
+    // bands=32 (2 rows/band) so the J=0.615 plant's candidate collision
+    // is structurally certain, not a hash accident
+    Dedup.writeMinHashIndex(base, "doc_id", "text", idx,
+      bands = 32, mode = "overwrite")
+    val novel1 = Dedup.ingestDedupBatch(spark, batch1, "doc_id", "text", idx,
+      bands = 32, threshold = 0.5)
+    // batch2 runs (and appends) BEFORE novel1 is ever collected — the
+    // localCheckpoint pin: without it novel1's lazy probe would re-read
+    // the index containing batch1 itself and C1/C1' would vanish
+    val novel2 = Dedup.ingestDedupBatch(spark, batch2, "doc_id", "text", idx,
+      bands = 32, threshold = 0.5)
+    assert(novel1.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(12L, 13L))
+    assert(novel2.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(23L))
+  }
+
   test("probe validates index parameters from meta.txt and prunes shingle shards") {
     val idx = java.nio.file.Files.createTempDirectory("graft_idx_meta_").toString
     val docs01 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
