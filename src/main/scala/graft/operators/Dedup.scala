@@ -609,6 +609,37 @@ object Dedup {
     }
   }
 
+  /** Last-ingested micro-batch id, persisted as `last_batch.txt` beside
+    * the index data — the [[ingestDedupBatch]] replay guard. foreachBatch
+    * batch ids are strictly increasing and micro-batches execute in
+    * sequence, so a single high-water mark suffices: any incoming id at
+    * or below it has already had its postings appended.
+    */
+  private object LastBatchMarker {
+    private def markerPath(path: String) =
+      new org.apache.hadoop.fs.Path(s"$path/last_batch.txt")
+
+    def write(spark: org.apache.spark.sql.SparkSession, path: String, id: Long): Unit = {
+      val p = markerPath(path)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val out = fs.create(p, true)
+      try out.write(s"$id\n".getBytes("UTF-8")) finally out.close()
+    }
+
+    def read(spark: org.apache.spark.sql.SparkSession, path: String): Option[Long] = {
+      val p = markerPath(path)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val text =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        text.trim.toLongOption
+      }
+    }
+  }
+
   /** Persist a corpus's MinHash-LSH index so incoming batches can be
     * near-dup-checked WITHOUT re-reading or re-shingling the corpus —
     * the production shape at 100 TB, where each crawl increment is tiny
@@ -838,8 +869,33 @@ object Dedup {
     * outcome shifts with within-batch acceptance details — and would
     * keep a near-dup of a REJECTED dup. Within-batch duplicates are
     * both kept (the probe compares batch to index, never batch to
-    * itself); callers wanting intra-batch dedup compose
-    * [[minHashNearDups]] on the batch first.
+    * itself); `dedupWithinBatch = true` composes the intra-batch pass
+    * for you ([[minHashNearDups]] over the index-novel rows, keeping
+    * exactly the docs with NO smaller-id near-dup in the batch — a
+    * per-pair rule, deterministic and oracle-re-derivable). The index
+    * still grows by the FULL batch either way, so downstream novelty
+    * never depends on within-batch survivor choices.
+    *
+    * At-least-once replay (`batchId`): foreachBatch can re-deliver a
+    * micro-batch after a failure between this call's index append and
+    * the stream's checkpoint commit. Without a guard, the replay
+    * re-appends the whole batch's postings/shingles — duplicated index
+    * entries, conflicting bucket_size rows, repeated growth. Pass
+    * foreachBatch's `batchId` and each append is recorded in a
+    * `last_batch.txt` marker beside the index: an id EQUAL to the
+    * marker (only the last uncommitted batch can replay under
+    * sequential micro-batching) SKIPS the append and returns only the
+    * anti-join. Equality, not <=, so pointing a FRESH checkpoint at an
+    * existing index (ids restart at 0) never silently skips appends.
+    * Replay emission is dedup-more, never dedup-less: the index
+    * already holds the batch, so within-batch near-dups (kept on first
+    * delivery by policy) anti-join away on replay, while singletons
+    * re-emit identically (exact self-id pairs are excluded by the
+    * probe). The residual unguarded window is the single marker-file
+    * write immediately after the append — versus the whole sink-write
+    * + checkpoint-commit span without the guard. Idempotence of the
+    * DOWNSTREAM write of the returned rows remains the caller's
+    * at-least-once concern (key it by batchId).
     *
     * Caller persists `batch` if re-reading it is expensive — it is
     * scanned by the probe, the anti-join, and the index append.
@@ -854,10 +910,30 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.7,
-      maxBucket: Int = 1000
+      maxBucket: Int = 1000,
+      batchId: Option[Long] = None,
+      dedupWithinBatch: Boolean = false
   ): DataFrame = {
+    val alreadyIngested = batchId.exists { id =>
+      LastBatchMarker.read(spark, path).contains(id)
+    }
     val pairs = minHashProbeIndex(spark, batch, idCol, textCol, path,
       shingleSize, numHashes, bands, threshold, maxBucket)
+    val afterIndex = keepNovel(batch, idCol, pairs)
+    val kept =
+      if (!dedupWithinBatch) afterIndex
+      else {
+        // intra-batch pass over the index-novel rows only (index dups
+        // are already gone — fewer rows to shingle): drop the larger
+        // id of every near-dup pair, i.e. keep docs with no smaller-id
+        // near-dup. Same LSH parameters as the probe, so batch-vs-self
+        // and batch-vs-index candidate recall agree.
+        val intra = minHashNearDups(afterIndex, idCol, textCol,
+          shingleSize, numHashes, bands, threshold, maxBucket)
+        afterIndex.join(
+          intra.select(col("id_b").as(idCol)).distinct(),
+          Seq(idCol), "left_anti")
+      }
     // MATERIALIZE novel before the append: the probe's plan reads the
     // index from disk lazily, so a caller evaluating `novel` after the
     // append would probe the MUTATED index — batch rows would match
@@ -866,9 +942,12 @@ object Dedup {
     // order. localCheckpoint (eager) truncates the lineage to
     // materialized blocks, so the returned frame is immune to when the
     // caller evaluates it.
-    val novel = keepNovel(batch, idCol, pairs).localCheckpoint()
-    writeMinHashIndex(batch, idCol, textCol, path,
-      shingleSize, numHashes, bands, mode = "append")
+    val novel = kept.localCheckpoint()
+    if (!alreadyIngested) {
+      writeMinHashIndex(batch, idCol, textCol, path,
+        shingleSize, numHashes, bands, mode = "append")
+      batchId.foreach(LastBatchMarker.write(spark, path, _))
+    }
     novel
   }
 

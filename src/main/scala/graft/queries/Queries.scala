@@ -3169,8 +3169,20 @@ object Queries {
     // THIS probe shape per query batch.
     "x_ann_index_probe" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      val idxPath = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_int8_idx_" +
-        d.replaceAll("[^A-Za-z0-9]", "_")
+      // per-JVM-unique work dir (pid + run counter, the ingest-entry
+      // discipline): a dataset-keyed shared tmpdir would let two
+      // concurrent JVMs interleave one's overwrite build with the
+      // other's probe read. Previous run's dir is deleted lazily — the
+      // returned frame reads the CURRENT dir's cells/ on evaluation.
+      val work = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_ivf_idx_run_${ProcessHandle.current().pid()}_" +
+          s"${streamRun.incrementAndGet()}")
+      Option(lastIngestWork.put("x_ann_index_probe", work)).foreach { prev =>
+        try deleteRecursively(prev)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+      val idxPath = work.resolve("idx").toString
       graft.operators.Ivf.writeInt8Index(emb, "vec_id", "embedding",
         idxPath, nlist = 64, mode = "overwrite")
       val queries = emb.filter(col("vec_id") < 5)
@@ -3423,6 +3435,14 @@ object Queries {
     // staged files arrive as three fixed micro-batches
     // (ingestStageDir), so "seen earlier" is exactly doc_id%4 < k and
     // the DuckDB oracle re-derives every survivor by exact Jaccard.
+    // bands=32 (4 rows/band, vs the family default 16×4): the oracle
+    // is exact Jaccard at threshold 0.5, where a 16-band probe's
+    // per-pair collision probability is only ~64% at J=0.5 — it
+    // passes on the current corpus, but a regenerated corpus planting
+    // pairs NEAR the threshold could make the engine keep a doc the
+    // oracle drops. 32 bands makes candidate collision at J>=0.5
+    // structurally near-certain (1-(1-0.5^4)^32 ≈ 0.88 at exactly
+    // 0.5, >0.99 by J=0.6), the same margin DedupSpec uses.
     // Output: the kept doc_ids across all three increments.
     "x_stream_dedup_index" -> ((s, d) => {
       val stageDir = ingestStageDir(s, d)
@@ -3440,18 +3460,19 @@ object Queries {
       Dedup.writeMinHashIndex(
         t(s, d, "documents").select(col("doc_id"), col("text"))
           .filter(pmod(col("doc_id"), lit(4)) === 0),
-        "doc_id", "text", idxPath, mode = "overwrite")
+        "doc_id", "text", idxPath, bands = 32, mode = "overwrite")
       val schema = StructType(Seq(
         StructField("doc_id", LongType), StructField("text", StringType)))
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(stageDir)
       val ckpt = ckptRoot.resolve(s"ingest_$runId")
       val q = stream.writeStream
-        .foreachBatch { (b: DataFrame, _: Long) =>
+        .foreachBatch { (b: DataFrame, bid: Long) =>
           val batch = b.persist()
           try
             Dedup.ingestDedupBatch(batch.sparkSession, batch,
-                "doc_id", "text", idxPath, threshold = 0.5)
+                "doc_id", "text", idxPath, bands = 32, threshold = 0.5,
+                batchId = Some(bid))
               .select(col("doc_id"))
               .write.mode("append").parquet(outDir)
           finally { batch.unpersist(blocking = false); () }

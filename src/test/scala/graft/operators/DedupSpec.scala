@@ -409,6 +409,76 @@ class DedupSpec extends SparkTestBase {
       Set(23L))
   }
 
+  test("ingestDedupBatch: batchId replay skips the append (no index " +
+      "duplication) and dedupWithinBatch keeps min-id survivors only") {
+    val p = (0 until 20).map(i => s"p$i")
+    val t0 = (p ++ Seq("q0", "q1", "q2")).mkString(" ")
+    val c1 = "one two three four five six seven eight"
+    def lastTo(s: String, w: String) =
+      s.split(" ").dropRight(1).mkString(" ") + " " + w
+    val base = Seq((0L, t0)).toDF("doc_id", "text")
+    val batch1 = Seq(
+      (11L, (p ++ Seq("r0", "r1", "r2")).mkString(" ")), // ~T: dropped
+      (12L, c1),                                         // novel
+      (13L, lastTo(c1, "nine"))                          // ~C1 within batch
+    ).toDF("doc_id", "text")
+
+    // --- dedupWithinBatch: min-id survivor of the 12~13 pair only ---
+    val idxA = java.nio.file.Files.createTempDirectory("graft_ingest_wb_").toString
+    Dedup.writeMinHashIndex(base, "doc_id", "text", idxA,
+      bands = 32, mode = "overwrite")
+    val novelWb = Dedup.ingestDedupBatch(spark, batch1, "doc_id", "text", idxA,
+      bands = 32, threshold = 0.5, dedupWithinBatch = true)
+    assert(novelWb.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(12L), "within-batch pass must keep only the min-id survivor")
+    // the index still grew by the FULL batch: a later doc ~13 (the
+    // DROPPED within-batch sibling) must still be caught
+    val later = Seq((21L, lastTo(c1, "ten"))).toDF("doc_id", "text")
+    val novelLater = Dedup.ingestDedupBatch(spark, later, "doc_id", "text",
+      idxA, bands = 32, threshold = 0.5)
+    assert(novelLater.count() == 0L,
+      "full-batch indexing must catch near-dups of within-batch-dropped docs")
+
+    // --- batchId replay guard ---
+    val idxB = java.nio.file.Files.createTempDirectory("graft_ingest_replay_").toString
+    Dedup.writeMinHashIndex(base, "doc_id", "text", idxB,
+      bands = 32, mode = "overwrite")
+    def postings() = spark.read.parquet(s"$idxB/bands").count()
+    val novel1 = Dedup.ingestDedupBatch(spark, batch1, "doc_id", "text", idxB,
+      bands = 32, threshold = 0.5, batchId = Some(0L))
+    assert(novel1.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(12L, 13L))
+    val afterFirst = postings()
+    // replay of batch 0 (at-least-once): append SKIPPED, emission is
+    // dedup-more — the index already holds the batch, so the
+    // within-batch pair (12, 13) anti-joins away; no singleton novel
+    // docs in this batch, so the replay emits nothing extra
+    val replay = Dedup.ingestDedupBatch(spark, batch1, "doc_id", "text", idxB,
+      bands = 32, threshold = 0.5, batchId = Some(0L))
+    assert(postings() == afterFirst,
+      "replayed batchId must not re-append postings")
+    assert(replay.select("doc_id").collect().isEmpty,
+      "replay emission must be dedup-more (12~13 now match the index)")
+    // a singleton replays identically (exact self-id pairs excluded)
+    val single = Seq((31L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val s1 = Dedup.ingestDedupBatch(spark, single, "doc_id", "text", idxB,
+      bands = 32, threshold = 0.5, batchId = Some(1L))
+    val afterSingle = postings()
+    val s2 = Dedup.ingestDedupBatch(spark, single, "doc_id", "text", idxB,
+      bands = 32, threshold = 0.5, batchId = Some(1L))
+    assert(s1.select("doc_id").collect().map(_.getLong(0)).toSet == Set(31L))
+    assert(s2.select("doc_id").collect().map(_.getLong(0)).toSet == Set(31L),
+      "a singleton's replay must re-emit identically")
+    assert(postings() == afterSingle)
+    // the NEXT batch id appends normally
+    val next = Seq((41L, "uno dos tres cuatro cinco seis siete"))
+      .toDF("doc_id", "text")
+    Dedup.ingestDedupBatch(spark, next, "doc_id", "text", idxB,
+      bands = 32, threshold = 0.5, batchId = Some(2L)).collect()
+    assert(postings() > afterSingle, "a fresh batchId must append")
+  }
+
   test("probe validates index parameters from meta.txt and prunes shingle shards") {
     val idx = java.nio.file.Files.createTempDirectory("graft_idx_meta_").toString
     val docs01 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")

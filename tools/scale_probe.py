@@ -192,6 +192,14 @@ def main():
                              "SPARK_DRIVER_MEM": "32g"})
                 if r.returncode != 0:
                     raise SystemExit(f"ScaleUp {n}x failed")
+                if not derivation_ok(tgt):
+                    # a fresh stamp that still mismatches means the
+                    # Scala constant moved without this one — fail
+                    # loudly ONCE instead of regenerating forever
+                    raise SystemExit(
+                        "derivation version mismatch after regen — update "
+                        "DERIVATION in scale_probe.py to match "
+                        "graft.tools.ScaleUp.DerivationVersion")
         base = bench(SFX10, entries, "/tmp/probe_sfx10d.json", args.cpus,
                      args.reps, driver_mem="48g")
         x = bench(SFX100, entries, "/tmp/probe_sfx100.json", args.cpus,
@@ -204,6 +212,11 @@ def main():
             r = run(f'sbt -batch "runMain graft.tools.ScaleUp {SF01} {SFX10} 10"')
             if r.returncode != 0:
                 raise SystemExit("ScaleUp failed")
+            if not derivation_ok(SFX10):
+                raise SystemExit(
+                    "derivation version mismatch after regen — update "
+                    "DERIVATION in scale_probe.py to match "
+                    "graft.tools.ScaleUp.DerivationVersion")
         base = bench(SF01, entries, "/tmp/probe_sf01.json", args.cpus, args.reps)
         x = bench(SFX10, entries, "/tmp/probe_sfx10.json", args.cpus, args.reps)
         title_lo, title_hi = "sf0.1", "sfx10"
@@ -243,10 +256,19 @@ def main():
                 print(f"  {k}: {r:.1f}x shared — no known driver entry, kept")
                 survived.append((k, r))
                 continue
-            b = bench(lo_dir, [name], f"/tmp/probe_iso_lo_{name}.json",
-                      args.cpus, args.reps, driver_mem=dm)
-            x = bench(hi_dir, [name], f"/tmp/probe_iso_hi_{name}.json",
-                      args.cpus, args.reps, driver_mem=dm)
+            # a crashed isolated leg (sbt OOM / driver kill raises
+            # SystemExit inside bench) must behave like the
+            # missing/-1.0 case — flag KEPT — not abort the whole
+            # probe before the kept-flags summary prints
+            try:
+                b = bench(lo_dir, [name], f"/tmp/probe_iso_lo_{name}.json",
+                          args.cpus, args.reps, driver_mem=dm)
+                x = bench(hi_dir, [name], f"/tmp/probe_iso_hi_{name}.json",
+                          args.cpus, args.reps, driver_mem=dm)
+            except SystemExit as e:
+                print(f"  {k}: isolated re-run crashed ({e}) — flag kept")
+                survived.append((k, r))
+                continue
             src_b = b["queries"] if k in b.get("queries", {}) \
                 else (b.get("artifact_breakdown") or {})
             src_x = x["queries"] if k in x.get("queries", {}) \
