@@ -133,7 +133,8 @@ object Bench {
       "x_incremental_ingest", "x_bucketed_join", "x_compact_roundtrip",
       "x_range_layout", "x_zorder_layout", "x_orc_roundtrip",
       "x_partitioned_scan", "x_hll_increments", "x_schema_evolution",
-      "x_csv_roundtrip", "x_ann_index_probe", "x_stream_dedup_index",
+      "x_csv_roundtrip", "x_ann_index_probe", "x_ann_index_grow",
+      "x_stream_dedup_index", "x_stream_ingest_within", "x_stream_ann_ingest",
       // streaming replays: micro-batch + state-store machinery dominates
       // (see scaladoc) — weighted like io so the budget stays honest
       "x_stream_dedup", "x_stream_error_rate", "x_stream_join",

@@ -610,12 +610,13 @@ object Dedup {
   }
 
   /** Last-ingested micro-batch id, persisted as `last_batch.txt` beside
-    * the index data — the [[ingestDedupBatch]] replay guard. foreachBatch
-    * batch ids are strictly increasing and micro-batches execute in
-    * sequence, so a single high-water mark suffices: any incoming id at
-    * or below it has already had its postings appended.
+    * the index data — the [[ingestDedupBatch]] / [[Ivf.ingestAnnBatch]]
+    * replay guard. Only the last uncommitted batch can replay under
+    * sequential micro-batching, so a single marker matched by EQUALITY
+    * suffices (and a fresh checkpoint over an existing index, ids
+    * restarting at 0, never silently skips appends).
     */
-  private object LastBatchMarker {
+  private[operators] object LastBatchMarker {
     private def markerPath(path: String) =
       new org.apache.hadoop.fs.Path(s"$path/last_batch.txt")
 

@@ -460,6 +460,68 @@ object Ivf {
     rankInt8Probes(assigned, probes, k)
   }
 
+  /** One step of a SEQUENTIAL ANN-ingest fold — the [[Dedup.ingestDedupBatch]]
+    * shape for vectors: probe `batch`'s vectors against the persisted
+    * int8 index at `path` (top-k neighbors among everything previously
+    * SEEN — the base corpus plus every earlier increment), then append
+    * the batch itself under the index's FROZEN centroids, and return
+    * the neighbor frame. Drive it from foreachBatch; micro-batches
+    * execute strictly in sequence, so batch k retrieves against
+    * exactly batches < k — which a one-shot probe cannot express.
+    *
+    * EAGER-MATERIALIZE-BEFORE-APPEND (the ingestDedupBatch discipline,
+    * now for the index path): the probe's plan reads `cells/` lazily,
+    * so evaluating the returned frame after the append would score the
+    * batch against its own just-appended vectors — every row's rank-1
+    * neighbor would become itself. localCheckpoint truncates lineage
+    * to materialized blocks BEFORE the append, making the frame immune
+    * to when the caller evaluates it (IvfSpec pins this).
+    *
+    * At-least-once replay (`batchId`): same contract as
+    * [[Dedup.ingestDedupBatch]] — pass foreachBatch's id and a
+    * replayed batch skips the append ([[Dedup.LastBatchMarker]],
+    * equality-matched). A replayed probe then scores against an index
+    * already holding the batch; the self-dot would win every row's
+    * rank 1, so the probe over-fetches k+1, EXCLUDES exact id
+    * self-pairs, and re-ranks — a singleton batch's replay emits
+    * bit-identically to its first delivery (sibling vectors from the
+    * same multi-row batch may still shift a replayed top-k;
+    * at-least-once emission stays the caller's sink contract, keyed
+    * by batchId).
+    *
+    * `nProbe` defaults to the index's nlist (exhaustive cell coverage:
+    * the retrieval is then the EXACT int8 top-k among seen vectors —
+    * closed-form for an external oracle); production serving uses a
+    * small nProbe, the [[ivfInt8ProbeIndex]] pruned path.
+    */
+  def ingestAnnBatch(
+      spark: SparkSession, batch: DataFrame, idCol: String, vecCol: String,
+      path: String, k: Int, nProbe: Int = Int.MaxValue,
+      batchId: Option[Long] = None
+  ): DataFrame = {
+    val meta = Int8IndexMeta.read(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no meta.txt under $path — not a written ivf_int8 index"))
+    val alreadyIngested = batchId.exists { id =>
+      Dedup.LastBatchMarker.read(spark, path).contains(id)
+    }
+    val probe = math.min(nProbe, meta.nlist)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("int_dot").desc, col("id").asc)
+    val neighbors =
+      ivfInt8ProbeIndex(spark, path, batch, idCol, vecCol, k + 1, probe)
+        .filter(col("query_id") =!= col("id"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .localCheckpoint()
+    if (!alreadyIngested) {
+      writeInt8Index(batch, idCol, vecCol, path,
+        nlist = meta.nlist, mode = "append")
+      batchId.foreach(Dedup.LastBatchMarker.write(spark, path, _))
+    }
+    neighbors
+  }
+
   private def probeCells(
       queries: DataFrame, qidCol: String, qvecCol: String,
       index: IvfIndex, nProbe: Int

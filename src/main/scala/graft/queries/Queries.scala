@@ -603,35 +603,59 @@ object Queries {
 
   private def ingestStageDir(s: SparkSession, d: String): String =
     memoPerDir(ingestStageCache, s, d, "ingest_stage") {
-      val root = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
+      stageMod4Batches(
+        t(s, d, "documents").select(col("doc_id"), col("text")), "doc_id",
         "graft_ingest_stage_" + d.replaceAll("[^A-Za-z0-9]", "_"))
-      try deleteRecursively(root)
-      catch { case scala.util.control.NonFatal(_) => () }
-      java.nio.file.Files.createDirectories(root)
-      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-      val baseMs = System.currentTimeMillis()
-      (1 to 3).foreach { k =>
-        val tmp = root.resolve(s"__stage_f$k")
-        docs.filter(pmod(col("doc_id"), lit(4)) === k)
-          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val walk = java.nio.file.Files.list(tmp)
-        val partFile =
-          try {
-            import scala.jdk.CollectionConverters._
-            walk.iterator().asScala
-              .find(_.getFileName.toString.endsWith(".parquet"))
-              .getOrElse(sys.error(s"no parquet part written under $tmp"))
-          } finally walk.close()
-        val dest = root.resolve(s"f$k.parquet")
-        java.nio.file.Files.move(partFile, dest,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        java.nio.file.Files.setLastModifiedTime(dest,
-          java.nio.file.attribute.FileTime.fromMillis(baseMs + k * 2000L))
-        deleteRecursively(tmp)
-      }
-      root.toString
     } { _ => () }
+
+  private val annStageCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, String)]()
+
+  /** The embeddings analog of [[ingestStageDir]]: vec_id%4 ∈ {1,2,3}
+    * staged as three fixed single-file micro-batches (%4==0 seeds the
+    * index in the entry).
+    */
+  private def annIngestStageDir(s: SparkSession, d: String): String =
+    memoPerDir(annStageCache, s, d, "ann_ingest_stage") {
+      stageMod4Batches(
+        t(s, d, "embeddings").select(col("vec_id"), col("embedding")), "vec_id",
+        "graft_ann_stage_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    } { _ => () }
+
+  /** Write `frame` as three single-file micro-batches under a fresh
+    * tmpdir: file k holds the idCol%4==k rows, modification times
+    * strictly increasing so a maxFilesPerTrigger=1 file stream replays
+    * them as three deterministic batches in order.
+    */
+  private def stageMod4Batches(
+      frame: DataFrame, idCol: String, dirName: String): String = {
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), dirName)
+    try deleteRecursively(root)
+    catch { case scala.util.control.NonFatal(_) => () }
+    java.nio.file.Files.createDirectories(root)
+    val baseMs = System.currentTimeMillis()
+    (1 to 3).foreach { k =>
+      val tmp = root.resolve(s"__stage_f$k")
+      frame.filter(pmod(col(idCol), lit(4)) === k)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val walk = java.nio.file.Files.list(tmp)
+      val partFile =
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no parquet part written under $tmp"))
+        } finally walk.close()
+      val dest = root.resolve(s"f$k.parquet")
+      java.nio.file.Files.move(partFile, dest,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(baseMs + k * 2000L))
+      deleteRecursively(tmp)
+    }
+    root.toString
+  }
 
   /** Previous run's scratch dir per streaming-ingest prefix — deleted
     * when the next run starts (the `lastSink` discipline applied to
@@ -3193,6 +3217,45 @@ object Queries {
           col("int_dot"))
     }),
 
+    // The APPEND workflow of the persisted int8 index — the
+    // corpus-refresh shape: seed the index on a subset, grow it with
+    // the rest via `mode="append"` (the increment is assigned and
+    // quantized under the FROZEN seed centroids — Ivf.writeInt8Index
+    // scaladoc), probe the grown index. grown == fresh-full by
+    // construction HERE: centroids are the nlist minimal-xxhash64 ids
+    // of the build corpus, and the seed half is exactly the
+    // negative-hash rows — a set that provably contains the FULL
+    // corpus's nlist hash-minima whenever it has >= nlist members
+    // (the signed minima are all negative), so the seed build and a
+    // full-corpus build pick identical centroids, quantization is
+    // per-vector, and the probe shares x_ann_ivf_int8's kernel-replay
+    // golden. IvfSpec pins the centroid equality on the real files so
+    // a regenerated corpus fails `sbt test` loudly, never silently.
+    // io-classified: pays two index writes + the probe read.
+    "x_ann_index_grow" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val work = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_ivf_grow_run_${ProcessHandle.current().pid()}_" +
+          s"${streamRun.incrementAndGet()}")
+      Option(lastIngestWork.put("x_ann_index_grow", work)).foreach { prev =>
+        try deleteRecursively(prev)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+      val idxPath = work.resolve("idx").toString
+      val h = xxhash64(col("vec_id"))
+      graft.operators.Ivf.writeInt8Index(emb.filter(h < 0),
+        "vec_id", "embedding", idxPath, nlist = 64, mode = "overwrite")
+      graft.operators.Ivf.writeInt8Index(emb.filter(h >= 0),
+        "vec_id", "embedding", idxPath, nlist = 64, mode = "append")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      graft.operators.Ivf.ivfInt8ProbeIndex(s, idxPath,
+          queries, "qid", "qv", k = 10, nProbe = 8)
+        .select(col("query_id"), col("id").as("vec_id"), col("rank"),
+          col("int_dot"))
+    }),
+
     // Structured Streaming surface, driver-visible: the windowed
     // error-rate summary over a file-source micro-batch stream of
     // lineitem, annotated by the SAME compiled rule set the batch
@@ -3482,6 +3545,109 @@ object Queries {
       try q.awaitTermination() finally q.stop()
       pruneDeadStreamingListenerBuses(s)
       s.read.parquet(outDir).select(col("doc_id"))
+    }),
+
+    // The ingest fold WITH intra-batch dedup — the #1 production
+    // ingest shape as ONE call ([[Dedup.ingestDedupBatch]]
+    // `dedupWithinBatch = true`): each micro-batch drops docs
+    // near-duplicating anything previously SEEN, then drops every doc
+    // with a SMALLER-ID near-dup among the batch's index-novel rows
+    // (a per-pair rule — deterministic, and exactly re-derivable by
+    // the exact-Jaccard oracle). The index still grows by the FULL
+    // batch, so later batches' novelty never depends on within-batch
+    // survivor choices (the append-all-seen policy pin). Same staged
+    // three-batch replay and bands=32 margin as x_stream_dedup_index.
+    "x_stream_ingest_within" -> ((s, d) => {
+      val stageDir = ingestStageDir(s, d)
+      val runId = streamRun.incrementAndGet()
+      val work = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_ingest_wb_run_${ProcessHandle.current().pid()}_$runId")
+      Option(lastIngestWork.put("x_stream_ingest_within", work)).foreach { prev =>
+        try deleteRecursively(prev)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+      java.nio.file.Files.createDirectories(work)
+      val idxPath = work.resolve("idx").toString
+      val outDir = work.resolve("novel").toString
+      Dedup.writeMinHashIndex(
+        t(s, d, "documents").select(col("doc_id"), col("text"))
+          .filter(pmod(col("doc_id"), lit(4)) === 0),
+        "doc_id", "text", idxPath, bands = 32, mode = "overwrite")
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stageDir)
+      val ckpt = ckptRoot.resolve(s"ingest_wb_$runId")
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, bid: Long) =>
+          val batch = b.persist()
+          try
+            Dedup.ingestDedupBatch(batch.sparkSession, batch,
+                "doc_id", "text", idxPath, bands = 32, threshold = 0.5,
+                batchId = Some(bid), dedupWithinBatch = true)
+              .select(col("doc_id"))
+              .write.mode("append").parquet(outDir)
+          finally { batch.unpersist(blocking = false); () }
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+      pruneDeadStreamingListenerBuses(s)
+      s.read.parquet(outDir).select(col("doc_id"))
+    }),
+
+    // STREAMING EMBEDDING ingest against the persisted, GROWING int8
+    // IVF index — the ANN mirror of x_stream_dedup_index
+    // ([[Ivf.ingestAnnBatch]]): each micro-batch of vectors retrieves
+    // its top-k neighbors among everything previously SEEN (base
+    // corpus %4==0 plus earlier batches), then appends itself under
+    // the FROZEN seed centroids; the eager-localCheckpoint-before-
+    // append discipline keeps the returned frame immune to the index
+    // mutation (spec-pinned in IvfSpec), and the batchId marker makes
+    // a foreachBatch replay skip the re-append. nProbe = nlist
+    // (exhaustive cells) so retrieval is the EXACT int8 top-k among
+    // seen vectors — integer dots, closed-form for DuckDB; the pruned
+    // nProbe serving shape is x_ann_index_probe's. io-classified.
+    "x_stream_ann_ingest" -> ((s, d) => {
+      val stageDir = annIngestStageDir(s, d)
+      val runId = streamRun.incrementAndGet()
+      val work = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_ann_ingest_run_${ProcessHandle.current().pid()}_$runId")
+      Option(lastIngestWork.put("x_stream_ann_ingest", work)).foreach { prev =>
+        try deleteRecursively(prev)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+      java.nio.file.Files.createDirectories(work)
+      val idxPath = work.resolve("idx").toString
+      val outDir = work.resolve("neighbors").toString
+      graft.operators.Ivf.writeInt8Index(
+        t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+          .filter(pmod(col("vec_id"), lit(4)) === 0),
+        "vec_id", "embedding", idxPath, nlist = 64, mode = "overwrite")
+      val schema = StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType))))
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stageDir)
+      val ckpt = ckptRoot.resolve(s"ann_ingest_$runId")
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, bid: Long) =>
+          val batch = b.persist()
+          try
+            graft.operators.Ivf.ingestAnnBatch(batch.sparkSession, batch,
+                "vec_id", "embedding", idxPath, k = 5, batchId = Some(bid))
+              .select(col("query_id"), col("id"), col("rank"), col("int_dot"))
+              .write.mode("append").parquet(outDir)
+          finally { batch.unpersist(blocking = false); () }
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+      pruneDeadStreamingListenerBuses(s)
+      s.read.parquet(outDir)
+        .select(col("query_id"), col("id"), col("rank"), col("int_dot"))
     }),
 
     // JSON/multimodal props extraction (events.props is a JSON string).
@@ -6670,6 +6836,69 @@ object Queries {
         |WHERE d.doc_id % 4 <> 0
         |  AND d.doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin,
 
+    // the within-batch variant: the index-drop rule above, PLUS drop
+    // every doc with a smaller-id exact-Jaccard near-dup among its own
+    // batch's index-novel rows (both endpoints index-novel — the
+    // engine's intra pass runs after the index anti-join)
+    "x_stream_ingest_within" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(ts)-2),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+        |  FROM toks WHERE len(ts) >= 3
+        |), idx_dropped AS (
+        |  SELECT DISTINCT x.doc_id
+        |  FROM sh x JOIN sh y
+        |    ON y.doc_id % 4 < x.doc_id % 4
+        |   AND CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+        |       (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= 0.5
+        |  WHERE x.doc_id % 4 <> 0
+        |), wb_dropped AS (
+        |  SELECT DISTINCT x.doc_id
+        |  FROM sh x JOIN sh y
+        |    ON y.doc_id % 4 = x.doc_id % 4
+        |   AND y.doc_id < x.doc_id
+        |   AND CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+        |       (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= 0.5
+        |  WHERE x.doc_id % 4 <> 0
+        |    AND x.doc_id NOT IN (SELECT doc_id FROM idx_dropped)
+        |    AND y.doc_id NOT IN (SELECT doc_id FROM idx_dropped)
+        |)
+        |SELECT d.doc_id FROM documents d
+        |WHERE d.doc_id % 4 <> 0
+        |  AND d.doc_id NOT IN (SELECT doc_id FROM idx_dropped)
+        |  AND d.doc_id NOT IN (SELECT doc_id FROM wb_dropped)""".stripMargin,
+
+    // exact int8 top-k among previously-seen vectors (the engine
+    // probes ALL cells — see the entry), quantization re-derived as in
+    // x_ann_int8; "seen" = smaller vec_id%4 class, self excluded
+    "x_stream_ann_ingest" ->
+      """WITH codes AS (
+        |  SELECT vec_id,
+        |    CASE WHEN mx = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) * 127 / mx) AS BIGINT)) END AS q
+        |  FROM (SELECT vec_id, embedding,
+        |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |        FROM embeddings)),
+        |scored AS (
+        |  SELECT x.vec_id AS query_id, y.vec_id AS id,
+        |    COALESCE(CAST(list_sum(list_transform(generate_series(1, len(y.q)),
+        |      i -> y.q[i] * x.q[i])) AS BIGINT), 0) AS int_dot
+        |  FROM codes x JOIN codes y
+        |    ON y.vec_id % 4 < x.vec_id % 4 AND y.vec_id <> x.vec_id
+        |  WHERE x.vec_id % 4 <> 0)
+        |SELECT query_id, id,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY int_dot DESC, id ASC) AS INTEGER) AS rank,
+        |  int_dot
+        |FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY query_id
+        |  ORDER BY int_dot DESC, id ASC) <= 5""".stripMargin,
+
     // fingerprint-group invariant: equal rolling-hash fingerprints ⇔
     // equal whitespace-token sequences ⇔ equal whitespace-normalized
     // text, so the group representative is engine-independent even
@@ -7211,6 +7440,14 @@ object Queries {
     // the persisted-index probe is bit-identical to the in-session
     // composition by construction (see the entry) — same golden
     "x_ann_index_probe" ->
+      """WITH ck AS (SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 281474976710656) AS BIGINT)) AS BIGINT) AS k FROM embeddings)
+        |SELECT query_id, id AS vec_id, CAST(rank AS INTEGER) AS rank, int_dot
+        |FROM read_parquet('/root/repo/tools/golden/ivf_int8_topk.parquet') g, ck
+        |WHERE g.corpus_key = ck.k""".stripMargin,
+
+    // seed-then-append equals fresh-full by construction (negative-hash
+    // seed owns the corpus hash-minima; see the entry) — same golden
+    "x_ann_index_grow" ->
       """WITH ck AS (SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 281474976710656) AS BIGINT)) AS BIGINT) AS k FROM embeddings)
         |SELECT query_id, id AS vec_id, CAST(rank AS INTEGER) AS rank, int_dot
         |FROM read_parquet('/root/repo/tools/golden/ivf_int8_topk.parquet') g, ck
