@@ -177,7 +177,10 @@ object Queries {
   private val fuzzyPairCache = new java.util.concurrent.ConcurrentHashMap[
     String, (SparkSession, DataFrame)]()
 
-  private def fuzzyTitles(s: SparkSession, d: String): DataFrame = {
+  // private[graft]: graft.tools.AsymProbe measures this fixture's
+  // block-occupancy growth across scale decades on the same frame the
+  // artifact builds from
+  private[graft] def fuzzyTitles(s: SparkSession, d: String): DataFrame = {
     val titles = t(s, d, "documents")
       .select(col("doc_id"), substring(col("text"), 1, 30).as("title"))
     val typos = titles.filter(pmod(col("doc_id"), lit(20)) === 0)
