@@ -959,8 +959,13 @@ object Queries {
     // classic scalable shape; expansion would be |orders|·|span|). An
     // order opens at o_orderdate and closes the day after its last
     // lineitem ship date; orders with no lineitems are out of scope.
-    // The window runs over the (priority, day) aggregate — bounded by
-    // the calendar, never the fact table.
+    // Both deltas come off each joined row via a 2-element explode —
+    // NOT a union of two projections of the join, whose branches
+    // Catalyst plans as TWO joins with TWO lineitem scans/shuffles
+    // (PlanDump-verified; the r16 third-decade probe caught the
+    // doubled shuffle crossing the fixed-parallelism spill threshold
+    // at 180M rows). The window runs over the (priority, day)
+    // aggregate — bounded by the calendar, never the fact table.
     "x_open_orders" -> ((s, d) => {
       val o = t(s, d, "orders").select(
         col("o_orderkey"), col("o_orderpriority").as("prio"),
@@ -970,9 +975,11 @@ object Queries {
         .agg(max(expr("datediff(to_date(l_shipdate), date '1970-01-01')"))
           .cast(LongType).as("d1"))
       val iv = o.join(close, col("o_orderkey") === col("l_orderkey"))
-      val deltas = iv.select(col("prio"), col("d0").as("day"), lit(1L).as("delta"))
-        .unionAll(iv.select(col("prio"), (col("d1") + 1L).as("day"),
-          lit(-1L).as("delta")))
+      val deltas = iv
+        .select(col("prio"), explode(array(
+          struct(col("d0").as("day"), lit(1L).as("delta")),
+          struct((col("d1") + 1L).as("day"), lit(-1L).as("delta")))).as("e"))
+        .select(col("prio"), col("e.day").as("day"), col("e.delta").as("delta"))
         .groupBy(col("prio"), col("day")).agg(sum(col("delta")).as("net"))
       val w = Window.partitionBy(col("prio")).orderBy(col("day"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
