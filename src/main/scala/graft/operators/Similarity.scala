@@ -351,10 +351,18 @@ object Similarity {
     val scored = Dedup.verifyPairs(undirected,
       base.select(col("id"), col("v").as("payload")),
       cosine(col("payload_a"), col("payload_b")).as("cosine"))
+    // mirror each undirected pair via a 2-element explode, NOT a union
+    // of two projections of `scored` — Catalyst plans union branches
+    // as separate subtrees, so the union form evaluated the whole
+    // candidate+verify pipeline twice (PlanDump: 6 corpus scans, the
+    // banding kernel run twice, zero exchange reuse)
     val directed = scored
-      .select(col("id_a").as("query_id"), col("id_b").as("id"), col("cosine"))
-      .union(scored
-        .select(col("id_b").as("query_id"), col("id_a").as("id"), col("cosine")))
+      .select(explode(array(
+        struct(col("id_a").as("query_id"), col("id_b").as("id"), col("cosine")),
+        struct(col("id_b").as("query_id"), col("id_a").as("id"), col("cosine"))))
+        .as("e"))
+      .select(col("e.query_id").as("query_id"), col("e.id").as("id"),
+        col("e.cosine").as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("id").asc)
     directed.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
