@@ -144,8 +144,11 @@ object Clusters {
       // fixpoint = one star per component, every edge (member, root):
       // members take their root, roots take themselves. The final groupBy
       // collapses the root's multiple appearances on the v side.
-      edges.select(col("u").as("id"), col("v").as("component"))
-        .union(edges.select(col("v").as("id"), col("v").as("component")))
+      edges
+        .select(explode(array(
+          struct(col("u").as("id"), col("v").as("component")),
+          struct(col("v").as("id"), col("v").as("component")))).as("e"))
+        .select(col("e.id").as("id"), col("e.component").as("component"))
         .groupBy("id")
         .agg(min("component").as("component"))
     }
@@ -181,8 +184,14 @@ object Clusters {
     * v > u ≥ m, so the output is already high→low oriented.
     */
   private def largeStar(edges: DataFrame): DataFrame = {
-    val sym = edges.select(col("u"), col("v"))
-      .union(edges.select(col("v").as("u"), col("u").as("v")))
+    // both directions from each edge in ONE pass over the checkpointed
+    // blocks (the smallStar/knnGraphApprox explode idiom — a mirror
+    // union would read the blocks twice per consumer of `sym`)
+    val sym = edges
+      .select(explode(array(
+        struct(col("u").as("a"), col("v").as("b")),
+        struct(col("v").as("a"), col("u").as("b")))).as("e"))
+      .select(col("e.a").as("u"), col("e.b").as("v"))
     val mins = sym.groupBy("u").agg(min("v").as("mv"))
       .select(col("u"), least(col("u"), col("mv")).as("m"))
     sym.join(mins, "u")
