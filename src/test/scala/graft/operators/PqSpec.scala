@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class PqSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val emb =
+    spark.read.parquet(s"$sfDir/embeddings.parquet").limit(200).cache()
+  private lazy val queries = emb.filter(col("vec_id") < 3)
+    .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+
+  test("pqCodebook is a complete (subspace, code) grid with dense codes") {
+    val cb = Pq.pqCodebook(emb, "vec_id", "embedding", m = 8, ncode = 16)
+    val rows = cb.collect()
+    assert(rows.length == 8 * 16)
+    val bySub = rows.groupBy(_.getInt(0))
+    assert(bySub.keySet == (0 until 8).toSet)
+    bySub.values.foreach { g =>
+      assert(g.map(_.getInt(1)).sorted.toSeq == (0 until 16))
+      g.foreach(r => assert(r.getSeq[Long](2).length == 8)) // dim 64 / m 8
+    }
+  }
+
+  test("pqCodebook caps at corpus size when ncode exceeds it; deterministic") {
+    val tiny = emb.limit(5)
+    val cb1 = Pq.pqCodebook(tiny, "vec_id", "embedding", m = 4, ncode = 256)
+    val cb2 = Pq.pqCodebook(tiny, "vec_id", "embedding", m = 4, ncode = 256)
+    assert(cb1.count() == 4 * 5)
+    assert(cb1.collect().map(_.toString).sorted.toSeq ==
+      cb2.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("pqEncode emits one code per subspace, all within the codebook") {
+    val cb = Pq.pqCodebook(emb, "vec_id", "embedding", m = 8, ncode = 16)
+    val enc = Pq.pqEncode(emb, "vec_id", "embedding", cb, m = 8).collect()
+    assert(enc.length == emb.count())
+    enc.foreach { r =>
+      val codes = r.getSeq[Int](1)
+      assert(codes.length == 8)
+      assert(codes.forall(c => c >= 0 && c < 16))
+    }
+  }
+
+  test("with ncode >= corpus size PQ-ADC ranking equals the int8 dot ranking") {
+    // every vector's nearest codeword per subspace is (a copy of) its own
+    // int8 subvector at distance 0, so the ADC sum reconstructs the full
+    // int8 dot EXACTLY — the strongest internal-consistency property the
+    // family has, and it pins encode, LUT indexing, and the score fold
+    val pq = Pq.pqTopK(emb, "vec_id", "embedding", queries, "qid", "qv",
+        m = 8, ncode = 1024, k = 10)
+      .select(col("query_id"), col("id"), col("adc_dot"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getLong(2))).toMap
+    val i8 = Similarity.int8TopK(emb, "vec_id", "embedding", queries, "qid", "qv", k = 10)
+      .select(col("query_id"), col("id"), col("int_dot"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(pq.keySet == i8.keySet)
+    pq.foreach { case (key, v) => assert(i8(key) == v) }
+  }
+
+  test("compressed regime: rows are queries x k, ranks dense, scores non-increasing") {
+    val pq = Pq.pqTopK(emb, "vec_id", "embedding", queries, "qid", "qv",
+      m = 8, ncode = 16, k = 10)
+    val byQ = pq.collect().groupBy(_.getLong(0))
+    assert(byQ.keySet.size == 3)
+    byQ.values.foreach { g =>
+      assert(g.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 10))
+      val scores = g.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("adc_dot"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("encode tie-break: identical vectors share codes; smaller code wins ties") {
+    val dup = Seq(
+      (1L, Seq.fill(8)(1.0f)), (2L, Seq.fill(8)(1.0f)),
+      (3L, Seq.tabulate(8)(i => if (i < 4) 1.0f else -1.0f))).toDF("id", "v")
+    val cb = Pq.pqCodebook(dup, "id", "v", m = 2, ncode = 8)
+    val enc = Pq.pqEncode(dup, "id", "v", cb, m = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // ids 1 and 2 are byte-identical so their subvectors tie against both
+    // copies in the codebook — both must resolve to the SAME smallest code
+    assert(enc(1L) == enc(2L))
+  }
+}
