@@ -134,27 +134,36 @@ object Pq {
     * per-query partial WindowGroupLimit. The corpus-side scan touches
     * codes only; nothing data-proportional is collected or sorted.
     */
-  def pqTopK(
-      corpus: DataFrame, idCol: String, vecCol: String,
-      queries: DataFrame, qidCol: String, qvecCol: String,
-      m: Int, ncode: Int, k: Int
-  ): DataFrame = {
-    require(k > 0, s"k must be positive, got $k")
-    // collect the codebook once (≤ m×ncode rows — plan-constant, the
-    // IVF centroid-collect discipline) and re-seat it as a local frame:
-    // the one corpus pass that builds it runs exactly once, both
-    // consumers below broadcast the small relation, and nothing is left
-    // behind in the cache manager. The row count also fixes the flat
-    // LUT stride (< ncode codes on a small corpus).
+  /** Collect the codebook once (≤ m×ncode rows — plan-constant, the
+    * IVF centroid-collect discipline) and re-seat it as a local frame:
+    * the one corpus pass that builds it runs exactly once, every
+    * consumer broadcasts the small relation, and nothing is left
+    * behind in the cache manager. Returns (codebook, nc) where nc is
+    * the actual per-subspace code count (< ncode on a small corpus) —
+    * the flat LUT stride.
+    */
+  private def localCodebook(
+      corpus: DataFrame, idCol: String, vecCol: String, m: Int, ncode: Int
+  ): (DataFrame, Int) = {
     val built = pqCodebook(corpus, idCol, vecCol, m, ncode)
     val spark = corpus.sparkSession
     val cbRows = built.collect()
-    val codebook = spark.createDataFrame(
-      spark.sparkContext.parallelize(cbRows.toIndexedSeq, 1), built.schema)
-    val nc = cbRows.length / m
-    val encoded = pqEncode(corpus, idCol, vecCol, codebook, m)
+    (spark.createDataFrame(
+      spark.sparkContext.parallelize(cbRows.toIndexedSeq, 1), built.schema),
+      cbRows.length / m)
+  }
+
+  /** Per-query flat ADC lookup table: one array of m·nc longs ordered
+    * by (subspace, code) — entry [j·nc + c] is dot(query subvector j,
+    * codeword c of subspace j). Broadcast-join + sorted collect,
+    * BOUNDED at m·nc elements per query.
+    */
+  private def queryLuts(
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      codebook: DataFrame, m: Int
+  ): DataFrame = {
     val sub = floor(size(col("__q")) / lit(m)).cast(IntegerType)
-    val luts = queries
+    queries
       .select(col(qidCol).as("query_id"),
         Similarity.int8Quantize(col(qvecCol)).getField("q").as("__q"))
       .select(col("query_id"), posexplode(
@@ -167,15 +176,152 @@ object Pq {
           col("subspace"), col("code"),
           intDot(col("col"), col("cw")).as("d")))),
         s => s.getField("d")).as("lut"))
-    val scored = encoded.crossJoin(broadcast(luts))
-      .select(col("query_id"), col("id"),
-        aggregate(
-          zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
-            (c, j) => element_at(col("lut"),
-              (j * nc + c + 1).cast(IntegerType))),
-          lit(0L), (acc, x) => acc + x).as("adc_dot"))
+  }
+
+  /** The in-row ADC fold: m LUT lookups summed in exact BIGINT. */
+  private def adcScore(codes: Column, lut: Column, m: Int, nc: Int): Column =
+    aggregate(
+      zip_with(codes, sequence(lit(0), lit(m - 1)),
+        (c, j) => element_at(lut, (j * nc + c + 1).cast(IntegerType))),
+      lit(0L), (acc, x) => acc + x)
+
+  private def rankAdc(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dot").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** A built IVF-PQ index — the build-once/serve-many split ([[Ivf]]'s
+    * persisted-index shape, in-session): `codebook` and `centroids`
+    * are plan-constant local frames (≤ m·ncode and ≤ nlist rows),
+    * `encoded` is the corpus as (id, codes, cell) — m bytes of PQ
+    * codes plus a cell id per vector, the ONLY data-proportional
+    * state. At scale, persist `encoded` `partitionBy("cell")` (the
+    * [[Ivf.writeInt8Index]] layout with m-byte payloads) so probes
+    * read ~nProbe/nlist of the files.
+    */
+  final case class PqIndex(
+      m: Int, nc: Int, nlist: Int,
+      codebook: DataFrame, centroids: DataFrame, encoded: DataFrame)
+
+  /** Build the all-integer IVF-PQ index: PQ codebook (hash-sampled
+    * int8 subvectors, [[pqCodebook]]), coarse quantizer (`nlist`
+    * hash-sampled FULL int8 code vectors, salt 7 — a routing decision
+    * distinct from the codebook's sampling), per-vector PQ codes
+    * ([[pqEncode]]) and cells (integer squared-L2 argmin over full
+    * codes — the standard L2 coarse quantizer; same cc − 2·dot
+    * reduction as pqEncode, ties → smallest cell). Two corpus
+    * projections feed one id equi-join; every comparison is
+    * BIGINT-exact, so the whole index is bit-replayable in any engine.
+    */
+  def buildIndex(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ncode: Int, nlist: Int
+  ): PqIndex = {
+    require(nlist >= 1, s"nlist must be >= 1, got $nlist")
+    val spark = corpus.sparkSession
+    val (codebook, nc) = localCodebook(corpus, idCol, vecCol, m, ncode)
+    val centBuilt = corpus
+      .select(col(idCol).as("__id"),
+        Similarity.int8Quantize(col(vecCol)).getField("q").as("ccode"))
+      .orderBy(Sampling.hashRank(col("__id"), salt = 7L), col("__id"))
+      .limit(nlist)
+      // bounded unpartitioned window: runs AFTER the limit, ≤ nlist rows
+      .withColumn("cell",
+        (row_number().over(Window.orderBy(
+          Sampling.hashRank(col("__id"), salt = 7L), col("__id"))) - 1)
+          .cast(IntegerType))
+      .select(col("cell"), col("ccode"),
+        intDot(col("ccode"), col("ccode")).as("__cc"))
+    val centroids = {
+      val rows = centBuilt.collect() // ≤ nlist rows — plan-constant
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), centBuilt.schema)
+    }
+    // assign: integer-L2 argmin over the broadcast centroid table —
+    // n×nlist candidate rows, map-side-combined to n before the shuffle
+    val corpusCells = corpus
+      .select(col(idCol).as("id"),
+        Similarity.int8Quantize(col(vecCol)).getField("q").as("__q"))
+      .crossJoin(broadcast(centroids))
+      .groupBy(col("id"))
+      .agg(min(struct(
+        (col("__cc") - lit(2L) * intDot(col("__q"), col("ccode"))).as("d"),
+        col("cell").as("c"))).as("best"))
+      .select(col("id"), col("best.c").as("cell"))
+    val encoded = pqEncode(corpus, idCol, vecCol, codebook, m)
+      .join(corpusCells, Seq("id"))
+    PqIndex(m, nc, nlist, codebook, centroids, encoded)
+  }
+
+  /** ADC top-k against a built [[PqIndex]]: per-query top `k` ids by
+    * the exact integer PQ score Σⱼ dot(q_subⱼ, codebook[j][codesⱼ]).
+    * `nProbe < nlist` routes each query to its nProbe min-L2 cells and
+    * scores ONLY those cells' codes (candidate volume ∝ probed-cell
+    * occupancy; the broadcast probe join replaces the corpus-wide
+    * cross join); `nProbe ≥ nlist` (the default) is the exhaustive
+    * flat scan — identical results to scoring everything. Returns
+    * (query_id, id, adc_dot, rank), ties by id.
+    *
+    * Plan: per-query flat LUT (m·nc longs, [[queryLuts]]) → encoded
+    * codes crossJoin/probe-join broadcast(queries+LUT) → in-row
+    * m-lookup fold → per-query partial WindowGroupLimit. The
+    * corpus-side scan touches codes (+cell) only; nothing
+    * data-proportional is collected or sorted.
+    */
+  def adcTopK(
+      index: PqIndex,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, nProbe: Int = Int.MaxValue
+  ): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val luts = queryLuts(queries, qidCol, qvecCol, index.codebook, index.m)
+    val candidates =
+      if (nProbe >= index.nlist) index.encoded.crossJoin(broadcast(luts))
+      else {
+        val probed = queries
+          .select(col(qidCol).as("query_id"),
+            Similarity.int8Quantize(col(qvecCol)).getField("q").as("__q"))
+          .crossJoin(broadcast(index.centroids))
+          .withColumn("__d",
+            col("__cc") - lit(2L) * intDot(col("__q"), col("ccode")))
+          .withColumn("__rn",
+            row_number().over(Window.partitionBy(col("query_id"))
+              .orderBy(col("__d").asc, col("cell").asc)))
+          .filter(col("__rn") <= nProbe)
+          .select(col("query_id"), col("cell"))
+        index.encoded
+          .join(broadcast(probed.join(luts, Seq("query_id"))), Seq("cell"))
+      }
+    rankAdc(candidates
+      .select(col("query_id"), col("id"),
+        adcScore(col("codes"), col("lut"), index.m, index.nc).as("adc_dot")), k)
+  }
+
+  /** One-shot flat PQ-ADC top-k (build + exhaustive serve). Callers
+    * serving many query batches should [[buildIndex]] once and
+    * [[adcTopK]] repeatedly.
+    */
+  def pqTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      m: Int, ncode: Int, k: Int
+  ): DataFrame =
+    adcTopK(buildIndex(corpus, idCol, vecCol, m, ncode, nlist = 1),
+      queries, qidCol, qvecCol, k)
+
+  /** One-shot IVF-PQ top-k (build + routed serve) — FAISS's IndexIVFPQ
+    * shape with zero float comparisons end to end.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      m: Int, ncode: Int, nlist: Int, nProbe: Int, k: Int
+  ): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nlist,
+      s"nProbe $nProbe out of range for nlist=$nlist")
+    adcTopK(buildIndex(corpus, idCol, vecCol, m, ncode, nlist),
+      queries, qidCol, qvecCol, k, nProbe)
   }
 }

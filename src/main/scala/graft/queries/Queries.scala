@@ -470,12 +470,32 @@ object Queries {
         (col("pos") + 1).cast(IntegerType).as("rank"))
   }
 
-  /** Shared PQ-ADC top-10 frame for the product-quantization family:
-    * `x_ann_pq` reports it, `x_pq_recall` audits the SAME result
-    * against the exact float top-10 — so the codebook build and the
-    * integer-L2 encode (PQ's inherent O(n·m·ncode) cost) run once per
-    * dir per session, the production shape when a pipeline both serves
-    * and audits an index. Bounded: |queries|·k rows persisted.
+  /** Shared IVF-PQ index (m=8, ncode=256, nlist=64) for the
+    * product-quantization family — the build-once/serve-many split:
+    * `x_ann_pq` and `x_pq_recall` serve the exhaustive flat scan off
+    * it, `x_ann_ivf_pq` the cell-routed probe. The codebook build, the
+    * integer-L2 encode (PQ's inherent O(n·m·ncode) cost) and the cell
+    * assignment run once per dir per session; only the (id, codes,
+    * cell) frame is data-proportional, persisted.
+    */
+  private val pqIndexCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (SparkSession, graft.operators.Pq.PqIndex)]()
+
+  private def pqIndex(s: SparkSession, d: String): graft.operators.Pq.PqIndex =
+    memoPerDir(pqIndexCache, s, d, "pq_index",
+      stillValid = (i: graft.operators.Pq.PqIndex) =>
+        i.encoded.storageLevel != StorageLevel.NONE) {
+      val idx = graft.operators.Pq.buildIndex(t(s, d, "embeddings"),
+        "vec_id", "embedding", m = 8, ncode = 256, nlist = 64)
+      val persisted = idx.copy(
+        encoded = idx.encoded.persist(StorageLevel.MEMORY_AND_DISK))
+      persisted.encoded.count() // materialize inside the timed build
+      persisted
+    } { _.encoded.unpersist(blocking = false) }
+
+  /** Shared flat PQ-ADC top-10 frame: `x_ann_pq` reports it,
+    * `x_pq_recall` audits the SAME result against the exact float
+    * top-10. Bounded: |queries|·k rows persisted; rides [[pqIndex]].
     */
   private val pqTopCache = new java.util.concurrent.ConcurrentHashMap[
     String, (SparkSession, DataFrame)]()
@@ -486,8 +506,8 @@ object Queries {
       val emb = t(s, d, "embeddings")
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val f = graft.operators.Pq.pqTopK(emb, "vec_id", "embedding",
-          queries, "qid", "qv", m = 8, ncode = 256, k = 10)
+      val f = graft.operators.Pq.adcTopK(pqIndex(s, d),
+          queries, "qid", "qv", k = 10)
         .persist(StorageLevel.MEMORY_AND_DISK)
       f.count() // materialize inside the timed artifact build
       f
@@ -3224,6 +3244,28 @@ object Queries {
         metric = "dot")
       Similarity.recallAtK(pqTop10(s, d), exact)
         .select(col("query_id"), col("n_hits"), col("k"))
+    }),
+
+    // The ALL-INTEGER composed serving stack (FAISS's IndexIVFPQ
+    // shape): IVF coarse routing by integer squared-L2 over full int8
+    // codes (hash-sampled centroids, salt 7; the standard L2 coarse
+    // quantizer) narrows each query to 8 of 64 cells, then PQ-ADC
+    // integer dots rank only those cells' m-byte codes. ZERO float
+    // comparisons anywhere — routing, encoding and scoring are all
+    // BIGINT-exact, so unlike the float-cosine-routed x_ann_ivf_int8
+    // this composition needs NO replay golden: the oracle re-derives
+    // centroids, cells, probes, codebook, codes, LUTs and ranking.
+    // Candidate volume ∝ probed-cell occupancy; at scale the encoded
+    // corpus persists partitionBy(cell) (the writeInt8Index layout
+    // with 8-byte PQ codes), so probes read ~nProbe/nlist of the data.
+    "x_ann_ivf_pq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      graft.operators.Pq.adcTopK(pqIndex(s, d),
+          queries, "qid", "qv", k = 10, nProbe = 8)
+        .select(col("query_id"), col("id").as("vec_id"), col("rank"),
+          col("adc_dot"))
     }),
 
     // The COMPOSED serving path — IVF routing (coarse quantizer
@@ -7608,6 +7650,89 @@ object Queries {
         |  count(*) AS k
         |FROM fex LEFT JOIN pq ON pq.query_id = fex.query_id AND pq.vec_id = fex.id
         |GROUP BY fex.query_id""".stripMargin,
+
+    // the PQ pipeline plus the integer-L2 coarse quantizer: centroids
+    // = the 64 smallest-(hashRank salt 7, id) int8 code vectors; cells
+    // and probes by cc − 2·dot argmin (the constant query/doc term
+    // cannot change a winner or tie); ADC restricted to probed cells
+    "x_ann_ivf_pq" ->
+      """WITH codes AS (
+        |  SELECT vec_id,
+        |    CASE WHEN mx = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) * 127 / mx) AS BIGINT)) END AS q
+        |  FROM (SELECT vec_id, embedding,
+        |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |        FROM embeddings)),
+        |samp AS (
+        |  SELECT q, CAST(row_number() OVER (ORDER BY
+        |      ((vec_id % 2147483647) * 1103515245 % 2147483647) * 784588716 % 2147483647,
+        |      vec_id) AS INTEGER) - 1 AS code
+        |  FROM codes
+        |  QUALIFY row_number() OVER (ORDER BY
+        |      ((vec_id % 2147483647) * 1103515245 % 2147483647) * 784588716 % 2147483647,
+        |      vec_id) <= 256),
+        |cb AS (
+        |  SELECT CAST(s.j AS INTEGER) AS subspace, samp.code,
+        |    list_transform(generate_series(1, 8), i -> samp.q[CAST(s.j AS INTEGER) * 8 + i]) AS cw
+        |  FROM samp CROSS JOIN generate_series(0, 7) AS s(j)),
+        |enc AS (
+        |  SELECT vec_id, subspace, code FROM (
+        |    SELECT c.vec_id, cb.subspace, cb.code,
+        |      row_number() OVER (PARTITION BY c.vec_id, cb.subspace ORDER BY
+        |        list_sum(list_transform(generate_series(1, 8),
+        |          i -> (c.q[cb.subspace * 8 + i] - cb.cw[i])
+        |             * (c.q[cb.subspace * 8 + i] - cb.cw[i]))) ASC,
+        |        cb.code ASC) AS rn
+        |    FROM codes c CROSS JOIN cb) WHERE rn = 1),
+        |cent AS (
+        |  SELECT q AS ccode, CAST(row_number() OVER (ORDER BY
+        |      (((vec_id % 2147483647) + 7) * 1103515245 % 2147483647) * 784588716 % 2147483647,
+        |      vec_id) AS INTEGER) - 1 AS cell
+        |  FROM codes
+        |  QUALIFY row_number() OVER (ORDER BY
+        |      (((vec_id % 2147483647) + 7) * 1103515245 % 2147483647) * 784588716 % 2147483647,
+        |      vec_id) <= 64),
+        |ccc AS (
+        |  SELECT cell, ccode,
+        |    CAST(list_sum(list_transform(generate_series(1, len(ccode)),
+        |      i -> ccode[i] * ccode[i])) AS BIGINT) AS cc
+        |  FROM cent),
+        |vcell AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT c.vec_id, x.cell,
+        |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |        x.cc - 2 * CAST(list_sum(list_transform(generate_series(1, len(c.q)),
+        |          i -> c.q[i] * x.ccode[i])) AS BIGINT) ASC,
+        |        x.cell ASC) AS rn
+        |    FROM codes c CROSS JOIN ccc x) WHERE rn = 1),
+        |probed AS (
+        |  SELECT query_id, cell FROM (
+        |    SELECT qc.vec_id AS query_id, x.cell,
+        |      row_number() OVER (PARTITION BY qc.vec_id ORDER BY
+        |        x.cc - 2 * CAST(list_sum(list_transform(generate_series(1, len(qc.q)),
+        |          i -> qc.q[i] * x.ccode[i])) AS BIGINT) ASC,
+        |        x.cell ASC) AS rn
+        |    FROM codes qc CROSS JOIN ccc x WHERE qc.vec_id < 5) WHERE rn <= 8),
+        |lut AS (
+        |  SELECT qc.vec_id AS query_id, cb.subspace, cb.code,
+        |    CAST(list_sum(list_transform(generate_series(1, 8),
+        |      i -> qc.q[cb.subspace * 8 + i] * cb.cw[i])) AS BIGINT) AS d
+        |  FROM codes qc CROSS JOIN cb WHERE qc.vec_id < 5),
+        |scored AS (
+        |  SELECT l.query_id, e.vec_id, CAST(sum(l.d) AS BIGINT) AS adc_dot
+        |  FROM enc e
+        |  JOIN vcell vc ON vc.vec_id = e.vec_id
+        |  JOIN probed p ON p.cell = vc.cell
+        |  JOIN lut l ON l.query_id = p.query_id AND l.subspace = e.subspace AND l.code = e.code
+        |  GROUP BY l.query_id, e.vec_id)
+        |SELECT query_id, vec_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY adc_dot DESC, vec_id ASC) AS INTEGER) AS rank,
+        |  adc_dot
+        |FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY query_id
+        |  ORDER BY adc_dot DESC, vec_id ASC) <= 10""".stripMargin,
 
     // kernel-replay golden keyed by the corpus checksum (the
     // x_ann_recall pattern); rank/int_dot stored in the golden itself

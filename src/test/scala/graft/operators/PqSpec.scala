@@ -71,6 +71,35 @@ class PqSpec extends SparkTestBase {
     }
   }
 
+  test("ivfPqTopK with exhaustive probing equals the flat PQ scan exactly") {
+    // nProbe = nlist makes routing a no-op (every cell probed), so the
+    // candidate set is the whole corpus and the ADC ranking must be
+    // bit-identical to pqTopK — pinning the cell assignment join, the
+    // probe join, and the shared LUT/score path in one equality
+    val flat = Pq.pqTopK(emb, "vec_id", "embedding", queries, "qid", "qv",
+        m = 8, ncode = 64, k = 10)
+      .collect().map(r => (r.getLong(0), r.getAs[Int]("rank")) ->
+        (r.getLong(1), r.getAs[Long]("adc_dot"))).toMap
+    val ivf = Pq.ivfPqTopK(emb, "vec_id", "embedding", queries, "qid", "qv",
+        m = 8, ncode = 64, nlist = 16, nProbe = 16, k = 10)
+      .collect().map(r => (r.getLong(0), r.getAs[Int]("rank")) ->
+        (r.getLong(1), r.getAs[Long]("adc_dot"))).toMap
+    assert(ivf == flat)
+  }
+
+  test("ivfPqTopK pruned probing returns a subset of cells' candidates, ranks dense") {
+    val res = Pq.ivfPqTopK(emb, "vec_id", "embedding", queries, "qid", "qv",
+      m = 8, ncode = 16, nlist = 16, nProbe = 2, k = 10)
+    val byQ = res.collect().groupBy(_.getLong(0))
+    assert(byQ.keySet.size == 3)
+    byQ.values.foreach { g =>
+      val ranks = g.map(_.getAs[Int]("rank")).sorted.toSeq
+      assert(ranks == (1 to ranks.length)) // dense even when < k candidates
+      val scores = g.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("adc_dot"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("encode tie-break: identical vectors share codes; smaller code wins ties") {
     val dup = Seq(
       (1L, Seq.fill(8)(1.0f)), (2L, Seq.fill(8)(1.0f)),
