@@ -324,4 +324,233 @@ object Pq {
     adcTopK(buildIndex(corpus, idCol, vecCol, m, ncode, nlist),
       queries, qidCol, qvecCol, k, nProbe)
   }
+
+  // ---------------------------------------------------------------------
+  // Persisted IVF-PQ index — the build-once / probe-many serving split
+  // ---------------------------------------------------------------------
+
+  /** Index parameters persisted as `meta.txt` beside the data (the
+    * [[Ivf.writeInt8Index]] contract): key=value lines. A probe or
+    * append against mismatched parameters would score in a silently
+    * different space — both validate against this file and fail
+    * loudly instead.
+    */
+  private[operators] final case class PqIndexMeta(
+      m: Int, nc: Int, nlist: Int, dim: Int)
+
+  private[operators] object PqIndexMeta {
+    private def metaPath(path: String) =
+      new org.apache.hadoop.fs.Path(s"$path/meta.txt")
+
+    def write(spark: org.apache.spark.sql.SparkSession, path: String,
+        meta: PqIndexMeta): Unit = {
+      val p = metaPath(path)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val out = fs.create(p, true)
+      try out.write((s"format=ivf_pq\nm=${meta.m}\nnc=${meta.nc}\n" +
+        s"nlist=${meta.nlist}\ndim=${meta.dim}\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+
+    def read(spark: org.apache.spark.sql.SparkSession,
+        path: String): Option[PqIndexMeta] = {
+      val p = metaPath(path)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val text =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val kv = text.linesIterator.filter(_.contains("="))
+          .map { l => val Array(k, v) = l.split("=", 2); k -> v }.toMap
+        require(kv.get("format").contains("ivf_pq"),
+          s"$p is not an ivf_pq index meta (format=${kv.get("format")})")
+        Some(PqIndexMeta(kv("m").toInt, kv("nc").toInt,
+          kv("nlist").toInt, kv("dim").toInt))
+      }
+    }
+  }
+
+  /** Write (or grow) the PERSISTED IVF-PQ index — the serving shape of
+    * a 100 TB deployment, where the corpus is encoded once per refresh
+    * and probed by many query batches that must never pay the encode
+    * again. Layout under `path`:
+    *
+    *  - `cells/`: (id, codes) partitioned by `cell` — the PQ codes,
+    *    stored as `array<tinyint>` SHIFTED BY −128 (codes span
+    *    0..nc−1 ≤ 255; tinyint is signed, so the shift is the honest
+    *    1-byte-per-subspace representation — m bytes per vector, a
+    *    32× compression of dim-64 float32 at the defaults; readers
+    *    widen back losslessly). One directory per cell → a probe's
+    *    `cell IN (...)` predicate prunes the scan to nProbe/nlist of
+    *    the files.
+    *  - `codebook/`: (subspace, code, cw array<tinyint>) — int8
+    *    codeword values are in [-127, 127], no shift needed.
+    *  - `centroids/`: (cell, ccode array<tinyint>) — the coarse
+    *    quantizer's full int8 code vectors.
+    *  - `meta.txt`: m, nc, nlist, dim ([[PqIndexMeta]]).
+    *
+    * `mode="append"` is the corpus-growth workflow: the increment is
+    * encoded under the EXISTING codebook and routed by the EXISTING
+    * centroids (read back from disk — fresh quantizers would place old
+    * and new vectors in incomparable spaces) and its code rows append
+    * to `cells/`; codebook, centroids and meta are untouched. Callers
+    * own id disjointness across increments (the
+    * [[Dedup.writeMinHashIndex]] contract), and every increment row's
+    * dim is validated against the index.
+    */
+  /** Persist an already-built [[PqIndex]] (fresh builds only — append
+    * needs the raw increment, use the corpus form). Callers holding a
+    * session-shared index avoid re-paying the encode.
+    */
+  def writeIndex(index: PqIndex, path: String, mode: String): Unit = {
+    require(mode != "append",
+      "append needs the raw increment corpus — use the corpus form")
+    val spark = index.encoded.sparkSession
+    // dim = the coarse quantizer's full-code length (≤ nlist local rows)
+    val dim = index.centroids
+      .select(size(col("ccode")).as("d")).limit(1).collect()(0).getInt(0)
+    index.codebook
+      .select(col("subspace"), col("code"),
+        col("cw").cast("array<tinyint>").as("cw"))
+      .coalesce(1).write.mode(mode).parquet(s"$path/codebook")
+    index.centroids
+      .select(col("cell"), col("ccode").cast("array<tinyint>").as("ccode"))
+      .coalesce(1).write.mode(mode).parquet(s"$path/centroids")
+    PqIndexMeta.write(spark, path, PqIndexMeta(index.m, index.nc, index.nlist, dim))
+    index.encoded
+      .select(col("id"),
+        transform(col("codes"), c => (c - lit(128)).cast("tinyint")).as("codes"),
+        col("cell"))
+      // co-locate cells before the partitioned write (the
+      // writeInt8Index discipline): without this every task splits
+      // into every cell — tasks × nlist small files at corpus scale
+      .repartition(col("cell"))
+      .write.mode(mode)
+      // a fresh build must REPLACE cells/ wholesale (see writeInt8Index)
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  def writeIndex(
+      corpus: DataFrame, idCol: String, vecCol: String, path: String,
+      m: Int = 8, ncode: Int = 256, nlist: Int = 64, mode: String = "error"
+  ): Unit = {
+    if (mode != "append") {
+      writeIndex(buildIndex(corpus, idCol, vecCol, m, ncode, nlist), path, mode)
+      return
+    }
+    val spark = corpus.sparkSession
+    val meta = PqIndexMeta.read(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no meta.txt under $path — not a written ivf_pq index"))
+    require(meta.m == m && meta.nlist == nlist,
+      s"index at $path was built with m=${meta.m}/nlist=${meta.nlist}; " +
+        s"cannot append with m=$m/nlist=$nlist")
+    // every increment row's dim must match (the writeInt8Index
+    // guard): short vectors would silently truncate-encode
+    val dims = corpus
+      .select(size(col(vecCol)).as("d")).filter(col("d") > 0)
+      .agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      .collect()(0)
+    if (!dims.isNullAt(0)) {
+      require(dims.getInt(0) == meta.dim && dims.getInt(1) == meta.dim,
+        s"increment embedding dims [${dims.getInt(0)}, ${dims.getInt(1)}] " +
+          s"!= index dim ${meta.dim} at $path")
+    }
+    val index = readIndex(spark, path)
+    // encode + route the increment under the FROZEN quantizers; codes
+    // come from THIS frame's projection, never a re-read of the index
+    // (the writeMinHashIndex quadratic-append hazard)
+    pqEncode(corpus, idCol, vecCol, index.codebook, m)
+      .join(corpus
+        .select(col(idCol).as("id"),
+          Similarity.int8Quantize(col(vecCol)).getField("q").as("__q"))
+        .crossJoin(broadcast(index.centroids))
+        .groupBy(col("id"))
+        .agg(min(struct(
+          (col("__cc") - lit(2L) * intDot(col("__q"), col("ccode"))).as("d"),
+          col("cell").as("c"))).as("best"))
+        .select(col("id"), col("best.c").as("cell")), Seq("id"))
+      .select(col("id"),
+        transform(col("codes"), c => (c - lit(128)).cast("tinyint")).as("codes"),
+        col("cell"))
+      .repartition(col("cell"))
+      .write.mode("append")
+      .partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  /** Reconstruct a [[PqIndex]] from a [[writeIndex]] directory: the
+    * codebook and centroids collect to plan-constant local frames
+    * (≤ m·nc and ≤ nlist rows — never touches `cells/` for this);
+    * `encoded` is a LAZY scan of `cells/` with codes widened back
+    * (+128) — data-proportional state stays on disk until a probe
+    * filters it.
+    */
+  def readIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String
+  ): PqIndex = {
+    val meta = PqIndexMeta.read(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no meta.txt under $path — not a written ivf_pq index"))
+    def localize(df: DataFrame): DataFrame = {
+      val rows = df.collect()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), df.schema)
+    }
+    val codebook = localize(spark.read.parquet(s"$path/codebook")
+      .select(col("subspace").cast(IntegerType), col("code").cast(IntegerType),
+        col("cw").cast("array<bigint>").as("cw")))
+    val centroids = localize(spark.read.parquet(s"$path/centroids")
+      .select(col("cell").cast(IntegerType),
+        col("ccode").cast("array<bigint>").as("ccode"))
+      .withColumn("__cc", intDot(col("ccode"), col("ccode"))))
+    val encoded = spark.read.parquet(s"$path/cells")
+      .select(col("id"),
+        transform(col("codes"), c => (c.cast(IntegerType) + lit(128))).as("codes"),
+        col("cell").cast(IntegerType).as("cell"))
+    PqIndex(meta.m, meta.nc, meta.nlist, codebook, centroids, encoded)
+  }
+
+  /** ADC top-k over a [[writeIndex]] index: route each query with the
+    * PERSISTED centroids, scan ONLY the probed cells' code files, rank
+    * by the exact integer ADC dot — bit-identical in scores and
+    * ranking to an in-session [[ivfPqTopK]] over the same corpus and
+    * parameters (same quantizers; integer scoring has no
+    * accumulation-order freedom). Partition pruning follows the
+    * [[Ivf.ivfTopKFromIndex]] protocol: distinct probe cells
+    * (≤ nlist values) collect to the driver for the `cell IN (...)`
+    * predicate, and a nondeterministic query frame falls back to an
+    * unpruned (correct, full-index) scan — see that scaladoc for the
+    * two-evaluation correctness argument.
+    */
+  def probeIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, nProbe: Int = 8
+  ): DataFrame = {
+    val index = readIndex(spark, path)
+    require(nProbe >= 1 && nProbe <= index.nlist,
+      s"nProbe $nProbe out of range for nlist=${index.nlist}")
+    val deterministic = queries.queryExecution.analyzed
+      .find(_.expressions.exists(!_.deterministic)).isEmpty
+    val pruned =
+      if (deterministic) {
+        val cells = queries
+          .select(col(qidCol).as("query_id"),
+            Similarity.int8Quantize(col(qvecCol)).getField("q").as("__q"))
+          .crossJoin(broadcast(index.centroids))
+          .withColumn("__d",
+            col("__cc") - lit(2L) * intDot(col("__q"), col("ccode")))
+          .withColumn("__rn",
+            row_number().over(Window.partitionBy(col("query_id"))
+              .orderBy(col("__d").asc, col("cell").asc)))
+          .filter(col("__rn") <= nProbe)
+          .select(col("cell")).distinct()
+          .collect().map(_.getInt(0)).toSeq // ≤ nlist values
+        index.encoded.filter(col("cell").isin(cells: _*))
+      } else index.encoded
+    adcTopK(index.copy(encoded = pruned), queries, qidCol, qvecCol, k, nProbe)
+  }
 }

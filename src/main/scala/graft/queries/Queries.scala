@@ -3268,6 +3268,41 @@ object Queries {
           col("adc_dot"))
     }),
 
+    // The PERSISTED serving split of the same composition — write the
+    // IVF-PQ index to disk (tinyint codebook/centroids/codes, codes
+    // shifted −128 for the honest 1-byte-per-subspace layout,
+    // partitioned by cell, meta-validated), then answer the query
+    // batch by reading ONLY the probed cells' code files (partition-
+    // pruned `cell IN (...)`, PqSpec-asserted) and ranking by the
+    // exact integer ADC dot. Scores and ranking are BIT-IDENTICAL to
+    // the in-session x_ann_ivf_pq (same quantizers; integer scoring
+    // has no accumulation-order freedom), so the entry shares its
+    // golden-free oracle. io-classified: pays the write + read-back
+    // round trip each run; the encode itself rides the session-shared
+    // pq_index artifact (persisting an already-built index is the
+    // production shape — re-encoding per write would double-pay PQ's
+    // one real cost). Work dir is per-JVM-unique (pid + run counter —
+    // the ingest-entry discipline).
+    "x_pq_index_probe" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val work = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_pq_idx_run_${ProcessHandle.current().pid()}_" +
+          s"${streamRun.incrementAndGet()}")
+      Option(lastIngestWork.put("x_pq_index_probe", work)).foreach { prev =>
+        try deleteRecursively(prev)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+      val idxPath = work.resolve("idx").toString
+      graft.operators.Pq.writeIndex(pqIndex(s, d), idxPath, mode = "overwrite")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      graft.operators.Pq.probeIndex(s, idxPath,
+          queries, "qid", "qv", k = 10, nProbe = 8)
+        .select(col("query_id"), col("id").as("vec_id"), col("rank"),
+          col("adc_dot"))
+    }),
+
     // The COMPOSED serving path — IVF routing (coarse quantizer
     // narrows each query to 8 of 64 cells) + int8 integer-dot scoring
     // over the candidates: what an ANN deployment actually runs at
@@ -5239,6 +5274,87 @@ object Queries {
     * the same parquet tables (driver registers each table name as a view
     * over `$sfDir/<name>.parquet`).
     */
+  // the x_ann_ivf_pq / x_pq_index_probe shared oracle (the two
+  // entries are bit-identical by construction -- see the entries)
+  private val ivfPqOracleSql: String =
+    """WITH codes AS (
+        |  SELECT vec_id,
+        |    CASE WHEN mx = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) * 127 / mx) AS BIGINT)) END AS q
+        |  FROM (SELECT vec_id, embedding,
+        |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |        FROM embeddings)),
+        |samp AS (
+        |  SELECT q, CAST(row_number() OVER (ORDER BY
+        |      ((vec_id % 2147483647) * 1103515245 % 2147483647) * 784588716 % 2147483647,
+        |      vec_id) AS INTEGER) - 1 AS code
+        |  FROM codes
+        |  QUALIFY row_number() OVER (ORDER BY
+        |      ((vec_id % 2147483647) * 1103515245 % 2147483647) * 784588716 % 2147483647,
+        |      vec_id) <= 256),
+        |cb AS (
+        |  SELECT CAST(s.j AS INTEGER) AS subspace, samp.code,
+        |    list_transform(generate_series(1, 8), i -> samp.q[CAST(s.j AS INTEGER) * 8 + i]) AS cw
+        |  FROM samp CROSS JOIN generate_series(0, 7) AS s(j)),
+        |enc AS (
+        |  SELECT vec_id, subspace, code FROM (
+        |    SELECT c.vec_id, cb.subspace, cb.code,
+        |      row_number() OVER (PARTITION BY c.vec_id, cb.subspace ORDER BY
+        |        list_sum(list_transform(generate_series(1, 8),
+        |          i -> (c.q[cb.subspace * 8 + i] - cb.cw[i])
+        |             * (c.q[cb.subspace * 8 + i] - cb.cw[i]))) ASC,
+        |        cb.code ASC) AS rn
+        |    FROM codes c CROSS JOIN cb) WHERE rn = 1),
+        |cent AS (
+        |  SELECT q AS ccode, CAST(row_number() OVER (ORDER BY
+        |      (((vec_id % 2147483647) + 7) * 1103515245 % 2147483647) * 784588716 % 2147483647,
+        |      vec_id) AS INTEGER) - 1 AS cell
+        |  FROM codes
+        |  QUALIFY row_number() OVER (ORDER BY
+        |      (((vec_id % 2147483647) + 7) * 1103515245 % 2147483647) * 784588716 % 2147483647,
+        |      vec_id) <= 64),
+        |ccc AS (
+        |  SELECT cell, ccode,
+        |    CAST(list_sum(list_transform(generate_series(1, len(ccode)),
+        |      i -> ccode[i] * ccode[i])) AS BIGINT) AS cc
+        |  FROM cent),
+        |vcell AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT c.vec_id, x.cell,
+        |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |        x.cc - 2 * CAST(list_sum(list_transform(generate_series(1, len(c.q)),
+        |          i -> c.q[i] * x.ccode[i])) AS BIGINT) ASC,
+        |        x.cell ASC) AS rn
+        |    FROM codes c CROSS JOIN ccc x) WHERE rn = 1),
+        |probed AS (
+        |  SELECT query_id, cell FROM (
+        |    SELECT qc.vec_id AS query_id, x.cell,
+        |      row_number() OVER (PARTITION BY qc.vec_id ORDER BY
+        |        x.cc - 2 * CAST(list_sum(list_transform(generate_series(1, len(qc.q)),
+        |          i -> qc.q[i] * x.ccode[i])) AS BIGINT) ASC,
+        |        x.cell ASC) AS rn
+        |    FROM codes qc CROSS JOIN ccc x WHERE qc.vec_id < 5) WHERE rn <= 8),
+        |lut AS (
+        |  SELECT qc.vec_id AS query_id, cb.subspace, cb.code,
+        |    CAST(list_sum(list_transform(generate_series(1, 8),
+        |      i -> qc.q[cb.subspace * 8 + i] * cb.cw[i])) AS BIGINT) AS d
+        |  FROM codes qc CROSS JOIN cb WHERE qc.vec_id < 5),
+        |scored AS (
+        |  SELECT l.query_id, e.vec_id, CAST(sum(l.d) AS BIGINT) AS adc_dot
+        |  FROM enc e
+        |  JOIN vcell vc ON vc.vec_id = e.vec_id
+        |  JOIN probed p ON p.cell = vc.cell
+        |  JOIN lut l ON l.query_id = p.query_id AND l.subspace = e.subspace AND l.code = e.code
+        |  GROUP BY l.query_id, e.vec_id)
+        |SELECT query_id, vec_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY adc_dot DESC, vec_id ASC) AS INTEGER) AS rank,
+        |  adc_dot
+        |FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY query_id
+        |  ORDER BY adc_dot DESC, vec_id ASC) <= 10""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -7655,84 +7771,13 @@ object Queries {
     // = the 64 smallest-(hashRank salt 7, id) int8 code vectors; cells
     // and probes by cc − 2·dot argmin (the constant query/doc term
     // cannot change a winner or tie); ADC restricted to probed cells
-    "x_ann_ivf_pq" ->
-      """WITH codes AS (
-        |  SELECT vec_id,
-        |    CASE WHEN mx = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
-        |         ELSE list_transform(embedding,
-        |           x -> CAST(floor(CAST(x AS DOUBLE) * 127 / mx) AS BIGINT)) END AS q
-        |  FROM (SELECT vec_id, embedding,
-        |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
-        |        FROM embeddings)),
-        |samp AS (
-        |  SELECT q, CAST(row_number() OVER (ORDER BY
-        |      ((vec_id % 2147483647) * 1103515245 % 2147483647) * 784588716 % 2147483647,
-        |      vec_id) AS INTEGER) - 1 AS code
-        |  FROM codes
-        |  QUALIFY row_number() OVER (ORDER BY
-        |      ((vec_id % 2147483647) * 1103515245 % 2147483647) * 784588716 % 2147483647,
-        |      vec_id) <= 256),
-        |cb AS (
-        |  SELECT CAST(s.j AS INTEGER) AS subspace, samp.code,
-        |    list_transform(generate_series(1, 8), i -> samp.q[CAST(s.j AS INTEGER) * 8 + i]) AS cw
-        |  FROM samp CROSS JOIN generate_series(0, 7) AS s(j)),
-        |enc AS (
-        |  SELECT vec_id, subspace, code FROM (
-        |    SELECT c.vec_id, cb.subspace, cb.code,
-        |      row_number() OVER (PARTITION BY c.vec_id, cb.subspace ORDER BY
-        |        list_sum(list_transform(generate_series(1, 8),
-        |          i -> (c.q[cb.subspace * 8 + i] - cb.cw[i])
-        |             * (c.q[cb.subspace * 8 + i] - cb.cw[i]))) ASC,
-        |        cb.code ASC) AS rn
-        |    FROM codes c CROSS JOIN cb) WHERE rn = 1),
-        |cent AS (
-        |  SELECT q AS ccode, CAST(row_number() OVER (ORDER BY
-        |      (((vec_id % 2147483647) + 7) * 1103515245 % 2147483647) * 784588716 % 2147483647,
-        |      vec_id) AS INTEGER) - 1 AS cell
-        |  FROM codes
-        |  QUALIFY row_number() OVER (ORDER BY
-        |      (((vec_id % 2147483647) + 7) * 1103515245 % 2147483647) * 784588716 % 2147483647,
-        |      vec_id) <= 64),
-        |ccc AS (
-        |  SELECT cell, ccode,
-        |    CAST(list_sum(list_transform(generate_series(1, len(ccode)),
-        |      i -> ccode[i] * ccode[i])) AS BIGINT) AS cc
-        |  FROM cent),
-        |vcell AS (
-        |  SELECT vec_id, cell FROM (
-        |    SELECT c.vec_id, x.cell,
-        |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
-        |        x.cc - 2 * CAST(list_sum(list_transform(generate_series(1, len(c.q)),
-        |          i -> c.q[i] * x.ccode[i])) AS BIGINT) ASC,
-        |        x.cell ASC) AS rn
-        |    FROM codes c CROSS JOIN ccc x) WHERE rn = 1),
-        |probed AS (
-        |  SELECT query_id, cell FROM (
-        |    SELECT qc.vec_id AS query_id, x.cell,
-        |      row_number() OVER (PARTITION BY qc.vec_id ORDER BY
-        |        x.cc - 2 * CAST(list_sum(list_transform(generate_series(1, len(qc.q)),
-        |          i -> qc.q[i] * x.ccode[i])) AS BIGINT) ASC,
-        |        x.cell ASC) AS rn
-        |    FROM codes qc CROSS JOIN ccc x WHERE qc.vec_id < 5) WHERE rn <= 8),
-        |lut AS (
-        |  SELECT qc.vec_id AS query_id, cb.subspace, cb.code,
-        |    CAST(list_sum(list_transform(generate_series(1, 8),
-        |      i -> qc.q[cb.subspace * 8 + i] * cb.cw[i])) AS BIGINT) AS d
-        |  FROM codes qc CROSS JOIN cb WHERE qc.vec_id < 5),
-        |scored AS (
-        |  SELECT l.query_id, e.vec_id, CAST(sum(l.d) AS BIGINT) AS adc_dot
-        |  FROM enc e
-        |  JOIN vcell vc ON vc.vec_id = e.vec_id
-        |  JOIN probed p ON p.cell = vc.cell
-        |  JOIN lut l ON l.query_id = p.query_id AND l.subspace = e.subspace AND l.code = e.code
-        |  GROUP BY l.query_id, e.vec_id)
-        |SELECT query_id, vec_id,
-        |  CAST(row_number() OVER (PARTITION BY query_id
-        |    ORDER BY adc_dot DESC, vec_id ASC) AS INTEGER) AS rank,
-        |  adc_dot
-        |FROM scored
-        |QUALIFY row_number() OVER (PARTITION BY query_id
-        |  ORDER BY adc_dot DESC, vec_id ASC) <= 10""".stripMargin,
+    "x_ann_ivf_pq" -> ivfPqOracleSql,
+
+    // the persisted-index probe is bit-identical to the in-session
+    // composition by construction (same quantizers, integer scores,
+    // lossless tinyint round trip — see the entry) — same oracle
+    "x_pq_index_probe" -> ivfPqOracleSql,
+
 
     // kernel-replay golden keyed by the corpus checksum (the
     // x_ann_recall pattern); rank/int_dot stored in the golden itself

@@ -100,6 +100,89 @@ class PqSpec extends SparkTestBase {
     }
   }
 
+  test("persisted PQ index: probe is bit-identical to in-session, scan pruned to probed cells") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_pq_idx_").toString
+    Pq.writeIndex(emb, "vec_id", "embedding", dir,
+      m = 8, ncode = 32, nlist = 16, mode = "overwrite")
+    // tinyint payloads on disk — the honest 1-byte-per-subspace codes
+    assert(spark.read.parquet(s"$dir/cells").schema("codes")
+      .dataType.simpleString == "array<tinyint>")
+    assert(spark.read.parquet(s"$dir/codebook").schema("cw")
+      .dataType.simpleString == "array<tinyint>")
+
+    val nProbe = 4
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        ((r.getAs[Long]("id"), r.getAs[Long]("adc_dot")))).toMap
+    val fromDisk = keyed(Pq.probeIndex(spark, dir, queries, "qid", "qv",
+      k = 10, nProbe = nProbe))
+    val inSession = keyed(Pq.ivfPqTopK(emb, "vec_id", "embedding",
+      queries, "qid", "qv", m = 8, ncode = 32, nlist = 16,
+      nProbe = nProbe, k = 10))
+    assert(fromDisk == inSession,
+      "disk probe diverged from the in-session composition")
+
+    // the probe read ONLY the probed cells' code files (repartition by
+    // cell at write time => exactly one file per cell dir)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scansOf(p: SparkPlan): Seq[FileSourceScanExec] = {
+      val direct = p.collect { case f: FileSourceScanExec => f }
+      val nested = p.collect {
+        case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+        case q: QueryStageExec => scansOf(q.plan)
+      }.flatten
+      direct ++ nested
+    }
+    val oneQuery = Pq.probeIndex(spark, dir, queries.limit(1), "qid", "qv",
+      k = 10, nProbe = nProbe)
+    oneQuery.collect()
+    val scans = scansOf(oneQuery.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("ivf_pq_idx_")))
+    assert(scans.nonEmpty, oneQuery.queryExecution.executedPlan.toString)
+    assert(scans.map(_.metrics("numFiles").value).sum <= nProbe)
+  }
+
+  test("persisted PQ index: seed-then-append equals the fresh full build") {
+    import org.apache.spark.sql.functions.{col => c}
+    // equality needs the seed to own BOTH hash-sample minima sets (the
+    // x_ann_index_grow convention): codebook = 32 smallest (salt 0),
+    // centroids = 16 smallest (salt 7). Everything else can arrive in
+    // the increment — it encodes/routes under the frozen quantizers.
+    val ranked = emb.select(c("vec_id"),
+      Sampling.hashRank(c("vec_id")).as("h0"),
+      Sampling.hashRank(c("vec_id"), salt = 7L).as("h7"))
+    val cbIds = ranked.orderBy(c("h0"), c("vec_id")).limit(32)
+      .collect().map(_.getLong(0)).toSet
+    val ctIds = ranked.orderBy(c("h7"), c("vec_id")).limit(16)
+      .collect().map(_.getLong(0)).toSet
+    val seedIds = cbIds ++ ctIds
+    val seed = emb.filter(c("vec_id").isin(seedIds.toSeq: _*) ||
+      c("vec_id") % 2 === 0)
+    val rest = emb.exceptAll(seed)
+
+    val grown = java.nio.file.Files.createTempDirectory("ivf_pq_grow_").toString
+    Pq.writeIndex(seed, "vec_id", "embedding", grown,
+      m = 8, ncode = 32, nlist = 16, mode = "overwrite")
+    Pq.writeIndex(rest, "vec_id", "embedding", grown,
+      m = 8, ncode = 32, nlist = 16, mode = "append")
+    val fresh = java.nio.file.Files.createTempDirectory("ivf_pq_full_").toString
+    Pq.writeIndex(emb, "vec_id", "embedding", fresh,
+      m = 8, ncode = 32, nlist = 16, mode = "overwrite")
+
+    def keyed(dir: String) = Pq.probeIndex(spark, dir, queries, "qid", "qv",
+        k = 10, nProbe = 16).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        ((r.getAs[Long]("id"), r.getAs[Long]("adc_dot")))).toMap
+    assert(keyed(grown) == keyed(fresh))
+
+    // appends under mismatched parameters must fail loudly, not mix spaces
+    intercept[IllegalArgumentException] {
+      Pq.writeIndex(rest, "vec_id", "embedding", grown,
+        m = 4, ncode = 32, nlist = 16, mode = "append")
+    }
+  }
+
   test("encode tie-break: identical vectors share codes; smaller code wins ties") {
     val dup = Seq(
       (1L, Seq.fill(8)(1.0f)), (2L, Seq.fill(8)(1.0f)),
