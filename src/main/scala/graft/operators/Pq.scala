@@ -524,6 +524,12 @@ object Pq {
     * predicate, and a nondeterministic query frame falls back to an
     * unpruned (correct, full-index) scan — see that scaladoc for the
     * two-evaluation correctness argument.
+    *
+    * The returned frame reads `cells/` LAZILY: a caller that appends
+    * to the index between building this frame and evaluating it would
+    * score against the mutated cells (the [[Ivf.ingestAnnBatch]]
+    * hazard class) — eagerly materialize (localCheckpoint/collect)
+    * before any append, as the ingest folds do.
     */
   def probeIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
