@@ -367,6 +367,28 @@ object Kernels {
     acc
   }
 
+  /** PQ asymmetric-distance score: Σⱼ lut[j·nc + codes[j]] — the m
+    * lookups-and-add of the ADC serving scan ([[graft.operators.Pq]]),
+    * exact 64-bit arithmetic. `lut` is a flat (subspace-major,
+    * code-minor) per-query table of int8 sub-dots; out-of-range or
+    * null lookups contribute 0 (a malformed code can understate a
+    * score, never crash the scan).
+    */
+  def adcLong(codes: ArrayData, lut: ArrayData, nc: Int): Long = {
+    val m = codes.numElements()
+    val ln = lut.numElements()
+    var acc = 0L
+    var j = 0
+    while (j < m) {
+      if (!codes.isNullAt(j)) {
+        val idx = j * nc + codes.getInt(j)
+        if (idx >= 0 && idx < ln && !lut.isNullAt(idx)) acc += lut.getLong(idx)
+      }
+      j += 1
+    }
+    acc
+  }
+
   /** Cosine similarity in one pass; 0.0 when either norm is zero. */
   def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
     val n = math.min(a.numElements(), b.numElements())
@@ -965,6 +987,29 @@ case class DotLongExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+case class AdcLongExpr(left: Expression, right: Expression, nc: Int)
+    extends BinaryExpression with ArrayElemTypes {
+  require(nc >= 1, s"nc must be >= 1, got $nc")
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType match {
+      case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"codes must be array<int>, got ${other.catalogString}")
+    }) match {
+      case TypeCheckResult.TypeCheckSuccess => checkLongArray(right, "lut")
+      case f => f
+    }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.adcLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], nc)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.Kernels.adcLong($a, $b, $nc)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 case class DotProductExpr(left: Expression, right: Expression)
     extends BinaryExpression with ArrayElemTypes {
   override def dataType: DataType = DoubleType
@@ -1093,6 +1138,9 @@ object VectorFunctions {
     c(DupNgramFractionExpr(e(tokens), n))
   def dot(a: Column, b: Column): Column = c(DotProductExpr(e(a), e(b)))
   def dotLong(a: Column, b: Column): Column = c(DotLongExpr(e(a), e(b)))
+
+  def adcLong(codes: Column, lut: Column, nc: Int): Column =
+    c(AdcLongExpr(e(codes), e(lut), nc))
   def cosine(a: Column, b: Column): Column = c(CosineSimilarityExpr(e(a), e(b)))
   def signBucket(vec: Column, planes: Int, seed: Long): Column =
     c(SignBucketExpr(e(vec), planes, seed))

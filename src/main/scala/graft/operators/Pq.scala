@@ -148,6 +148,13 @@ object Pq {
     val built = pqCodebook(corpus, idCol, vecCol, m, ncode)
     val spark = corpus.sparkSession
     val cbRows = built.collect()
+    // the Ivf.buildIndex discipline: validate the SAMPLE uniform-dim
+    // at collect time (free); a mixed-dim corpus is a caller error —
+    // mismatched rows would silently zip-truncate in the encode
+    val lens = cbRows.map(_.getSeq[Long](2).length).distinct
+    require(lens.length <= 1,
+      s"non-uniform embedding dims in the hash sample (codeword lengths " +
+        s"${lens.sorted.mkString(",")}) — filter the corpus to one dim first")
     (spark.createDataFrame(
       spark.sparkContext.parallelize(cbRows.toIndexedSeq, 1), built.schema),
       cbRows.length / m)
@@ -178,12 +185,14 @@ object Pq {
         s => s.getField("d")).as("lut"))
   }
 
-  /** The in-row ADC fold: m LUT lookups summed in exact BIGINT. */
+  /** The in-row ADC fold: m LUT lookups summed in exact BIGINT — the
+    * codegen'd [[graft.functions.VectorFunctions.adcLong]] kernel
+    * (the serving scan's per-row cost; an interpreted
+    * zip_with/aggregate HOF here was the one non-codegen step left in
+    * the PQ hot path).
+    */
   private def adcScore(codes: Column, lut: Column, m: Int, nc: Int): Column =
-    aggregate(
-      zip_with(codes, sequence(lit(0), lit(m - 1)),
-        (c, j) => element_at(lut, (j * nc + c + 1).cast(IntegerType))),
-      lit(0L), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.adcLong(codes, lut, nc)
 
   private def rankAdc(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))

@@ -183,6 +183,15 @@ class PqSpec extends SparkTestBase {
     }
   }
 
+  test("adcLong kernel: flat LUT lookup sum; out-of-range codes contribute 0") {
+    val df = Seq((Seq(0, 1, 5), Seq(10L, 20L, 30L, 40L))).toDF("codes", "lut")
+    // nc = 2: j=0,c=0 -> lut[0]=10; j=1,c=1 -> lut[3]=40; j=2,c=5 -> idx 9
+    // out of range -> 0 (understates, never crashes)
+    val v = df.select(graft.functions.VectorFunctions
+      .adcLong(col("codes"), col("lut"), 2).as("s")).collect()(0).getLong(0)
+    assert(v == 50L)
+  }
+
   test("encode tie-break: identical vectors share codes; smaller code wins ties") {
     val dup = Seq(
       (1L, Seq.fill(8)(1.0f)), (2L, Seq.fill(8)(1.0f)),
