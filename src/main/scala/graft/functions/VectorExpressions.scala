@@ -389,6 +389,48 @@ object Kernels {
     acc
   }
 
+  /** Sign-bit packing for BINARY quantization — the 32× compression
+    * rung below PQ (1 bit/dim: a dim-64 float32 embedding becomes 8
+    * bytes): bit `j` of word `w` is set iff element `w*32 + j` is
+    * STRICTLY positive. Words hold 32 bits each (stored as longs) so
+    * every word value stays < 2^32: a checked-arithmetic SQL engine
+    * can re-derive the packing with a plain `acc*2 + bit` fold and
+    * never overflow — the property that keeps the binary family
+    * DuckDB-oracle-exact with no replay goldens (a 64-bit word's top
+    * bit would wrap signed i64 in Java but ERROR in DuckDB). Null
+    * elements contribute a 0 bit (SQL's `NULL > 0` is false-ish under
+    * CASE); trailing bits past the vector length are 0.
+    */
+  def signWords(vec: ArrayData, isFloat: Boolean): ArrayData = {
+    val n = vec.numElements()
+    val out = new Array[Long]((n + 31) / 32)
+    var i = 0
+    while (i < n) {
+      if (!vec.isNullAt(i) && elem(vec, i, isFloat) > 0.0)
+        out(i >> 5) |= 1L << (i & 31)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Hamming distance between two sign-word arrays ([[signWords]]) —
+    * the binary-quantized serving scan's scoring kernel: Σᵢ
+    * bitCount(aᵢ XOR bᵢ), exact integer arithmetic, one popcount
+    * instruction per word. Extra words ignored like zip_with; a null
+    * word contributes 0 (the [[dotLong]] convention).
+    */
+  def hammingLong(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i))
+        acc += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i))
+      i += 1
+    }
+    acc
+  }
+
   /** Cosine similarity in one pass; 0.0 when either norm is zero. */
   def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
     val n = math.min(a.numElements(), b.numElements())
@@ -1010,6 +1052,37 @@ case class AdcLongExpr(left: Expression, right: Expression, nc: Int)
     copy(left = newLeft, right = newRight)
 }
 
+case class SignWordsExpr(child: Expression)
+    extends UnaryExpression with ArrayElemTypes {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkNumericArray(child, "vector")
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.signWords(input.asInstanceOf[ArrayData], isFloatArray(child))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Kernels.signWords($c, ${isFloatArray(child)})")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class HammingLongExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ArrayElemTypes {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkLongArray(left, "left") match {
+      case TypeCheckResult.TypeCheckSuccess => checkLongArray(right, "right")
+      case f => f
+    }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.hammingLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.hammingLong($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 case class DotProductExpr(left: Expression, right: Expression)
     extends BinaryExpression with ArrayElemTypes {
   override def dataType: DataType = DoubleType
@@ -1141,6 +1214,9 @@ object VectorFunctions {
 
   def adcLong(codes: Column, lut: Column, nc: Int): Column =
     c(AdcLongExpr(e(codes), e(lut), nc))
+  def signWords(vec: Column): Column = c(SignWordsExpr(e(vec)))
+  def hammingLong(a: Column, b: Column): Column =
+    c(HammingLongExpr(e(a), e(b)))
   def cosine(a: Column, b: Column): Column = c(CosineSimilarityExpr(e(a), e(b)))
   def signBucket(vec: Column, planes: Int, seed: Long): Column =
     c(SignBucketExpr(e(vec), planes, seed))

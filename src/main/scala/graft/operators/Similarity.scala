@@ -132,6 +132,55 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** BINARY quantization — the bottom rung of the embedding
+    * compression ladder (float32 → int8 4× → PQ 32× → sign bits: 1
+    * bit/dim, 32× on dim-64 with byte-for-byte parity to m=8 PQ codes
+    * but a popcount-only scoring kernel). Bit `j` of word `w` is set
+    * iff element `w*32 + j` is STRICTLY positive — the axis-aligned
+    * SimHash: ranking by Hamming distance approximates ranking by
+    * angle, and the codes are scale-invariant by construction. Words
+    * are 32-bit (in longs) so the packing fold never exceeds 2^32 —
+    * re-derivable in checked-arithmetic SQL engines with no replay
+    * goldens ([[graft.functions.Kernels.signWords]]).
+    */
+  def binaryQuantize(vec: Column): Column =
+    graft.functions.VectorFunctions.signWords(vec)
+
+  /** Top-k by Hamming distance over BINARY-quantized codes for many
+    * queries — the serving scan of a 1-bit/dim embedding store
+    * ([[binaryQuantize]] is the compression step). Distances are exact
+    * integers (Σ popcount(xor)), so the ranking (hamming ASC, id ASC)
+    * is bit-deterministic across engines: like [[int8TopK]] it needs
+    * NO replay goldens. Heavy score ties are inherent (distance range
+    * is 0..dim) — the id tie-break carries more weight than in the
+    * integer-dot families, which is part of what [[recallAtK]] against
+    * the exact cosine pass measures (`x_bq_recall`): quantization loss
+    * PLUS tie-resolution arbitrariness, the honest cost of 1-bit
+    * serving.
+    *
+    * Plan shape: one corpus scan projecting sign words through the
+    * fused kernel, queries broadcast, the popcount kernel per pair,
+    * per-query partial WindowGroupLimit — the [[batchTopK]] idiom with
+    * an 8-byte corpus payload.
+    */
+  def binaryTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int
+  ): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val scored = corpus
+      .select(col(idCol).as("id"), binaryQuantize(col(vecCol)).as("cw"))
+      .crossJoin(broadcast(queries.select(col(qidCol).as("query_id"),
+        binaryQuantize(col(qvecCol)).as("qw"))))
+      .select(col("query_id"), col("id"),
+        graft.functions.VectorFunctions.hammingLong(col("cw"), col("qw"))
+          .as("hamming"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Exact top-k by cosine against one literal query vector.
     * Plan: scan → project(cosine) → TakeOrderedAndProject(k) — per-
     * partition heaps then a single k-row reduce; nothing shuffles.

@@ -3213,6 +3213,48 @@ object Queries {
         .select(col("query_id"), col("n_hits"), col("k"))
     }),
 
+    // BINARY-quantized retrieval — the bottom rung of the compression
+    // ladder (float32 → int8 4× → PQ 32× → sign bits, 1 bit/dim: a
+    // dim-64 vector serves from 8 bytes, byte-for-byte parity with
+    // m=8 PQ codes but a popcount-only scoring kernel): per-query
+    // top-10 by the exact integer Hamming distance over 32-bit sign
+    // words. Packing keeps every word < 2^32, so codes, distances and
+    // ranking re-derive in checked-arithmetic SQL with NO replay
+    // goldens (a 64-bit word's top bit would wrap in Java but ERROR
+    // in DuckDB — Kernels.signWords scaladoc).
+    "x_ann_bq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.binaryTopK(emb, "vec_id", "embedding",
+          queries, "qid", "qv", k = 10)
+        .select(col("query_id"), col("id").as("vec_id"), col("rank"),
+          col("hamming"))
+    }),
+
+    // What 1 bit/dim costs: recall@10 of the Hamming scan against the
+    // exact float COSINE top-10 — sign bits are scale-invariant, so
+    // angle (not MIPS) is the objective binary codes approximate; the
+    // int8/PQ audits rank against dot, this one against cosine, and
+    // the objective difference is part of the rung's contract. The
+    // exact leg rides exactTopKSample under the standing audit cap —
+    // identity here, the bounded sampled slice at 100 TB. Third point
+    // on the quantization-loss curve: int8 6–9/10, PQ 3–5/10, BQ here
+    // (heavy Hamming ties make the id tie-break do real work — that
+    // arbitrariness is PART of what 1-bit serving costs).
+    "x_bq_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val bq = Similarity.binaryTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qv", k = 10)
+      val exact = Similarity.exactTopKSample(emb, "vec_id", "embedding",
+        queries, "qid", "qv", k = 10, maxQueries = exactAuditMaxQueries,
+        metric = "cosine")
+      Similarity.recallAtK(bq, exact)
+        .select(col("query_id"), col("n_hits"), col("k"))
+    }),
+
     // PRODUCT-QUANTIZED retrieval (the third rung of the compression
     // ladder: float32 → int8 → PQ codes; 32× at m=8/ncode=256 on
     // dim-64): per-query top-10 by the exact integer ADC score —
@@ -7652,6 +7694,71 @@ object Queries {
         |  count(*) AS k
         |FROM fex LEFT JOIN q8 ON q8.query_id = fex.query_id AND q8.vec_id = fex.id
         |GROUP BY fex.query_id""".stripMargin,
+
+    // sign words re-packed by a plain acc*2+bit fold over 32-bit
+    // windows (MSB-first generate_series(31,0,-1) so bit j lands at
+    // 2^j) — every word < 2^32, so DuckDB's overflow-CHECKED BIGINT
+    // arithmetic replays Java's packing exactly; out-of-range
+    // elements index to NULL → CASE 0, matching the kernel's trailing
+    // zero bits. Distance = Σ bit_count(xor), integers end to end.
+    "x_ann_bq" ->
+      """WITH words AS (
+        |  SELECT vec_id,
+        |    list_transform(generate_series(0, CAST(ceil(len(embedding) / 32.0) AS INTEGER) - 1),
+        |      w -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(generate_series(31, 0, -1),
+        |               j -> CASE WHEN CAST(embedding[w * 32 + j + 1] AS DOUBLE) > 0
+        |                    THEN 1 ELSE 0 END)),
+        |           (acc, b) -> acc * 2 + b)) AS bw
+        |  FROM embeddings),
+        |qs AS (SELECT vec_id AS query_id, bw AS qw FROM words WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT qs.query_id, c.vec_id,
+        |    CAST(list_sum(list_transform(generate_series(1, len(c.bw)),
+        |      i -> bit_count(xor(c.bw[i], qs.qw[i])))) AS BIGINT) AS hamming
+        |  FROM words c CROSS JOIN qs)
+        |SELECT query_id, vec_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY hamming ASC, vec_id ASC) AS INTEGER) AS rank,
+        |  hamming
+        |FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY query_id
+        |  ORDER BY hamming ASC, vec_id ASC) <= 10""".stripMargin,
+
+    // BQ side = the x_ann_bq packing; exact side = the float cosine
+    // ranking (list_cosine_similarity, the x_ann_recall exact-leg
+    // idiom — self included on both sides)
+    "x_bq_recall" ->
+      """WITH words AS (
+        |  SELECT vec_id,
+        |    list_transform(generate_series(0, CAST(ceil(len(embedding) / 32.0) AS INTEGER) - 1),
+        |      w -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(generate_series(31, 0, -1),
+        |               j -> CASE WHEN CAST(embedding[w * 32 + j + 1] AS DOUBLE) > 0
+        |                    THEN 1 ELSE 0 END)),
+        |           (acc, b) -> acc * 2 + b)) AS bw
+        |  FROM embeddings),
+        |qs AS (SELECT vec_id AS query_id, bw AS qw FROM words WHERE vec_id < 5),
+        |bq AS (
+        |  SELECT query_id, vec_id AS id FROM (
+        |    SELECT qs.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY qs.query_id ORDER BY
+        |        CAST(list_sum(list_transform(generate_series(1, len(c.bw)),
+        |          i -> bit_count(xor(c.bw[i], qs.qw[i])))) AS BIGINT) ASC,
+        |        c.vec_id ASC) AS rn
+        |    FROM words c CROSS JOIN qs) WHERE rn <= 10),
+        |fq AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |fex AS (
+        |  SELECT qid, id FROM (
+        |    SELECT fq.qid, e.vec_id AS id,
+        |      row_number() OVER (PARTITION BY fq.qid ORDER BY
+        |        list_cosine_similarity(e.embedding, fq.qv) DESC, e.vec_id ASC) AS rn
+        |    FROM embeddings e CROSS JOIN fq) WHERE rn <= 10)
+        |SELECT fex.qid AS query_id,
+        |  CAST(count(bq.id) AS BIGINT) AS n_hits,
+        |  count(*) AS k
+        |FROM fex LEFT JOIN bq ON bq.query_id = fex.qid AND bq.id = fex.id
+        |GROUP BY fex.qid""".stripMargin,
 
     // the full PQ pipeline re-derived: int8 codes → hash-order-sampled
     // codebook (the Sampling.hashRank double-modular formula — all

@@ -274,6 +274,62 @@ class SimilaritySpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("binaryQuantize: bit j of word w == element w*32+j strictly positive; words < 2^32") {
+    val df = Seq(
+      (1L, (0 until 64).map(i => if (i % 3 == 0) 1.0f else -1.0f)),
+      (2L, (0 until 40).map(i => if (i == 39) 0.5f else 0.0f)), // non-multiple-of-32 dim
+      (3L, Seq.fill(64)(0.0f))                                  // zero vector
+    ).toDF("id", "v")
+    val got = df.select(col("id"), Similarity.binaryQuantize(col("v")).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def ref(v: Seq[Float]): Seq[Long] = {
+      val out = Array.fill((v.length + 31) / 32)(0L)
+      v.zipWithIndex.foreach { case (x, i) => if (x > 0.0f) out(i >> 5) |= 1L << (i & 31) }
+      out.toSeq
+    }
+    val rows = df.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    for ((id, v) <- rows) {
+      assert(got(id) == ref(v), s"id $id")
+      assert(got(id).forall(w => w >= 0L && w < (1L << 32)), s"word out of 32-bit range for $id")
+    }
+    assert(got(3L).forall(_ == 0L))
+    assert(got(2L).length == 2 && got(2L)(1) == (1L << 7)) // bit 39 = word 1, bit 7
+  }
+
+  test("binaryTopK: ranking matches a Scala popcount replay; hamming exact") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(300).cache()
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val got = Similarity.binaryTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qv", k = 5)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        ((r.getAs[Long]("id"), r.getAs[Long]("hamming")))).toMap
+
+    def words(v: Seq[Float]): Array[Long] = {
+      val out = Array.fill((v.length + 31) / 32)(0L)
+      v.zipWithIndex.foreach { case (x, i) => if (x > 0.0f) out(i >> 5) |= 1L << (i & 31) }
+      out
+    }
+    val all = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> words(r.getSeq[Float](1)))
+    for ((qid, qw) <- all.filter(_._1 < 3)) {
+      val scored = all.map { case (id, cw) =>
+        (id, cw.zip(qw).map { case (a, b) => java.lang.Long.bitCount(a ^ b).toLong }.sum)
+      }
+      val top = scored.sortBy { case (id, h) => (h, id) }.take(5)
+      top.zipWithIndex.foreach { case ((id, h), i) =>
+        assert(got((qid, i + 1)) == ((id, h)),
+          s"query $qid rank ${i + 1}: got ${got((qid, i + 1))}, want ($id, $h)")
+      }
+    }
+    // plan: queries broadcast; per-query cut pre-reduces map-side
+    val plan = Similarity.binaryTopK(emb, "vec_id", "embedding",
+      queries, "qid", "qv", k = 5).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no partial top-k cut:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("recallAtK: overlap counts, explicit zero rows, k from the exact side") {
     import spark.implicits._
     val exact = Seq(
