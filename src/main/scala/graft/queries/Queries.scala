@@ -3255,6 +3255,52 @@ object Queries {
         .select(col("query_id"), col("n_hits"), col("k"))
     }),
 
+    // MATRYOSHKA truncation audit — the other axis of the compression
+    // trade (fewer DIMS instead of fewer bits/dim; Kusupati et al.,
+    // "Matryoshka Representation Learning", NeurIPS 2022 serve
+    // prefix-truncated embeddings exactly this way): recall@10 of the
+    // int8 integer-dot ranking over the first d ∈ {16, 32, 64} stored
+    // dims vs the full-dim (d=64) ranking — what a 4×/2×/1× prefix
+    // slice of the SAME persisted int8 store costs, the number that
+    // decides a coarse-rerank serving split (route with d=16, rerank
+    // survivors at d=64, never re-reading floats). Quantization is
+    // per-vector over the FULL vector (truncating stored codes, not
+    // re-quantizing the prefix), every score an exact BIGINT dot, so
+    // the whole grid re-derives in SQL with no goldens; the d=64 row
+    // is the identity sanity rail (n_hits = k by construction). One
+    // corpus scan; the 3× in-row dim expansion explodes AFTER the
+    // broadcast join, and each (d, query) group cuts via the partial
+    // WindowGroupLimit like every top-k in the family.
+    "x_mrl_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val codes = emb.select(col("vec_id"),
+        Similarity.int8Quantize(col("embedding")).getField("q").as("cq"))
+      val qs = codes.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("cq").as("qq"))
+      val dims = array(Seq(16, 32, 64).map(lit): _*)
+      val scored = codes.crossJoin(broadcast(qs))
+        .select(col("query_id"), col("vec_id"),
+          explode(transform(dims, dd => struct(dd.as("d"),
+            graft.functions.VectorFunctions.dotLong(
+              slice(col("cq"), lit(1), dd),
+              slice(col("qq"), lit(1), dd)).as("dot")))).as("s"))
+        .select(col("query_id"), col("vec_id"),
+          col("s.d").as("d"), col("s.dot").as("dot"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("d"), col("query_id"))
+        .orderBy(col("dot").desc, col("vec_id").asc)
+      val ranked = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select(col("d"), col("query_id"), col("vec_id"))
+      val ref = ranked.filter(col("d") === 64)
+        .select(col("query_id"), col("vec_id"), lit(1L).as("__hit"))
+      ranked.join(ref, Seq("query_id", "vec_id"), "left")
+        .groupBy(col("d"), col("query_id"))
+        .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hits"),
+          count(lit(1)).as("k"))
+        .select(col("d"), col("query_id"), col("n_hits"), col("k"))
+    }),
+
     // PRODUCT-QUANTIZED retrieval (the third rung of the compression
     // ladder: float32 → int8 → PQ codes; 32× at m=8/ncode=256 on
     // dim-64): per-query top-10 by the exact integer ADC score —
@@ -7759,6 +7805,34 @@ object Queries {
         |  count(*) AS k
         |FROM fex LEFT JOIN bq ON bq.query_id = fex.qid AND bq.id = fex.id
         |GROUP BY fex.qid""".stripMargin,
+
+    // the prefix-dim grid re-derived: full-vector int8 codes, dots
+    // over generate_series(1, d) only — integers end to end; the
+    // d = 64 stratum doubles as the identity rail (n_hits = k)
+    "x_mrl_recall" ->
+      """WITH codes AS (
+        |  SELECT vec_id,
+        |    CASE WHEN mx = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) * 127 / mx) AS BIGINT)) END AS q
+        |  FROM (SELECT vec_id, embedding,
+        |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |        FROM embeddings)),
+        |qs AS (SELECT vec_id AS query_id, q AS qq FROM codes WHERE vec_id < 5),
+        |dims AS (SELECT CAST(d AS INTEGER) AS d FROM (VALUES (16), (32), (64)) AS t(d)),
+        |ranked AS (
+        |  SELECT dims.d, qs.query_id, c.vec_id,
+        |    row_number() OVER (PARTITION BY dims.d, qs.query_id ORDER BY
+        |      COALESCE(CAST(list_sum(list_transform(generate_series(1, dims.d),
+        |        i -> c.q[i] * qs.qq[i])) AS BIGINT), 0) DESC, c.vec_id ASC) AS rn
+        |  FROM codes c CROSS JOIN qs CROSS JOIN dims),
+        |a AS (SELECT d, query_id, vec_id FROM ranked WHERE rn <= 10),
+        |ref AS (SELECT query_id, vec_id FROM a WHERE d = 64)
+        |SELECT a.d, a.query_id,
+        |  CAST(count(ref.vec_id) AS BIGINT) AS n_hits,
+        |  count(*) AS k
+        |FROM a LEFT JOIN ref ON ref.query_id = a.query_id AND ref.vec_id = a.vec_id
+        |GROUP BY a.d, a.query_id""".stripMargin,
 
     // the full PQ pipeline re-derived: int8 codes → hash-order-sampled
     // codebook (the Sampling.hashRank double-modular formula — all
