@@ -3391,6 +3391,56 @@ object Queries {
           col("adc_dot"))
     }),
 
+    // The APPEND workflow of the persisted IVF-PQ index — the
+    // corpus-refresh shape, mirroring x_ann_index_grow for the PQ
+    // rung: seed the index with EXACTLY the two hash-sample minima
+    // sets (codebook = the 256 smallest (hashRank, id), coarse
+    // quantizer = the 64 smallest (hashRank salt-7, id) — the
+    // quantizer-training sample, ≤ 320 ids collected via two
+    // TakeOrdered cuts, plan-constant at any corpus size), append
+    // everything else (encoded + routed under the FROZEN seed
+    // quantizers — Pq.writeIndex append contract), probe. grown ==
+    // fresh-full PROVABLY: each sampling order is a total order over
+    // the corpus whose first-n prefix the seed owns by construction,
+    // so the seed build picks the identical codebook and centroids to
+    // a full-corpus build, and per-vector encoding under equal
+    // quantizers is corpus-independent — the entry shares
+    // ivfPqOracleSql verbatim (PqSpec pins the grown == fresh probe
+    // equality mechanism at small params). io-classified: pays two
+    // index writes + the probe read.
+    "x_pq_index_grow" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val work = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_pq_grow_run_${ProcessHandle.current().pid()}_" +
+          s"${streamRun.incrementAndGet()}")
+      Option(lastIngestWork.put("x_pq_index_grow", work)).foreach { prev =>
+        try deleteRecursively(prev)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+      val idxPath = work.resolve("idx").toString
+      val ranked = emb.select(col("vec_id"),
+        graft.operators.Sampling.hashRank(col("vec_id")).as("h0"),
+        graft.operators.Sampling.hashRank(col("vec_id"), salt = 7L).as("h7"))
+      val cbIds = ranked.orderBy(col("h0"), col("vec_id")).limit(256)
+        .select("vec_id").collect().map(_.getLong(0))
+      val ctIds = ranked.orderBy(col("h7"), col("vec_id")).limit(64)
+        .select("vec_id").collect().map(_.getLong(0))
+      val seedIds = (cbIds ++ ctIds).distinct.toSeq // ≤ 320 — plan-constant
+      graft.operators.Pq.writeIndex(
+        emb.filter(col("vec_id").isin(seedIds: _*)),
+        "vec_id", "embedding", idxPath, mode = "overwrite")
+      graft.operators.Pq.writeIndex(
+        emb.filter(!col("vec_id").isin(seedIds: _*)),
+        "vec_id", "embedding", idxPath, mode = "append")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      graft.operators.Pq.probeIndex(s, idxPath,
+          queries, "qid", "qv", k = 10, nProbe = 8)
+        .select(col("query_id"), col("id").as("vec_id"), col("rank"),
+          col("adc_dot"))
+    }),
+
     // The COMPOSED serving path — IVF routing (coarse quantizer
     // narrows each query to 8 of 64 cells) + int8 integer-dot scoring
     // over the candidates: what an ANN deployment actually runs at
@@ -7958,6 +8008,11 @@ object Queries {
     // composition by construction (same quantizers, integer scores,
     // lossless tinyint round trip — see the entry) — same oracle
     "x_pq_index_probe" -> ivfPqOracleSql,
+
+    // grown == fresh-full PROVABLY (the seed owns both hash-sample
+    // minima prefixes — see the entry), so the append workflow shares
+    // the same re-derivation
+    "x_pq_index_grow" -> ivfPqOracleSql,
 
 
     // kernel-replay golden keyed by the corpus checksum (the
