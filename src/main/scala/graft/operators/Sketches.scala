@@ -56,4 +56,68 @@ object Sketches {
       .select(keyCols.map(col) :+
         hll_sketch_estimate(col("__u")).as("n_distinct_est"): _*)
   }
+
+  /** COUNT-MIN sketch over a non-negative integer key column — the
+    * frequency sibling of the HLL family (Cormode & Muthukrishnan,
+    * "An improved data stream summary: the count-min sketch and its
+    * applications", J. Algorithms 2005): `depth` hash rows × `width`
+    * cells of exact BIGINT counters, est(k) = min over rows of k's
+    * hashed cell. The estimate OVERESTIMATES, never under (every
+    * occurrence of k lands in all of k's cells; collisions only add),
+    * with the classic ε·N bound at width ≈ e/ε per row. The sketch is
+    * LINEAR — cell-wise sums — so increments built independently merge
+    * by addition in ANY order or partitioning, the same
+    * build-per-increment / merge-at-read shape as
+    * [[writeHllSketches]]; unlike HLL the arithmetic is exact
+    * integers under the repo's portable double-modular hash family
+    * ([[Sampling.hashRank]], one salt per row), so every cell and
+    * every estimate re-derives in any SQL engine with no goldens.
+    *
+    * Scale shape (100 TB): the build is one scan with an in-row
+    * `depth`-cell expansion that map-side-combines into ≤ depth×width
+    * aggregate rows — the ONLY state, a plan constant (4×512 longs at
+    * the entry's defaults) regardless of input volume or key
+    * cardinality; a hot key is just a hot counter, never a hot
+    * partition. Returns (r, cell, c), r and cell INT.
+    */
+  def countMinSketch(
+      df: DataFrame, keyCol: String,
+      width: Int, depth: Int, baseSalt: Long = 21L
+  ): DataFrame = {
+    require(width >= 1, s"width must be >= 1, got $width")
+    require(depth >= 1, s"depth must be >= 1, got $depth")
+    df.select(posexplode(array((0 until depth).map { r =>
+        pmod(Sampling.hashRank(col(keyCol), baseSalt + r), lit(width.toLong))
+          .cast("int")
+      }: _*)).as(Seq("r", "cell")))
+      .groupBy(col("r"), col("cell"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Point-lookup against a [[countMinSketch]] frame: appends
+    * `cms_est` (BIGINT, the min over depth rows) to `keys`. A probed
+    * key whose cell has no sketch row hit an EMPTY cell — that row
+    * counts as 0 (left join + coalesce), which keeps the estimate
+    * exact-zero for never-seen keys instead of silently
+    * overestimating them. The sketch broadcasts (≤ depth×width rows);
+    * the probe set stays distributed — the serving shape for "check
+    * these candidate heavy keys against last month's sketch" without
+    * rescanning anything.
+    */
+  def countMinLookup(
+      sketch: DataFrame, keys: DataFrame, keyCol: String,
+      width: Int, depth: Int, baseSalt: Long = 21L
+  ): DataFrame = {
+    require(width >= 1, s"width must be >= 1, got $width")
+    require(depth >= 1, s"depth must be >= 1, got $depth")
+    val keep = keys.columns.toIndexedSeq
+    keys
+      .select(keep.map(col) :+ posexplode(array((0 until depth).map { r =>
+        pmod(Sampling.hashRank(col(keyCol), baseSalt + r), lit(width.toLong))
+          .cast("int")
+      }: _*)).as(Seq("r", "cell")): _*)
+      .join(broadcast(sketch), Seq("r", "cell"), "left")
+      .groupBy(keep.map(col): _*)
+      .agg(min(coalesce(col("c"), lit(0L))).as("cms_est"))
+  }
 }

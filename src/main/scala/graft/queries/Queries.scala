@@ -5304,6 +5304,31 @@ object Queries {
             .as("within_tolerance"))
     }),
 
+    // COUNT-MIN frequency estimation — the frequency sibling of the
+    // HLL entry and the sketch counterpart of x_heavy_hitters'
+    // Misra-Gries: build a 4×512 exact-BIGINT count-min sketch of
+    // per-user event counts (the ONLY state — a plan constant at any
+    // input volume or key cardinality; the sketch is LINEAR, so
+    // increments built independently merge by cell-wise addition in
+    // any order — SketchesSpec pins both properties), then point-look-
+    // up the exact top-20 users against it. cms_est ≥ n_events ALWAYS
+    // (every occurrence lands in all the key's cells; collisions only
+    // add) — the overestimate column is the measured price of ~2k
+    // counters of state for a frequency answer over any volume; the
+    // portable double-modular hash family keeps every cell
+    // DuckDB-re-derivable, no goldens.
+    "x_cms_topk" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val sketch = graft.operators.Sketches.countMinSketch(
+        ev, "user_id", width = 512, depth = 4)
+      val top = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+        .orderBy(col("n_events").desc, col("user_id").asc).limit(20)
+      graft.operators.Sketches.countMinLookup(
+          sketch, top, "user_id", width = 512, depth = 4)
+        .select(col("user_id"), col("n_events"), col("cms_est"),
+          (col("cms_est") - col("n_events")).as("overestimate"))
+    }),
+
     // Hive-style partitioned layout: write documents partitioned by
     // lang, answer a partition-column predicate from the copy. The
     // predicate prunes DIRECTORIES at planning time (PartitionFilters —
@@ -8413,6 +8438,32 @@ object Queries {
         |SELECT lang, count(DISTINCT token) AS n_distinct_exact,
         |  TRUE AS within_tolerance
         |FROM toks GROUP BY lang""".stripMargin,
+
+    // sketch cells and lookups re-derived with the hashRank
+    // double-modular formula (salts 21..24 — all intermediates < 2^63,
+    // overflow-checked-safe); a probed cell with no sketch row is an
+    // EMPTY cell → COALESCE 0, matching countMinLookup's left join
+    "x_cms_topk" ->
+      """WITH h AS (
+        |  SELECT user_id, s.r,
+        |    ((((user_id % 2147483647) + 21 + s.r) * 1103515245 % 2147483647)
+        |      * 784588716) % 2147483647 % 512 AS cell
+        |  FROM events CROSS JOIN generate_series(0, 3) AS s(r)),
+        |sk AS (SELECT r, cell, count(*) AS c FROM h GROUP BY r, cell),
+        |top AS (
+        |  SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+        |  QUALIFY row_number() OVER (ORDER BY count(*) DESC, user_id ASC) <= 20),
+        |est AS (
+        |  SELECT t.user_id, t.n_events, min(COALESCE(sk.c, 0)) AS cms_est
+        |  FROM top t CROSS JOIN generate_series(0, 3) AS s(r)
+        |  LEFT JOIN sk ON sk.r = s.r AND sk.cell =
+        |    ((((t.user_id % 2147483647) + 21 + s.r) * 1103515245 % 2147483647)
+        |      * 784588716) % 2147483647 % 512
+        |  GROUP BY t.user_id, t.n_events)
+        |SELECT user_id, n_events,
+        |  CAST(cms_est AS BIGINT) AS cms_est,
+        |  CAST(cms_est - n_events AS BIGINT) AS overestimate
+        |FROM est""".stripMargin,
 
     "x_jsonl_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,
