@@ -181,6 +181,41 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Second-stage RERANK by exact int8 integer dot over a candidate
+    * pair set — the rescoring half of every two-stage serving split
+    * (coarse shortlist from binary/prefix/IVF codes, then rescore the
+    * shortlist at full precision): `candidates` is (query_id, id)
+    * from any first stage, and the output is the per-query top `k` of
+    * the candidate set by the [[int8TopK]] score (int_dot DESC, id
+    * ASC — same column, same tie rule, so rerank over the FULL pair
+    * set equals int8TopK exactly, the SimilaritySpec identity).
+    *
+    * Plan shape: the candidate set broadcasts INTO the code
+    * projection's scan-side hash join (candidate-bounded — queries×k₀
+    * rows, never the corpus), query codes broadcast, one integer-dot
+    * kernel per surviving pair, partial WindowGroupLimit per query.
+    * At 100 TB this is the shape that touches full-precision codes
+    * for shortlisted ids ONLY — the raw floats never leave the store.
+    */
+  def int8RerankTopK(
+      candidates: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int
+  ): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val scored = corpus
+      .select(col(idCol).as("id"), int8Quantize(col(vecCol)).getField("q").as("cq"))
+      .join(broadcast(candidates.select(col("query_id"), col("id"))), Seq("id"))
+      .join(broadcast(queries.select(col(qidCol).as("query_id"),
+        int8Quantize(col(qvecCol)).getField("q").as("qq"))), Seq("query_id"))
+      .select(col("query_id"), col("id"),
+        graft.functions.VectorFunctions.dotLong(col("cq"), col("qq")).as("int_dot"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("int_dot").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Exact top-k by cosine against one literal query vector.
     * Plan: scan → project(cosine) → TakeOrderedAndProject(k) — per-
     * partition heaps then a single k-row reduce; nothing shuffles.

@@ -3301,6 +3301,67 @@ object Queries {
         .select(col("d"), col("query_id"), col("n_hits"), col("k"))
     }),
 
+    // TWO-STAGE 1-bit serving — the production shape that makes the
+    // bottom rung usable (oversample + rescore: route with 8-byte
+    // binary codes, rescore the shortlist at int8): Hamming top-100
+    // shortlist → exact integer-dot rerank → top-10, audited against
+    // the same exact-cosine leg as x_bq_recall so the two entries
+    // read as one experiment — what popcount routing loses raw vs
+    // what a 10× oversampled rescoring pass buys back. The rerank
+    // touches full-precision codes for shortlisted ids ONLY
+    // (candidate-bounded broadcast join — Similarity.int8RerankTopK
+    // scaladoc); floats never leave the store. All-integer both
+    // stages ⇒ fully SQL-re-derivable, no goldens.
+    "x_bq_rerank" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val shortlist = Similarity.binaryTopK(emb, "vec_id", "embedding",
+          queries, "qid", "qv", k = 100)
+        .select(col("query_id"), col("id"))
+      val reranked = Similarity.int8RerankTopK(shortlist,
+        emb, "vec_id", "embedding", queries, "qid", "qv", k = 10)
+      val exact = Similarity.exactTopKSample(emb, "vec_id", "embedding",
+        queries, "qid", "qv", k = 10, maxQueries = exactAuditMaxQueries,
+        metric = "cosine")
+      Similarity.recallAtK(reranked, exact)
+        .select(col("query_id"), col("n_hits"), col("k"))
+    }),
+
+    // ADAPTIVE RETRIEVAL on the matryoshka axis (Kusupati et al.'s
+    // serving recipe): shortlist top-100 by the d=16 prefix of the
+    // int8 codes (a 4× cheaper routing scan over the SAME store),
+    // rerank the shortlist with the full d=64 codes, audit recall@10
+    // against the full-dim int8 ranking — the x_mrl_recall grid told
+    // us what a d=16 prefix costs raw (1–4/10); this entry measures
+    // the same prefix as a ROUTER with full-dim rescoring. Both
+    // stages integer-exact ⇒ closed-form oracle.
+    "x_mrl_rerank" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val codes = emb.select(col("vec_id"),
+        Similarity.int8Quantize(col("embedding")).getField("q").as("cq"))
+      val qs = codes.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("cq").as("qq"))
+      val w16 = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("d16").desc, col("id").asc)
+      val shortlist = codes.crossJoin(broadcast(qs))
+        .select(col("query_id"), col("vec_id").as("id"),
+          graft.functions.VectorFunctions.dotLong(
+            slice(col("cq"), lit(1), lit(16)),
+            slice(col("qq"), lit(1), lit(16))).as("d16"))
+        .withColumn("rn", row_number().over(w16)).filter(col("rn") <= 100)
+        .select(col("query_id"), col("id"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val reranked = Similarity.int8RerankTopK(shortlist,
+        emb, "vec_id", "embedding", queries, "qid", "qv", k = 10)
+      val ref = Similarity.int8TopK(emb, "vec_id", "embedding",
+        queries, "qid", "qv", k = 10)
+      Similarity.recallAtK(reranked, ref)
+        .select(col("query_id"), col("n_hits"), col("k"))
+    }),
+
     // PRODUCT-QUANTIZED retrieval (the third rung of the compression
     // ladder: float32 → int8 → PQ codes; 32× at m=8/ncode=256 on
     // dim-64): per-query top-10 by the exact integer ADC score —
@@ -7908,6 +7969,101 @@ object Queries {
         |  count(*) AS k
         |FROM a LEFT JOIN ref ON ref.query_id = a.query_id AND ref.vec_id = a.vec_id
         |GROUP BY a.d, a.query_id""".stripMargin,
+
+    // stage 1 = the x_ann_bq packing at rn <= 100; stage 2 = the int8
+    // integer dot restricted to the shortlist; exact leg = cosine
+    // (the x_bq_recall reference, so the pair reads as one experiment)
+    "x_bq_rerank" ->
+      """WITH words AS (
+        |  SELECT vec_id,
+        |    list_transform(generate_series(0, CAST(ceil(len(embedding) / 32.0) AS INTEGER) - 1),
+        |      w -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(generate_series(31, 0, -1),
+        |               j -> CASE WHEN CAST(embedding[w * 32 + j + 1] AS DOUBLE) > 0
+        |                    THEN 1 ELSE 0 END)),
+        |           (acc, b) -> acc * 2 + b)) AS bw
+        |  FROM embeddings),
+        |qs AS (SELECT vec_id AS query_id, bw AS qw FROM words WHERE vec_id < 5),
+        |cand AS (
+        |  SELECT query_id, vec_id AS id FROM (
+        |    SELECT qs.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY qs.query_id ORDER BY
+        |        CAST(list_sum(list_transform(generate_series(1, len(c.bw)),
+        |          i -> bit_count(xor(c.bw[i], qs.qw[i])))) AS BIGINT) ASC,
+        |        c.vec_id ASC) AS rn
+        |    FROM words c CROSS JOIN qs) WHERE rn <= 100),
+        |codes AS (
+        |  SELECT vec_id,
+        |    CASE WHEN mx = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) * 127 / mx) AS BIGINT)) END AS q
+        |  FROM (SELECT vec_id, embedding,
+        |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |        FROM embeddings)),
+        |iqs AS (SELECT vec_id AS query_id, q AS qq FROM codes WHERE vec_id < 5),
+        |rr AS (
+        |  SELECT query_id, id FROM (
+        |    SELECT cand.query_id, cand.id,
+        |      row_number() OVER (PARTITION BY cand.query_id ORDER BY
+        |        COALESCE(CAST(list_sum(list_transform(generate_series(1, len(c.q)),
+        |          i -> c.q[i] * iqs.qq[i])) AS BIGINT), 0) DESC, cand.id ASC) AS rn
+        |    FROM cand
+        |    JOIN codes c ON c.vec_id = cand.id
+        |    JOIN iqs ON iqs.query_id = cand.query_id) WHERE rn <= 10),
+        |fq AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |fex AS (
+        |  SELECT qid, id FROM (
+        |    SELECT fq.qid, e.vec_id AS id,
+        |      row_number() OVER (PARTITION BY fq.qid ORDER BY
+        |        list_cosine_similarity(e.embedding, fq.qv) DESC, e.vec_id ASC) AS rn
+        |    FROM embeddings e CROSS JOIN fq) WHERE rn <= 10)
+        |SELECT fex.qid AS query_id,
+        |  CAST(count(rr.id) AS BIGINT) AS n_hits,
+        |  count(*) AS k
+        |FROM fex LEFT JOIN rr ON rr.query_id = fex.qid AND rr.id = fex.id
+        |GROUP BY fex.qid""".stripMargin,
+
+    // stage 1 = prefix-16 integer dots at rn <= 100; stage 2 = the
+    // full-dim integer dot over the shortlist; reference = the
+    // full-dim int8 top-10 (the x_mrl_recall d=64 rail)
+    "x_mrl_rerank" ->
+      """WITH codes AS (
+        |  SELECT vec_id,
+        |    CASE WHEN mx = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) * 127 / mx) AS BIGINT)) END AS q
+        |  FROM (SELECT vec_id, embedding,
+        |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |        FROM embeddings)),
+        |qs AS (SELECT vec_id AS query_id, q AS qq FROM codes WHERE vec_id < 5),
+        |cand AS (
+        |  SELECT query_id, vec_id AS id FROM (
+        |    SELECT qs.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY qs.query_id ORDER BY
+        |        COALESCE(CAST(list_sum(list_transform(generate_series(1, 16),
+        |          i -> c.q[i] * qs.qq[i])) AS BIGINT), 0) DESC, c.vec_id ASC) AS rn
+        |    FROM codes c CROSS JOIN qs) WHERE rn <= 100),
+        |rr AS (
+        |  SELECT query_id, id FROM (
+        |    SELECT cand.query_id, cand.id,
+        |      row_number() OVER (PARTITION BY cand.query_id ORDER BY
+        |        COALESCE(CAST(list_sum(list_transform(generate_series(1, len(c.q)),
+        |          i -> c.q[i] * qs.qq[i])) AS BIGINT), 0) DESC, cand.id ASC) AS rn
+        |    FROM cand
+        |    JOIN codes c ON c.vec_id = cand.id
+        |    JOIN qs ON qs.query_id = cand.query_id) WHERE rn <= 10),
+        |ref AS (
+        |  SELECT query_id, vec_id AS id FROM (
+        |    SELECT qs.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY qs.query_id ORDER BY
+        |        COALESCE(CAST(list_sum(list_transform(generate_series(1, len(c.q)),
+        |          i -> c.q[i] * qs.qq[i])) AS BIGINT), 0) DESC, c.vec_id ASC) AS rn
+        |    FROM codes c CROSS JOIN qs) WHERE rn <= 10)
+        |SELECT ref.query_id,
+        |  CAST(count(rr.id) AS BIGINT) AS n_hits,
+        |  count(*) AS k
+        |FROM ref LEFT JOIN rr ON rr.query_id = ref.query_id AND rr.id = ref.id
+        |GROUP BY ref.query_id""".stripMargin,
 
     // the full PQ pipeline re-derived: int8 codes → hash-order-sampled
     // codebook (the Sampling.hashRank double-modular formula — all

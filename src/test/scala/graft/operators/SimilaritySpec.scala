@@ -330,6 +330,33 @@ class SimilaritySpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("int8RerankTopK over the FULL pair set equals int8TopK exactly") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(200).cache()
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val allPairs = emb.select(col("vec_id").as("id"))
+      .crossJoin(queries.select(col("qid").as("query_id")))
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        ((r.getAs[Long]("id"), r.getAs[Long]("int_dot")))).toMap
+    val rerank = keyed(Similarity.int8RerankTopK(allPairs,
+      emb, "vec_id", "embedding", queries, "qid", "qv", k = 5))
+    val direct = keyed(Similarity.int8TopK(emb, "vec_id", "embedding",
+      queries, "qid", "qv", k = 5))
+    assert(rerank == direct)
+  }
+
+  test("int8RerankTopK respects the candidate set: never ranks an uncandidated id") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(50).cache()
+    val queries = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val cand = emb.filter(col("vec_id") % 2 === 1) // odds only
+      .select(lit(0L).as("query_id"), col("vec_id").as("id"))
+    val got = Similarity.int8RerankTopK(cand, emb, "vec_id", "embedding",
+      queries, "qid", "qv", k = 10).collect().map(_.getAs[Long]("id"))
+    assert(got.nonEmpty && got.forall(_ % 2 == 1))
+  }
+
   test("recallAtK: overlap counts, explicit zero rows, k from the exact side") {
     import spark.implicits._
     val exact = Seq(
