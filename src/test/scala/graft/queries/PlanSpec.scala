@@ -130,6 +130,14 @@ class PlanSpec extends SparkTestBase {
     // the kNN graph's n² scored pairs must pre-reduce the same way —
     // without the partial limit the shuffle carries all n² rows
     assertPartialBeforeExchange("x_knn_graph", plan("x_knn_graph"))
+    // the quantized-serving wave: binary scan, both rerank stages and
+    // the CMS lookup must stay cartesian-free, and the Hamming scan's
+    // per-query cut must pre-reduce like every top-k in the family
+    assertPartialBeforeExchange("x_ann_bq", plan("x_ann_bq"))
+    for (n <- Seq("x_ann_bq", "x_bq_rerank", "x_mrl_rerank",
+        "x_mrl_recall", "x_cms_topk"))
+      assert(!plan(n).contains("CartesianProduct"),
+        s"$n has a cartesian product")
   }
 
   test("heavy hitters: candidate set broadcasts; the stream never shuffles for it") {
