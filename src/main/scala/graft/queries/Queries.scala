@@ -3362,6 +3362,62 @@ object Queries {
         .select(col("query_id"), col("n_hits"), col("k"))
     }),
 
+    // THE QUANTIZATION PARETO TABLE — the whole compression ladder in
+    // one frame, every rung measured against the SAME exact float
+    // cosine ground truth (unlike the per-family audits, which each
+    // rank against their family's native objective): method,
+    // bytes/vector, recall@10 hits summed over the query batch.
+    // f32_exact anchors the table (n_hits = k by construction);
+    // int8 (64 B), matryoshka prefixes of the int8 store (32/16 B),
+    // flat PQ m=8 (8 B, shared pq_top10 artifact), binary sign words
+    // (8 B). THE table a platform team reads to pick a serving rung
+    // at 100 TB — every leg is a candidate-bounded top-10 frame
+    // (≤ queries×10 rows) before the union, so the summary costs no
+    // more than its rungs; integer/cosine-exact legs keep the whole
+    // thing oracle-re-derivable with no goldens.
+    "x_ann_pareto" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val codes = emb.select(col("vec_id"),
+        Similarity.int8Quantize(col("embedding")).getField("q").as("cq"))
+      val qs = codes.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("cq").as("qq"))
+      def prefixTop(dd: Int): DataFrame = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("dot").desc, col("id").asc)
+        codes.crossJoin(broadcast(qs))
+          .select(col("query_id"), col("vec_id").as("id"),
+            graft.functions.VectorFunctions.dotLong(
+              slice(col("cq"), lit(1), lit(dd)),
+              slice(col("qq"), lit(1), lit(dd))).as("dot"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+          .select(col("query_id"), col("id"))
+      }
+      def ids(df: DataFrame): DataFrame = df.select(col("query_id"), col("id"))
+      val exact = ids(Similarity.exactTopKSample(emb, "vec_id", "embedding",
+        queries, "qid", "qv", k = 10, maxQueries = exactAuditMaxQueries,
+        metric = "cosine"))
+      val legs = Seq(
+        ("f32_exact", 256, exact),
+        ("int8", 64, ids(Similarity.int8TopK(emb, "vec_id", "embedding",
+          queries, "qid", "qv", k = 10))),
+        ("mrl32", 32, prefixTop(32)),
+        ("mrl16", 16, prefixTop(16)),
+        ("pq_m8", 8, pqTop10(s, d).select(col("query_id"), col("id"))),
+        ("bq", 8, ids(Similarity.binaryTopK(emb, "vec_id", "embedding",
+          queries, "qid", "qv", k = 10))))
+      legs.map { case (m, b, df) =>
+          df.withColumn("method", lit(m)).withColumn("bytes_per_vec", lit(b))
+        }.reduce(_ unionByName _)
+        .join(exact.withColumn("__hit", lit(1L)), Seq("query_id", "id"), "left")
+        .groupBy(col("method"), col("bytes_per_vec"))
+        .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hits"),
+          count(lit(1)).as("k"))
+        .select(col("method"), col("bytes_per_vec"), col("n_hits"), col("k"))
+    }),
+
     // PRODUCT-QUANTIZED retrieval (the third rung of the compression
     // ladder: float32 → int8 → PQ codes; 32× at m=8/ncode=256 on
     // dim-64): per-query top-10 by the exact integer ADC score —
@@ -8064,6 +8120,111 @@ object Queries {
         |  count(*) AS k
         |FROM ref LEFT JOIN rr ON rr.query_id = ref.query_id AND rr.id = ref.id
         |GROUP BY ref.query_id""".stripMargin,
+
+    // every rung's CTE chain verbatim from its own oracle (int8 codes,
+    // sign words, the flat-PQ codebook→encode→LUT pipeline), unioned
+    // and counted against the one cosine ground-truth leg
+    "x_ann_pareto" ->
+      """WITH codes AS (
+        |  SELECT vec_id,
+        |    CASE WHEN mx = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) * 127 / mx) AS BIGINT)) END AS q
+        |  FROM (SELECT vec_id, embedding,
+        |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |        FROM embeddings)),
+        |qs AS (SELECT vec_id AS query_id, q AS qq FROM codes WHERE vec_id < 5),
+        |words AS (
+        |  SELECT vec_id,
+        |    list_transform(generate_series(0, CAST(ceil(len(embedding) / 32.0) AS INTEGER) - 1),
+        |      w -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(generate_series(31, 0, -1),
+        |               j -> CASE WHEN CAST(embedding[w * 32 + j + 1] AS DOUBLE) > 0
+        |                    THEN 1 ELSE 0 END)),
+        |           (acc, b) -> acc * 2 + b)) AS bw
+        |  FROM embeddings),
+        |wqs AS (SELECT vec_id AS query_id, bw AS qw FROM words WHERE vec_id < 5),
+        |samp AS (
+        |  SELECT q, CAST(row_number() OVER (ORDER BY
+        |      ((vec_id % 2147483647) * 1103515245 % 2147483647) * 784588716 % 2147483647,
+        |      vec_id) AS INTEGER) - 1 AS code
+        |  FROM codes
+        |  QUALIFY row_number() OVER (ORDER BY
+        |      ((vec_id % 2147483647) * 1103515245 % 2147483647) * 784588716 % 2147483647,
+        |      vec_id) <= 256),
+        |cb AS (
+        |  SELECT CAST(s.j AS INTEGER) AS subspace, samp.code,
+        |    list_transform(generate_series(1, 8), i -> samp.q[CAST(s.j AS INTEGER) * 8 + i]) AS cw
+        |  FROM samp CROSS JOIN generate_series(0, 7) AS s(j)),
+        |enc AS (
+        |  SELECT vec_id, subspace, code FROM (
+        |    SELECT c.vec_id, cb.subspace, cb.code,
+        |      row_number() OVER (PARTITION BY c.vec_id, cb.subspace ORDER BY
+        |        list_sum(list_transform(generate_series(1, 8),
+        |          i -> (c.q[cb.subspace * 8 + i] - cb.cw[i])
+        |             * (c.q[cb.subspace * 8 + i] - cb.cw[i]))) ASC,
+        |        cb.code ASC) AS rn
+        |    FROM codes c CROSS JOIN cb) WHERE rn = 1),
+        |lut AS (
+        |  SELECT qc.vec_id AS query_id, cb.subspace, cb.code,
+        |    CAST(list_sum(list_transform(generate_series(1, 8),
+        |      i -> qc.q[cb.subspace * 8 + i] * cb.cw[i])) AS BIGINT) AS d
+        |  FROM codes qc CROSS JOIN cb WHERE qc.vec_id < 5),
+        |pq AS (
+        |  SELECT query_id, vec_id AS id FROM (
+        |    SELECT query_id, vec_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY adc DESC, vec_id ASC) AS rn
+        |    FROM (SELECT l.query_id, e.vec_id, CAST(sum(l.d) AS BIGINT) AS adc
+        |          FROM enc e JOIN lut l ON l.subspace = e.subspace AND l.code = e.code
+        |          GROUP BY l.query_id, e.vec_id)) WHERE rn <= 10),
+        |i8 AS (
+        |  SELECT query_id, vec_id AS id FROM (
+        |    SELECT qs.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY qs.query_id ORDER BY
+        |        COALESCE(CAST(list_sum(list_transform(generate_series(1, len(c.q)),
+        |          i -> c.q[i] * qs.qq[i])) AS BIGINT), 0) DESC, c.vec_id ASC) AS rn
+        |    FROM codes c CROSS JOIN qs) WHERE rn <= 10),
+        |m32 AS (
+        |  SELECT query_id, vec_id AS id FROM (
+        |    SELECT qs.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY qs.query_id ORDER BY
+        |        COALESCE(CAST(list_sum(list_transform(generate_series(1, 32),
+        |          i -> c.q[i] * qs.qq[i])) AS BIGINT), 0) DESC, c.vec_id ASC) AS rn
+        |    FROM codes c CROSS JOIN qs) WHERE rn <= 10),
+        |m16 AS (
+        |  SELECT query_id, vec_id AS id FROM (
+        |    SELECT qs.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY qs.query_id ORDER BY
+        |        COALESCE(CAST(list_sum(list_transform(generate_series(1, 16),
+        |          i -> c.q[i] * qs.qq[i])) AS BIGINT), 0) DESC, c.vec_id ASC) AS rn
+        |    FROM codes c CROSS JOIN qs) WHERE rn <= 10),
+        |bq AS (
+        |  SELECT query_id, vec_id AS id FROM (
+        |    SELECT wqs.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY wqs.query_id ORDER BY
+        |        CAST(list_sum(list_transform(generate_series(1, len(c.bw)),
+        |          i -> bit_count(xor(c.bw[i], wqs.qw[i])))) AS BIGINT) ASC,
+        |        c.vec_id ASC) AS rn
+        |    FROM words c CROSS JOIN wqs) WHERE rn <= 10),
+        |fq AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |fex AS (
+        |  SELECT qid, id FROM (
+        |    SELECT fq.qid, e.vec_id AS id,
+        |      row_number() OVER (PARTITION BY fq.qid ORDER BY
+        |        list_cosine_similarity(e.embedding, fq.qv) DESC, e.vec_id ASC) AS rn
+        |    FROM embeddings e CROSS JOIN fq) WHERE rn <= 10),
+        |legs AS (
+        |  SELECT 'f32_exact' AS method, 256 AS bytes_per_vec, qid AS query_id, id FROM fex
+        |  UNION ALL SELECT 'int8', 64, query_id, id FROM i8
+        |  UNION ALL SELECT 'mrl32', 32, query_id, id FROM m32
+        |  UNION ALL SELECT 'mrl16', 16, query_id, id FROM m16
+        |  UNION ALL SELECT 'pq_m8', 8, query_id, id FROM pq
+        |  UNION ALL SELECT 'bq', 8, query_id, id FROM bq)
+        |SELECT method, CAST(bytes_per_vec AS INTEGER) AS bytes_per_vec,
+        |  CAST(count(f.id) AS BIGINT) AS n_hits, count(*) AS k
+        |FROM legs l LEFT JOIN fex f ON f.qid = l.query_id AND f.id = l.id
+        |GROUP BY method, bytes_per_vec""".stripMargin,
 
     // the full PQ pipeline re-derived: int8 codes → hash-order-sampled
     // codebook (the Sampling.hashRank double-modular formula — all
