@@ -88,6 +88,28 @@ object Pq {
   private def intDot(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.dotLong(a, b)
 
+  /** Widen a COMPUTE-DENSE stage's input to the cluster's parallelism
+    * when the source layout under-parallelizes it. The encode and the
+    * cell assignment each expand every input row ncode×/nlist× and
+    * push it through the integer-dot kernel — their cost is the
+    * expansion, not the scan, so inheriting the scan's partition
+    * count from the FILE LAYOUT (a single-row-group parquet ⇒ one
+    * task) serializes the one genuinely O(n·m·ncode) step in the
+    * family onto a handful of cores. The widening shuffle moves only
+    * the n skinny input rows — amortized thousands-fold by the
+    * in-task expansion that follows — and is skipped entirely when
+    * the source already carries enough partitions (the 100 TB case,
+    * where maxPartitionBytes supplies them). Measured at the 10×
+    * probe scale (20k vectors in 4 files, 16 cores): index build
+    * 13.8–67 s → 5 s steady. Results are partitioning-independent:
+    * every argmin is an exact integer min with a total tie order.
+    */
+  private def widen(df: DataFrame): DataFrame = {
+    val have = df.rdd.getNumPartitions
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (have < want) df.repartition(want) else df
+  }
+
   /** Corpus → (id, codes): each vector's m nearest-codeword indices
     * (exact integer L2 in each subspace, ties → smallest code).
     * `codes` is ordered by subspace. One corpus scan; the m·ncode
@@ -100,7 +122,7 @@ object Pq {
       codebook: DataFrame, m: Int
   ): DataFrame = {
     val sub = floor(size(col("__q")) / lit(m)).cast(IntegerType)
-    corpus
+    widen(corpus)
       .select(col(idCol).as("id"),
         Similarity.int8Quantize(col(vecCol)).getField("q").as("__q"))
       .select(col("id"), posexplode(
@@ -249,7 +271,7 @@ object Pq {
     }
     // assign: integer-L2 argmin over the broadcast centroid table —
     // n×nlist candidate rows, map-side-combined to n before the shuffle
-    val corpusCells = corpus
+    val corpusCells = widen(corpus)
       .select(col(idCol).as("id"),
         Similarity.int8Quantize(col(vecCol)).getField("q").as("__q"))
       .crossJoin(broadcast(centroids))
@@ -473,7 +495,7 @@ object Pq {
     // come from THIS frame's projection, never a re-read of the index
     // (the writeMinHashIndex quadratic-append hazard)
     pqEncode(corpus, idCol, vecCol, index.codebook, m)
-      .join(corpus
+      .join(widen(corpus)
         .select(col(idCol).as("id"),
           Similarity.int8Quantize(col(vecCol)).getField("q").as("__q"))
         .crossJoin(broadcast(index.centroids))
