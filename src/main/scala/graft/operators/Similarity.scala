@@ -189,6 +189,9 @@ object Similarity {
     * the candidate set by the [[int8TopK]] score (int_dot DESC, id
     * ASC — same column, same tie rule, so rerank over the FULL pair
     * set equals int8TopK exactly, the SimilaritySpec identity).
+    * Candidate pairs must be DISTINCT — a duplicated (query_id, id)
+    * row would score twice and inflate ranks below it; every
+    * first-stage top-k frame satisfies this by construction.
     *
     * Plan shape: the candidate set broadcasts INTO the code
     * projection's scan-side hash join (candidate-bounded — queries×k₀

@@ -95,7 +95,11 @@ object Sketches {
   }
 
   /** Point-lookup against a [[countMinSketch]] frame: appends
-    * `cms_est` (BIGINT, the min over depth rows) to `keys`. A probed
+    * `cms_est` (BIGINT, the min over depth rows) to `keys` (whose
+    * columns must not collide with the sketch's internal `r` / `cell`
+    * / `c` names). Keys are assumed NON-NEGATIVE integers — the
+    * contract the whole portable-hash family shares (a SQL engine's
+    * `%` differs from `pmod` on negatives). A probed
     * key whose cell has no sketch row hit an EMPTY cell — that row
     * counts as 0 (left join + coalesce), which keeps the estimate
     * exact-zero for never-seen keys instead of silently
