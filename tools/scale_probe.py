@@ -103,7 +103,13 @@ DECADE_ENTRIES = [
     # gopher_signals, annotated_lineitem, late_stream
     "x_fuzzy_match", "x_dup_passages", "x_lm_score", "x_gopher_rules",
     "p8_split_summary", "x_stream_late_drops",
+    # r16 wave 4: the pq_index/pq_top10 artifacts (via the pareto
+    # capstone, which also exercises the BQ/MRL legs) and the two
+    # encode-heavy io folds of the PQ serving split
+    "x_ann_pareto", "x_pq_index_grow", "x_pq_index_probe",
 ]
+# sfx100-mode legs run through bench_chunked (<=5 entries/session) —
+# see its docstring for the big-session degradation this guards.
 
 
 def run(cmd, env=None, **kw):
@@ -132,6 +138,36 @@ def bench(sf_dir, entries, out_json, cpus, reps, driver_mem=None):
     with open(os.path.join(REPO, out_json) if not os.path.isabs(out_json)
               else out_json) as f:
         return json.load(f)
+
+
+def bench_chunked(sf_dir, entries, out_json, cpus, reps, driver_mem=None,
+                  chunk=5):
+    """bench() in <=chunk-entry sessions, medians/artifacts merged.
+
+    One big session's in-session numbers are not trustworthy at the
+    decade scales: a 9-entry 48g-driver sfx100-mode session was
+    observed (2026-08-16) degrading 20-60x on compute-heavy entries
+    partway through, while the same entries measure clean in small
+    sessions. Chunking costs one JVM spin-up per chunk and buys
+    numbers that don't need a forensic pass. NOTE: shared artifacts
+    rebuild per chunk — their times stay first-touch-cold either way.
+    """
+    merged = None
+    for i in range(0, len(entries), chunk):
+        part = bench(sf_dir, entries[i:i + chunk],
+                     f"{out_json}.part{i // chunk}", cpus, reps, driver_mem)
+        if merged is None:
+            merged = part
+        else:
+            merged["queries"].update(part.get("queries", {}))
+            ab = merged.setdefault("artifact_breakdown", {})
+            for k, v in (part.get("artifact_breakdown") or {}).items():
+                # keep the first (cold) observation per artifact
+                ab.setdefault(k, v)
+    with open(os.path.join(REPO, out_json) if not os.path.isabs(out_json)
+              else out_json, "w") as f:
+        json.dump(merged, f)
+    return merged
 
 
 def ratio_table(title, base, x10, flag_exempt=frozenset()):
@@ -200,10 +236,10 @@ def main():
                         "derivation version mismatch after regen — update "
                         "DERIVATION in scale_probe.py to match "
                         "graft.tools.ScaleUp.DerivationVersion")
-        base = bench(SFX10, entries, "/tmp/probe_sfx10d.json", args.cpus,
-                     args.reps, driver_mem="48g")
-        x = bench(SFX100, entries, "/tmp/probe_sfx100.json", args.cpus,
-                  args.reps, driver_mem="48g")
+        base = bench_chunked(SFX10, entries, "/tmp/probe_sfx10d.json",
+                             args.cpus, args.reps, driver_mem="48g")
+        x = bench_chunked(SFX100, entries, "/tmp/probe_sfx100.json",
+                          args.cpus, args.reps, driver_mem="48g")
         title_lo, title_hi = "sfx10", "sfx100"
     else:
         entries = ([e.strip() for e in args.entries.split(",") if e.strip()]
