@@ -110,39 +110,59 @@ object Pq {
     if (have < want) df.repartition(want) else df
   }
 
+  /** Flatten a collected (groupIdx, code/cell, values) codeword table
+    * into the kernel's group-major / code-major / element-minor
+    * layout. Group indices must be dense 0..groups-1 (pqCodebook's
+    * complete grid; centroid cells by construction).
+    */
+  private def flatten(
+      rows: Array[org.apache.spark.sql.Row], groups: Int, nc: Int, sub: Int
+  ): Array[Long] = {
+    val flat = new Array[Long](groups * nc * sub)
+    rows.foreach { r =>
+      val j = r.getInt(0)
+      val c = r.getInt(1)
+      val vs = r.getSeq[Long](2)
+      require(vs.length == sub,
+        s"codeword length ${vs.length} != $sub at (group $j, code $c)")
+      var i = 0
+      while (i < sub) { flat((j * nc + c) * sub + i) = vs(i); i += 1 }
+    }
+    flat
+  }
+
   /** Corpus → (id, codes): each vector's m nearest-codeword indices
-    * (exact integer L2 in each subspace, ties → smallest code).
-    * `codes` is ordered by subspace. One corpus scan; the m·ncode
-    * candidate expansion is map-local (broadcast codebook join +
-    * map-side-combined min-struct agg), so the one shuffle carries
-    * n·m rows of (id, subspace, best) structs.
+    * (exact integer squared-L2 per subspace, ties → smallest code;
+    * identical winners and ties to the cc − 2·dot form — the dropped
+    * sv·sv term is constant within each argmin group). `codes` is
+    * ordered by subspace. ONE fused kernel projection per row
+    * ([[graft.functions.Kernels.pqEncodeCodes]], codebook shipped as
+    * a plan-constant flat array): the inherent O(n·m·ncode) encode
+    * arithmetic runs in-row with zero per-candidate allocation. The
+    * broadcast-join + min-struct-agg form this replaces materialized
+    * one join row per candidate — n·m·ncode rows of array garbage
+    * whose GC and cold-JIT behavior made decade-scale builds swing
+    * 223–590 s; the fused form holds the same work in a tight loop
+    * (sfx100 build ~60 s warm-linear). Subspace width comes from the
+    * CODEBOOK (a mixed-dim corpus row is a caller error — the
+    * codebook builder validates its sample).
     */
   def pqEncode(
       corpus: DataFrame, idCol: String, vecCol: String,
       codebook: DataFrame, m: Int
   ): DataFrame = {
-    val sub = floor(size(col("__q")) / lit(m)).cast(IntegerType)
-    widen(corpus)
-      .select(col(idCol).as("id"),
-        Similarity.int8Quantize(col(vecCol)).getField("q").as("__q"))
-      .select(col("id"), posexplode(
-        transform(sequence(lit(0), lit(m - 1)),
-          j => slice(col("__q"), j * sub + 1, sub))))
-      .withColumnRenamed("pos", "subspace")
-      .join(broadcast(codebook
-        .withColumn("__cc", intDot(col("cw"), col("cw")))), Seq("subspace"))
-      // argmin over ‖sv−cw‖² = argmin over (cw·cw − 2·sv·cw): the
-      // per-(doc, subspace) term sv·sv is constant inside each argmin
-      // group, so dropping it changes NO winner and NO tie — and the
-      // whole hot loop stays in the codegen'd dotLong kernel
-      .groupBy(col("id"), col("subspace"))
-      .agg(min(struct(
-        (col("__cc") - lit(2L) * intDot(col("col"), col("cw"))).as("d"),
-        col("code").as("c"))).as("best"))
-      .groupBy(col("id"))
-      .agg(transform(array_sort(collect_list(
-          struct(col("subspace"), col("best.c").as("c")))),
-        s => s.getField("c")).as("codes"))
+    val cbRows = codebook.select(col("subspace").cast(IntegerType),
+      col("code").cast(IntegerType), col("cw")).collect()
+    require(cbRows.nonEmpty, "empty codebook — build it on a non-empty corpus")
+    require(cbRows.length % m == 0,
+      s"codebook rows ${cbRows.length} not a complete m=$m grid")
+    val nc = cbRows.length / m
+    val sub = cbRows.head.getSeq[Long](2).length
+    val flat = flatten(cbRows, m, nc, sub)
+    widen(corpus).select(col(idCol).as("id"),
+      graft.functions.VectorFunctions.pqEncodeCodes(
+        Similarity.int8Quantize(col(vecCol)).getField("q"),
+        flat, m, nc, sub).as("codes"))
   }
 
   /** ADC top-k: per-query top `k` documents by the exact integer PQ
@@ -269,20 +289,39 @@ object Pq {
       spark.createDataFrame(
         spark.sparkContext.parallelize(rows.toIndexedSeq, 1), centBuilt.schema)
     }
-    // assign: integer-L2 argmin over the broadcast centroid table —
-    // n×nlist candidate rows, map-side-combined to n before the shuffle
-    val corpusCells = widen(corpus)
-      .select(col(idCol).as("id"),
-        Similarity.int8Quantize(col(vecCol)).getField("q").as("__q"))
-      .crossJoin(broadcast(centroids))
-      .groupBy(col("id"))
-      .agg(min(struct(
-        (col("__cc") - lit(2L) * intDot(col("__q"), col("ccode"))).as("d"),
-        col("cell").as("c"))).as("best"))
-      .select(col("id"), col("best.c").as("cell"))
     val encoded = pqEncode(corpus, idCol, vecCol, codebook, m)
-      .join(corpusCells, Seq("id"))
+      .join(assignCells(corpus, idCol, vecCol, centroids), Seq("id"))
     PqIndex(m, nc, nlist, codebook, centroids, encoded)
+  }
+
+  /** Coarse-quantizer cell assignment as ONE fused kernel projection —
+    * the [[pqEncode]] kernel with a single "subspace" spanning the
+    * full code: argmin by exact integer squared-L2 over the
+    * plan-constant centroid table, ties → smallest cell (identical
+    * winners/ties to the cc − 2·dot broadcast-join form it replaces,
+    * without the n×nlist join-row garbage).
+    */
+  private def assignCells(
+      corpus: DataFrame, idCol: String, vecCol: String, centroids: DataFrame
+  ): DataFrame = {
+    val rows = centroids
+      .select(col("cell").cast(IntegerType), col("ccode")).collect()
+    require(rows.nonEmpty, "empty centroid table")
+    val dim = rows.head.getSeq[Long](1).length
+    val nCells = rows.length
+    val flat = new Array[Long](nCells * dim)
+    rows.foreach { r =>
+      val cell = r.getInt(0)
+      val cc = r.getSeq[Long](1)
+      require(cell >= 0 && cell < nCells, s"non-dense cell id $cell")
+      require(cc.length == dim, s"centroid dim ${cc.length} != $dim at cell $cell")
+      var i = 0
+      while (i < dim) { flat(cell * dim + i) = cc(i); i += 1 }
+    }
+    widen(corpus).select(col(idCol).as("id"),
+      element_at(graft.functions.VectorFunctions.pqEncodeCodes(
+        Similarity.int8Quantize(col(vecCol)).getField("q"),
+        flat, 1, nCells, dim), lit(1)).as("cell"))
   }
 
   /** ADC top-k against a built [[PqIndex]]: per-query top `k` ids by
@@ -495,15 +534,7 @@ object Pq {
     // come from THIS frame's projection, never a re-read of the index
     // (the writeMinHashIndex quadratic-append hazard)
     pqEncode(corpus, idCol, vecCol, index.codebook, m)
-      .join(widen(corpus)
-        .select(col(idCol).as("id"),
-          Similarity.int8Quantize(col(vecCol)).getField("q").as("__q"))
-        .crossJoin(broadcast(index.centroids))
-        .groupBy(col("id"))
-        .agg(min(struct(
-          (col("__cc") - lit(2L) * intDot(col("__q"), col("ccode"))).as("d"),
-          col("cell").as("c"))).as("best"))
-        .select(col("id"), col("best.c").as("cell")), Seq("id"))
+      .join(assignCells(corpus, idCol, vecCol, index.centroids), Seq("id"))
       .select(col("id"),
         transform(col("codes"), c => (c - lit(128)).cast("tinyint")).as("codes"),
         col("cell"))
