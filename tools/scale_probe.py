@@ -152,6 +152,10 @@ def bench_chunked(sf_dir, entries, out_json, cpus, reps, driver_mem=None,
     numbers that don't need a forensic pass. NOTE: shared artifacts
     rebuild per chunk — their times stay first-touch-cold either way.
     """
+    if not entries:
+        # json.dump(None) would write a literal `null` and every reader
+        # downstream would die on a subscript — fail where the bug is
+        raise ValueError("bench_chunked called with no entries")
     merged = None
     for i in range(0, len(entries), chunk):
         part = bench(sf_dir, entries[i:i + chunk],
@@ -160,10 +164,23 @@ def bench_chunked(sf_dir, entries, out_json, cpus, reps, driver_mem=None,
             merged = part
         else:
             merged["queries"].update(part.get("queries", {}))
+            # scalar totals cover ONE chunk's session each — sum the
+            # cross-chunk-additive ones (artifact build cost accrues per
+            # chunk since shared artifacts rebuild per JVM) so the
+            # merged top level doesn't silently report chunk 1 only
+            merged["artifact_sec"] = (merged.get("artifact_sec") or 0.0) + \
+                (part.get("artifact_sec") or 0.0)
+            # session-health fields: keep the WORST observation, not the
+            # first chunk's
+            merged["sick"] = bool(merged.get("sick")) or bool(part.get("sick"))
+            merged["n_failed"] = (merged.get("n_failed") or 0) + \
+                (part.get("n_failed") or 0)
             ab = merged.setdefault("artifact_breakdown", {})
             for k, v in (part.get("artifact_breakdown") or {}).items():
                 # keep the first (cold) observation per artifact
                 ab.setdefault(k, v)
+    # the headline total must cover every merged chunk, not chunk 1
+    merged["value"] = sum(v for v in merged["queries"].values() if v >= 0)
     with open(os.path.join(REPO, out_json) if not os.path.isabs(out_json)
               else out_json, "w") as f:
         json.dump(merged, f)
