@@ -316,6 +316,31 @@ object Queries {
     */
   private val exactAuditMaxQueries = 4096
 
+  /** Corpus-side cap for the audit entries that carry a brute-force
+    * leg over the WHOLE corpus (x_ann_pareto, x_mrl_recall — each
+    * rung scans every vector per query, the killer class at 100 TB
+    * even at 5 queries). The whole audit — every rung AND the exact
+    * ground-truth leg — runs on the [[auditCorpusSlice]] of at most
+    * this many vectors, so recall-on-slice is internally consistent
+    * and the audit cost is bounded by cap × queries × dims per rung
+    * instead of growing with the corpus. At every test SF the cap is
+    * at or above the corpus size (2000 embeddings at sf0.1), so the
+    * slice is the identity and results are bit-identical to the
+    * uncapped form — the exactAuditMaxQueries convention applied to
+    * the corpus axis.
+    */
+  private val exactAuditMaxCorpus = 4096
+
+  /** Deterministic hash-ordered corpus slice (ascending
+    * (xxhash64(id), id) — the repo's sampling idiom: reproducible
+    * across runs and engines, unbiased w.r.t. any corpus ordering),
+    * capped at [[exactAuditMaxCorpus]] rows. One bounded TakeOrdered
+    * over the corpus; identity at every test SF.
+    */
+  private def auditCorpusSlice(corpus: DataFrame, idCol: String): DataFrame =
+    corpus.orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(exactAuditMaxCorpus)
+
   /** Shared EXACT kNN graph (the ANN family's recall oracle) — the
     * deliberate ground-truth pass runs once per dir per session,
     * consumed by `x_knn_graph` (the oracle entry itself),
@@ -3420,11 +3445,17 @@ object Queries {
     // broadcast join, and each (d, query) group cuts via the partial
     // WindowGroupLimit like every top-k in the family.
     "x_mrl_recall" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
+      val embAll = t(s, d, "embeddings")
+      // the whole grid runs on the bounded audit slice (identity at
+      // the test SFs, the scale route beyond — auditCorpusSlice
+      // scaladoc); queries come from the full corpus so the batch is
+      // stable whatever the slice picks
+      val emb = auditCorpusSlice(embAll, "vec_id")
       val codes = emb.select(col("vec_id"),
         Similarity.int8Quantize(col("embedding")).getField("q").as("cq"))
-      val qs = codes.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("cq").as("qq"))
+      val qs = embAll.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+          Similarity.int8Quantize(col("embedding")).getField("q").as("qq"))
       val dims = array(Seq(16, 32, 64).map(lit): _*)
       val scored = codes.crossJoin(broadcast(qs))
         .select(col("query_id"), col("vec_id"),
@@ -3524,13 +3555,19 @@ object Queries {
     // more than its rungs; integer/cosine-exact legs keep the whole
     // thing oracle-re-derivable with no goldens.
     "x_ann_pareto" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      val queries = emb.filter(col("vec_id") < 5)
+      val embAll = t(s, d, "embeddings")
+      // every rung AND the exact leg run on the SAME bounded audit
+      // slice (identity at the test SFs — auditCorpusSlice scaladoc):
+      // an audit that scans the full corpus per rung is the one
+      // operation here with no index to hide behind at 100 TB
+      val emb = auditCorpusSlice(embAll, "vec_id")
+      val queries = embAll.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       val codes = emb.select(col("vec_id"),
         Similarity.int8Quantize(col("embedding")).getField("q").as("cq"))
-      val qs = codes.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("cq").as("qq"))
+      val qs = embAll.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+          Similarity.int8Quantize(col("embedding")).getField("q").as("qq"))
       def prefixTop(dd: Int): DataFrame = {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("query_id"))
@@ -3547,13 +3584,23 @@ object Queries {
       val exact = ids(Similarity.exactTopKSample(emb, "vec_id", "embedding",
         queries, "qid", "qv", k = 10, maxQueries = exactAuditMaxQueries,
         metric = "cosine"))
+      // the PQ rung rides the session-shared full-corpus artifact
+      // while the slice is the identity (every test SF); past the cap
+      // it re-derives over the slice — a bounded (≤ cap-row) rebuild,
+      // so the rung stays slice-consistent with the other legs. The
+      // count() is a parquet metadata read, not a scan.
+      val pqLeg =
+        if (embAll.count() <= exactAuditMaxCorpus)
+          pqTop10(s, d).select(col("query_id"), col("id"))
+        else ids(graft.operators.Pq.pqTopK(emb, "vec_id", "embedding",
+          queries, "qid", "qv", m = 8, ncode = 256, k = 10))
       val legs = Seq(
         ("f32_exact", 256, exact),
         ("int8", 64, ids(Similarity.int8TopK(emb, "vec_id", "embedding",
           queries, "qid", "qv", k = 10))),
         ("mrl32", 32, prefixTop(32)),
         ("mrl16", 16, prefixTop(16)),
-        ("pq_m8", 8, pqTop10(s, d).select(col("query_id"), col("id"))),
+        ("pq_m8", 8, pqLeg),
         ("bq", 8, ids(Similarity.binaryTopK(emb, "vec_id", "embedding",
           queries, "qid", "qv", k = 10))))
       legs.map { case (m, b, df) =>
