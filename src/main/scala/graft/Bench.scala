@@ -135,6 +135,7 @@ object Bench {
       "x_partitioned_scan", "x_hll_increments", "x_schema_evolution",
       "x_csv_roundtrip", "x_ann_index_probe", "x_ann_index_grow",
       "x_pq_index_probe", "x_pq_index_grow", "x_index_compact",
+      "x_ann_refresh_gain",
       "x_stream_dedup_index", "x_stream_ingest_within", "x_stream_ann_ingest",
       // streaming replays: micro-batch + state-store machinery dominates
       // (see scaladoc) — weighted like io so the budget stays honest
