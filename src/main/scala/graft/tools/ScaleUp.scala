@@ -38,19 +38,19 @@ import org.apache.spark.sql.functions._
   *    measures the plan's scaling under constant workload character,
   *    i.e. a df profile that does not degenerate as replicas are
   *    added. (Residual: 2-word windows survive with prob 1/3; no
-  *    catalog family joins on word-2-gram postings.) The FIRST word
-  *    additionally gets a `r~` PREFIX (r>0): suffix mutation cannot
-  *    change a document's leading characters, so title-prefix blocking
-  *    keys (x_fuzzy_match's substring(title,1,6) pass) would otherwise
-  *    be replica-invariant — the probe's sfx100 run measured exactly
-  *    that: the distinct prefix-block count stayed FIXED at 366 at
-  *    every decade while block sizes grew ∝ replicas, driving the
-  *    blocked edit-distance join's Σ|block|² quadratically until the
-  *    maxBlock cap dropped the hot blocks (19.9× for 10× data). Real
-  *    corpus growth mints new openings (Heaps' law) — block-size
-  *    profiles stay roughly constant while the block COUNT grows —
-  *    and the replica prefix restores that: each replica contributes
-  *    its own block family.
+  *    catalog family joins on word-2-gram postings.) The two 6-char
+  *    TITLE-KEY windows (chars 1-6 and 25-30 — the fuzzy passes'
+  *    prefix and suffix blocking keys over substring(text,1,30)) are
+  *    additionally replaced by 6-char hash words of (window value,
+  *    replica): v3's `r~` word-0 prefix spent the key's leading chars
+  *    on the replica id (coarser within-replica blocks, ~1.7× over
+  *    linear candidate growth) and left the SUFFIX key untouched
+  *    (replica-invariant blocks, 15.9× candidates/decade, survivable
+  *    only because the maxBlock cap bit). Real corpus growth mints
+  *    new openings (Heaps' law) — block COUNT grows, the block-size
+  *    profile stays put — and the full-entropy window rewrite gives
+  *    exactly that: measured 9.97× linear for 10× data on both
+  *    passes, sizes invariant, cap never biting.
   *  - `embeddings.embedding` (r>0): per-(vec_id, r, dim) hash jitter
   *    of amplitude 0.5 decorrelates replicas (cosine near-dup pairs
   *    don't multiply across replicas; label structure is preserved).
@@ -74,7 +74,7 @@ object ScaleUp {
     * derivation drift, not plan scaling). Bump on any change to the
     * perturbation scheme.
     */
-  val DerivationVersion = "v3-period3-word0prefix"
+  val DerivationVersion = "v4-char24-suffix-window"
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: ScaleUp <inDir> <outDir> [replicas]")
@@ -159,17 +159,49 @@ object ScaleUp {
 
     // documents: replica 0 verbatim; r>0 mutates every 3rd word so
     // every >=3-word window straddles a mutation — zero cross-replica
-    // 3-gram shingle overlap, constant posting df (see object scaladoc)
+    // 3-gram shingle overlap, constant posting df (see object scaladoc).
+    // v4: the title-window blocking keys get FULL-ENTROPY per-replica
+    // rewrites instead of replica-id tags. v3 tagged word 0 with `r~`,
+    // which spent 2-4 of the prefix key's 6 characters on the replica
+    // id — within-replica block discrimination dropped to the
+    // remaining chars, so block sizes coarsened and Σ|block|²
+    // candidates grew ~1.7x OVER linear per decade (and the SUFFIX key,
+    // last 6 chars of the 30-char title, stayed replica-invariant
+    // outright: 15.9x candidates/decade, survivable only because the
+    // maxBlock cap bit — the probe was measuring the cap, not the
+    // algorithm). Real growth mints NEW words (Heaps' law): block
+    // count ∝ corpus, block-size profile constant. The v4 rewrite
+    // emulates exactly that — BOTH 6-char key windows (title chars
+    // 1-6 and 25-30) are replaced by a 6-char hash word of (their
+    // original value, replica). Hashing the WINDOW, not the first
+    // word, is load-bearing: short first words make the prefix key
+    // straddle a word boundary, so a word-level hash collapses blocks
+    // that the window's later characters used to split (measured 17x
+    // candidates per decade from exactly that). Docs sharing a window
+    // within a replica still share the hash, replicas never collide,
+    // so both passes' block counts scale ∝ replicas with invariant
+    // size profiles — measured 9.97x linear for 10x data, cap never
+    // biting.
     locally {
+      val alphabet = array(('a' to 'z').map(c => lit(c.toString)): _*)
+      def hashWord(src: Column, salt: Column): Column =
+        concat((0 until 6).map { k =>
+          element_at(alphabet,
+            (pmod(xxhash64(src, salt, lit(k)), lit(26L)) + 1L).cast("int"))
+        }: _*)
       val words = split(col("text"), " ")
       val mutated = array_join(
         zip_with(words, sequence(lit(0), size(words) - 1),
-          (w, i) => when(i === 0, concat(r, lit("~"), w))
-            .when(pmod(i, lit(3)) === 2, concat(w, lit("~"), r))
+          (w, i) => when(pmod(i, lit(3)) === 2, concat(w, lit("~"), r))
             .otherwise(w)),
         " ")
+      val stamped = concat(
+        hashWord(substring(mutated, 1, 6), r),
+        substring(mutated, 7, 18),
+        hashWord(substring(mutated, 25, 6), r),
+        substring(mutated, 31, Int.MaxValue))
       val newText = when(r === 0 || col("text").isNull, col("text"))
-        .otherwise(mutated)
+        .otherwise(stamped)
       scale("documents", 8)(_ => Seq(
         off("doc_id"), newText.as("text"), col("lang"), col("source"),
         when(r === 0, col("n_chars"))

@@ -45,7 +45,7 @@ BAR = 13.0  # 1.3x the linear 10x
 # must match graft.tools.ScaleUp.DerivationVersion — a derived dir
 # stamped with an older scheme (or never stamped) is regenerated, so
 # the two probe legs always come from the SAME derivation
-DERIVATION = "v3-period3-word0prefix"
+DERIVATION = "v4-char24-suffix-window"
 
 
 def derivation_ok(path):
