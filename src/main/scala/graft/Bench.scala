@@ -174,6 +174,19 @@ object Bench {
     }
     val ordered = selected.toSeq.sortBy(_._1)
     val doWarmup = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
+    // DEEP-WARMUP CLASS (r17): the streaming-ingest folds converge
+    // over ~6 executions, not 1 — an isolated 8-rep run of
+    // x_stream_ingest_within measured monotone 49.6 (warmup) → 37.2 →
+    // 27.4 → 20.6 → 18.4 → 18.4 → 17.8 → 17.5 → 16.9 s with no state
+    // accumulation (stores unloaded, buses pruned, code cache 512m
+    // segmented): the fold's deep foreachBatch machinery is what the
+    // JIT chews through. A single discarded warmup leaves the
+    // median-of-3 mid-tail, tracking JVM mood instead of plan cost —
+    // exactly what the per-query warmup exists to prevent (r10). These
+    // entries get THREE discarded warmup executions; warmup wall-clock
+    // stays visible in the reps side file (summed under "warmup").
+    val deepWarmup = Set(
+      "x_stream_ingest_within", "x_stream_dedup_index", "x_stream_ann_ingest")
     // warmup times per query (pass-1 discarded reps), kept for the side
     // file so the JIT/checkpoint cost stays visible even though it no
     // longer pollutes the medians
@@ -194,7 +207,10 @@ object Bench {
     val repLoads = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
     def runPass(warm: Boolean): Seq[(String, Seq[Double])] =
       ordered.map { case (name, fn) =>
-        if (warm) warmupTimes(name) = timeOnce(name, fn)
+        if (warm) {
+          val n = if (deepWarmup(name)) 3 else 1
+          warmupTimes(name) = (1 to n).map(_ => timeOnce(name, fn)).sum
+        }
         name -> (1 to reps).map { _ =>
           val t = timeOnce(name, fn)
           repLoads(name) = repLoads.getOrElse(name, Vector.empty) :+ loadAvg()
