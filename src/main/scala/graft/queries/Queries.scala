@@ -331,6 +331,18 @@ object Queries {
     */
   private val exactAuditMaxCorpus = 4096
 
+  /** Memoized embeddings row count per dataset dir — the
+    * audit-cap gate (`x_ann_pareto`) consults it every rep, and
+    * `DataFrame.count()` launches a real job (file listing + footer
+    * reads) whose cost grows with file count at scale. A plain Long,
+    * so unlike the frame memos it safely outlives any SparkSession.
+    */
+  private val embCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def embeddingsCount(s: SparkSession, d: String): Long =
+    embCountCache.computeIfAbsent(d, _ => t(s, d, "embeddings").count())
+
   /** Deterministic hash-ordered corpus slice (ascending
     * (xxhash64(id), id) — the repo's sampling idiom: reproducible
     * across runs and engines, unbiased w.r.t. any corpus ordering),
@@ -3628,9 +3640,11 @@ object Queries {
       // while the slice is the identity (every test SF); past the cap
       // it re-derives over the slice — a bounded (≤ cap-row) rebuild,
       // so the rung stays slice-consistent with the other legs. The
-      // count() is a parquet metadata read, not a scan.
+      // row-count gate is a real Spark job (file listing + footer
+      // reads, growing with file count), so it is memoized per dataset
+      // dir — one count per dir per session, not one per timed rep.
       val pqLeg =
-        if (embAll.count() <= exactAuditMaxCorpus)
+        if (embeddingsCount(s, d) <= exactAuditMaxCorpus)
           pqTop10(s, d).select(col("query_id"), col("id"))
         else ids(graft.operators.Pq.pqTopK(emb, "vec_id", "embedding",
           queries, "qid", "qv", m = 8, ncode = 256, k = 10))

@@ -179,9 +179,30 @@ def bench_chunked(sf_dir, entries, out_json, cpus, reps, driver_mem=None,
             # merged top level doesn't silently report chunk 1 only
             merged["artifact_sec"] = (merged.get("artifact_sec") or 0.0) + \
                 (part.get("artifact_sec") or 0.0)
+            # io_sec is additive exactly like artifact_sec (each chunk's
+            # value covers only its own entries); io_queries/rep_outliers
+            # are per-chunk lists — union them so io-fraction reads off
+            # the merged artifact cover every chunk, not chunk 1
+            merged["io_sec"] = (merged.get("io_sec") or 0.0) + \
+                (part.get("io_sec") or 0.0)
+            for lk in ("io_queries", "rep_outliers"):
+                seen = list(merged.get(lk) or [])
+                seen += [n for n in (part.get(lk) or []) if n not in seen]
+                merged[lk] = seen
             # session-health fields: keep the WORST observation, not the
             # first chunk's
             merged["sick"] = bool(merged.get("sick")) or bool(part.get("sick"))
+            merged["contended"] = bool(merged.get("contended")) or \
+                bool(part.get("contended"))
+            merged["n_band_outliers"] = (merged.get("n_band_outliers") or 0) + \
+                (part.get("n_band_outliers") or 0)
+            merged["passes"] = max(merged.get("passes") or 1,
+                                   part.get("passes") or 1)
+            # load: keep the chunk with the hottest median (hot flag
+            # follows it) so a contended chunk can't hide behind chunk 1
+            ml, pl = merged.get("load") or {}, part.get("load") or {}
+            if (pl.get("median") or -1.0) > (ml.get("median") or -1.0):
+                merged["load"] = pl
             merged["n_failed"] = (merged.get("n_failed") or 0) + \
                 (part.get("n_failed") or 0)
             ab = merged.setdefault("artifact_breakdown", {})
@@ -243,6 +264,18 @@ def main():
                          "the top-risk + artifact-coverage list (same 13x "
                          "bar — 1.3x per decade)")
     args = ap.parse_args()
+
+    # declared-quadratic contracts are absent from the default lists;
+    # an explicit --entries run naming one gets a loud banner instead
+    # of silently measuring a contract the bar was never meant for
+    if args.entries:
+        for name in EXHAUSTIVE_BY_CONTRACT:
+            if name in args.entries:
+                print(f"[probe] WARNING: {name} is quadratic BY CONTRACT "
+                      "(exhaustive-probe retrieval for a closed-form oracle) "
+                      "— its ratio measures the declared contract, not a "
+                      "scale defect; the serving shape at scale is the "
+                      "pruned-probe path", flush=True)
 
     if args.sfx100:
         entries = ([e.strip() for e in args.entries.split(",") if e.strip()]
