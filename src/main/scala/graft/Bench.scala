@@ -135,8 +135,9 @@ object Bench {
       "x_partitioned_scan", "x_hll_increments", "x_schema_evolution",
       "x_csv_roundtrip", "x_ann_index_probe", "x_ann_index_grow",
       "x_pq_index_probe", "x_pq_index_grow", "x_index_compact",
-      "x_ann_refresh_gain",
+      "x_ann_refresh_gain", "x_refresh_adaptive", "x_minhash_compact",
       "x_stream_dedup_index", "x_stream_ingest_within", "x_stream_ann_ingest",
+      "x_stream_pq_ingest",
       // streaming replays: micro-batch + state-store machinery dominates
       // (see scaladoc) — weighted like io so the budget stays honest
       "x_stream_dedup", "x_stream_error_rate", "x_stream_join",

@@ -341,10 +341,28 @@ object Ivf {
     * Returns the [[IvfIndex]] the codes were written under, so an
     * in-session caller can probe without re-reading `centroids/`.
     */
+  /** `refineIters > 0` (fresh builds only) runs [[refineCentroids]] —
+    * spherical k-means — on the hash-sampled coarse quantizer before
+    * anything is written: the DENSITY-ADAPTIVE training mode (the
+    * hash sample is reproducible but distribution-agnostic; Lloyd
+    * rounds move centroids into the corpus's actual density, which is
+    * what a drifted-corpus refresh needs). Determinism caveat, stated
+    * not hidden: the recenter step sums doubles distributively, so
+    * refined centroids are deterministic for a FIXED partitioning but
+    * not bit-portable across engines — catalog entries verified by
+    * DuckDB/golden oracles keep `refineIters = 0` (the default); the
+    * all-integer [[Pq.buildIndex]] refinement is the bit-replayable
+    * variant. Append must reuse the persisted quantizers, so it
+    * rejects `refineIters > 0`.
+    */
   def writeInt8Index(
       corpus: DataFrame, idCol: String, vecCol: String,
-      path: String, nlist: Int = 64, mode: String = "error"
+      path: String, nlist: Int = 64, mode: String = "error",
+      refineIters: Int = 0
   ): IvfIndex = {
+    require(mode != "append" || refineIters == 0,
+      "refineIters applies to fresh builds only — append must route " +
+        "through the persisted centroids (rebuild fresh to retrain)")
     val spark = corpus.sparkSession
     val index =
       if (mode == "append") {
@@ -367,7 +385,11 @@ object Ivf {
               "through a mismatched quantizer")
         }
         existing
-      } else buildIndex(corpus, idCol, vecCol, nlist)
+      } else {
+        val built = buildIndex(corpus, idCol, vecCol, nlist)
+        if (refineIters > 0) refineCentroids(corpus, vecCol, built, refineIters)
+        else built
+      }
     // write centroids + meta only on a fresh build; append reuses them
     if (mode != "append") {
       import spark.implicits._

@@ -143,6 +143,164 @@ object Pq {
     flat
   }
 
+  // ---------------------------------------------------------------------
+  // Density-adaptive quantizer training (integer Lloyd refinement)
+  // ---------------------------------------------------------------------
+
+  /** Integer Lloyd (k-means) refinement of a flat codeword grid — the
+    * DENSITY-ADAPTIVE training mode behind [[buildIndex]]'s
+    * `refineIters`. The hash-sampled initializers are reproducible but
+    * distribution-AGNOSTIC by construction, which the r17 refresh audit
+    * measured as its one gap: retraining them on a drifted corpus
+    * recovers nothing (union-retrained 22/200 < frozen 29/200 hits —
+    * the quantizers never look at density). This refinement is Lloyd's
+    * algorithm kept ENTIRELY in exact integer arithmetic so the
+    * determinism contract survives training:
+    *
+    *  - assignment: exact integer squared-L2 argmin over the current
+    *    codewords (the [[pqEncode]] kernel — ties → smallest code);
+    *  - recenter: per-cluster element sums are exact BIGINTs (order-
+    *    independent, map-side combined), the new codeword is the
+    *    round-half-up integer mean `floorDiv(2·Σx + n, 2n)` — a pure
+    *    function of the sums, partitioning-independent;
+    *  - SSE GUARD: the rounded mean is accepted only when it strictly
+    *    lowers the cluster's sum of squared distances under the CURRENT
+    *    assignment (computable exactly from Σx, Σx² and n — no second
+    *    pass), else the old codeword stays. Exact-mean recentering is
+    *    monotone; integer ROUNDING could in principle regress a
+    *    cluster, and the guard turns "usually improves" into
+    *    "non-increasing by construction" (PqSpec pins it). Empty
+    *    clusters keep their codeword.
+    *
+    * Every quantity is a pure integer function of (corpus multiset,
+    * init, iters): bit-replayable across engines/partitionings — the
+    * committed-golden convention covers refined indexes exactly like
+    * hash-sampled ones. Overflow: |x| ≤ 127 ⇒ |Σx| ≤ 127n,
+    * Σx² ≤ 127²n, the SSE terms ≤ 3·127²·sub·n — BIGINT-safe to
+    * n ≈ 10¹³ vectors per cluster.
+    *
+    * Plan shape per iteration: ONE corpus pass — the fused encode
+    * kernel projects each row to its codes, a bounded explode fans to
+    * (group, code, element) and the integer agg map-side-combines to
+    * ≤ groups·nc·sub rows per task before the one shuffle; only that
+    * plan-constant grid (16k rows at the defaults) is collected. Cost
+    * is iters × the encode pass — the documented training price of
+    * density adaptation; `refineIters = 0` (the default everywhere)
+    * keeps the zero-pass hash-sampled build.
+    */
+  private def refineFlat(
+      qFrame: DataFrame, init: Array[Long],
+      groups: Int, nc: Int, sub: Int, iters: Int
+  ): Array[Long] = {
+    var flat = init.clone()
+    for (_ <- 1 to iters) {
+      val stats = qFrame
+        .select(col("__q"),
+          graft.functions.VectorFunctions.pqEncodeCodes(
+            col("__q"), flat, groups, nc, sub).as("__codes"))
+        .select(posexplode(transform(sequence(lit(0), lit(groups - 1)),
+          j => struct(
+            element_at(col("__codes"), j + lit(1)).as("code"),
+            slice(col("__q"), j * sub + 1, lit(sub)).as("sv")))))
+        .select(col("pos").cast(IntegerType).as("g"),
+          col("col.code").cast(IntegerType).as("c"), col("col.sv").as("sv"))
+        .select(col("g"), col("c"), posexplode(col("sv")).as(Seq("i", "x")))
+        .groupBy(col("g"), col("c"), col("i"))
+        .agg(sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
+          count(lit(1)).as("n"))
+        .collect() // ≤ groups·nc·sub rows — plan-constant
+      val sx = new Array[Long](groups * nc * sub)
+      val sxx = new Array[Long](groups * nc)
+      val n = new Array[Long](groups * nc)
+      stats.foreach { r =>
+        val g = r.getInt(0); val c = r.getInt(1); val i = r.getInt(2)
+        require(g >= 0 && g < groups && c >= 0 && c < nc && i >= 0 && i < sub,
+          s"refine stats out of range: (g=$g, c=$c, i=$i)")
+        sx((g * nc + c) * sub + i) = r.getLong(3)
+        sxx(g * nc + c) += r.getLong(4)
+        n(g * nc + c) = r.getLong(5)
+      }
+      val next = flat.clone()
+      var gc = 0
+      while (gc < groups * nc) {
+        val cnt = n(gc)
+        if (cnt > 0) {
+          val base = gc * sub
+          val cand = new Array[Long](sub)
+          var sseOld = sxx(gc)
+          var sseCand = sxx(gc)
+          var i = 0
+          while (i < sub) {
+            val s = sx(base + i)
+            val cw = flat(base + i)
+            val cd = Math.floorDiv(2L * s + cnt, 2L * cnt)
+            cand(i) = cd
+            sseOld += cnt * cw * cw - 2L * cw * s
+            sseCand += cnt * cd * cd - 2L * cd * s
+            i += 1
+          }
+          if (sseCand < sseOld) System.arraycopy(cand, 0, next, base, sub)
+        }
+        gc += 1
+      }
+      flat = next
+    }
+    flat
+  }
+
+  /** The corpus's int8-code projection shared by both refinement
+    * grids (PQ codebook and coarse quantizer): one column `__q`.
+    */
+  private def refineInput(
+      corpus: DataFrame, vecCol: String
+  ): DataFrame =
+    widen(corpus).select(
+      Similarity.int8Quantize(col(vecCol)).getField("q").as("__q"))
+
+  /** Encode-side SSE of a codeword grid over a corpus — Σ over rows and
+    * subspaces of the squared L2 distance to the assigned codeword, in
+    * exact BIGINT. The quantization-error instrument PqSpec uses to pin
+    * that refinement never regresses the hash-sampled init.
+    */
+  def gridSse(
+      corpus: DataFrame, vecCol: String,
+      flat: Array[Long], groups: Int, nc: Int, sub: Int
+  ): Long = {
+    // one stats pass (the refineFlat shape), SSE assembled driver-side
+    // from the exact per-cluster sums: Σx² − 2·cw·Σx + n·|cw|²
+    val stats = refineInput(corpus, vecCol)
+      .select(col("__q"),
+        graft.functions.VectorFunctions.pqEncodeCodes(
+          col("__q"), flat, groups, nc, sub).as("__codes"))
+      .select(posexplode(transform(sequence(lit(0), lit(groups - 1)),
+        j => struct(
+          element_at(col("__codes"), j + lit(1)).as("code"),
+          slice(col("__q"), j * sub + 1, lit(sub)).as("sv")))))
+      .select(col("pos").cast(IntegerType).as("g"),
+        col("col.code").cast(IntegerType).as("c"), col("col.sv").as("sv"))
+      .select(col("g"), col("c"), posexplode(col("sv")).as(Seq("i", "x")))
+      .groupBy(col("g"), col("c"), col("i"))
+      .agg(sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
+        count(lit(1)).as("n"))
+      .collect()
+    stats.foldLeft(0L) { (acc, r) =>
+      val g = r.getInt(0); val c = r.getInt(1); val i = r.getInt(2)
+      val cw = flat((g * nc + c) * sub + i)
+      acc + r.getLong(4) - 2L * cw * r.getLong(3) + r.getLong(5) * cw * cw
+    }
+  }
+
+  /** Collected (flat array) view of a local codebook frame plus its
+    * grid shape — the refinement entry point shared by buildIndex.
+    */
+  private def flatCodebook(
+      cbRows: Array[org.apache.spark.sql.Row], m: Int
+  ): (Array[Long], Int, Int) = {
+    val nc = cbRows.length / m
+    val sub = cbRows.head.getSeq[Long](2).length
+    (flatten(cbRows, m, nc, sub), nc, sub)
+  }
+
   /** Corpus → (id, codes): each vector's m nearest-codeword indices
     * (exact integer squared-L2 per subspace, ties → smallest code;
     * identical winners and ties to the cc − 2·dot form — the dropped
@@ -279,11 +437,31 @@ object Pq {
     */
   def buildIndex(
       corpus: DataFrame, idCol: String, vecCol: String,
-      m: Int, ncode: Int, nlist: Int
+      m: Int, ncode: Int, nlist: Int, refineIters: Int = 0
   ): PqIndex = {
     require(nlist >= 1, s"nlist must be >= 1, got $nlist")
+    require(refineIters >= 0, s"refineIters must be >= 0, got $refineIters")
     val spark = corpus.sparkSession
-    val (codebook, nc) = localCodebook(corpus, idCol, vecCol, m, ncode)
+    val (codebook0, nc) = localCodebook(corpus, idCol, vecCol, m, ncode)
+    // density-adaptive training (refineIters > 0): the hash-sampled
+    // grids above stay the INITIALIZERS, and [[refineFlat]] runs
+    // integer Lloyd over the corpus — codebook per subspace, coarse
+    // quantizer over full codes. Both refined grids remain exact
+    // integer tables, so encode/routing/ADC determinism is unchanged.
+    val codebook =
+      if (refineIters == 0) codebook0
+      else {
+        val rows = codebook0.collect() // local frame, ≤ m·nc rows
+        val (flat, nc2, sub) = flatCodebook(rows, m)
+        val refined = refineFlat(refineInput(corpus, vecCol),
+          flat, m, nc2, sub, refineIters)
+        val outRows = for (g <- 0 until m; c <- 0 until nc2) yield
+          org.apache.spark.sql.Row(g, c,
+            refined.slice((g * nc2 + c) * sub, (g * nc2 + c + 1) * sub).toSeq)
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(outRows.toIndexedSeq, 1),
+          codebook0.schema)
+      }
     val centBuilt = corpus
       .select(col(idCol).as("__id"),
         Similarity.int8Quantize(col(vecCol)).getField("q").as("ccode"))
@@ -297,9 +475,33 @@ object Pq {
       .select(col("cell"), col("ccode"),
         intDot(col("ccode"), col("ccode")).as("__cc"))
     val centroids = {
-      val rows = centBuilt.collect() // ≤ nlist rows — plan-constant
+      val rows0 = centBuilt.collect() // ≤ nlist rows — plan-constant
+      val rows =
+        if (refineIters == 0) rows0.toIndexedSeq
+        else {
+          val nCells = rows0.length
+          val dim = rows0.head.getSeq[Long](1).length
+          val flat = new Array[Long](nCells * dim)
+          rows0.foreach { r =>
+            val cell = r.getInt(0)
+            val cc = r.getSeq[Long](1)
+            require(cell >= 0 && cell < nCells, s"non-dense cell id $cell")
+            require(cc.length == dim,
+              s"centroid dim ${cc.length} != $dim at cell $cell")
+            var i = 0
+            while (i < dim) { flat(cell * dim + i) = cc(i); i += 1 }
+          }
+          // the coarse grid is one "subspace" spanning the full code
+          val refined = refineFlat(refineInput(corpus, vecCol),
+            flat, 1, nCells, dim, refineIters)
+          (0 until nCells).map { cell =>
+            val cc = refined.slice(cell * dim, (cell + 1) * dim)
+            org.apache.spark.sql.Row(cell, cc.toSeq,
+              cc.foldLeft(0L)((a, v) => a + v * v))
+          }
+        }
       spark.createDataFrame(
-        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), centBuilt.schema)
+        spark.sparkContext.parallelize(rows, 1), centBuilt.schema)
     }
     val encoded = pqEncode(corpus, idCol, vecCol, codebook, m)
       .join(assignCells(corpus, idCol, vecCol, centroids), Seq("id"))
@@ -517,10 +719,18 @@ object Pq {
 
   def writeIndex(
       corpus: DataFrame, idCol: String, vecCol: String, path: String,
-      m: Int = 8, ncode: Int = 256, nlist: Int = 64, mode: String = "error"
+      m: Int = 8, ncode: Int = 256, nlist: Int = 64, mode: String = "error",
+      refineIters: Int = 0
   ): Unit = {
+    // append encodes/routes under the PERSISTED quantizers (read back
+    // below) — re-training them here would strand the existing codes
+    // in a different space; a refresh cycle rebuilds fresh instead
+    require(mode != "append" || refineIters == 0,
+      "refineIters applies to fresh builds only — append must reuse the " +
+        "persisted quantizers (re-encode the union to retrain)")
     if (mode != "append") {
-      writeIndex(buildIndex(corpus, idCol, vecCol, m, ncode, nlist), path, mode)
+      writeIndex(buildIndex(corpus, idCol, vecCol, m, ncode, nlist,
+        refineIters), path, mode)
       return
     }
     val spark = corpus.sparkSession
@@ -605,6 +815,72 @@ object Pq {
     * hazard class) — eagerly materialize (localCheckpoint/collect)
     * before any append, as the ingest folds do.
     */
+  /** One step of a SEQUENTIAL PQ-ingest fold at a PRUNED probe — the
+    * production streaming-ANN shape ([[Ivf.ingestAnnBatch]] runs the
+    * exhaustive-probe variant for its closed-form oracle; THIS is what
+    * a deployment actually serves): probe `batch`'s vectors against
+    * the persisted IVF-PQ index at `path` with `nProbe` ≪ nlist (top-k
+    * ADC neighbors among everything previously SEEN, scanning only the
+    * probed cells' code files), then append the batch under the
+    * index's FROZEN quantizers, and return the neighbor frame. Drive
+    * it from foreachBatch; micro-batches execute strictly in sequence,
+    * so batch k retrieves against exactly batches < k.
+    *
+    * `maxQueries` bounds the RETRIEVAL side of each batch (the
+    * [[graft.operators.Sampling.hashRank]]-minima slice, ties by id —
+    * the exactAuditMaxQueries convention applied to the fold): the
+    * append still ingests the FULL batch, but probe work per batch is
+    * capped at maxQueries × probed-cell occupancy instead of growing
+    * with batch size — the difference between linear-in-corpus and
+    * quadratic when the harness scales batches with the corpus. All
+    * arithmetic (routing, ADC) is BIGINT-exact, so the whole fold is
+    * closed-form re-derivable by an external oracle — no goldens.
+    *
+    * EAGER-MATERIALIZE-BEFORE-APPEND + at-least-once replay marker:
+    * the [[Ivf.ingestAnnBatch]] disciplines, verbatim — the probe
+    * plan reads `cells/` lazily, so the neighbor frame is
+    * localCheckpoint'd BEFORE the append (else a late evaluation would
+    * score the batch against its own vectors), and a replayed batchId
+    * skips the re-append ([[Dedup.LastBatchMarker]]). A replayed probe
+    * then sees the batch already in the index: the self-pair would
+    * take rank 1, so the probe over-fetches k+1, drops exact id
+    * self-pairs, and re-ranks — a singleton batch replays
+    * bit-identically.
+    */
+  def ingestBatch(
+      spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
+      idCol: String, vecCol: String, path: String,
+      k: Int, nProbe: Int = 8, batchId: Option[Long] = None,
+      maxQueries: Int = Int.MaxValue
+  ): DataFrame = {
+    require(maxQueries >= 1, s"maxQueries must be >= 1, got $maxQueries")
+    val alreadyIngested = batchId.exists { id =>
+      Dedup.LastBatchMarker.read(spark, path).contains(id)
+    }
+    val queries =
+      if (maxQueries == Int.MaxValue) batch
+      else batch
+        .orderBy(Sampling.hashRank(col(idCol)), col(idCol))
+        .limit(maxQueries) // TakeOrderedAndProject — no global sort
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dot").desc, col("id").asc)
+    val neighbors =
+      probeIndex(spark, path, queries, idCol, vecCol, k + 1, nProbe)
+        .filter(col("query_id") =!= col("id"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .localCheckpoint()
+    if (!alreadyIngested) {
+      val meta = PqIndexMeta.read(spark, path).getOrElse(
+        throw new IllegalArgumentException(
+          s"no meta.txt under $path — not a written ivf_pq index"))
+      writeIndex(batch, idCol, vecCol, path,
+        m = meta.m, nlist = meta.nlist, mode = "append")
+      batchId.foreach(Dedup.LastBatchMarker.write(spark, path, _))
+    }
+    neighbors
+  }
+
   def probeIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, qidCol: String, qvecCol: String,

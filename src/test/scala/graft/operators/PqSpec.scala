@@ -203,4 +203,156 @@ class PqSpec extends SparkTestBase {
     // copies in the codebook — both must resolve to the SAME smallest code
     assert(enc(1L) == enc(2L))
   }
+
+  // --- density-adaptive (integer Lloyd) training --------------------------
+
+  private def rmTree(dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(root)) {
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
+  private def cbFlat(rows: Array[org.apache.spark.sql.Row], groups: Int)
+  : (Array[Long], Int, Int) = {
+    val nc = rows.length / groups
+    val sub = rows.head.getSeq[Long](2).length
+    val flat = new Array[Long](groups * nc * sub)
+    rows.foreach { r =>
+      val base = (r.getInt(0) * nc + r.getInt(1)) * sub
+      val vs = r.getSeq[Long](2)
+      var i = 0
+      while (i < sub) { flat(base + i) = vs(i); i += 1 }
+    }
+    (flat, nc, sub)
+  }
+
+  test("integer Lloyd refinement is partitioning-independent (bit-identical grids)") {
+    def grids(df: org.apache.spark.sql.DataFrame) = {
+      val idx = Pq.buildIndex(df, "vec_id", "embedding",
+        m = 8, ncode = 16, nlist = 8, refineIters = 2)
+      (idx.codebook.collect().map(_.toString).sorted.toSeq,
+        idx.centroids.collect().map(_.toString).sorted.toSeq)
+    }
+    val (cb1, ct1) = grids(emb.repartition(1))
+    val (cb7, ct7) = grids(emb.repartition(7))
+    assert(cb1 == cb7)
+    assert(ct1 == ct7)
+  }
+
+  test("refinement never increases encode SSE vs the hash-sampled init") {
+    val init = Pq.buildIndex(emb, "vec_id", "embedding",
+      m = 8, ncode = 16, nlist = 8, refineIters = 0)
+    val refined = Pq.buildIndex(emb, "vec_id", "embedding",
+      m = 8, ncode = 16, nlist = 8, refineIters = 3)
+    val (f0, nc0, sub0) = cbFlat(init.codebook.collect(), 8)
+    val (f3, nc3, sub3) = cbFlat(refined.codebook.collect(), 8)
+    assert((nc0, sub0) == (nc3, sub3))
+    val sse0 = Pq.gridSse(emb, "embedding", f0, 8, nc0, sub0)
+    val sse3 = Pq.gridSse(emb, "embedding", f3, 8, nc3, sub3)
+    assert(sse3 <= sse0, s"refined SSE $sse3 > init SSE $sse0")
+    // and at least one codeword must actually have moved on real data
+    assert(!f0.sameElements(f3))
+  }
+
+  test("refined persisted index: probe is bit-identical to the in-session build") {
+    val dir = java.nio.file.Files.createTempDirectory("pq_refined").toString
+    try {
+      Pq.writeIndex(emb, "vec_id", "embedding", s"$dir/idx",
+        m = 8, ncode = 16, nlist = 8, mode = "overwrite", refineIters = 2)
+      val fromDisk = Pq.probeIndex(spark, s"$dir/idx",
+          queries, "qid", "qv", k = 5, nProbe = 3)
+        .select(col("query_id"), col("id"), col("adc_dot"), col("rank"))
+        .collect().map(_.toString).sorted.toSeq
+      val inSession = Pq.adcTopK(
+          Pq.buildIndex(emb, "vec_id", "embedding",
+            m = 8, ncode = 16, nlist = 8, refineIters = 2),
+          queries, "qid", "qv", k = 5, nProbe = 3)
+        .select(col("query_id"), col("id"), col("adc_dot"), col("rank"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(fromDisk == inSession)
+    } finally rmTree(dir)
+  }
+
+  test("refineIters is rejected on append (must reuse persisted quantizers)") {
+    val dir = java.nio.file.Files.createTempDirectory("pq_refined_app").toString
+    try {
+      Pq.writeIndex(emb, "vec_id", "embedding", s"$dir/idx",
+        m = 8, ncode = 16, nlist = 8, mode = "overwrite")
+      intercept[IllegalArgumentException] {
+        Pq.writeIndex(emb, "vec_id", "embedding", s"$dir/idx",
+          m = 8, ncode = 16, nlist = 8, mode = "append", refineIters = 1)
+      }
+    } finally rmTree(dir)
+  }
+
+  // --- the pruned-probe ingest fold ---------------------------------------
+
+  test("ingestBatch: neighbors come from SEEN vectors only, appends grow the index") {
+    val dir = java.nio.file.Files.createTempDirectory("pq_ingest").toString
+    try {
+      val seed = emb.filter(pmod(col("vec_id"), lit(4)) === 0)
+      val b1 = emb.filter(pmod(col("vec_id"), lit(4)) === 1)
+      val b2 = emb.filter(pmod(col("vec_id"), lit(4)) === 2)
+      Pq.writeIndex(seed, "vec_id", "embedding", s"$dir/idx",
+        m = 8, ncode = 16, nlist = 8, mode = "overwrite")
+      val n1 = Pq.ingestBatch(spark, b1, "vec_id", "embedding", s"$dir/idx",
+        k = 3, nProbe = 3, batchId = Some(0L)).collect()
+      // batch 1 retrieves against the seed only
+      assert(n1.nonEmpty)
+      n1.foreach { r =>
+        assert(r.getLong(0) % 4 == 1) // query from the batch
+        assert(r.getLong(1) % 4 == 0) // neighbor from the seed
+      }
+      val n2 = Pq.ingestBatch(spark, b2, "vec_id", "embedding", s"$dir/idx",
+        k = 3, nProbe = 3, batchId = Some(1L)).collect()
+      // batch 2 sees seed + batch 1 — and nothing from itself
+      assert(n2.forall(r => r.getLong(1) % 4 != 2))
+      assert(n2.exists(r => r.getLong(1) % 4 == 1),
+        "after the first append, batch-1 vectors must be retrievable")
+    } finally rmTree(dir)
+  }
+
+  test("ingestBatch replay: same batchId skips the re-append, singleton emits identically") {
+    val dir = java.nio.file.Files.createTempDirectory("pq_ingest_rep").toString
+    try {
+      val seed = emb.filter(pmod(col("vec_id"), lit(4)) === 0)
+      val one = emb.filter(col("vec_id") === 1)
+      Pq.writeIndex(seed, "vec_id", "embedding", s"$dir/idx",
+        m = 8, ncode = 16, nlist = 8, mode = "overwrite")
+      val first = Pq.ingestBatch(spark, one, "vec_id", "embedding", s"$dir/idx",
+        k = 3, nProbe = 3, batchId = Some(7L))
+        .collect().map(_.toString).sorted.toSeq
+      val rowsAfter = spark.read.parquet(s"$dir/idx/cells").count()
+      val replay = Pq.ingestBatch(spark, one, "vec_id", "embedding", s"$dir/idx",
+        k = 3, nProbe = 3, batchId = Some(7L))
+        .collect().map(_.toString).sorted.toSeq
+      assert(replay == first, "a replayed singleton batch must emit bit-identically")
+      assert(spark.read.parquet(s"$dir/idx/cells").count() == rowsAfter,
+        "a replayed batch must not re-append")
+    } finally rmTree(dir)
+  }
+
+  test("ingestBatch maxQueries caps the retrieval slice at the hashRank minima") {
+    val dir = java.nio.file.Files.createTempDirectory("pq_ingest_cap").toString
+    try {
+      val seed = emb.filter(pmod(col("vec_id"), lit(4)) === 0)
+      val batch = emb.filter(pmod(col("vec_id"), lit(4)) === 1)
+      Pq.writeIndex(seed, "vec_id", "embedding", s"$dir/idx",
+        m = 8, ncode = 16, nlist = 8, mode = "overwrite")
+      val expected = batch
+        .orderBy(Sampling.hashRank(col("vec_id")), col("vec_id")).limit(5)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val n = Pq.ingestBatch(spark, batch, "vec_id", "embedding", s"$dir/idx",
+        k = 3, nProbe = 3, maxQueries = 5).collect()
+      assert(n.map(_.getLong(0)).toSet.subsetOf(expected))
+      // the append still ingested the FULL batch
+      assert(spark.read.parquet(s"$dir/idx/cells").count() ==
+        seed.count() + batch.count())
+    } finally rmTree(dir)
+  }
 }
