@@ -441,4 +441,29 @@ class IvfSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("writeInt8Index refineIters: refined centroids persist and probe; append rejected") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_refined_").toString
+    val emb2 = emb.limit(100)
+    val refined = Ivf.writeInt8Index(emb2, "vec_id", "embedding", s"$dir/idx",
+      nlist = 8, mode = "overwrite", refineIters = 2)
+    // the persisted centroids are the REFINED ones (read-back equality)
+    val back = Ivf.readInt8Index(spark, s"$dir/idx")
+    assert(back.centroids.toSeq == refined.centroids.toSeq)
+    // and they differ from the raw hash sample (Lloyd moved something)
+    val raw = Ivf.buildIndex(emb2, "vec_id", "embedding", nlist = 8)
+    assert(!raw.centroids.sameElements(refined.centroids))
+    // probing round-trips
+    val res = Ivf.ivfInt8ProbeIndex(spark, s"$dir/idx",
+      emb2.filter(org.apache.spark.sql.functions.col("vec_id") < 2)
+        .select(org.apache.spark.sql.functions.col("vec_id").as("qid"),
+          org.apache.spark.sql.functions.col("embedding").as("qv")),
+      "qid", "qv", k = 3, nProbe = 2)
+    assert(res.count() > 0)
+    // append must reuse the persisted quantizers, never retrain
+    intercept[IllegalArgumentException] {
+      Ivf.writeInt8Index(emb2, "vec_id", "embedding", s"$dir/idx",
+        nlist = 8, mode = "append", refineIters = 1)
+    }
+  }
 }
