@@ -195,7 +195,15 @@ object Bench {
       "x_stream_ingest_within" -> 5,
       "x_stream_dedup_index" -> 3,
       "x_stream_ann_ingest" -> 3,
-      "x_stream_pq_ingest" -> 3)
+      "x_stream_pq_ingest" -> 3,
+      // first consumer of the heaviest staged artifact
+      // (refresh_audit_indexes, 4 persisted index builds): one warmup
+      // leaves its timed reps in the post-build GC/JIT shadow — r18
+      // measured 10.2 s in-session vs 5.0 s isolated-quiet with the
+      // artifact prebuilt. A second discarded execution absorbs the
+      // shadow; the build cost stays visible in artifact_sec + the
+      // side-file warmup sum.
+      "x_ann_refresh_gain" -> 2)
     // warmup times per query (pass-1 discarded reps), kept for the side
     // file so the JIT/checkpoint cost stays visible even though it no
     // longer pollutes the medians
