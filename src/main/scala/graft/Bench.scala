@@ -439,8 +439,11 @@ object Bench {
       s"[bench] medians flagged CONTENDED (load_hot=$loadHot, " +
         s"band_outliers=$nBandOutliers vs committed record) — this " +
         "run's medians file must not become the record of a clean round")
+    // record the session's parallelism: an r18 near-miss had a local[4]
+    // run (env var unset) almost become the record because nothing in
+    // the artifact said what master the numbers were measured under
     val mediansBody =
-      s"""{"metric":"total","value":${total(medians)},"unit":"sec","sf":"$sfDir","passes":$passes,"sick":$sick,"contended":$contended,"n_band_outliers":$nBandOutliers,"n_failed":$nFailed,"only":$onlyJson,"rep_outliers":$repOutliersJson,"load":$loadStatsJson,"io_sec":$ioSec,"artifact_sec":${jNum(artifactSec)},"artifact_breakdown":$artifactBreakdown,"io_queries":$ioJson,"queries":$qs}"""
+      s"""{"metric":"total","value":${total(medians)},"unit":"sec","sf":"$sfDir","spark_cpus":$cpus,"passes":$passes,"sick":$sick,"contended":$contended,"n_band_outliers":$nBandOutliers,"n_failed":$nFailed,"only":$onlyJson,"rep_outliers":$repOutliersJson,"load":$loadStatsJson,"io_sec":$ioSec,"artifact_sec":${jNum(artifactSec)},"artifact_breakdown":$artifactBreakdown,"io_queries":$ioJson,"queries":$qs}"""
     val mediansRef = writeSide("SPARK_GRAFT_BENCH_MEDIANS_FILE", "target/bench_medians.json",
       mediansBody)
     // committed per-round provenance (r11 verdict #2): full-catalog runs
@@ -458,6 +461,7 @@ object Bench {
     }
     def summaryLine(mediansJ: String, repsJ: String): String =
       s"""{"metric":"total","value":${total(medians)},"unit":"sec","sf":"$sfDir",""" +
+        s""""spark_cpus":$cpus,""" +
         s""""n_queries":${medians.size},"n_failed":$nFailed,"passes":$passes,"sick":$sick,""" +
         s""""contended":$contended,"n_band_outliers":$nBandOutliers,""" +
         s""""io_sec":$ioSec,"io_n":${ioQueries.count(selected.contains)},""" +
