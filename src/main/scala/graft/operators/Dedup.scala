@@ -759,11 +759,14 @@ object Dedup {
     * mismatch (indexes without the file are trusted as documented).
     *
     * The batch shingle projection is evaluated twice (banding +
-    * verification) and the candidate frame twice (shard discovery +
     * verification); every input is a parquet scan through deterministic
     * kernels, so the evaluations agree. A crawl increment is small by
-    * definition — recompute beats cache management here; persist
-    * `batch` upstream if yours is not.
+    * definition — recompute beats cache management for the batch side;
+    * persist `batch` upstream if yours is not. The CANDIDATE frame, by
+    * contrast, is materialized once (localCheckpoint): it is consumed
+    * by both shard discovery and verification, and recomputing it
+    * would re-run the postings join against the corpus-sized bands
+    * dataset — the one genuinely index-proportional scan here.
     */
   def minHashProbeIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -793,11 +796,18 @@ object Dedup {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val postings = spark.read.parquet(s"$path/bands")
       .filter(col("bucket_size") <= maxBucket)
+    // candidate pairs feed BOTH the shard-discovery collect just below
+    // (already an eager action at plan-construction time) and the
+    // verification join — left lazy, the postings join against the
+    // corpus-sized bands dataset ran twice per probe. localCheckpoint
+    // materializes the candidate-bounded frame once; discovery and
+    // verification both read the blocks (r18).
     val candidates = postings
       .join(batchBands, Seq("band", "bucket"))
       .select(col("batch_id"), col("id").as("corpus_id"))
       .filter(col("batch_id") =!= col("corpus_id"))
       .dropDuplicates("batch_id", "corpus_id")
+      .localCheckpoint()
     val corpusShAll = spark.read.parquet(s"$path/shingles")
     // prune the shingle scan to the shards that hold candidates: the
     // collect is bounded by nShards (distinct shard values), never by
@@ -918,8 +928,17 @@ object Dedup {
     val alreadyIngested = batchId.exists { id =>
       LastBatchMarker.read(spark, path).contains(id)
     }
+    // MATERIALIZE the probe pairs once (r18): the returned `novel` is
+    // checkpointed below, but everything between lazily re-evaluates
+    // the probe pipeline — with dedupWithinBatch the anti-joined batch
+    // feeds the intra pass's banding branch AND both payload joins, so
+    // one fold step ran the index-postings join + shard-pruned shingle
+    // verification up to four times. The pair frame is near-dup-pair-
+    // bounded (≪ batch), so the eager cut is cheap and every consumer
+    // reads materialized blocks.
     val pairs = minHashProbeIndex(spark, batch, idCol, textCol, path,
       shingleSize, numHashes, bands, threshold, maxBucket)
+      .localCheckpoint()
     val afterIndex = keepNovel(batch, idCol, pairs)
     val kept =
       if (!dedupWithinBatch) afterIndex
@@ -928,7 +947,12 @@ object Dedup {
         // are already gone — fewer rows to shingle): drop the larger
         // id of every near-dup pair, i.e. keep docs with no smaller-id
         // near-dup. Same LSH parameters as the probe, so batch-vs-self
-        // and batch-vs-index candidate recall agree.
+        // and batch-vs-index candidate recall agree. The anti-joined
+        // batch is re-shingled by the pass's banding and payload
+        // branches — measured cheaper than persist/release churn for
+        // batch-sized frames (a crawl increment is small by
+        // definition), now that the probe pairs above are materialized
+        // and the recompute no longer drags the index scan with it.
         val intra = minHashNearDups(afterIndex, idCol, textCol,
           shingleSize, numHashes, bands, threshold, maxBucket)
         afterIndex.join(

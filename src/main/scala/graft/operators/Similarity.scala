@@ -271,22 +271,30 @@ object Similarity {
     * lists are visible rather than silently renormalized. Queries with
     * zero overlap keep explicit 0 rows.
     *
-    * Plan shape: one equi-join on (query, id) + two |queries|-bounded
-    * aggs — both inputs are already ≤ |queries|·k rows, so every step
-    * is candidate-bounded; nothing rescans the corpus.
+    * Plan shape: ONE left equi-join on (query, id) + one
+    * |queries|-bounded agg — both inputs are already ≤ |queries|·k
+    * rows, so every step is candidate-bounded; nothing rescans the
+    * corpus. The exact frame is referenced exactly ONCE: the earlier
+    * two-reference form (hits join + a separate per-query k count)
+    * pushed different IsNotNull sets below the two references, which
+    * defeated AQE stage reuse and re-evaluated the exact subtree —
+    * typically a corpus-sized brute-force leg — twice per consumer
+    * (r18 plan audit of x_ann_refresh_gain: six union-sized scans per
+    * rep where two distinct exact frames existed). Both input frames
+    * are top-k results, unique per (query, id) by construction, so
+    * counting exact rows after the left join is exactly the old k.
     */
   def recallAtK(
       ann: DataFrame, exact: DataFrame,
       queryCol: String = "query_id", idCol: String = "id"
-  ): DataFrame = {
-    val hits = ann.select(col(queryCol), col(idCol))
-      .join(exact.select(col(queryCol), col(idCol)), Seq(queryCol, idCol))
-      .groupBy(col(queryCol)).agg(count(lit(1)).as("n_hits"))
-    exact.groupBy(col(queryCol)).agg(count(lit(1)).as("k"))
-      .join(hits, Seq(queryCol), "left")
-      .na.fill(0L, Seq("n_hits"))
+  ): DataFrame =
+    exact.select(col(queryCol), col(idCol))
+      .join(ann.select(col(queryCol), col(idCol), lit(1L).as("__hit")),
+        Seq(queryCol, idCol), "left")
+      .groupBy(col(queryCol))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hits"),
+        count(lit(1)).as("k"))
       .select(col(queryCol), col("n_hits"), col("k"))
-  }
 
   /** The "sampled slices at scale" audit convention as CODE — the
     * exact side of every recall audit ([[recallAtK]]'s ground truth),

@@ -9,11 +9,18 @@ import org.apache.spark.sql.SparkSession
   * arguments rest on.
   *
   *   sbt "runMain graft.tools.PlanDump x_open_orders /root/testdata/sf0.001"
+  *
+  * Multiple entries run in one JVM (comma-separated first arg). When
+  * SPARK_GRAFT_PLAN_OUT is set to a directory, each entry's
+  * explain("formatted") output PLUS its executed (post-AQE) plan is
+  * written to `<dir>/<entry><suffix>.txt` (suffix from
+  * SPARK_GRAFT_PLAN_SUFFIX, e.g. `_before` / `_after` for the round's
+  * committed plan evidence) instead of stdout.
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: PlanDump <entryName> [sfDir]")
-    val name = args(0)
+    require(args.nonEmpty, "usage: PlanDump <entry[,entry...]> [sfDir]")
+    val names = args(0).split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -24,10 +31,26 @@ object PlanDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val df = graft.SparkEntry.queries(name)(spark, sfDir)
-    df.write.format("noop").mode("overwrite").save()
-    println(s"=== $name @ $sfDir (executed, post-AQE) ===")
-    println(df.queryExecution.executedPlan.toString)
+    val outDir = sys.env.get("SPARK_GRAFT_PLAN_OUT")
+    val suffix = sys.env.getOrElse("SPARK_GRAFT_PLAN_SUFFIX", "")
+    names.foreach { name =>
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      df.write.format("noop").mode("overwrite").save()
+      val text =
+        s"=== $name @ $sfDir ===\n\n--- explain(formatted) ---\n" +
+          df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode) +
+          "\n--- executed plan (post-AQE) ---\n" +
+          df.queryExecution.executedPlan.toString
+      outDir match {
+        case Some(dir) =>
+          val p = java.nio.file.Paths.get(dir, s"$name$suffix.txt")
+          Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+          java.nio.file.Files.write(p, text.getBytes("UTF-8"))
+          println(s"[plandump] wrote $p")
+        case None => println(text)
+      }
+    }
     spark.stop()
   }
 }
