@@ -705,13 +705,14 @@ object Dedup {
       .filter(size(col("sh")) > 0)
     val src = if (storage == StorageLevel.NONE) projected else projected.persist(storage)
     try {
-      src
-        .withColumn("shard", pmod(xxhash64(col("id")), lit(nShards.toLong)))
-        // co-locate shards before the partitioned write: without this,
-        // every task splits into every shard — tasks × nShards small
-        // files at corpus scale
-        .repartition(col("shard"))
-        .write.mode(mode).partitionBy("shard").parquet(s"$path/shingles")
+      val shinglesWrite: () => Unit = () =>
+        src
+          .withColumn("shard", pmod(xxhash64(col("id")), lit(nShards.toLong)))
+          // co-locate shards before the partitioned write: without this,
+          // every task splits into every shard — tasks × nShards small
+          // files at corpus scale
+          .repartition(col("shard"))
+          .write.mode(mode).partitionBy("shard").parquet(s"$path/shingles")
       // bucket_size via a WINDOW count over (band, bucket), NOT a
       // collect_list+size (a viral duplicate's bucket would be
       // materialized whole in one reducer's non-spillable aggregation
@@ -724,12 +725,22 @@ object Dedup {
       // the file layout the partitionBy("band") write wants.
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("band"), col("bucket"))
-      src
-        .select(col("id"), posexplode(minHashBands(col("sh"), numHashes, bands)))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-        .withColumn("bucket_size", count(lit(1)).over(w).cast(IntegerType))
-        .select(col("band"), col("bucket"), col("bucket_size"), col("id"))
-        .write.mode(mode).partitionBy("band").parquet(s"$path/bands")
+      val bandsWrite: () => Unit = () =>
+        src
+          .select(col("id"), posexplode(minHashBands(col("sh"), numHashes, bands)))
+          .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+          .withColumn("bucket_size", count(lit(1)).over(w).cast(IntegerType))
+          .select(col("band"), col("bucket"), col("bucket_size"), col("id"))
+          .write.mode(mode).partitionBy("band").parquet(s"$path/bands")
+      // the two dataset writes are INDEPENDENT (disjoint directories,
+      // both deterministic projections of src) — overlap them so the
+      // tail of one write's stages back-fills the other's idle slots
+      // (Spark schedules concurrent driver-thread jobs FIFO; the
+      // optimization-guide §2.6 shape). Failure semantics match the
+      // sequential form: any failure propagates before meta is
+      // written, leaving the same torn-directory window the replay
+      // marker already documents.
+      Actions.runConcurrently(shinglesWrite, bandsWrite)
     } finally if (storage != StorageLevel.NONE) src.unpersist()
     IndexMeta.write(spark, path, params)
   }

@@ -364,57 +364,78 @@ object Ivf {
       "refineIters applies to fresh builds only — append must route " +
         "through the persisted centroids (rebuild fresh to retrain)")
     val spark = corpus.sparkSession
-    val index =
-      if (mode == "append") {
-        val existing = readInt8Index(spark, path) // throws if absent/foreign
-        require(existing.nlist == nlist,
-          s"index at $path was built with nlist=${existing.nlist}; " +
-            s"cannot append with nlist=$nlist")
-        // EVERY row's dim must match — a one-row sample would admit a
-        // mixed-dim increment whose short vectors the kernels silently
-        // truncate-score (min(len, dim) loops), poisoning the persisted
-        // codes. One aggregate row, same single pass.
-        val dims = corpus
-          .select(size(col(vecCol)).as("d")).filter(col("d") > 0)
-          .agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
-          .collect()(0)
-        if (!dims.isNullAt(0)) {
-          require(dims.getInt(0) == existing.dim && dims.getInt(1) == existing.dim,
-            s"increment embedding dims [${dims.getInt(0)}, ${dims.getInt(1)}] " +
-              s"!= index dim ${existing.dim} at $path — codes would route " +
-              "through a mismatched quantizer")
-        }
-        existing
-      } else {
-        val built = buildIndex(corpus, idCol, vecCol, nlist)
-        if (refineIters > 0) refineCentroids(corpus, vecCol, built, refineIters)
-        else built
-      }
-    // write centroids + meta only on a fresh build; append reuses them
-    if (mode != "append") {
-      import spark.implicits._
-      (0 until index.nlist).map { cell =>
-        (cell, index.centroids.slice(cell * index.dim, (cell + 1) * index.dim).toSeq)
-      }.toDF("cell", "c")
-        .coalesce(1)
-        .write.mode(mode).parquet(s"$path/centroids")
+    if (mode == "append") {
+      val existing = readInt8Index(spark, path) // throws if absent/foreign
+      require(existing.nlist == nlist,
+        s"index at $path was built with nlist=${existing.nlist}; " +
+          s"cannot append with nlist=$nlist")
+      appendInt8(corpus, idCol, vecCol, path, existing)
+      return existing
+    }
+    val index = {
+      val built = buildIndex(corpus, idCol, vecCol, nlist)
+      if (refineIters > 0) refineCentroids(corpus, vecCol, built, refineIters)
+      else built
+    }
+    // centroids + meta are written on the fresh build only; the two
+    // dataset writes are independent (disjoint directories) — overlap
+    // them (Actions scaladoc). Meta stays strictly LAST, preserving
+    // the "meta present ⇒ index complete" reader contract.
+    Actions.runConcurrently(
+      () => {
+        import spark.implicits._
+        (0 until index.nlist).map { cell =>
+          (cell, index.centroids.slice(cell * index.dim, (cell + 1) * index.dim).toSeq)
+        }.toDF("cell", "c")
+          .coalesce(1)
+          .write.mode(mode).parquet(s"$path/centroids")
+      },
+      () => int8Assigned(corpus, idCol, vecCol, index)
+        .select(col("id"), col("cell"), col("cq").cast("array<tinyint>").as("cq"))
+        // co-locate cells before the partitioned write (the
+        // writeMinHashIndex discipline): without this every task splits
+        // into every cell — tasks × nlist small files at corpus scale
+        .repartition(col("cell"))
+        .write.mode(mode)
+        // a fresh build must REPLACE cells/ wholesale: under a session's
+        // partitionOverwriteMode=dynamic, cells empty in the new corpus
+        // would keep their old files and probes would silently merge
+        // stale ids scored under the new centroids
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("cell").parquet(s"$path/cells"))
+    Int8IndexMeta.write(spark, path, Int8IndexMeta(index.nlist, index.dim))
+    index
+  }
+
+  /** The append-mode assign+quantize+write over an ALREADY-READ coarse
+    * quantizer — shared by [[writeInt8Index]]'s append mode and
+    * [[ingestAnnBatch]] (which also probed with the same index object
+    * and must not pay the centroid collect twice per fold step).
+    */
+  private def appendInt8(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, index: IvfIndex
+  ): Unit = {
+    // EVERY row's dim must match — a one-row sample would admit a
+    // mixed-dim increment whose short vectors the kernels silently
+    // truncate-score (min(len, dim) loops), poisoning the persisted
+    // codes. One aggregate row, same single pass.
+    val dims = corpus
+      .select(size(col(vecCol)).as("d")).filter(col("d") > 0)
+      .agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      .collect()(0)
+    if (!dims.isNullAt(0)) {
+      require(dims.getInt(0) == index.dim && dims.getInt(1) == index.dim,
+        s"increment embedding dims [${dims.getInt(0)}, ${dims.getInt(1)}] " +
+          s"!= index dim ${index.dim} at $path — codes would route " +
+          "through a mismatched quantizer")
     }
     int8Assigned(corpus, idCol, vecCol, index)
       .select(col("id"), col("cell"), col("cq").cast("array<tinyint>").as("cq"))
-      // co-locate cells before the partitioned write (the
-      // writeMinHashIndex discipline): without this every task splits
-      // into every cell — tasks × nlist small files at corpus scale
       .repartition(col("cell"))
-      .write.mode(if (mode == "append") "append" else mode)
-      // a fresh build must REPLACE cells/ wholesale: under a session's
-      // partitionOverwriteMode=dynamic, cells empty in the new corpus
-      // would keep their old files and probes would silently merge
-      // stale ids scored under the new centroids
+      .write.mode("append")
       .option("partitionOverwriteMode", "static")
       .partitionBy("cell").parquet(s"$path/cells")
-    if (mode != "append") Int8IndexMeta.write(spark, path,
-      Int8IndexMeta(index.nlist, index.dim))
-    index
   }
 
   /** Reconstruct the coarse quantizer of a [[writeInt8Index]] index
@@ -464,8 +485,21 @@ object Ivf {
       spark: SparkSession, indexPath: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int, nProbe: Int = 8
+  ): DataFrame =
+    ivfInt8ProbeIndexWith(spark, indexPath, readInt8Index(spark, indexPath),
+      queries, qidCol, qvecCol, k, nProbe)
+
+  /** [[ivfInt8ProbeIndex]] over an ALREADY-READ coarse quantizer —
+    * callers probing the same persisted index repeatedly (or probing
+    * AND appending in one fold step, [[ingestAnnBatch]]) skip the
+    * per-call centroid collect. The caller owns index/path
+    * consistency; the cells scan stays lazy, exactly as the path form.
+    */
+  def ivfInt8ProbeIndexWith(
+      spark: SparkSession, indexPath: String, index: IvfIndex,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, nProbe: Int = 8
   ): DataFrame = {
-    val index = readInt8Index(spark, indexPath)
     require(nProbe >= 1 && nProbe <= index.nlist,
       s"nProbe $nProbe out of range for nlist=${index.nlist}")
     val probes = int8Probes(queries, qidCol, qvecCol, index, nProbe)
@@ -473,8 +507,11 @@ object Ivf {
       .find(_.expressions.exists(!_.deterministic)).isEmpty
     val all = spark.read.parquet(s"$indexPath/cells")
       .select(col("id"), col("cell"), col("cq").cast("array<bigint>").as("cq"))
+    // nProbe == nlist probes every cell — the discovery collect would
+    // be one wasted job ending in an always-true filter (the
+    // exhaustive ingest-fold shape pays it per micro-batch)
     val assigned =
-      if (deterministic) {
+      if (deterministic && nProbe < index.nlist) {
         val cells = probes.select(col("cell")).distinct()
           .collect().map(_.getInt(0)).toSeq // <= nlist values
         all.filter(col("cell").isin(cells: _*))
@@ -521,24 +558,24 @@ object Ivf {
       path: String, k: Int, nProbe: Int = Int.MaxValue,
       batchId: Option[Long] = None
   ): DataFrame = {
-    val meta = Int8IndexMeta.read(spark, path).getOrElse(
-      throw new IllegalArgumentException(
-        s"no meta.txt under $path — not a written ivf_int8 index"))
     val alreadyIngested = batchId.exists { id =>
       Dedup.LastBatchMarker.read(spark, path).contains(id)
     }
-    val probe = math.min(nProbe, meta.nlist)
+    // read the frozen coarse quantizer ONCE per fold step: the probe
+    // and the append both need it, and append mode never touches
+    // centroids/meta, so sharing the read is exact (r18)
+    val index = readInt8Index(spark, path)
+    val probe = math.min(nProbe, index.nlist)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("int_dot").desc, col("id").asc)
     val neighbors =
-      ivfInt8ProbeIndex(spark, path, batch, idCol, vecCol, k + 1, probe)
+      ivfInt8ProbeIndexWith(spark, path, index, batch, idCol, vecCol, k + 1, probe)
         .filter(col("query_id") =!= col("id"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)
         .localCheckpoint()
     if (!alreadyIngested) {
-      writeInt8Index(batch, idCol, vecCol, path,
-        nlist = meta.nlist, mode = "append")
+      appendInt8(batch, idCol, vecCol, path, index)
       batchId.foreach(Dedup.LastBatchMarker.write(spark, path, _))
     }
     neighbors

@@ -503,39 +503,50 @@ object Pq {
       spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), centBuilt.schema)
     }
-    val encoded = pqEncode(corpus, idCol, vecCol, codebook, m)
-      .join(assignCells(corpus, idCol, vecCol, centroids), Seq("id"))
+    val encoded = encodeAndRoute(corpus, idCol, vecCol, codebook, m, centroids)
     PqIndex(m, nc, nlist, codebook, centroids, encoded)
   }
 
-  /** Coarse-quantizer cell assignment as ONE fused kernel projection —
-    * the [[pqEncode]] kernel with a single "subspace" spanning the
-    * full code: argmin by exact integer squared-L2 over the
-    * plan-constant centroid table, ties → smallest cell (identical
-    * winners/ties to the cc − 2·dot broadcast-join form it replaces,
-    * without the n×nlist join-row garbage).
+  /** Corpus → (id, codes, cell) in ONE fused projection: the
+    * [[pqEncode]] codes kernel and the coarse-routing kernel (a single
+    * "group" spanning the full code — argmin by exact integer
+    * squared-L2, ties → smallest cell) over the same quantized row.
+    * The encode-join-route composition this replaces evaluated the
+    * corpus twice and shuffled BOTH projections into an id equi-join
+    * (plus each side's own [[widen]] repartition) — four
+    * corpus-proportional exchanges per index build/append for what is
+    * a per-row computation. Identical rows: the join was on unique
+    * ids, and both kernels are deterministic per-row functions.
     */
-  private def assignCells(
-      corpus: DataFrame, idCol: String, vecCol: String, centroids: DataFrame
+  private def encodeAndRoute(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      codebook: DataFrame, m: Int, centroids: DataFrame
   ): DataFrame = {
-    val rows = centroids
-      .select(col("cell").cast(IntegerType), col("ccode")).collect()
-    require(rows.nonEmpty, "empty centroid table")
-    val dim = rows.head.getSeq[Long](1).length
-    val nCells = rows.length
-    val flat = new Array[Long](nCells * dim)
-    rows.foreach { r =>
-      val cell = r.getInt(0)
-      val cc = r.getSeq[Long](1)
-      require(cell >= 0 && cell < nCells, s"non-dense cell id $cell")
-      require(cc.length == dim, s"centroid dim ${cc.length} != $dim at cell $cell")
-      var i = 0
-      while (i < dim) { flat(cell * dim + i) = cc(i); i += 1 }
-    }
-    widen(corpus).select(col(idCol).as("id"),
+    val cbRows = codebook.select(col("subspace").cast(IntegerType),
+      col("code").cast(IntegerType), col("cw")).collect()
+    require(cbRows.nonEmpty, "empty codebook — build it on a non-empty corpus")
+    require(cbRows.length % m == 0,
+      s"codebook rows ${cbRows.length} not a complete m=$m grid")
+    val nc = cbRows.length / m
+    val sub = cbRows.head.getSeq[Long](2).length
+    val flatCb = flatten(cbRows, m, nc, sub)
+    // the coarse grid is one "group" spanning the full code — reuse
+    // flatten's dense-grid/duplicate/length enforcement for it too
+    val centRows = centroids
+      .select(lit(0).as("grp"), col("cell").cast(IntegerType), col("ccode"))
+      .collect()
+    require(centRows.nonEmpty, "empty centroid table")
+    val dim = centRows.head.getSeq[Long](2).length
+    val nCells = centRows.length
+    val flatCent = flatten(centRows, 1, nCells, dim)
+    widen(corpus).select(
+      col(idCol).as("id"),
+      graft.functions.VectorFunctions.pqEncodeCodes(
+        Similarity.int8Quantize(col(vecCol)).getField("q"),
+        flatCb, m, nc, sub).as("codes"),
       element_at(graft.functions.VectorFunctions.pqEncodeCodes(
         Similarity.int8Quantize(col(vecCol)).getField("q"),
-        flat, 1, nCells, dim), lit(1)).as("cell"))
+        flatCent, 1, nCells, dim), lit(1)).as("cell"))
   }
 
   /** ADC top-k against a built [[PqIndex]]: per-query top `k` ids by
@@ -695,26 +706,31 @@ object Pq {
     // dim = the coarse quantizer's full-code length (≤ nlist local rows)
     val dim = index.centroids
       .select(size(col("ccode")).as("d")).limit(1).collect()(0).getInt(0)
-    index.codebook
-      .select(col("subspace"), col("code"),
-        col("cw").cast("array<tinyint>").as("cw"))
-      .coalesce(1).write.mode(mode).parquet(s"$path/codebook")
-    index.centroids
-      .select(col("cell"), col("ccode").cast("array<tinyint>").as("ccode"))
-      .coalesce(1).write.mode(mode).parquet(s"$path/centroids")
+    // the three dataset writes are independent (disjoint directories,
+    // deterministic projections) — overlap them (Actions scaladoc);
+    // meta is written strictly AFTER all three, preserving the
+    // "meta present ⇒ index complete" reader contract
+    Actions.runConcurrently(
+      () => index.codebook
+        .select(col("subspace"), col("code"),
+          col("cw").cast("array<tinyint>").as("cw"))
+        .coalesce(1).write.mode(mode).parquet(s"$path/codebook"),
+      () => index.centroids
+        .select(col("cell"), col("ccode").cast("array<tinyint>").as("ccode"))
+        .coalesce(1).write.mode(mode).parquet(s"$path/centroids"),
+      () => index.encoded
+        .select(col("id"),
+          transform(col("codes"), c => (c - lit(128)).cast("tinyint")).as("codes"),
+          col("cell"))
+        // co-locate cells before the partitioned write (the
+        // writeInt8Index discipline): without this every task splits
+        // into every cell — tasks × nlist small files at corpus scale
+        .repartition(col("cell"))
+        .write.mode(mode)
+        // a fresh build must REPLACE cells/ wholesale (see writeInt8Index)
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("cell").parquet(s"$path/cells"))
     PqIndexMeta.write(spark, path, PqIndexMeta(index.m, index.nc, index.nlist, dim))
-    index.encoded
-      .select(col("id"),
-        transform(col("codes"), c => (c - lit(128)).cast("tinyint")).as("codes"),
-        col("cell"))
-      // co-locate cells before the partitioned write (the
-      // writeInt8Index discipline): without this every task splits
-      // into every cell — tasks × nlist small files at corpus scale
-      .repartition(col("cell"))
-      .write.mode(mode)
-      // a fresh build must REPLACE cells/ wholesale (see writeInt8Index)
-      .option("partitionOverwriteMode", "static")
-      .partitionBy("cell").parquet(s"$path/cells")
   }
 
   def writeIndex(
@@ -740,6 +756,18 @@ object Pq {
     require(meta.m == m && meta.nlist == nlist,
       s"index at $path was built with m=${meta.m}/nlist=${meta.nlist}; " +
         s"cannot append with m=$m/nlist=$nlist")
+    appendEncoded(corpus, idCol, vecCol, path, readIndex(spark, path), meta)
+  }
+
+  /** The append-mode encode+route+write over ALREADY-READ quantizers —
+    * shared by [[writeIndex]]'s append mode and [[ingestBatch]] (which
+    * also probed with the same index object and must not pay the
+    * codebook/centroid collects twice per fold step).
+    */
+  private def appendEncoded(
+      corpus: DataFrame, idCol: String, vecCol: String, path: String,
+      index: PqIndex, meta: PqIndexMeta
+  ): Unit = {
     // every increment row's dim must match (the writeInt8Index
     // guard): short vectors would silently truncate-encode
     val dims = corpus
@@ -751,12 +779,11 @@ object Pq {
         s"increment embedding dims [${dims.getInt(0)}, ${dims.getInt(1)}] " +
           s"!= index dim ${meta.dim} at $path")
     }
-    val index = readIndex(spark, path)
     // encode + route the increment under the FROZEN quantizers; codes
     // come from THIS frame's projection, never a re-read of the index
     // (the writeMinHashIndex quadratic-append hazard)
-    pqEncode(corpus, idCol, vecCol, index.codebook, m)
-      .join(assignCells(corpus, idCol, vecCol, index.centroids), Seq("id"))
+    encodeAndRoute(corpus, idCol, vecCol, index.codebook, index.m,
+        index.centroids)
       .select(col("id"),
         transform(col("codes"), c => (c - lit(128)).cast("tinyint")).as("codes"),
         col("cell"))
@@ -864,18 +891,22 @@ object Pq {
         .limit(maxQueries) // TakeOrderedAndProject — no global sort
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dot").desc, col("id").asc)
+    // read the frozen quantizer side tables ONCE per fold step: the
+    // probe and the append both need them, and each readIndex costs
+    // two collect jobs — append mode never touches codebook/centroids,
+    // so sharing the read is exact (r18)
+    val index = readIndex(spark, path)
+    val meta = PqIndexMeta.read(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no meta.txt under $path — not a written ivf_pq index"))
     val neighbors =
-      probeIndex(spark, path, queries, idCol, vecCol, k + 1, nProbe)
+      probeIndexWith(index, queries, idCol, vecCol, k + 1, nProbe)
         .filter(col("query_id") =!= col("id"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)
         .localCheckpoint()
     if (!alreadyIngested) {
-      val meta = PqIndexMeta.read(spark, path).getOrElse(
-        throw new IllegalArgumentException(
-          s"no meta.txt under $path — not a written ivf_pq index"))
-      writeIndex(batch, idCol, vecCol, path,
-        m = meta.m, nlist = meta.nlist, mode = "append")
+      appendEncoded(batch, idCol, vecCol, path, index, meta)
       batchId.foreach(Dedup.LastBatchMarker.write(spark, path, _))
     }
     neighbors
@@ -885,14 +916,29 @@ object Pq {
       spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int, nProbe: Int = 8
+  ): DataFrame =
+    probeIndexWith(readIndex(spark, path), queries, qidCol, qvecCol, k, nProbe)
+
+  /** [[probeIndex]] over an already-read [[PqIndex]] — callers probing
+    * the same persisted index repeatedly (or probing AND appending in
+    * one fold step, [[ingestBatch]]) skip the per-call codebook/
+    * centroid collects. The caller owns index/path consistency;
+    * `encoded` stays the lazy cells scan, so appends after this call
+    * are visible to a late evaluation exactly as with [[probeIndex]].
+    */
+  def probeIndexWith(
+      index: PqIndex,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, nProbe: Int = 8
   ): DataFrame = {
-    val index = readIndex(spark, path)
     require(nProbe >= 1 && nProbe <= index.nlist,
       s"nProbe $nProbe out of range for nlist=${index.nlist}")
     val deterministic = queries.queryExecution.analyzed
       .find(_.expressions.exists(!_.deterministic)).isEmpty
+    // nProbe == nlist probes every cell — skip the discovery collect
+    // (adcTopK's exhaustive branch never reads the pruning filter)
     val pruned =
-      if (deterministic) {
+      if (deterministic && nProbe < index.nlist) {
         val cells = queries
           .select(col(qidCol).as("query_id"),
             Similarity.int8Quantize(col(qvecCol)).getField("q").as("__q"))

@@ -3797,19 +3797,26 @@ object Queries {
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       val base = emb.filter(col("vec_id") < 20L)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      def rec(sub: String, qs2: DataFrame, variant: String): DataFrame = {
+      // read each persisted index's quantizer side tables ONCE per
+      // execution (two of the three legs probe the same frozen/ index)
+      val frozenIdx = graft.operators.Pq.readIndex(s,
+        root.resolve("frozen").toString)
+      val freshIdx = graft.operators.Pq.readIndex(s,
+        root.resolve("fresh").toString)
+      def rec(idx: graft.operators.Pq.PqIndex, qs2: DataFrame,
+          variant: String): DataFrame = {
         val exact = Similarity.exactTopKSample(union, "vec_id", "embedding",
           qs2, "qid", "qv", k = 10, maxQueries = exactAuditMaxQueries,
           metric = "dot")
         Similarity.recallAtK(
-            graft.operators.Pq.probeIndex(s, root.resolve(sub).toString,
+            graft.operators.Pq.probeIndexWith(idx,
               qs2, "qid", "qv", k = 10, nProbe = 8),
             exact)
           .withColumn("variant", lit(variant))
       }
-      rec("frozen", base, "frozen_base")
-        .unionByName(rec("frozen", drifted, "frozen"))
-        .unionByName(rec("fresh", drifted, "fresh"))
+      rec(frozenIdx, base, "frozen_base")
+        .unionByName(rec(frozenIdx, drifted, "frozen"))
+        .unionByName(rec(freshIdx, drifted, "fresh"))
         .select(col("variant"), col("query_id"), col("n_hits"), col("k"))
     }),
 

@@ -128,26 +128,37 @@ object IndexCompaction {
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     }
-    val stats = plansFor(metaText).flatMap { p =>
+    val present = plansFor(metaText).filter(p =>
+      fs.exists(new Path(s"$inPath/${p.name}"))) // append-era index may lack a side table
+    // the per-dataset rewrites are independent (disjoint source and
+    // destination directories) — overlap them so one dataset's write
+    // tail back-fills the other's idle slots (Actions scaladoc)
+    val results =
+      new java.util.concurrent.ConcurrentHashMap[String, CompactionStats]()
+    if (present.nonEmpty)
+      graft.operators.Actions.runConcurrently(present.map { p => () => {
       val src = s"$inPath/${p.name}"
-      if (!fs.exists(new Path(src))) None // append-era index may lack a side table
-      else {
-        val dst = s"$outPath/${p.name}"
-        val (nBefore, bytesBefore) = listStats(spark, src)
-        val df = spark.read.parquet(src)
-        p.partitionCol match {
-          case Some(pc) =>
-            df.repartition(col(pc))
-              .write.mode("overwrite")
-              .option("partitionOverwriteMode", "static")
-              .partitionBy(pc).parquet(dst)
-          case None =>
-            df.coalesce(1).write.mode("overwrite").parquet(dst)
-        }
-        val (nAfter, bytesAfter) = listStats(spark, dst)
-        Some(p.name -> CompactionStats(nBefore, bytesBefore, nAfter, bytesAfter))
+      val dst = s"$outPath/${p.name}"
+      val (nBefore, bytesBefore) = listStats(spark, src)
+      val df = spark.read.parquet(src)
+      p.partitionCol match {
+        case Some(pc) =>
+          df.repartition(col(pc))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
+            .partitionBy(pc).parquet(dst)
+        case None =>
+          df.coalesce(1).write.mode("overwrite").parquet(dst)
       }
-    }.toMap
+      val (nAfter, bytesAfter) = listStats(spark, dst)
+      results.put(p.name,
+        CompactionStats(nBefore, bytesBefore, nAfter, bytesAfter))
+      ()
+    }}: _*)
+    val stats = {
+      import scala.jdk.CollectionConverters._
+      results.asScala.toMap
+    }
     copyFileIfExists(spark, s"$inPath/meta.txt", s"$outPath/meta.txt")
     copyFileIfExists(spark, s"$inPath/last_batch.txt", s"$outPath/last_batch.txt")
     stats
