@@ -109,8 +109,24 @@ object Ivf {
     val index = buildIndex(corpus, idCol, vecCol, nlist)
     val assigned = assign(
       corpus.select(col(idCol).as("id"), col(vecCol).as("v")), "v", index)
-    rankProbes(assigned, queries, qidCol, qvecCol, index, k, nProbe)
+    ivfTopKWith(assigned, queries, qidCol, qvecCol, index, k, nProbe)
   }
+
+  /** [[ivfTopK]] over a prebuilt index + assigned corpus — the `*With`
+    * convention for callers probing the SAME in-session index at
+    * several settings (the nProbe tuning sweep): the index build
+    * (an orderBy-limit collect) and the cell-assignment projection
+    * are nProbe-independent, so a sweep that rebuilt them per probe
+    * level paid (legs − 1) redundant corpus passes for bit-identical
+    * cells. Results are exactly [[ivfTopK]]'s for the same (nlist,
+    * nProbe) by construction — one shared rank block.
+    */
+  def ivfTopKWith(
+      assigned: DataFrame,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      index: IvfIndex, k: Int, nProbe: Int = 8
+  ): DataFrame =
+    rankProbes(assigned, queries, qidCol, qvecCol, index, k, nProbe)
 
   /** IVF routing + INT8 scoring — the composed serving shape of a
     * large ANN deployment: the coarse quantizer narrows each query to

@@ -283,6 +283,12 @@ object Similarity {
     * rep where two distinct exact frames existed). Both input frames
     * are top-k results, unique per (query, id) by construction, so
     * counting exact rows after the left join is exactly the old k.
+    * The join strategy is left to the planner: both sides are
+    * ≤ |queries|·k rows, so the SMJ it picks shuffles a few hundred
+    * rows — an explicit broadcast hint measured as a wash at sf0.1
+    * (8.00 vs 7.92 s over the 8 recall consumers, r18 A/B) while
+    * serializing the ann subtree behind a broadcast build, so it was
+    * deliberately NOT added.
     */
   def recallAtK(
       ann: DataFrame, exact: DataFrame,
@@ -295,6 +301,40 @@ object Similarity {
       .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hits"),
         count(lit(1)).as("k"))
       .select(col(queryCol), col("n_hits"), col("k"))
+
+  /** [[recallAtK]] for SEVERAL approximate legs audited against ONE
+    * shared exact frame — the refresh audits and tuning sweeps
+    * (x_ann_probe_sweep, x_refresh_adaptive, x_ann_refresh_gain)
+    * previously called recallAtK once per leg, which referenced the
+    * exact subtree once PER LEG in the union plan; Catalyst does not
+    * reuse it across the references (each union arm pushes different
+    * predicate sets below its copy), so the exact brute-force leg —
+    * the one corpus-proportional subtree in an audit — ran N times
+    * per execution. Here the exact frame is referenced ONCE: its rows
+    * are exploded across the N tag literals, the tagged union of ann
+    * legs is broadcast (≤ N·|queries|·k rows by the top-k contract),
+    * and one left join + (tag, query) aggregate yields exactly the
+    * rows `legs.map(recallAtK).union` would. Tag values must be
+    * same-typed literals (they become one column).
+    */
+  def recallAtKTagged(
+      legs: Seq[(Column, DataFrame)], exact: DataFrame,
+      tagCol: String,
+      queryCol: String = "query_id", idCol: String = "id"
+  ): DataFrame = {
+    require(legs.nonEmpty, "recallAtKTagged needs at least one leg")
+    val tagged = legs.map { case (tag, df) =>
+      df.select(tag.as(tagCol), col(queryCol), col(idCol),
+        lit(1L).as("__hit"))
+    }.reduce(_ unionAll _)
+    exact.select(col(queryCol), col(idCol))
+      .withColumn(tagCol, explode(array(legs.map(_._1): _*)))
+      .join(broadcast(tagged), Seq(tagCol, queryCol, idCol), "left")
+      .groupBy(col(tagCol), col(queryCol))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hits"),
+        count(lit(1)).as("k"))
+      .select(col(tagCol), col(queryCol), col("n_hits"), col("k"))
+  }
 
   /** The "sampled slices at scale" audit convention as CODE — the
     * exact side of every recall audit ([[recallAtK]]'s ground truth),

@@ -3409,20 +3409,29 @@ object Queries {
     // ANN tuning curve: recall@10 at nProbe 2/4/8 against the live
     // exact top-k — the probes-vs-recall trade a 100 TB deployment
     // reads before fixing nProbe (each probe level scans
-    // nProbe/nlist of the corpus). Exact side computed once.
+    // nProbe/nlist of the corpus). The IVF index and the corpus cell
+    // assignment are nProbe-independent, so they are built ONCE and
+    // probed three times (the pre-r18 form rebuilt both per level:
+    // 2 redundant corpus passes for bit-identical cells); the shared
+    // exact leg — the one corpus-proportional subtree — is referenced
+    // ONCE via the tagged recall join instead of once per level.
     "x_ann_probe_sweep" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       val exact = Similarity.batchTopK(emb, "vec_id", "embedding",
         queries, "qid", "qv", k = 10)
-      Seq(2, 4, 8).map { p =>
-        val ann = graft.operators.Ivf.ivfTopK(emb, "vec_id", "embedding",
-          queries, "qid", "qv", k = 10, nlist = 64, nProbe = p)
-        Similarity.recallAtK(ann, exact)
-          .select(lit(p.toLong).as("n_probe"), col("query_id"),
-            col("n_hits"), col("k"))
-      }.reduce(_.unionAll(_))
+      val index = graft.operators.Ivf.buildIndex(emb, "vec_id", "embedding",
+        nlist = 64)
+      val assigned = graft.operators.Ivf.assign(
+        emb.select(col("vec_id").as("id"), col("embedding").as("v")),
+        "v", index)
+      Similarity.recallAtKTagged(
+          Seq(2, 4, 8).map { p =>
+            lit(p.toLong) -> graft.operators.Ivf.ivfTopKWith(assigned,
+              queries, "qid", "qv", index, k = 10, nProbe = p)
+          }, exact, tagCol = "n_probe")
+        .select(col("n_probe"), col("query_id"), col("n_hits"), col("k"))
     }),
 
     "x_ann_recall" -> ((s, d) => {
@@ -3559,12 +3568,20 @@ object Queries {
       val ranked = scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 10)
         .select(col("d"), col("query_id"), col("vec_id"))
-      val ref = ranked.filter(col("d") === 64)
-        .select(col("query_id"), col("vec_id"), lit(1L).as("__hit"))
-      ranked.join(ref, Seq("query_id", "vec_id"), "left")
+      // the d=64 reference ranking is a FILTER of this same frame — a
+      // self-join against it evaluated the corpus-slice subtree twice
+      // (Catalyst shares nothing across the two references, r18 plan
+      // audit: 4 slice scans, SMJ LeftOuter). A row's hit flag is
+      // "does my (query, vec) also appear at d=64", i.e. a window max
+      // over the ALREADY top-k-bounded frame (≤ |q|·3·10 rows) — one
+      // evaluation, one tiny exchange, no join.
+      val wHit = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"), col("vec_id"))
+      ranked
+        .withColumn("__hit",
+          max(when(col("d") === 64, lit(1L)).otherwise(lit(0L))).over(wHit))
         .groupBy(col("d"), col("query_id"))
-        .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hits"),
-          count(lit(1)).as("k"))
+        .agg(sum(col("__hit")).as("n_hits"), count(lit(1)).as("k"))
         .select(col("d"), col("query_id"), col("n_hits"), col("k"))
     }),
 
@@ -3693,13 +3710,23 @@ object Queries {
         ("pq_m8", 8, pqLeg),
         ("bq", 8, ids(Similarity.binaryTopK(emb, "vec_id", "embedding",
           queries, "qid", "qv", k = 10))))
+      // the exact leg IS one of the union's rungs, so joining the
+      // union back against it evaluated the brute-force subtree twice
+      // (leg + hits side; Catalyst shares nothing across the two
+      // references — r18 plan audit: SMJ LeftOuter over ≤ 300 rows).
+      // A row's hit flag is "does my (query, id) also appear in the
+      // f32_exact rung" — a window max over the already top-k-bounded
+      // union: one evaluation per rung, one tiny exchange, no join.
+      val wHit = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"), col("id"))
       legs.map { case (m, b, df) =>
           df.withColumn("method", lit(m)).withColumn("bytes_per_vec", lit(b))
         }.reduce(_ unionByName _)
-        .join(exact.withColumn("__hit", lit(1L)), Seq("query_id", "id"), "left")
+        .withColumn("__hit",
+          max(when(col("method") === "f32_exact", lit(1L)).otherwise(lit(0L)))
+            .over(wHit))
         .groupBy(col("method"), col("bytes_per_vec"))
-        .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hits"),
-          count(lit(1)).as("k"))
+        .agg(sum(col("__hit")).as("n_hits"), count(lit(1)).as("k"))
         .select(col("method"), col("bytes_per_vec"), col("n_hits"), col("k"))
     }),
 
@@ -3803,20 +3830,23 @@ object Queries {
         root.resolve("frozen").toString)
       val freshIdx = graft.operators.Pq.readIndex(s,
         root.resolve("fresh").toString)
-      def rec(idx: graft.operators.Pq.PqIndex, qs2: DataFrame,
-          variant: String): DataFrame = {
-        val exact = Similarity.exactTopKSample(union, "vec_id", "embedding",
+      def exactOf(qs2: DataFrame): DataFrame =
+        Similarity.exactTopKSample(union, "vec_id", "embedding",
           qs2, "qid", "qv", k = 10, maxQueries = exactAuditMaxQueries,
           metric = "dot")
-        Similarity.recallAtK(
-            graft.operators.Pq.probeIndexWith(idx,
-              qs2, "qid", "qv", k = 10, nProbe = 8),
-            exact)
-          .withColumn("variant", lit(variant))
-      }
-      rec(frozenIdx, base, "frozen_base")
-        .unionByName(rec(frozenIdx, drifted, "frozen"))
-        .unionByName(rec(freshIdx, drifted, "fresh"))
+      def probe(idx: graft.operators.Pq.PqIndex, qs2: DataFrame): DataFrame =
+        graft.operators.Pq.probeIndexWith(idx, qs2, "qid", "qv",
+          k = 10, nProbe = 8)
+      // the frozen and fresh legs audit the SAME drifted queries
+      // against the SAME exact frame — the tagged recall join
+      // references that union-sized brute-force subtree ONCE for both
+      // (the per-leg form evaluated it once per leg)
+      Similarity.recallAtK(probe(frozenIdx, base), exactOf(base))
+        .withColumn("variant", lit("frozen_base"))
+        .unionByName(Similarity.recallAtKTagged(
+          Seq(lit("frozen") -> probe(frozenIdx, drifted),
+            lit("fresh") -> probe(freshIdx, drifted)),
+          exactOf(drifted), tagCol = "variant"))
         .select(col("variant"), col("query_id"), col("n_hits"), col("k"))
     }),
 
@@ -3850,14 +3880,15 @@ object Queries {
       val exact = Similarity.exactTopKSample(union, "vec_id", "embedding",
         drifted, "qid", "qv", k = 10, maxQueries = exactAuditMaxQueries,
         metric = "dot")
-      def rec(sub: String, variant: String): DataFrame =
-        Similarity.recallAtK(
-            graft.operators.Pq.probeIndex(s, root.resolve(sub).toString,
-              drifted, "qid", "qv", k = 10, nProbe = 8),
-            exact)
-          .withColumn("variant", lit(variant))
-      rec("frozen", "frozen")
-        .unionByName(rec("adaptive", "retrained"))
+      // both legs audit the same queries against the ONE shared exact
+      // frame — tagged recall references it once, not once per leg
+      def probe(sub: String): DataFrame =
+        graft.operators.Pq.probeIndex(s, root.resolve(sub).toString,
+          drifted, "qid", "qv", k = 10, nProbe = 8)
+      Similarity.recallAtKTagged(
+          Seq(lit("frozen") -> probe("frozen"),
+            lit("retrained") -> probe("adaptive")),
+          exact, tagCol = "variant")
         .select(col("variant"), col("query_id"), col("n_hits"), col("k"))
     }),
 

@@ -208,6 +208,22 @@ class IvfSpec extends SparkTestBase {
     assert(approx.count() <= 50)
   }
 
+  test("ivfTopKWith over one shared index equals per-level ivfTopK rebuilds") {
+    val index = Ivf.buildIndex(emb, "vec_id", "embedding", nlist = 32)
+    val assigned = Ivf.assign(
+      emb.select(col("vec_id").as("id"), col("embedding").as("v")), "v", index)
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        ((r.getAs[Long]("id"), r.getAs[Double]("cosine")))).toMap
+    Seq(2, 4, 8).foreach { p =>
+      val shared = keyed(Ivf.ivfTopKWith(assigned, queries, "qid", "qv",
+        index, k = 10, nProbe = p))
+      val rebuilt = keyed(Ivf.ivfTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qv", k = 10, nlist = 32, nProbe = p))
+      assert(shared == rebuilt, s"nProbe=$p diverged")
+    }
+  }
+
   test("persisted int8 index: probe is bit-identical to in-session, scan pruned to probed cells") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_int8_idx_").toString
     Ivf.writeInt8Index(emb, "vec_id", "embedding", dir, nlist = 32,

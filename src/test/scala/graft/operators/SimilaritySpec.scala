@@ -375,6 +375,31 @@ class SimilaritySpec extends SparkTestBase {
       s"unexpected recall rows: $got")
   }
 
+  test("recallAtKTagged returns exactly the rows of per-leg recallAtK union") {
+    import spark.implicits._
+    val exact = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 20L), (2L, 21L)
+    ).toDF("query_id", "id")
+    val legA = Seq((1L, 10L), (1L, 99L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "id")
+    val legB = Seq((1L, 11L), (1L, 12L), (2L, 98L)).toDF("query_id", "id")
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val tagged = keyed(Similarity.recallAtKTagged(
+      Seq(lit("a") -> legA, lit("b") -> legB), exact, tagCol = "tag"))
+    val perLeg = keyed(
+      Similarity.recallAtK(legA, exact).select(lit("a"), col("query_id"),
+          col("n_hits"), col("k"))
+        .unionAll(Similarity.recallAtK(legB, exact).select(lit("b"),
+          col("query_id"), col("n_hits"), col("k"))))
+    assert(tagged == perLeg, s"tagged=$tagged perLeg=$perLeg")
+    assert(tagged == Map(
+      ("a", 1L) -> ((1L, 3L)), ("a", 2L) -> ((2L, 2L)),
+      ("b", 1L) -> ((2L, 3L)), ("b", 2L) -> ((0L, 2L))))
+  }
+
   test("recallAtK on real data: IVF recovers a meaningful share of the exact top-10") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 3)
