@@ -120,29 +120,45 @@ object EventFeatures {
     require(steps.size >= 2, s"funnel needs >= 2 steps, got $steps")
     require(steps.distinct.size == steps.size, s"steps must be distinct, got $steps")
     require(windowMicros > 0, s"windowMicros must be positive, got $windowMicros")
-    import org.apache.spark.sql.types.{IntegerType, LongType}
-    val s1 = df.filter(col(typeCol) === steps.head)
-      .groupBy(col(keyCol)).agg(min(unix_micros(col(tsCol))).as("t1_us"))
-    val chain = steps.zipWithIndex.drop(1).foldLeft(s1) { case (prev, (st, i)) =>
-      val tPrev = s"t${i}_us"
-      val tCur = s"t${i + 1}_us"
-      val next = df.filter(col(typeCol) === st)
-        .select(col(keyCol), unix_micros(col(tsCol)).as("__t"))
-        .join(prev.select(col(keyCol), col(tPrev)), keyCol)
-        .filter(col("__t") > col(tPrev))
-        .groupBy(col(keyCol)).agg(min(col("__t")).as(tCur))
-      prev.join(next.select(col(keyCol), col(tCur)), Seq(keyCol), "left")
+    import org.apache.spark.sql.types.IntegerType
+    // ONE type-filtered scan + stacked unbounded windows over a single
+    // key partitioning. The previous per-step agg/join fold referenced
+    // its accumulated frame twice per step (once inside the next
+    // step's join, once in the outer left join), so the event source
+    // was scanned 2^(n-1)+... times — 7 scans and 5 key exchanges for
+    // the 3-step chain (r18 plan audit). Each chained minimum
+    // t_{i+1} = min ts of step_{i+1} strictly after t_i is a
+    // per-partition aggregate over the SAME key partitioning, so the
+    // whole chain is one exchange, n window passes, and one final
+    // same-key collapse — identical values by definition
+    // (EventFeaturesSpec pins the greedy-earliest chain, stall
+    // sentinels and the window flag).
+    val part = Window.partitionBy(col(keyCol))
+    val ev = df.filter(col(typeCol).isin(steps: _*))
+      .select(col(keyCol), col(typeCol).as("__ty"),
+        unix_micros(col(tsCol)).as("__t"))
+    val chain = steps.zipWithIndex.foldLeft(ev) { case (acc, (st, i)) =>
+      val cond =
+        if (i == 0) col("__ty") === st
+        // __t > null is null, so a stalled prior step nulls the chain
+        else col("__ty") === st && col("__t") > col(s"t${i}_us")
+      acc.withColumn(s"t${i + 1}_us", min(when(cond, col("__t"))).over(part))
     }
     val n = steps.size
     val reached = (2 to n).map(i => when(col(s"t${i}_us").isNotNull, 1).otherwise(0))
       .foldLeft(lit(1))(_ + _)
     val tN = col(s"t${n}_us")
-    chain.select(
-      col(keyCol) +:
-        (1 to n).map(i => coalesce(col(s"t${i}_us"), lit(-1L)).as(s"t${i}_us")) :+
-        reached.cast(IntegerType).as("steps_reached") :+
-        (tN.isNotNull && tN - col("t1_us") <= windowMicros)
-          .cast(IntegerType).as("converted"): _*)
+    chain
+      .filter(col("t1_us").isNotNull) // population = keys with a step-1 event
+      .groupBy(col(keyCol))
+      .agg(min(col("t1_us")).as("t1_us"),
+        (2 to n).map(i => min(col(s"t${i}_us")).as(s"t${i}_us")): _*)
+      .select(
+        col(keyCol) +:
+          (1 to n).map(i => coalesce(col(s"t${i}_us"), lit(-1L)).as(s"t${i}_us")) :+
+          reached.cast(IntegerType).as("steps_reached") :+
+          (tN.isNotNull && tN - col("t1_us") <= windowMicros)
+            .cast(IntegerType).as("converted"): _*)
   }
 
   /** Weekly retention cohorts: keys grouped by the epoch-week of their

@@ -248,10 +248,17 @@ object Sampling {
     val stats = df.groupBy(col(sourceCol)).agg(
       count(lit(1)).as("n_docs"), sum(tok).as("src_tokens"))
       .withColumn("weight", floor(sqrt(col("src_tokens"))).cast(LongType))
-    val total = stats.agg(sum(col("weight")).as("__denom"))
+    // the weight denominator is a single-partition window over the
+    // ALREADY-AGGREGATED |sources|-row frame (bounded however large
+    // the corpus — the no-unpartitioned-window doctrine applies to
+    // data-proportional frames, not this one); the previous separate
+    // agg + crossJoin referenced `stats` twice, and Catalyst ran the
+    // corpus groupBy once per reference (r18 plan audit).
     // `div` (not `/`): Long / Long is a DOUBLE division in Spark SQL,
     // and the numerator can exceed 2^53 where doubles drop integers
-    stats.crossJoin(broadcast(total))
+    stats
+      .withColumn("__denom",
+        sum(col("weight")).over(Window.partitionBy()))
       .withColumn("rate_mill",
         when(col("src_tokens") === 0L || col("__denom") === 0L, 0L)
           .otherwise(least(lit(Buckets),

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.VectorFunctions
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -351,14 +352,25 @@ object TextAnalysis {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(k > 0, s"k must be positive, got $k")
     val terms = queryTerms.map(_.toLowerCase).distinct
-    val lens = df.select(col(idCol),
-      tokenCount(lower(col(textCol))).cast(LongType).as("dl"))
-    val stats = lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
-    val tf = df.select(col(idCol), explode(tokens(lower(col(textCol)))).as("token"))
+    // ONE tokenize pass feeds tf, dl and df: the doc length rides the
+    // projection through the explode (constant per doc, so adding it
+    // to the group key changes nothing), and the per-token document
+    // frequency is a COUNT window over the term-matched tf frame
+    // (≪ corpus rows) instead of a second agg whose reference
+    // re-evaluated the whole tokenize subtree. The previous four
+    // corpus scans (lens join + global stats + tf + dfreq) are now
+    // two — the global (n_docs, total_tokens) scalar still needs its
+    // own full pass.
+    val stats = df.agg(count(lit(1)).as("n_docs"),
+      sum(tokenCount(lower(col(textCol))).cast(LongType)).as("total_tokens"))
+    val tf = df.select(col(idCol),
+        tokenCount(lower(col(textCol))).cast(LongType).as("dl"),
+        explode(tokens(lower(col(textCol)))).as("token"))
       .filter(col("token").isInCollection(terms))
-      .groupBy(col(idCol), col("token"))
+      .groupBy(col(idCol), col("dl"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("token"))))
     val idfRatio = ((col("n_docs") - col("df")).cast(DoubleType) + lit(0.5)) /
       (col("df").cast(DoubleType) + lit(0.5))
     val idf = if (logIdf) log(lit(1.0) + idfRatio) else idfRatio
@@ -366,8 +378,7 @@ object TextAnalysis {
     val norm = lit(1.0 - b) + lit(b) * (col("dl").cast(DoubleType) / avgdl)
     val termScore = idf * ((col("tf").cast(DoubleType) * lit(k1 + 1.0)) /
       (col("tf").cast(DoubleType) + lit(k1) * norm))
-    tf.join(broadcast(dfreq), "token")
-      .join(lens, idCol)
+    tf
       .crossJoin(broadcast(stats))
       .withColumn("term_score", termScore)
       .groupBy(col(idCol))
@@ -458,11 +469,26 @@ object TextAnalysis {
       .filter(col("n_ab") >= minCount)
     val lift = (col("n_ab").cast(DoubleType) * col("n_docs").cast(DoubleType)) /
       (col("n_a").cast(DoubleType) * col("n_b").cast(DoubleType))
-    pairs
-      .join(broadcast(tokCounts.select(col("token").as("token_a"), col("n_tok").as("n_a"))),
-        "token_a")
-      .join(broadcast(tokCounts.select(col("token").as("token_b"), col("n_tok").as("n_b"))),
-        "token_b")
+    // attach n_a and n_b with ONE reference to tokCounts: the two-join
+    // form (join on token_a, join on token_b) referenced the
+    // tokenize+distinct+agg subtree twice and Catalyst evaluated the
+    // corpus pass once per reference (r18 plan audit: 4 corpus
+    // tokenize scans for the whole operator). Each pair row explodes
+    // into its two (side, token) probes, joins the count table once,
+    // and folds back — pair-bounded rows throughout, corpus passes
+    // 4 → 3 (the self-join's two sides are the irreducible rest).
+    val withCounts = pairs
+      .select(col("token_a"), col("token_b"), col("n_ab"),
+        posexplode(array(
+          struct(lit("a").as("side"), col("token_a").as("token")),
+          struct(lit("b").as("side"), col("token_b").as("token")))))
+      .select(col("token_a"), col("token_b"), col("n_ab"),
+        col("col.side").as("__side"), col("col.token").as("token"))
+      .join(broadcast(tokCounts), "token")
+      .groupBy(col("token_a"), col("token_b"), col("n_ab"))
+      .agg(max(when(col("__side") === "a", col("n_tok"))).as("n_a"),
+        max(when(col("__side") === "b", col("n_tok"))).as("n_b"))
+    withCounts
       .crossJoin(broadcast(nDocs))
       .withColumn("lift", if (logPmi) log(lift) else lift)
       .select(col("token_a"), col("token_b"), col("n_ab"), col("n_a"), col("n_b"),

@@ -1215,14 +1215,19 @@ object Queries {
         .orderBy(col("o_orderpriority"))
     }),
 
-    // Three-table star join: fact -> dim -> tiny dim (broadcast chain).
+    // Three-table star join: fact -> dim -> tiny dim. `customer` is
+    // data-proportional, so its join strategy is LEFT TO THE PLANNER
+    // (auto-broadcast under the threshold at bench SFs, sort-merge at
+    // 100 TB) — the former explicit hint forced a broadcast that the
+    // 8 GB relation cap makes impossible at scale (r18). `nation` is
+    // a fixed 25-row dimension: always broadcast.
     "q5_multi_join" -> ((s, d) => {
       val cust = t(s, d, "customer")
         .select(col("c_custkey"), col("c_nationkey"))
       val nat = t(s, d, "nation")
         .select(col("n_nationkey"), col("n_name"))
       t(s, d, "orders")
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(
@@ -1298,11 +1303,13 @@ object Queries {
     // division ever happens, hence no float tie ambiguity at the
     // boundary. Per-customer stats join back on the key.
     "q_above_avg" -> ((s, d) => {
+      // per-customer stats as SUM/COUNT windows over one custkey
+      // partitioning — the agg-then-join-back form scanned orders
+      // twice and added a join exchange (r18 plan audit)
       val o = t(s, d, "orders")
-      val stats = o.groupBy(col("o_custkey").as("__ck"))
-        .agg(sum(dec(col("o_totalprice"))).as("__s"),
-          count(lit(1)).as("__c"))
-      o.join(stats, col("o_custkey") === col("__ck"))
+      val w = Window.partitionBy(col("o_custkey"))
+      o.withColumn("__s", sum(dec(col("o_totalprice"))).over(w))
+        .withColumn("__c", count(lit(1)).over(w))
         .filter(dec(col("o_totalprice")) * col("__c") > col("__s"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_above_avg"))
@@ -1472,9 +1479,10 @@ object Queries {
       val uw = events(s, d)
         .select(col("user_id"), wk.cast(LongType).as("week"))
         .distinct()
-      val first = uw.groupBy(col("user_id"))
-        .agg(min(col("week")).as("first_week"))
-      uw.join(first, "user_id")
+      // first week as a MIN window — the agg-then-join-back form
+      // evaluated the distinct frame twice (r18 plan audit)
+      uw.withColumn("first_week",
+          min(col("week")).over(Window.partitionBy(col("user_id"))))
         .groupBy(col("week"))
         .agg(count(lit(1)).as("n_active"),
           sum(when(col("week") === col("first_week"), 1L).otherwise(0L))
@@ -1513,20 +1521,29 @@ object Queries {
     // off-diagonal churn = volatile usage. The rank window is
     // week-partitioned over the per-(user, week) aggregate.
     "x_mobility_matrix" -> ((s, d) => {
+      // one event scan: the per-week user count rides a COUNT window
+      // over the same week partitioning as the rank (the separate
+      // agg + join re-evaluated the user-week frame), and consecutive-
+      // week transitions come from a per-user LAG instead of the
+      // self-join that re-evaluated the whole bucket subtree (r18
+      // plan audit: 3 event scans + 9 exchanges for 1 scan of work).
+      // Identical rows: uw is unique per (user, week), so the lag's
+      // (prev_week = week − 1) filter selects exactly the self-join's
+      // consecutive-week pairs.
       val wk = expr("datediff(to_date(ts_utc), date '1970-01-01') div 7")
       val uw = events(s, d)
         .groupBy(col("user_id"), wk.cast(LongType).as("week"))
         .agg(count(lit(1)).as("n"))
-      val tw = uw.groupBy(col("week")).agg(count(lit(1)).as("nw"))
       val w = Window.partitionBy(col("week"))
         .orderBy(col("n").desc, col("user_id").asc)
       val b = uw.withColumn("rn", row_number().over(w).cast(LongType))
-        .join(tw, "week")
+        .withColumn("nw", count(lit(1)).over(Window.partitionBy(col("week"))))
         .select(col("user_id"), col("week"),
           expr("(rn - 1) * 5 div nw + 1").as("bucket"))
-      val prev = b.select(col("user_id"), (col("week") + 1L).as("week"),
-        col("bucket").as("from_bucket"))
-      b.join(prev, Seq("user_id", "week"))
+      val wu = Window.partitionBy(col("user_id")).orderBy(col("week"))
+      b.withColumn("from_bucket", lag(col("bucket"), 1).over(wu))
+        .withColumn("__pw", lag(col("week"), 1).over(wu))
+        .filter(col("__pw") === col("week") - 1L)
         .groupBy(col("from_bucket"), col("bucket").as("to_bucket"))
         .agg(count(lit(1)).as("n_transitions"))
     }),
@@ -1568,10 +1585,12 @@ object Queries {
       val reg = t(s, d, "region").select(col("r_regionkey"), col("r_name"))
       val nat = t(s, d, "nation")
         .select(col("n_nationkey"), col("n_regionkey"))
+      // customer is data-proportional — planner-chosen join (see
+      // q5_multi_join); nation/region are fixed-size dims
       val cust = t(s, d, "customer")
         .select(col("c_custkey"), col("c_nationkey"))
       t(s, d, "orders")
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"))
@@ -1639,12 +1658,20 @@ object Queries {
     // after Catalyst's ReplaceExceptWithAntiJoin family, never a
     // pairwise comparison.
     "x_set_ops" -> ((s, d) => {
+      // doc_id is unique, so EXCEPT/INTERSECT of the two id sets are
+      // plain conditional counts over per-row membership flags — the
+      // three-set-op form scanned documents SIX times (each set op
+      // re-evaluates both filtered legs) and shuffled three distincts
+      // for what is ONE scan + one agg (r18 plan audit). coalesce
+      // pins null lang/n_chars to non-membership, exactly the
+      // semantics of the filtered id sets.
       val docs = t(s, d, "documents")
-      val en = docs.filter(col("lang") === "en").select(col("doc_id"))
-      val long = docs.filter(col("n_chars") >= 300).select(col("doc_id"))
-      en.except(long).agg(count(lit(1)).as("n_en_only"))
-        .crossJoin(en.intersect(long).agg(count(lit(1)).as("n_en_long")))
-        .crossJoin(long.except(en).agg(count(lit(1)).as("n_long_only")))
+      val en = coalesce(col("lang") === "en", lit(false))
+      val long = coalesce(col("n_chars") >= 300, lit(false))
+      docs.agg(
+        count(when(en && !long, lit(1))).as("n_en_only"),
+        count(when(en && long, lit(1))).as("n_en_long"),
+        count(when(long && !en, lit(1))).as("n_long_only"))
     }),
 
     // GROUPING SETS: the two one-dimension marginals + grand total in
@@ -2296,19 +2323,23 @@ object Queries {
     // runs on the distinct (type, user) frame, so the expansion is
     // bounded by |types|² per user, never events².
     "x_user_overlap_types" -> ((s, d) => {
+      // per-type user counts ride a COUNT window on the distinct frame
+      // BEFORE the self-join, so each join side carries its own size —
+      // the separate sizes agg was referenced twice and re-evaluated
+      // the events-distinct corpus pass once per reference (r18 plan
+      // audit: 4 event scans for 2 passes of work). n_a/n_b are
+      // constant per type, so min() under the pair group is exact.
       val tu = events(s, d)
         .select(col("event_type"), col("user_id")).distinct()
-      val sizes = tu.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .withColumn("n",
+          count(lit(1)).over(Window.partitionBy(col("event_type"))))
       tu.as("a").join(tu.as("b"),
           col("a.user_id") === col("b.user_id") &&
             col("a.event_type") < col("b.event_type"))
         .groupBy(col("a.event_type").as("type_a"),
           col("b.event_type").as("type_b"))
-        .agg(count(lit(1)).as("n_both"))
-        .join(broadcast(sizes.select(col("event_type").as("type_a"),
-          col("n").as("n_a"))), "type_a")
-        .join(broadcast(sizes.select(col("event_type").as("type_b"),
-          col("n").as("n_b"))), "type_b")
+        .agg(count(lit(1)).as("n_both"),
+          min(col("a.n")).as("n_a"), min(col("b.n")).as("n_b"))
         .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
           col("n_both"))
     }),
@@ -2318,11 +2349,14 @@ object Queries {
     // before habits settle (onboarding design reads this table).
     // First day is an algebraic min joined back on the key.
     "x_first_week_behavior" -> ((s, d) => {
+      // each user's first day is a MIN window over the same user
+      // partitioning — the agg-then-join-back form referenced the
+      // event scan twice (r18 plan audit)
       val ev = events(s, d).select(col("user_id"), col("event_type"),
         expr("datediff(to_date(ts_utc), date '1970-01-01')")
           .cast(LongType).as("day"))
-      val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("f"))
-      ev.join(first, "user_id")
+      ev.withColumn("f",
+          min(col("day")).over(Window.partitionBy(col("user_id"))))
         .groupBy(col("event_type"))
         .agg(
           sum(when(col("day") < col("f") + 7L, 1L).otherwise(0L))
@@ -2361,8 +2395,10 @@ object Queries {
       val ev = events(s, d).select(col("user_id"),
         expr("datediff(to_date(ts_utc), date '1970-01-01')")
           .cast(LongType).as("day"))
-      val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("f"))
-      ev.join(first, "user_id")
+      // first day as a MIN window — the agg-then-join-back form
+      // scanned events twice (r18 plan audit)
+      ev.withColumn("f",
+          min(col("day")).over(Window.partitionBy(col("user_id"))))
         .groupBy(col("day"))
         .agg(
           sum(when(col("day") === col("f"), 1L).otherwise(0L))
@@ -2796,16 +2832,27 @@ object Queries {
       val safe = graft.operators.Sampling.withClusterSafeSplit(
           docs, "doc_id", components)
         .select(col("doc_id"), col("split").as("safe_split"))
+      // each pair explodes into its two endpoints and joins the split
+      // frames ONCE each — the four per-side joins referenced `plain`
+      // and `safe` twice apiece, and Catalyst evaluated the corpus-
+      // sized split subtrees once per reference (r18 plan audit). The
+      // pair graph has no self-loops, so doc_id = id_a marks the side
+      // unambiguously and each (pair, side) group folds back to one
+      // row.
       val p = pairs.select(col("id_a"), col("id_b"))
       val joined = p
-        .join(plain.withColumnRenamed("doc_id", "id_a")
-          .withColumnRenamed("split", "sa"), "id_a")
-        .join(plain.withColumnRenamed("doc_id", "id_b")
-          .withColumnRenamed("split", "sb"), "id_b")
-        .join(safe.withColumnRenamed("doc_id", "id_a")
-          .withColumnRenamed("safe_split", "ca"), "id_a")
-        .join(safe.withColumnRenamed("doc_id", "id_b")
-          .withColumnRenamed("safe_split", "cb"), "id_b")
+        .select(col("id_a"), col("id_b"),
+          explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+        .join(plain, "doc_id")
+        .join(safe, "doc_id")
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(
+          max(when(col("doc_id") === col("id_a"), col("split"))).as("sa"),
+          max(when(col("doc_id") === col("id_b"), col("split"))).as("sb"),
+          max(when(col("doc_id") === col("id_a"), col("safe_split")))
+            .as("ca"),
+          max(when(col("doc_id") === col("id_b"), col("safe_split")))
+            .as("cb"))
       joined.agg(
         count(lit(1)).as("n_pairs"),
         sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L))
@@ -3971,10 +4018,16 @@ object Queries {
       val ranked = emb.select(col("vec_id"),
         graft.operators.Sampling.hashRank(col("vec_id")).as("h0"),
         graft.operators.Sampling.hashRank(col("vec_id"), salt = 7L).as("h7"))
-      val cbIds = ranked.orderBy(col("h0"), col("vec_id")).limit(256)
-        .select("vec_id").collect().map(_.getLong(0))
-      val ctIds = ranked.orderBy(col("h7"), col("vec_id")).limit(64)
-        .select("vec_id").collect().map(_.getLong(0))
+      // two independent TakeOrdered cuts over the same skinny
+      // projection — overlap them so the second's scan back-fills the
+      // first's straggler tail (guide §2.6)
+      var cbIds: Array[Long] = null
+      var ctIds: Array[Long] = null
+      graft.operators.Actions.runConcurrently(
+        () => cbIds = ranked.orderBy(col("h0"), col("vec_id")).limit(256)
+          .select("vec_id").collect().map(_.getLong(0)),
+        () => ctIds = ranked.orderBy(col("h7"), col("vec_id")).limit(64)
+          .select("vec_id").collect().map(_.getLong(0)))
       val seedIds = (cbIds ++ ctIds).distinct.toSeq // ≤ 320 — plan-constant
       graft.operators.Pq.writeIndex(
         emb.filter(col("vec_id").isin(seedIds: _*)),
@@ -4745,9 +4798,10 @@ object Queries {
         expr("datediff(to_date(o_orderdate), date '1970-01-01') div 30")
           .cast(LongType).as("m"),
         col("o_totalprice"))
-      val first = o.groupBy(col("o_custkey"))
-        .agg(min(col("m")).as("cohort_month"))
-      o.join(first, "o_custkey")
+      // cohort month as a MIN window — the agg-then-join-back form
+      // scanned orders twice (r18 plan audit)
+      o.withColumn("cohort_month",
+          min(col("m")).over(Window.partitionBy(col("o_custkey"))))
         .groupBy(col("cohort_month"),
           (col("m") - col("cohort_month")).as("age_months"))
         .agg(count(lit(1)).as("n_orders"),
@@ -5086,19 +5140,29 @@ object Queries {
     // sums ride the same rule kernel; the dedup leg is a text-keyed
     // min-id agg over the ALREADY-FILTERED keep set.
     "x_filter_funnel" -> ((s, d) => {
+      // ONE pass over the doc⋈gopher join: the survivor-dedup count
+      // previously referenced the joined frame a second time
+      // (re-evaluating the corpus join per reference — r18 plan
+      // audit); instead the global totals fold over per-text partials
+      // (counts per group sum to the ungrouped totals, and n_unique =
+      // texts whose group saw any keep=1). The bare docs count stays
+      // its own pass — a footer-answered aggregate.
       val docs = t(s, d, "documents")
       val nn = docs.filter(col("text").isNotNull)
       val g = gopherSignals(s, d)
         .select(col("doc_id"), col("n_tokens"), col("keep"))
       val flags = nn.select(col("doc_id"), col("text")).join(g, "doc_id")
-      val uniq = flags.filter(col("keep") === 1)
-        .groupBy(col("text")).agg(min(col("doc_id")).as("__sid"))
-      flags.agg(
-          count(lit(1)).as("n_nonnull"),
-          sum(when(col("n_tokens") >= 50, 1L).otherwise(0L)).as("n_min_tokens"),
-          sum(col("keep").cast(LongType)).as("n_quality"))
+      flags
+        .groupBy(col("text"))
+        .agg(count(lit(1)).as("__n"),
+          sum(when(col("n_tokens") >= 50, 1L).otherwise(0L)).as("__mt"),
+          sum(col("keep").cast(LongType)).as("__q"),
+          max(col("keep")).as("__anykeep"))
+        .agg(coalesce(sum(col("__n")), lit(0L)).as("n_nonnull"),
+          sum(col("__mt")).as("n_min_tokens"),
+          sum(col("__q")).as("n_quality"),
+          count(when(col("__anykeep") === 1, lit(1))).as("n_unique"))
         .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
-        .crossJoin(broadcast(uniq.agg(count(lit(1)).as("n_unique"))))
         .select(col("n_docs"), col("n_nonnull"), col("n_min_tokens"),
           col("n_quality"), col("n_unique"))
     }),
@@ -5492,22 +5556,24 @@ object Queries {
     // (source, token) frame: per token the expansion is ≤ |sources|²,
     // never corpus².
     "x_vocab_overlap_sources" -> ((s, d) => {
+      // same shape as x_user_overlap_types: per-source vocab sizes as
+      // a COUNT window on the distinct frame before the self-join —
+      // the two sizes references each re-ran the tokenize+distinct
+      // corpus pass (r18 plan audit: 4 scans → 2).
       val st = t(s, d, "documents")
         .select(col("source"),
           explode(TextAnalysis.tokens(col("text"))).as("token"))
         .filter(col("token") =!= "")
         .distinct()
-      val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .withColumn("n",
+          count(lit(1)).over(Window.partitionBy(col("source"))))
       st.as("a").join(st.as("b"),
           col("a.token") === col("b.token") &&
             col("a.source") < col("b.source"))
         .groupBy(col("a.source").as("source_a"),
           col("b.source").as("source_b"))
-        .agg(count(lit(1)).as("n_both"))
-        .join(broadcast(sizes.select(col("source").as("source_a"),
-          col("n").as("n_a"))), "source_a")
-        .join(broadcast(sizes.select(col("source").as("source_b"),
-          col("n").as("n_b"))), "source_b")
+        .agg(count(lit(1)).as("n_both"),
+          min(col("a.n")).as("n_a"), min(col("b.n")).as("n_b"))
         .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
           col("n_both"))
     }),
